@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{DedupOps, EventOps, MultiModalOps, RefParity, Relational, SimOps, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full declared operator inventory (SURVEY.md §2.3):
+  * Group A (reference parity through the MRJob kernel), Group B
+  * (relational surface), Group C (training-data pipeline extensions).
+  * Every SQL-expressible query has a DuckDB oracle in `oracleSql`;
+  * non-SQL-expressible ones (LSH variants, lang-id) get the driver's
+  * rows-only check and are covered by ScalaTest specs instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's own shipped example (char count, word_count.cc) run
+    * through the MRJob kernel.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RefParity.mrCharCount(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RefParity.queries ++ Relational.queries ++ TextOps.queries ++
+      DedupOps.queries ++ SimOps.queries ++ EventOps.queries ++
+      MultiModalOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    RefParity.oracle ++ Relational.oracle ++ TextOps.oracle ++
+      DedupOps.oracle ++ SimOps.oracle ++ EventOps.oracle ++
+      MultiModalOps.oracle
 }

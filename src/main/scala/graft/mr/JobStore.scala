@@ -1,0 +1,114 @@
+package graft.mr
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+/** Job lifecycle registry — the library-API analog of the reference's
+  * master job table + HTTP gateway surface:
+  *  - launch validation: mapper/reducer > 0, non-empty input
+  *    (`/root/reference/src/tmapreduce/master.cc:530-535`);
+  *  - result fetch by (job_id, token) with exact-match auth
+  *    (`master.cc:685-699`, `job.h:93`);
+  *  - finished results expire after a TTL
+  *    (`JOB_RESULT_TIMEOUT_SECOND=3600`, `master.h:27`; scanner
+  *    `master.cc:449-463`).
+  *
+  * The Raft/etcd/brpc machinery around this table is deliberately dropped
+  * (SURVEY.md §7.6): Spark's driver is the single coordinator.
+  *
+  * Clock is injectable so TTL behavior is unit-testable (SURVEY.md §7.7-6).
+  */
+final class JobStore(
+    clock: () => Long = () => System.currentTimeMillis(),
+    ttlMillis: Long = JobStore.DefaultTtlMillis) {
+
+  import JobStore._
+
+  private val nextId = new AtomicLong(0L)
+  private val jobs = new ConcurrentHashMap[Long, JobState]()
+
+  /** Validate + run a job of a registered type; returns the job id.
+    * Mirrors handle_launch (`master.cc:527-559`): validation errors are
+    * surfaced to the caller, nothing is registered for an invalid launch.
+    */
+  def launch(
+      spark: SparkSession,
+      spec: JobSpec,
+      input: Dataset[(String, String)]): Either[String, Long] = {
+    if (spec.mappers <= 0 || spec.reducers <= 0)
+      Left("mapper_num and reducer_num must be > 0") // master.cc:530-532
+    else JobTypeRegistry.lookup(spec.jobType) match {
+      case None => Left(s"unknown job type: ${spec.jobType}") // no capable worker
+      case Some(fns) =>
+        if (input.isEmpty) Left("input kvs must be non-empty") // master.cc:533-535
+        else {
+          val id = nextId.getAndIncrement()
+          jobs.put(id, JobState(spec, Running, None, None))
+          try {
+            val out = MRJob
+              .run(spark, input, fns.mapFn, fns.reduceFn, spec.mappers, spec.reducers)
+              .collect()
+            jobs.put(id, JobState(spec, Finished, Some(out), Some(clock())))
+          } catch {
+            case e: Exception =>
+              jobs.put(id, JobState(spec, Failed(e.getMessage), None, Some(clock())))
+          }
+          Right(id)
+        }
+    }
+  }
+
+  /** Token-authenticated result fetch; mirrors handle_get_result guards
+    * in order: exists → token → finished (`master.cc:685-699`).
+    */
+  def getResult(id: Long, token: String): Either[String, Seq[String]] = {
+    evictExpired()
+    Option(jobs.get(id)) match {
+      case None => Left(s"no such job: $id")
+      case Some(st) if st.spec.token != token => Left("wrong token")
+      case Some(JobState(_, Finished, Some(res), _)) => Right(res.toSeq)
+      case Some(JobState(_, Failed(msg), _, _)) => Left(s"job failed: $msg")
+      case Some(_) => Left("job not finished")
+    }
+  }
+
+  def status(id: Long): Option[JobStatus] = Option(jobs.get(id)).map(_.status)
+
+  /** Drop finished/failed jobs older than the TTL; returns eviction count
+    * (the BGScaner sweep, `master.cc:449-463` + `master.cc:701-710`).
+    */
+  def evictExpired(): Int = {
+    val now = clock()
+    var n = 0
+    jobs.forEach { (id, st) =>
+      if (st.finishedAt.exists(t => now - t >= ttlMillis)) {
+        jobs.remove(id); n += 1
+      }
+    }
+    n
+  }
+}
+
+object JobStore {
+  val DefaultTtlMillis: Long = 3600L * 1000L // JOB_RESULT_TIMEOUT_SECOND, master.h:27
+
+  final case class JobSpec(
+      name: String,
+      jobType: String,
+      token: String,
+      mappers: Int = 2,
+      reducers: Int = 2)
+
+  sealed trait JobStatus
+  case object Running extends JobStatus
+  case object Finished extends JobStatus
+  final case class Failed(message: String) extends JobStatus
+
+  private final case class JobState(
+      spec: JobSpec,
+      status: JobStatus,
+      result: Option[Array[String]],
+      finishedAt: Option[Long])
+}

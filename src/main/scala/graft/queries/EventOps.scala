@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group C (time-series) — C5: windowing and sessionization over the
+  * `events` table (SURVEY.md §2.3 C5).
+  *
+  * The reference is batch-only with no notion of time
+  * (`/root/reference/src/tmapreduce/job.h:26-39` runs once to FINISHED);
+  * these are the batch forms, and graft.streaming.EventStream reuses the
+  * same window shapes under Structured Streaming with watermarks.
+  *
+  * Scale posture: every query shuffles exactly once on its natural key
+  * (window bucket or user_id); sessionization is a window function over
+  * user partitions — at 100 TB that is one hash shuffle on user_id, and
+  * AQE handles hot users. Value sums go through exact decimals so the
+  * DuckDB oracle matches bitwise (see Exact).
+  */
+object EventOps {
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  private val sumValue =
+    "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** C5a: tumbling 1-hour windows — event count, distinct users, exact
+    * value sum per (window, event_type). Uses Spark's `window()` operator;
+    * the oracle expresses the same bucketing with date_trunc.
+    */
+  def c5Tumbling(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Exact.col(sumValue).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("n_users"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** C5b: sliding windows (1 hour, sliding 30 min) — each event lands in
+    * 2 buckets; oracle = union of two shifted tumbling bucketings.
+    */
+  def c5Sliding(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"))
+      .orderBy("window_start")
+
+  /** C5c: sessionization — 30-minute-gap sessions per user via the classic
+    * gaps-and-islands window plan (lag → new-session flag → running sum).
+    * One shuffle on user_id; the same logic DuckDB can express, so this is
+    * fully oracle-checked (unlike opaque session ids, session_idx is a
+    * deterministic per-user ordinal).
+    */
+  def c5Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = ev(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") >= 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+          .as("duration_sec"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** C5d: per-user event sequencing — previous event type and seconds
+    * since it (lag analytics over the event stream).
+    */
+  def c5UserSeq(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("secs_since_prev",
+        col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+      .select("event_id", "user_id", "event_type", "prev_type", "secs_since_prev")
+      .orderBy("event_id")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "c5_tumbling" ->
+      ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
+        "count(*) AS n_events, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        s"$sumValue AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "c5_sliding" ->
+      // An event at t lands in the two 1-hour windows whose 30-min-aligned
+      // starts satisfy s <= t < s+1h: floor30(t) and floor30(t)-30min.
+      ("SELECT window_start, count(*) AS n_events FROM (" +
+        "SELECT unnest([time_bucket(INTERVAL '30 minutes', ts), " +
+        "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS window_start " +
+        "FROM events) GROUP BY window_start ORDER BY window_start"),
+    "c5_sessionize" ->
+      ("WITH flagged AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_session " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT user_id, ts, " +
+        "SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM flagged) " +
+        "SELECT user_id, session_idx, count(*) AS n_events, " +
+        "min(ts) AS session_start, max(ts) AS session_end, " +
+        "CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS duration_sec " +
+        "FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
+    "c5_user_seq" ->
+      ("SELECT event_id, user_id, event_type, " +
+        "lag(event_type) OVER w AS prev_type, " +
+        "CAST(epoch(ts) - epoch(lag(ts) OVER w) AS BIGINT) AS secs_since_prev " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY event_id")
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c5_tumbling" -> (c5Tumbling _),
+    "c5_sliding" -> (c5Sliding _),
+    "c5_sessionize" -> (c5Sessionize _),
+    "c5_user_seq" -> (c5UserSeq _)
+  )
+}

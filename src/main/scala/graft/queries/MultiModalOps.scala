@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group C (multimodal) — opaque binary asset columns with typed metadata,
+  * plus the decode / feature-extract / frame-sample plumbing a multimodal
+  * training pipeline needs.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic stub ([[StubCodec]]); everything around it
+  * — the asset schema, the batched `mapPartitions` execution shape (the
+  * Scala analog of `mapInPandas`: one iterator per partition, vectorizable
+  * batch work inside), partitioning, and the metadata/feature schemas — is
+  * real and tested (MultiModalSpec).
+  *
+  * Assets are derived deterministically from `documents` (the driver's
+  * corpus): `content` = UTF-8 bytes of the text, modality round-robins by
+  * doc_id. At 100 TB the same plan reads real `binary` parquet columns;
+  * `maxPartitionBytes` governs scan parallelism and nothing here ever
+  * collects or shuffles the payload bytes — features are extracted
+  * narrow, per-partition, and only the (tiny) feature rows shuffle.
+  */
+object MultiModalOps {
+
+  /** One multimodal asset: opaque payload + typed metadata. */
+  final case class Asset(
+      asset_id: Long,
+      modality: String,
+      content: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int)
+
+  final case class AssetFeatures(
+      asset_id: Long,
+      modality: String,
+      n_bytes: Int,
+      mean_byte: Double,
+      byte_entropy: Double,
+      n_frames: Int)
+
+  /** The stubbed decoder: where a real pipeline calls an image/audio
+    * codec, we compute deterministic pseudo-features of the raw bytes.
+    * Swap this object for a real codec binding at deployment; the
+    * surrounding Spark plumbing does not change.
+    */
+  object StubCodec {
+    val FrameBytes = 256
+
+    /** "Decode" one asset into features — byte-level moments stand in for
+      * codec output. Deterministic, pure, per-record.
+      */
+    def decode(a: Asset): AssetFeatures = {
+      val bytes = a.content
+      val n = bytes.length
+      val hist = new Array[Long](256)
+      var sum = 0L
+      var i = 0
+      while (i < n) { val b = bytes(i) & 0xff; hist(b) += 1; sum += b; i += 1 }
+      val mean = if (n == 0) 0.0 else sum.toDouble / n
+      var entropy = 0.0
+      if (n > 0) {
+        var j = 0
+        while (j < 256) {
+          if (hist(j) > 0) {
+            val p = hist(j).toDouble / n
+            entropy -= p * math.log(p) / math.log(2)
+          }
+          j += 1
+        }
+      }
+      AssetFeatures(a.asset_id, a.modality, n, mean, entropy,
+        (n + FrameBytes - 1) / FrameBytes)
+    }
+  }
+
+  /** documents → typed asset table (deterministic binary + metadata). */
+  def assets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id").as("asset_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+        encode(col("text"), "UTF-8").as("content"),
+        (col("doc_id") % 640 + 1).cast("int").as("width"),
+        (col("doc_id") % 480 + 1).cast("int").as("height"),
+        lit(16000).as("sample_rate"))
+      .as[Asset]
+  }
+
+  /** C6a: batched decode/feature-extract over asset partitions — the
+    * `mapInPandas` shape in Scala: one iterator in, one iterator out, per
+    * partition; the stub codec is invoked record-at-a-time inside the
+    * partition loop exactly where a vectorized codec batch call would go.
+    */
+  def c6Features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir)
+      .mapPartitions(it => it.map(StubCodec.decode))
+      .toDF()
+      .select(col("asset_id"), col("modality"), col("n_bytes"),
+        round(col("mean_byte"), 4).as("mean_byte"),
+        round(col("byte_entropy"), 4).as("byte_entropy"), col("n_frames"))
+      .orderBy("asset_id")
+  }
+
+  /** C6b: frame sampling — every k-th fixed-size frame of each payload,
+    * pure built-ins (binary substring over an exploded frame index): the
+    * explode/downstream shape of a video frame-sampler, no UDF.
+    */
+  def c6FrameSample(spark: SparkSession, dir: String, everyK: Int = 4): DataFrame = {
+    val fb = StubCodec.FrameBytes
+    assets(spark, dir).toDF()
+      .withColumn("n_frames",
+        ceil(length(col("content")).cast("double") / fb).cast("int"))
+      .select(col("asset_id"), col("modality"), col("n_frames"),
+        posexplode(transform(
+          sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(everyK)),
+          f => substring(col("content"), f * fb + 1, lit(fb)))))
+      .select(col("asset_id"), col("modality"),
+        col("pos").as("sample_idx"),
+        md5(col("col")).as("frame_hash"),
+        length(col("col")).as("frame_bytes"))
+      .orderBy("asset_id", "sample_idx")
+
+  }
+
+  /** C6c: metadata summary per modality — fully SQL-expressible (the
+    * metadata/typed-columns side of the multimodal schema), oracle-checked.
+    */
+  def c6MetaStats(spark: SparkSession, dir: String): DataFrame =
+    assets(spark, dir).toDF()
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(length(col("content")).cast("long")).as("total_bytes"),
+        max(col("width")).as("max_width"),
+        max(col("height")).as("max_height"))
+      .orderBy("modality")
+
+  private val modalitySql =
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  val oracle: Map[String, String] = Map(
+    // Frame sampling is oracle-expressible because frames are byte slices.
+    "c6_frame_sample" ->
+      (s"WITH a AS (SELECT doc_id AS asset_id, $modalitySql AS modality, " +
+        "encode(text) AS content, " +
+        "CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_frames FROM documents) " +
+        "SELECT asset_id, modality, " +
+        "CAST(gs.i AS INT) AS sample_idx, " +
+        "md5(content[1 + (gs.i*4)*256 : (gs.i*4)*256 + 256]) AS frame_hash, " +
+        "CAST(octet_length(content[1 + (gs.i*4)*256 : (gs.i*4)*256 + 256]) AS INT) AS frame_bytes " +
+        "FROM a, LATERAL (SELECT unnest(range(0, CAST(ceil(greatest(n_frames,1) / 4.0) AS BIGINT))) AS i) gs " +
+        "ORDER BY asset_id, sample_idx"),
+    "c6_meta_stats" ->
+      (s"SELECT $modalitySql AS modality, count(*) AS n_assets, " +
+        "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, " +
+        "CAST(max(doc_id % 640 + 1) AS INT) AS max_width, " +
+        "CAST(max(doc_id % 480 + 1) AS INT) AS max_height " +
+        "FROM documents GROUP BY 1 ORDER BY 1")
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c6_mm_features" -> ((s: SparkSession, d: String) => c6Features(s, d)),
+    "c6_frame_sample" -> ((s: SparkSession, d: String) => c6FrameSample(s, d)),
+    "c6_meta_stats" -> (c6MetaStats _)
+  )
+}

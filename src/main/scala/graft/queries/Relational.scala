@@ -1,0 +1,338 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group B — the relational capability surface (SURVEY.md §2.2/§2.3 B1-B7).
+  *
+  * The reference can only express these as hand-written Map/Reduce `.so`s
+  * over string pairs (`/root/reference/src/tmapreduce/mrf.h:9-11`); here
+  * they are first-class declarative plans so Catalyst gets pushdown,
+  * pruning, partial aggregation, and join-strategy selection.
+  *
+  * Scale posture (100 TB): dimension tables (region/nation/customer/
+  * supplier/part) are explicitly `broadcast()` so fact-side scans never
+  * shuffle for them; the only shuffles left are fact-fact joins and final
+  * aggregations, which partition on their own keys. Every query ends in a
+  * deterministic ORDER BY for the oracle hash compare (cheap: runs on
+  * already-aggregated, small results).
+  */
+object Relational {
+  import Exact._
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** B1: filter + projection + scalar arithmetic; predicate and the
+    * 4-column projection both push into the parquet scan.
+    */
+  def b1FilterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Exact.col(s"CAST($discPriceSql AS DOUBLE)").as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** B2: TPC-H Q1-shaped hash aggregate (partial + final via Catalyst). */
+  def b2AggQ1(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-06-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact in any order
+        Exact.col(sumMoney("l_extendedprice")).as("sum_base_price"),
+        Exact.col(sumDouble(discPriceSql)).as("sum_disc_price"),
+        Exact.col(sumDouble(chargeSql)).as("sum_charge"),
+        avg(col("l_quantity")).as("avg_qty"),
+        Exact.col(avgMoney("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** B2b: exact + distinct aggregation. */
+  def b2AggDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** B3: the big fact-fact shuffle join (lineitem ⋈ orders) feeding an
+    * aggregate, with customer/nation/region broadcast — revenue by nation
+    * within one region (TPC-H Q5 shape).
+    */
+  def b3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(Exact.col(revenueSql).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** B3b: broadcast-only dimension join (no fact-fact shuffle): order count
+    * and total price by (region, mktsegment).
+    */
+  def b3JoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.col(sumMoney("o_totalprice")).as("total_price"))
+      .orderBy("r_name", "c_mktsegment")
+  }
+
+  /** B3c: LEFT SEMI — customers with at least one high-value order. */
+  def b3JoinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 400000.0)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** B3d: LEFT ANTI — customers with no high-value order. */
+  def b3JoinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 400000.0)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** B4: ranking window — top-3 orders per customer by price. */
+  def b4WindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** B4b: analytic window — running revenue per customer over time
+    * (exact decimal running sum; both engines add in frame order).
+    */
+  def b4WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "running_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** B4c: lag/lead — days since each customer's previous order. */
+  def b4WindowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("days_since_prev",
+        datediff(col("o_orderdate"), col("prev_date")))
+      .select("o_custkey", "o_orderkey", "days_since_prev")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** B5: global sort + limit (top-k): Spark plans this as TakeOrderedAndProject
+    * — a per-partition top-k then a k-row merge, no full global sort.
+    */
+  def b5TopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+  /** B5b: set operations — ((building ∩ positive-balance) ∪ big-spenders)
+    * \ deep-debt, all on customer keys.
+    */
+  def b5SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val positive = c.filter(col("c_acctbal") > 0.0).select(col("c_custkey"))
+    val bigSpend = o.filter(col("o_totalprice") > 450000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    val deepDebt = c.filter(col("c_acctbal") < -500.0).select(col("c_custkey"))
+    building.intersect(positive)
+      .union(bigSpend).distinct()
+      .except(deepDebt)
+      .orderBy("c_custkey")
+  }
+
+  /** B5c: DISTINCT / dropDuplicates. */
+  def b5Distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select("o_orderstatus", "o_orderpriority")
+      .dropDuplicates()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** B6: ROLLUP — revenue by (nation, order-year) with subtotals and a
+    * grand total; NULL grouping slots made explicit for the oracle.
+    */
+  def b6Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("yr", year(col("o_orderdate")))
+      .rollup(col("n_name"), col("yr"))
+      .agg(Exact.col(sumMoney("o_totalprice")).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("yr"), lit(-1)).as("yr"),
+        col("total_price"), col("n_orders"))
+      .orderBy("nation", "yr")
+  }
+
+  /** B7: scalar function surface — string, date, JSON, math — over events. */
+  def b7ScalarFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        upper(col("event_type")).as("etype_upper"),
+        length(col("event_type")).as("etype_len"),
+        substring(col("event_type"), 1, 3).as("etype_pre"),
+        year(col("ts")).as("yr"),
+        month(col("ts")).as("mon"),
+        dayofmonth(col("ts")).as("dom"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        // Exact-decimal arithmetic: double round() differs between engines
+        // (Spark rounds the exact binary value, DuckDB the shortest decimal
+        // repr); both convert double→decimal via the shortest repr, so this
+        // is bitwise-reproducible (see Exact).
+        Exact.col("CAST(round(CAST(value AS DECIMAL(18,6)) * CAST(2.5 AS DECIMAL(3,1)), 2) AS DOUBLE)")
+          .as("scaled"))
+      .orderBy("event_id")
+
+  // ---- oracle SQL (DuckDB). Shared decimal expressions come from Exact so
+  // both engines evaluate structurally identical arithmetic. ----
+  val oracle: Map[String, String] = Map(
+    "b1_filter_project" ->
+      (s"SELECT l_orderkey, l_linenumber, CAST($discPriceSql AS DOUBLE) AS revenue " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05 " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    "b2_agg_q1" ->
+      (s"SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, " +
+        s"${sumMoney("l_extendedprice")} AS sum_base_price, " +
+        s"${sumDouble(discPriceSql)} AS sum_disc_price, " +
+        s"${sumDouble(chargeSql)} AS sum_charge, " +
+        "AVG(l_quantity) AS avg_qty, " +
+        s"${avgMoney("l_discount")} AS avg_disc, " +
+        "COUNT(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-01' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "b2_agg_distinct" ->
+      ("SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts, " +
+        "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supps, COUNT(*) AS n_rows " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "b3_join_agg" ->
+      (s"SELECT n_name, $revenueSql AS revenue, COUNT(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
+    "b3_join_broadcast" ->
+      (s"SELECT r_name, c_mktsegment, COUNT(*) AS n_orders, " +
+        s"${sumMoney("o_totalprice")} AS total_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, c_mktsegment ORDER BY r_name, c_mktsegment"),
+    "b3_join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0) " +
+        "ORDER BY c_custkey"),
+    "b3_join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0) " +
+        "ORDER BY c_custkey"),
+    "b4_window_topn" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, CAST(row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "b4_window_running" ->
+      ("SELECT o_custkey, o_orderkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"),
+    "b4_window_lag" ->
+      ("SELECT o_custkey, o_orderkey, CAST(date_diff('day', " +
+        "lag(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
+        "o_orderdate) AS INT) AS days_since_prev " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"),
+    "b5_topk" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"),
+    "b5_setops" ->
+      ("SELECT c_custkey FROM (" +
+        "SELECT c_custkey FROM (" +
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 0.0) " +
+        "UNION SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 450000.0) " +
+        "EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal < -500.0) " +
+        "ORDER BY c_custkey"),
+    "b5_distinct" ->
+      ("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders " +
+        "ORDER BY o_orderstatus, o_orderpriority"),
+    "b6_rollup" ->
+      (s"SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(yr, -1) AS yr, " +
+        "total_price, n_orders FROM (" +
+        s"SELECT n_name, yr, ${sumMoney("o_totalprice")} AS total_price, COUNT(*) AS n_orders " +
+        "FROM (SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr, o_totalprice " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey) " +
+        "GROUP BY ROLLUP(n_name, yr)) ORDER BY nation, yr"),
+    "b7_scalar_fns" ->
+      ("SELECT event_id, upper(event_type) AS etype_upper, " +
+        "CAST(length(event_type) AS INT) AS etype_len, " +
+        "substring(event_type, 1, 3) AS etype_pre, " +
+        "CAST(year(ts) AS INT) AS yr, CAST(month(ts) AS INT) AS mon, " +
+        "CAST(day(ts) AS INT) AS dom, " +
+        "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str, " +
+        "CAST(regexp_extract(props, '[0-9]+') AS INT) AS k, " +
+        "CAST(round(CAST(value AS DECIMAL(18,6)) * CAST(2.5 AS DECIMAL(3,1)), 2) AS DOUBLE) AS scaled " +
+        "FROM events ORDER BY event_id")
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b1_filter_project" -> (b1FilterProject _),
+    "b2_agg_q1" -> (b2AggQ1 _),
+    "b2_agg_distinct" -> (b2AggDistinct _),
+    "b3_join_agg" -> (b3JoinAgg _),
+    "b3_join_broadcast" -> (b3JoinBroadcast _),
+    "b3_join_semi" -> (b3JoinSemi _),
+    "b3_join_anti" -> (b3JoinAnti _),
+    "b4_window_topn" -> (b4WindowTopN _),
+    "b4_window_running" -> (b4WindowRunning _),
+    "b4_window_lag" -> (b4WindowLag _),
+    "b5_topk" -> (b5TopK _),
+    "b5_setops" -> (b5SetOps _),
+    "b5_distinct" -> (b5Distinct _),
+    "b6_rollup" -> (b6Rollup _),
+    "b7_scalar_fns" -> (b7ScalarFns _)
+  )
+}

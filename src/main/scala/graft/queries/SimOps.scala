@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group C (similarity search) — C3: nearest neighbors over the
+  * `embeddings` table (`embedding: array<float>`, 64-dim).
+  *
+  * The reference cannot express this at all (string-KV MapReduce only,
+  * `/root/reference/src/tmapreduce/job.h:17-24`); a user would hand-roll
+  * it in C++ inside a Map `.so`. Here:
+  *
+  *  - `c3_cosine_topk` — exact brute-force top-k for a fixed query subset,
+  *    the correctness baseline. All arithmetic is double-precision
+  *    sequential folds (`aggregate` HOF), mirrored exactly by the DuckDB
+  *    oracle's `list_dot_product` on DOUBLE[] casts.
+  *  - `c3_ann_lsh` — the 100 TB path: random-hyperplane LSH (sign-bit
+  *    sketch, Charikar 2002). Each vector gets a `nBits`-bit bucket id;
+  *    candidates come from a group-by on the bucket (plus the query's
+  *    multi-probe neighbors at Hamming distance 1), so the shuffle is
+  *    O(n·probes), never the O(n·q) cross join. Recall vs brute force is
+  *    asserted in SimOpsSpec; the driver gets a rows-only check.
+  *
+  * Scale posture: the brute-force variant broadcasts the (small) query
+  * set against the corpus — at 1000 executors that is a map-side join
+  * over an arbitrarily large corpus with a final per-query top-k
+  * (`TakeOrdered`-style window + filter), no corpus shuffle at all.
+  */
+object SimOps {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  /** Sequential-fold dot product of two double arrays (codegen'd HOF). */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** L2 norm via the same sequential fold. */
+  def normD(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+
+  private def asDouble(a: Column): Column = a.cast("array<double>")
+
+  /** C3a: exact cosine top-k (k=5) of every corpus vector for each query
+    * vector (query set: vec_id divisible by 100). Scores rounded to 6
+    * decimals; ties broken by neighbor id in both engines.
+    */
+  def c3CosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val corpus = emb(spark, dir)
+      .select(col("vec_id").as("b_id"), asDouble(col("embedding")).as("b_emb"))
+    val queries = emb(spark, dir)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
+
+    val scored = corpus.join(broadcast(queries), col("q_id") =!= col("b_id"))
+      .withColumn("cosine",
+        round(dotD(col("q_emb"), col("b_emb")) /
+          (normD(col("q_emb")) * normD(col("b_emb"))), 6))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("b_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("b_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes: component j of
+    * plane p = a fixed 64-bit mix of (p, j) mapped to [-0.5, 0.5). The
+    * same constants produce the same planes on every executor — no
+    * runtime randomness, no driver-side state to ship.
+    */
+  private def hyperplaneComponent(p: Int, j: Column): Column =
+    (call_function("xxhash64", lit(p), j).cast("double") / lit(1.8446744073709552e19)) // / 2^64 → [-0.5, 0.5)
+
+  /** `nBits`-bit sign sketch of an embedding column. */
+  def lshBucket(embD: Column, nBits: Int): Column = {
+    (0 until nBits).map { p =>
+      val dot = aggregate(
+        zip_with(embD, sequence(lit(0), size(embD) - 1),
+          (x, j) => x * hyperplaneComponent(p, j)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** C3b: ANN via sign-bit LSH with Hamming-1 multi-probe on the query
+    * side. Output shape matches c3_cosine_topk (rows-only driver check;
+    * recall asserted in SimOpsSpec).
+    */
+  def c3AnnLsh(spark: SparkSession, dir: String, k: Int = 5, nBits: Int = 12): DataFrame = {
+    val base = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
+      .withColumn("bucket", lshBucket(col("embD"), nBits))
+
+    val corpus = base.select(
+      col("vec_id").as("b_id"), col("embD").as("b_emb"), col("bucket"))
+
+    // Multi-probe: each query probes its own bucket and all nBits
+    // Hamming-1 neighbors — recovers most near-misses at the bucket
+    // boundary for ~nBits× candidate cost, still O(n) overall.
+    val queries = base
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embD").as("q_emb"),
+        explode(concat(
+          array(col("bucket")),
+          transform(sequence(lit(0), lit(nBits - 1)),
+            p => col("bucket").bitwiseXOR(call_function("shiftleft", lit(1L), p)))))
+          .as("bucket"))
+
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("q_id") =!= col("b_id"))
+      .withColumn("cosine",
+        round(dotD(col("q_emb"), col("b_emb")) /
+          (normD(col("q_emb")) * normD(col("b_emb"))), 6))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("b_id"))
+    scored
+      .select(col("q_id"), col("b_id"), col("cosine")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("b_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** C3c: pairwise similarity stats per label — exercises the embedding
+    * column through a fully SQL-expressible aggregate (mean vector norm
+    * per label), oracle-checked.
+    */
+  def c3NormStats(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), round(normD(asDouble(col("embedding"))), 6).as("norm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("norm")), 4).as("sum_norm"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"))
+      .orderBy("label")
+
+  val oracle: Map[String, String] = Map(
+    "c3_cosine_topk" ->
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb " +
+        "FROM embeddings WHERE vec_id % 100 = 0), " +
+        "c AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS b_emb FROM embeddings), " +
+        "s AS (SELECT q_id, b_id, round(list_dot_product(q_emb, b_emb) / " +
+        "(sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(b_emb, b_emb))), 6) AS cosine " +
+        "FROM q JOIN c ON q_id <> b_id), " +
+        "r AS (SELECT q_id, b_id, cosine, CAST(row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cosine DESC, b_id) AS INT) AS rank FROM s) " +
+        "SELECT q_id, rank, b_id, cosine FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
+    "c3_norm_stats" ->
+      ("SELECT label, count(*) AS n_vecs, " +
+        "round(sum(norm), 4) AS sum_norm, round(min(norm), 6) AS min_norm, " +
+        "round(max(norm), 6) AS max_norm FROM " +
+        "(SELECT label, round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
+        "CAST(embedding AS DOUBLE[]))), 6) AS norm FROM embeddings) " +
+        "GROUP BY label ORDER BY label")
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c3_cosine_topk" -> ((s: SparkSession, d: String) => c3CosineTopK(s, d)),
+    "c3_ann_lsh" -> ((s: SparkSession, d: String) => c3AnnLsh(s, d)),
+    "c3_norm_stats" -> (c3NormStats _)
+  )
+}

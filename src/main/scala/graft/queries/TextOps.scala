@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.Tables
+import graft.text.LangId
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group C (text) — dedup + text-analysis operators a training-data
+  * pipeline needs over the `documents` table (SURVEY.md §2.3 C1/C4).
+  *
+  * Everything is built from codegen'd `functions._` (split / higher-order
+  * filter / md5) — no Scala UDFs in the hot path — so the plans stay inside
+  * WholeStageCodegen and scale linearly with input splits: tokenization and
+  * hashing are narrow (per-row), and only the final small aggregates
+  * shuffle.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** C1: exact deduplication by content hash. One narrow md5 + one shuffle
+    * on the hash; at 100 TB the group-by key is the 128-bit digest, never
+    * the document body.
+    */
+  def c1ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("first_doc_id"), count(lit(1)).as("n_copies"))
+      .select(md5(col("text")).as("text_hash"), col("first_doc_id"), col("n_copies"))
+      .orderBy("first_doc_id")
+
+  /** C4a: corpus statistics per (lang, source). */
+  def c4TextStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        avg(col("n_tokens")).as("avg_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang", "source")
+
+  private val stopwords = Seq("the", "a", "of", "to", "in", "and", "is")
+
+  /** C4b: per-document quality scoring — token count, mean token length,
+    * stopword ratio, and a quality flag. All ratios are exact integer
+    * divisions done once per row, so the oracle matches bitwise.
+    */
+  def c4QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopArr = array(stopwords.map(lit): _*)
+    docs(spark, dir)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_stop",
+        size(filter(toks, t => array_contains(stopArr, t))))
+      .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^a-z]", "")))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("alpha_chars").cast("double") / col("n_tokens")).as("avg_token_len"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        (col("n_tokens") >= 40 && col("n_stop") > 0).as("is_quality"))
+      .orderBy("doc_id")
+  }
+
+  /** C4c: document fingerprint — hash of the sorted distinct token set
+    * (order-insensitive content signature, the cheap cousin of MinHash).
+    */
+  def c4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+          .as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** C4e: token counting — whitespace tokens plus a BPE-ish sub-token
+    * count via a regex lexer (letter runs / digit runs / single
+    * punctuation, the usual pre-tokenization shape). `regexp_count` is
+    * codegen'd, so this is a pure narrow projection.
+    */
+  def c4TokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("bpe_ish_tokens"),
+        length(col("text")).as("n_bytes"))
+      .orderBy("doc_id")
+
+  /** C4d: heuristic language ID via stopword/character n-gram scoring —
+    * argmax over per-language evidence. No DuckDB oracle (the scoring
+    * table is engine-internal); accuracy is asserted in LangIdSpec on
+    * real-language fixtures. Rows-only check from the driver.
+    */
+  def c4LangId(spark: SparkSession, dir: String): DataFrame =
+    LangId.detect(docs(spark, dir), col("text"))
+      .select(col("doc_id"), col("detected_lang"), col("lang_score"))
+      .orderBy("doc_id")
+
+  val oracle: Map[String, String] = Map(
+    "c1_exact_dedup" ->
+      ("SELECT md5(text) AS text_hash, min(doc_id) AS first_doc_id, " +
+        "count(*) AS n_copies FROM documents GROUP BY text ORDER BY first_doc_id"),
+    "c4_text_stats" ->
+      ("SELECT lang, source, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
+        "avg(len(string_split(text, ' '))) AS avg_tokens, " +
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars " +
+        "FROM documents GROUP BY lang, source ORDER BY lang, source"),
+    "c4_quality_score" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len, " +
+        "CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','to','in','and','is'))) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')) AS stopword_ratio, " +
+        "(len(string_split(text, ' ')) >= 40 AND " +
+        "len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','to','in','and','is'))) > 0) AS is_quality " +
+        "FROM documents ORDER BY doc_id"),
+    "c4_fingerprint" ->
+      ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) " +
+        "AS fingerprint FROM documents ORDER BY doc_id"),
+    "c4_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens, " +
+        "CAST(length(text) AS INT) AS n_bytes FROM documents ORDER BY doc_id")
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_exact_dedup" -> (c1ExactDedup _),
+    "c4_text_stats" -> (c4TextStats _),
+    "c4_quality_score" -> (c4QualityScore _),
+    "c4_fingerprint" -> (c4Fingerprint _),
+    "c4_token_count" -> (c4TokenCount _),
+    "c4_langid" -> (c4LangId _)
+  )
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming surface over the `events` schema — the streaming
+  * analog of graft.queries.EventOps (SURVEY.md §7.5, an extension beyond
+  * the batch-only reference, `/root/reference/src/tmapreduce/job.h:26-39`).
+  *
+  * All transforms take a streaming DataFrame (`readStream` file source or
+  * `MemoryStream` in tests) and return the transformed streaming frame;
+  * callers pick the sink. Watermarks bound state so the plans run
+  * indefinitely at scale: state size is O(open windows · distinct keys),
+  * never O(stream length).
+  */
+object EventStream {
+
+  /** File-source reader over a directory of event parquet (schema must be
+    * supplied for streaming reads; reuse the batch schema).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.load(spark, dir, "events").schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark — the
+    * streaming twin of EventOps.c5Tumbling. Late events beyond the
+    * watermark are dropped; state for closed windows is evicted.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session windows (30-minute gap) per user — the streaming twin of
+    * EventOps.c5Sessionize, via the native session_window operator.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Custom keyed state: running per-user event counter + last-seen ts via
+    * mapGroupsWithState — the arbitrary-stateful-op surface
+    * (KeyValueGroupedDataset) for logic windows can't express.
+    */
+  final case class UserStat(user_id: Long, n_events: Long, last_ts: java.sql.Timestamp)
+
+  def userRunningStats(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, null))
+          var n = prev.n_events
+          var last = prev.last_ts
+          rows.foreach { case (_, ts) =>
+            n += 1
+            if (last == null || ts.after(last)) last = ts
+          }
+          val next = UserStat(uid, n, last)
+          state.update(next)
+          next
+      }
+      .toDF()
+  }
+
+  /** Run a streaming frame to a named in-memory sink until idle (test /
+    * demo harness; production callers use their own writeStream).
+    */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q
+  }
+}
