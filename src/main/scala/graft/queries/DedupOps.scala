@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.dedup.{MinHash, SimHash}
+import graft.dedup.{MinHash, SetSimJoin, SimHash}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,42 +22,60 @@ object DedupOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
-  /** C2a: exact token-set Jaccard for pairs above a threshold, via a
-    * token-inverted-index join (each pair is generated once per shared
-    * token, then de-duplicated by counting): standard set-similarity join.
+  /** C2a: exact token-set Jaccard pairs above a threshold via the
+    * prefix-filtered set-similarity self-join (graft.dedup.SetSimJoin) —
+    * exact output, sub-quadratic candidate generation.
     */
-  def c2NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
-    val exploded = base.select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
-    val a = exploded.toDF("a_id", "a_n", "tok")
-    val b = exploded.toDF("b_id", "b_n", "tok")
-    a.join(b, Seq("tok"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("a_n") + col("b_n") - col("common")).cast("double"))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("a_id"), col("b_id"), col("common"), round(col("jaccard"), 6).as("jaccard"))
+  def c2NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    SetSimJoin.jaccardSelfJoin(
+      docs(spark, dir), col("doc_id"),
+      array_distinct(split(col("text"), " ")), threshold = 0.8)
       .orderBy("a_id", "b_id")
-  }
 
-  /** C2b: MinHash + LSH banding — the sub-quadratic near-dup path.
-    * Rows-only driver check; recall vs exact Jaccard asserted in MinHashSpec.
+  /** C2b: MinHash + LSH banding, surfaced as per-doc dedup assignments
+    * (O(n) output — the pair list is inherently O(n²) on a self-similar
+    * corpus). Rows-only driver check; pair-level exactness of the same
+    * LSH machinery is asserted against brute force in DedupSpec.
     */
   def c2MinHashLsh(spark: SparkSession, dir: String): DataFrame =
-    MinHash.nearDuplicates(
-      docs(spark, dir), col("doc_id"), col("text"),
-      numHashes = 64, bands = 16, threshold = 0.5)
-      .orderBy("a_id", "b_id")
+    MinHash.dedupAssignments(
+      docs(spark, dir), col("doc_id"), col("text"), numHashes = 64, bands = 16)
+      .orderBy("doc_id")
 
-  /** C2c: SimHash fingerprints + Hamming-bucket candidates. Rows-only. */
+  /** C2c: SimHash fingerprint dedup assignments. Rows-only. */
   def c2SimHash(spark: SparkSession, dir: String): DataFrame =
-    SimHash.nearDuplicates(docs(spark, dir), col("doc_id"), col("text"), maxHamming = 8)
+    SimHash.dedupAssignments(docs(spark, dir), col("doc_id"), col("text"), maxHamming = 3)
+      .orderBy("doc_id")
+
+  /** C2d: embedding-cosine near-duplicates — sign-LSH bucketed candidate
+    * pairs (plus Hamming-1 multi-probe on one side) confirmed by exact
+    * cosine >= 0.9. Rows-only driver check; recall vs brute force is
+    * asserted in DedupSpec. O(n·probes) shuffle, no all-pairs stage.
+    */
+  def c2EmbedNearDup(spark: SparkSession, dir: String,
+      threshold: Double = 0.35, tables: Int = 16, bits: Int = 8): DataFrame = {
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
+      .withColumn("buckets", SimOps.lshBuckets(col("embD"), tables, bits))
+    val a = base.select(col("vec_id").as("a_id"), col("embD").as("a_emb"),
+      SimOps.explodeBuckets(col("buckets"), bits, probe = true))
+      .withColumnRenamed("pos", "tbl")
+      .select(col("a_id"), col("a_emb"), col("tbl"), explode(col("col")).as("bucket"))
+    val b = base.select(col("vec_id").as("b_id"), col("embD").as("b_emb"),
+      SimOps.explodeBuckets(col("buckets"), bits, probe = false))
+      .withColumnRenamed("pos", "tbl")
+      .withColumn("bucket", element_at(col("col"), 1))
+      .drop("col")
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_emb", "b_emb").distinct()
+      .withColumn("cosine",
+        round(SimOps.dotD(col("a_emb"), col("b_emb")) /
+          (SimOps.normD(col("a_emb")) * SimOps.normD(col("b_emb"))), 6))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
       .orderBy("a_id", "b_id")
+  }
 
   val oracle: Map[String, String] = Map(
     "c2_ngram_jaccard" ->
@@ -75,6 +93,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c2_ngram_jaccard" -> (c2NgramJaccard _),
     "c2_minhash_lsh" -> (c2MinHashLsh _),
-    "c2_simhash" -> (c2SimHash _)
+    "c2_simhash" -> (c2SimHash _),
+    "c2_embed_neardup" -> ((s: SparkSession, d: String) => c2EmbedNearDup(s, d))
   )
 }

@@ -60,11 +60,14 @@ object EventOps {
   def c5Sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
+    // Microsecond epochs (unix_micros / epoch_us) with integer division:
+    // `cast(ts as long)` floors to seconds while DuckDB's epoch() keeps
+    // fractions, which made second-level diffs disagree by one.
     val flagged = ev(spark, dir)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") >= 1800L, 1L)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 1800000000L, 1L)
           .otherwise(0L))
       .withColumn("session_idx",
         sum(col("new_session")).over(
@@ -74,8 +77,8 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
-          .as("duration_sec"))
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .divide(lit(1000000L)).cast("long")).as("duration_sec"))
       .orderBy("user_id", "session_idx")
   }
 
@@ -87,7 +90,8 @@ object EventOps {
     ev(spark, dir)
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .withColumn("secs_since_prev",
-        col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .divide(lit(1000000L)).cast("long"))
       .select("event_id", "user_id", "event_type", "prev_type", "secs_since_prev")
       .orderBy("event_id")
   }
@@ -108,19 +112,19 @@ object EventOps {
     "c5_sessionize" ->
       ("WITH flagged AS (SELECT user_id, ts, event_id, " +
         "CASE WHEN lag(ts) OVER w IS NULL OR " +
-        "epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_session " +
+        "epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_session " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
         "sess AS (SELECT user_id, ts, " +
         "SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM flagged) " +
-        "SELECT user_id, session_idx, count(*) AS n_events, " +
+        "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events, " +
         "min(ts) AS session_start, max(ts) AS session_end, " +
-        "CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS duration_sec " +
+        "CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec " +
         "FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
     "c5_user_seq" ->
       ("SELECT event_id, user_id, event_type, " +
         "lag(event_type) OVER w AS prev_type, " +
-        "CAST(epoch(ts) - epoch(lag(ts) OVER w) AS BIGINT) AS secs_since_prev " +
+        "CAST((epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000 AS BIGINT) AS secs_since_prev " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
         "ORDER BY event_id")
   )

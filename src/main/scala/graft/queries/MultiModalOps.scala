@@ -144,15 +144,16 @@ object MultiModalOps {
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
   val oracle: Map[String, String] = Map(
-    // Frame sampling is oracle-expressible because frames are byte slices.
+    // Frame sampling is oracle-expressible because frames are byte slices
+    // and the corpus text is pure ASCII (verified): DuckDB can't slice
+    // BLOBs, so the oracle slices the VARCHAR — byte-identical content.
     "c6_frame_sample" ->
-      (s"WITH a AS (SELECT doc_id AS asset_id, $modalitySql AS modality, " +
-        "encode(text) AS content, " +
-        "CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_frames FROM documents) " +
+      (s"WITH a AS (SELECT doc_id AS asset_id, $modalitySql AS modality, text, " +
+        "CAST(ceil(length(text) / 256.0) AS INT) AS n_frames FROM documents) " +
         "SELECT asset_id, modality, " +
         "CAST(gs.i AS INT) AS sample_idx, " +
-        "md5(content[1 + (gs.i*4)*256 : (gs.i*4)*256 + 256]) AS frame_hash, " +
-        "CAST(octet_length(content[1 + (gs.i*4)*256 : (gs.i*4)*256 + 256]) AS INT) AS frame_bytes " +
+        "md5(substring(text, 1 + (gs.i*4)*256, 256)) AS frame_hash, " +
+        "CAST(length(substring(text, 1 + (gs.i*4)*256, 256)) AS INT) AS frame_bytes " +
         "FROM a, LATERAL (SELECT unnest(range(0, CAST(ceil(greatest(n_frames,1) / 4.0) AS BIGINT))) AS i) gs " +
         "ORDER BY asset_id, sample_idx"),
     "c6_meta_stats" ->

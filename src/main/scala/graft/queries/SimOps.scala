@@ -68,51 +68,76 @@ object SimOps {
       .orderBy("q_id", "rank")
   }
 
-  /** Deterministic pseudo-random unit-free hyperplanes: component j of
-    * plane p = a fixed 64-bit mix of (p, j) mapped to [-0.5, 0.5). The
-    * same constants produce the same planes on every executor — no
-    * runtime randomness, no driver-side state to ship.
+  /** Deterministic pseudo-random hyperplanes: component j of plane p = a
+    * fixed 64-bit mix of (p, j) mapped to [-0.5, 0.5). The same constants
+    * produce the same planes on every executor — no runtime randomness,
+    * no driver-side state to ship.
     */
   private def hyperplaneComponent(p: Int, j: Column): Column =
     (call_function("xxhash64", lit(p), j).cast("double") / lit(1.8446744073709552e19)) // / 2^64 → [-0.5, 0.5)
 
-  /** `nBits`-bit sign sketch of an embedding column. */
-  def lshBucket(embD: Column, nBits: Int): Column = {
-    (0 until nBits).map { p =>
-      val dot = aggregate(
-        zip_with(embD, sequence(lit(0), size(embD) - 1),
-          (x, j) => x * hyperplaneComponent(p, j)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** Multi-table sign-LSH sketch: `tables` independent sketches of
+    * `bits` sign bits each, as `array<bigint>` (element t = table t's
+    * bucket). Plane (t, i) is hyperplane index t*bits+i.
+    */
+  def lshBuckets(embD: Column, tables: Int, bits: Int): Column =
+    array((0 until tables).map { t =>
+      (0 until bits).map { i =>
+        val dot = aggregate(
+          zip_with(embD, sequence(lit(0), size(embD) - 1),
+            (x, j) => x * hyperplaneComponent(t * bits + i, j)),
+          lit(0.0d), (acc, x) => acc + x)
+        when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+
+  /** Explode a bucket array to (table, bucket) rows; when `probe` is set
+    * also emit every Hamming-1 variant of each bucket (query-side
+    * multi-probe).
+    */
+  def explodeBuckets(buckets: Column, bits: Int, probe: Boolean): Column = {
+    val withProbes =
+      if (!probe) transform(buckets, b => array(b))
+      else transform(buckets, b =>
+        concat(array(b),
+          transform(sequence(lit(0), lit(bits - 1)),
+            i => b.bitwiseXOR(call_function("shiftleft", lit(1L), i)))))
+    posexplode(withProbes)
   }
 
-  /** C3b: ANN via sign-bit LSH with Hamming-1 multi-probe on the query
-    * side. Output shape matches c3_cosine_topk (rows-only driver check;
-    * recall asserted in SimOpsSpec).
+  /** C3b: ANN via multi-table sign-LSH (L=16 tables × 8 bits) with
+    * Hamming-1 multi-probe on the query side — the standard composition
+    * for high recall when single-table collision probability is low.
+    * Output shape matches c3_cosine_topk (rows-only driver check; recall
+    * asserted in SimOpsSpec). On clustered real-world embeddings the
+    * buckets are selective; on unstructured corpora LSH degrades toward
+    * scan, which is information-theoretically unavoidable.
     */
-  def c3AnnLsh(spark: SparkSession, dir: String, k: Int = 5, nBits: Int = 12): DataFrame = {
+  def c3AnnLsh(spark: SparkSession, dir: String, k: Int = 5,
+      tables: Int = 16, bits: Int = 8): DataFrame = {
     val base = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
-      .withColumn("bucket", lshBucket(col("embD"), nBits))
+      .withColumn("buckets", lshBuckets(col("embD"), tables, bits))
 
-    val corpus = base.select(
-      col("vec_id").as("b_id"), col("embD").as("b_emb"), col("bucket"))
+    val corpus = base
+      .select(col("vec_id").as("b_id"), col("embD").as("b_emb"),
+        explodeBuckets(col("buckets"), bits, probe = false))
+      .withColumnRenamed("pos", "tbl")
+      .withColumn("bucket", element_at(col("col"), 1))
+      .drop("col")
 
-    // Multi-probe: each query probes its own bucket and all nBits
-    // Hamming-1 neighbors — recovers most near-misses at the bucket
-    // boundary for ~nBits× candidate cost, still O(n) overall.
     val queries = base
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embD").as("q_emb"),
-        explode(concat(
-          array(col("bucket")),
-          transform(sequence(lit(0), lit(nBits - 1)),
-            p => col("bucket").bitwiseXOR(call_function("shiftleft", lit(1L), p)))))
-          .as("bucket"))
+        explodeBuckets(col("buckets"), bits, probe = true))
+      .withColumnRenamed("pos", "tbl")
+      .select(col("q_id"), col("q_emb"), col("tbl"),
+        explode(col("col")).as("bucket"))
 
-    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+    val scored = corpus.join(broadcast(queries), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("b_id"))
+      .select(col("q_id"), col("q_emb"), col("b_id"), col("b_emb"))
+      .distinct()
       .withColumn("cosine",
         round(dotD(col("q_emb"), col("b_emb")) /
           (normD(col("q_emb")) * normD(col("b_emb"))), 6))
@@ -120,7 +145,6 @@ object SimOps {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("b_id"))
     scored
-      .select(col("q_id"), col("b_id"), col("cosine")).distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("b_id"), col("cosine"))

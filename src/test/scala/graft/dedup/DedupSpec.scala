@@ -1,0 +1,123 @@
+package graft.dedup
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** MinHash-LSH and SimHash vs brute-force ground truth on a small corpus
+  * with known near-duplicate structure.
+  */
+class DedupSpec extends SparkSuite {
+
+  private def corpus = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    Seq(
+      (1L, base),
+      (2L, base), // exact dup of 1
+      (3L, base.replace("today", "tomorrow")), // near dup of 1 (1 token of 13)
+      (4L, "completely different words about spark catalyst optimizer and shuffles"),
+      (5L, "another unrelated document mentioning parquet columnar storage formats"),
+      (6L, base.replace("quick", "slow").replace("lazy", "busy")) // moderate overlap
+    ).toDF("doc_id", "text")
+  }
+
+  private def exactJaccard(threshold: Double): Set[(Long, Long)] = {
+    val toks = corpus.select(col("doc_id"), MinHash.tokenSet(col("text")).as("t"))
+    val a = toks.select(col("doc_id").as("a_id"), col("t").as("a_t"))
+    val b = toks.select(col("doc_id").as("b_id"), col("t").as("b_t"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("common", size(array_intersect(col("a_t"), col("b_t"))))
+      .withColumn("j", col("common").cast("double") /
+        (size(col("a_t")) + size(col("b_t")) - col("common")).cast("double"))
+      .filter(col("j") >= threshold)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("MinHash LSH finds all high-Jaccard pairs, no false positives above threshold") {
+    val got = MinHash.nearDuplicates(
+      corpus, col("doc_id"), col("text"), numHashes = 64, bands = 32, threshold = 0.5)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = exactJaccard(0.5)
+    // Exact-Jaccard confirmation runs on candidates, so got ⊆ want always;
+    // with 32 bands of 2 rows, P(miss at j>=0.5) < (1-0.25)^32 ≈ 1e-4.
+    assert(got == want)
+    assert(want.contains((1L, 2L)) && want.contains((1L, 3L)) && want.contains((2L, 3L)))
+  }
+
+  test("MinHash signature estimates Jaccard") {
+    import spark.implicits._
+    val sigs = corpus
+      .select(col("doc_id"), MinHash.signature(MinHash.tokenSet(col("text")), 256).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def est(a: Long, b: Long) =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / 256
+    assert(est(1L, 2L) == 1.0) // identical docs, identical signatures
+    assert(est(1L, 3L) > 0.7) // 12/14 token Jaccard ≈ 0.857
+    assert(est(1L, 4L) < 0.3) // disjoint-ish
+  }
+
+  test("SimHash: identical docs at Hamming 0; unrelated docs far apart") {
+    import spark.implicits._
+    val fps = corpus
+      .select(col("doc_id"), SimHash.fingerprint(MinHash.tokenSet(col("text"))).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    assert(ham(1L, 3L) < ham(1L, 4L))
+    assert(ham(1L, 4L) > 8)
+  }
+
+  test("SetSimJoin prefix filtering loses no pairs vs brute force") {
+    for (t <- Seq(0.5, 0.8)) {
+      val got = SetSimJoin.jaccardSelfJoin(
+        corpus, col("doc_id"), MinHash.tokenSet(col("text")), t)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exactJaccard(t), s"threshold $t")
+    }
+  }
+
+  test("SetSimJoin matches brute force on real testdata (sf0.001 documents)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val toks = docs.select(col("doc_id"), MinHash.tokenSet(col("text")).as("t"))
+    val a = toks.select(col("doc_id").as("a_id"), col("t").as("a_t"))
+    val b = toks.select(col("doc_id").as("b_id"), col("t").as("b_t"))
+    val want = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("common", size(array_intersect(col("a_t"), col("b_t"))))
+      .withColumn("j", col("common").cast("double") /
+        (size(col("a_t")) + size(col("b_t")) - col("common")).cast("double"))
+      .filter(col("j") >= 0.8)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SetSimJoin.jaccardSelfJoin(
+      docs, col("doc_id"), MinHash.tokenSet(col("text")), 0.8)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("MinHash dedupAssignments: exact duplicates collapse to one kept doc") {
+    val asg = MinHash.dedupAssignments(corpus, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = asg.map(a => a._1 -> a).toMap
+    // docs 1 and 2 are identical → same cluster rep, only doc 1 kept.
+    assert(byId(1L)._2 == byId(2L)._2)
+    assert(byId(1L)._3 && !byId(2L)._3)
+    // reps are self-kept or point to a smaller id.
+    asg.foreach { case (id, rep, kept) =>
+      assert(rep <= id)
+      assert(kept == (rep == id))
+    }
+  }
+
+  test("SimHash nearDuplicates returns pairs within maxHamming only") {
+    val got = SimHash.nearDuplicates(corpus, col("doc_id"), col("text"), maxHamming = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 0)
+    got.values.foreach(h => assert(h <= 10))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.mr
+
+import graft.SparkSuite
+import graft.mr.JobStore.JobSpec
+
+class JobStoreSpec extends SparkSuite {
+
+  private def kv(pairs: (String, String)*) = {
+    import spark.implicits._
+    pairs.toDS()
+  }
+
+  test("launch → getResult round-trip with token auth") {
+    val store = new JobStore(clock = () => 0L)
+    val Right(id) = store.launch(spark,
+      JobSpec("wc", "wordcount", "tok"), kv(("d1", "a b a"), ("d2", "b")))
+    assert(store.getResult(id, "wrong") == Left("wrong token")) // master.cc:691
+    assert(store.getResult(id, "tok") == Right(Seq("2", "2"))) // a=2, b=2 in key order
+  }
+
+  test("launch validation mirrors master.cc:527-559") {
+    val store = new JobStore(clock = () => 0L)
+    assert(store.launch(spark, JobSpec("j", "wordcount", "t", mappers = 0),
+      kv(("a", "b"))).isLeft)
+    assert(store.launch(spark, JobSpec("j", "nosuchtype", "t"),
+      kv(("a", "b"))).isLeft)
+    assert(store.launch(spark, JobSpec("j", "wordcount", "t"), kv()).isLeft)
+  }
+
+  test("results expire after TTL (JOB_RESULT_TIMEOUT_SECOND, master.h:27)") {
+    var now = 0L
+    val store = new JobStore(clock = () => now, ttlMillis = 1000L)
+    val Right(id) = store.launch(spark,
+      JobSpec("wc", "wordcount", "t"), kv(("d", "x")))
+    assert(store.getResult(id, "t").isRight)
+    now = 999L
+    assert(store.getResult(id, "t").isRight)
+    now = 1000L
+    assert(store.getResult(id, "t") == Left(s"no such job: $id"))
+  }
+
+  test("unknown job id") {
+    val store = new JobStore(clock = () => 0L)
+    assert(store.getResult(42L, "t") == Left("no such job: 42"))
+  }
+}

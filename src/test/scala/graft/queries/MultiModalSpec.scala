@@ -1,0 +1,39 @@
+package graft.queries
+
+import graft.SparkSuite
+import graft.queries.MultiModalOps.{Asset, StubCodec}
+
+class MultiModalSpec extends SparkSuite {
+
+  test("stub codec is deterministic and computes byte stats") {
+    val a = Asset(1L, "image", "abab".getBytes("UTF-8"), 10, 10, 16000)
+    val f1 = StubCodec.decode(a)
+    val f2 = StubCodec.decode(a)
+    assert(f1 == f2)
+    assert(f1.n_bytes == 4)
+    assert(f1.mean_byte == ("ab".getBytes("UTF-8").map(_.toInt).sum / 2.0))
+    assert(math.abs(f1.byte_entropy - 1.0) < 1e-12) // two symbols, equal freq
+    assert(f1.n_frames == 1)
+  }
+
+  test("feature extraction runs distributed over asset partitions") {
+    val feats = MultiModalOps.c6Features(spark, sf)
+    val rows = feats.collect()
+    assert(rows.length == 500) // one per document at sf0.001
+    assert(rows.forall(_.getInt(2) > 0)) // n_bytes
+    assert(feats.columns.toSeq ==
+      Seq("asset_id", "modality", "n_bytes", "mean_byte", "byte_entropy", "n_frames"))
+  }
+
+  test("frame sampling: every 4th 256-byte frame, consistent with n_frames") {
+    val df = MultiModalOps.c6FrameSample(spark, sf)
+    val byAsset = df.collect().groupBy(_.getLong(0))
+    val nFrames = MultiModalOps.c6Features(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(5))).toMap
+    byAsset.foreach { case (id, rs) =>
+      val expected = math.ceil(math.max(nFrames(id), 1) / 4.0).toInt
+      assert(rs.length == expected, s"asset $id")
+      assert(rs.forall(_.getInt(4) <= StubCodec.FrameBytes))
+    }
+  }
+}

@@ -1,0 +1,39 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** ANN-LSH quality vs the exact brute-force baseline on real testdata. */
+class SimOpsSpec extends SparkSuite {
+
+  test("brute-force top-k is well-formed (k rows per query, sorted ranks)") {
+    val rows = SimOps.c3CosineTopK(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+      assert(rs.length == 5)
+    }
+  }
+
+  test("LSH ANN recall@5 >= 0.6 vs brute force") {
+    val exact = SimOps.c3CosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = SimOps.c3AnnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(s"recall@5 = $recall")
+    assert(recall >= 0.6)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "embedding")
+    val c = df.select(
+      (SimOps.dotD(col("embedding").cast("array<double>"), col("embedding").cast("array<double>")) /
+        (SimOps.normD(col("embedding").cast("array<double>")) *
+          SimOps.normD(col("embedding").cast("array<double>")))).as("c"))
+      .as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.{SparkSuite, Tables}
+import graft.queries.EventOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Top-level so Spark can derive an Encoder (inner classes capture the
+  * suite instance and can't be encoded).
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Structured Streaming twins must agree with the batch operators on the
+  * same (fully-arrived) data.
+  */
+class EventStreamSpec extends SparkSuite {
+
+  private def eventRows: Seq[Ev] = {
+    import spark.implicits._
+    Tables.load(spark, sf, "events")
+      .limit(200)
+      .as[Ev].collect().toSeq
+  }
+
+  test("streaming tumbling counts == batch tumbling counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(eventRows)
+    val q = EventStream.runToMemory(
+      EventStream.tumblingCounts(mem.toDF()), "tumbling_test")
+    try {
+      val streamed = spark.table("tumbling_test")
+        .select("window_start", "event_type", "n_events")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = eventRows.toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start"), col("event_type"), col("n_events"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming session windows match batch gaps-and-islands sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(eventRows)
+    val q = EventStream.runToMemory(
+      EventStream.sessionCounts(mem.toDF()), "session_test")
+    try {
+      val streamed = spark.table("session_test")
+        .select("user_id", "session_start", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+
+      // Batch sessions over the same 200 events (EventOps logic, inlined
+      // over the limited subset).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val batch = eventRows.toDF()
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") >= 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("new_session")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_idx")
+        .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+        .select("user_id", "session_start", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(eventRows)
+    val q = EventStream.runToMemory(
+      EventStream.userRunningStats(spark, mem.toDF()), "state_test",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    try {
+      val got = spark.table("state_test")
+        .groupBy("user_id").agg(max("n_events").as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = eventRows.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("batch sessionization query is internally consistent on testdata") {
+    val s = EventOps.c5Sessionize(spark, sf).collect()
+    assert(s.nonEmpty)
+    s.foreach { r =>
+      assert(r.getLong(5) >= 0) // duration
+      assert(r.getLong(2) >= 1) // n_events
+    }
+  }
+}
