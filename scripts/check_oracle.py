@@ -43,13 +43,17 @@ def main(sf_dir, out_dir):
         elif len(exp_c) != len(got_c):
             print(f"FAIL {name}: rows {len(got_c)} != {len(exp_c)}")
             failures += 1
+        elif list(exp_c.dtypes) != list(got_c.dtypes):
+            print(f"FAIL {name}: dtypes spark={list(got_c.dtypes)} oracle={list(exp_c.dtypes)}")
+            failures += 1
         elif not exp_c.equals(got_c):
             neq = (exp_c != got_c) & ~(exp_c.isna() & got_c.isna())
             bad = neq.any(axis=1)
             print(f"FAIL {name}: {bad.sum()} differing rows; first:")
-            idx = bad[bad].index[0]
-            print("  oracle:", dict(exp_c.loc[idx]))
-            print("  spark :", dict(got_c.loc[idx]))
+            if bad.any():
+                idx = bad[bad].index[0]
+                print("  oracle:", dict(exp_c.loc[idx]))
+                print("  spark :", dict(got_c.loc[idx]))
             failures += 1
         else:
             print(f"OK   {name} ({len(got_c)} rows)")

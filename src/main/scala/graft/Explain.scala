@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: run named queries with formatted explain + repeated timing.
+  * Usage: runMain graft.Explain <sfDir> <query...> [-n reps] [-x (explain)]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1).filterNot(_.startsWith("-"))
+    val reps = if (args.contains("-n")) args(args.indexOf("-n") + 1).toInt else 2
+    val doExplain = args.contains("-x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (name <- names) {
+      val fn = SparkEntry.queries(name)
+      if (doExplain) {
+        println(s"==== $name plan ====")
+        fn(spark, sfDir).explain("formatted")
+      }
+      for (r <- 1 to reps) {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[explain] $name rep$r ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

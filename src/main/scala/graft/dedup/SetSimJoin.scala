@@ -4,83 +4,132 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Exact set-similarity self-join (Jaccard >= t) with **prefix filtering**
-  * — the standard sub-quadratic exact algorithm (cf. Vernica/Carey/Li's
-  * MapReduce set-similarity join and the PPJoin family; see PAPERS.md).
+/** Exact set-similarity self-join (Jaccard >= t), adaptive:
   *
-  * Instead of indexing every token of every set (which degenerates to
-  * ~all-pairs on high-overlap corpora), each set is sorted by ascending
-  * global token frequency and only its first ⌊(1−t)·|s|⌋+1 tokens (the
-  * rarest) are indexed: two sets with J(a,b) ≥ t MUST share at least one
-  * prefix token, so joining on prefix tokens loses no pairs, while bucket
-  * sizes shrink from "every doc containing the token" to "docs whose
-  * prefix contains it".
+  *  0. **Distinct-set compression** (always): group rows by identical
+  *     token set — corpora with duplication collapse before any pairwise
+  *     work; results re-expand to row pairs at the end. (Compression also
+  *     makes the output stage the only place the full pair multiplicity
+  *     exists.)
+  *  1. **Dictionary encoding** (always): tokens -> dense ints by ascending
+  *     global frequency (one vocab-sized aggregate, broadcast back). All
+  *     pairwise work is over ints/longs, never strings.
+  *  2. **Strategy pick** (plan-build-time adaptivity, same class as AQE):
+  *     - vocab <= 64 and few distinct sets: sets are 64-bit bitmasks;
+  *       candidate generation is a broadcast nested-loop over distinct
+  *       masks with `bit_count(a & b)` verification — pure whole-stage
+  *       codegen, zero shuffle in the pairwise stage.
+  *     - otherwise: **prefix-filtered** inverted-index join (Vernica et
+  *       al. / PPJoin family, cf. PAPERS.md): index only each set's
+  *       ⌊(1−t)·|s|⌋+1 rarest tokens — two sets with J ≥ t must share a
+  *       prefix token (if all of a∩b sat outside a's prefix, the suffix's
+  *       ⌈t·|a|⌉−1 slots could not hold |a∩b| ≥ t·|a| tokens), so the
+  *       join loses no pairs while buckets shrink to "sets whose PREFIX
+  *       holds the token".
   *
-  * Why the guarantee holds: J(a,b) ≥ t ⇒ |a∩b| ≥ t·|a∪b| ≥ t·|a|. If a's
-  * prefix (length |a| − ⌈t·|a|⌉ + 1) had no common token, all common
-  * tokens would sit in the remaining ⌈t·|a|⌉ − 1 suffix positions —
-  * fewer than t·|a| ≤ |a∩b|, a contradiction. (Symmetric for b; the join
-  * requires a shared token in BOTH prefixes, which the same argument
-  * delivers by picking the set whose prefix ends later in the global
-  * order — the classic prefix-filter lemma.)
+  * The reference engine cannot express any of this (string-KV MapReduce
+  * only); a tMapReduce user would ship it as a `.so`
+  * (`/root/reference/src/tmapreduce/mrf.h:9-11`).
   *
-  * Scale: one small global token-frequency aggregate (vocab-sized,
-  * broadcast back), one narrow per-row re-sort of each token set, one
-  * shuffle on prefix tokens with bucket sizes ~|docs with token t in
-  * prefix|, then exact verification per candidate pair. No O(n²) stage.
+  * Scale: the expensive stages shuffle int/long rows keyed by token id or
+  * set id; the only O(output) stage is the final expansion. At 100 TB with
+  * a realistic vocabulary the prefix path engages automatically, and its
+  * buckets are bounded by prefix (not full-set) membership.
   */
 object SetSimJoin {
 
   /** All pairs `(a_id, b_id, common, jaccard)` with token-set Jaccard >=
-    * `threshold`; `df` must carry (idCol, tokens array) semantics.
+    * `threshold`. `tokens` must be duplicate-free per row (e.g.
+    * `array_distinct(split(...))`).
     */
   def jaccardSelfJoin(
       df: DataFrame,
       id: Column,
       tokens: Column,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBroadcastSets: Long = 20000L): DataFrame = {
     val base = df.select(id.as("doc_id"), tokens.as("toks"))
 
-    // Global ascending token frequencies (vocab-sized — tiny relative to
-    // the corpus; the join below is a broadcast).
+    // 1. Dictionary: token -> dense int id, rarest first.
     val freq = base
       .select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val dict = freq
+      .withColumn("tok_id",
+        (row_number().over(Window.orderBy(col("freq"), col("tok"))) - 1).cast("int"))
+      .select("tok", "tok_id")
+    val vocabSize = dict.count() // vocab-sized action (tiny)
 
-    // Per-set prefix: sort tokens by (freq, tok) ascending, keep the first
-    // floor((1-t)|s|)+1. Done via explode + window rank — the sort key is
-    // global, so rank is deterministic.
-    val exploded = base
-      .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
-      .join(broadcast(freq), "tok")
-    val byRarity = Window.partitionBy(col("doc_id"))
-      .orderBy(col("freq"), col("tok"))
-    val prefixes = exploded
-      .withColumn("rk", row_number().over(byRarity))
-      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n")) + 1)
-      .select(col("doc_id"), col("n"), col("tok"))
+    // 0.+1. Distinct sets with member lists, ids ascending (= rarity order).
+    val encodedRows = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(dict), "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tok_id"))).as("ids"))
+    val sets = encodedRows
+      .groupBy("ids")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .withColumn("set_id", element_at(col("docs"), 1)) // min doc = stable set id
+      .withColumn("n", size(col("ids")))
+    val nSets = sets.count() // distinct-set-count action
 
-    // Candidate pairs: share >= 1 prefix token (deduped), then exact
-    // verification via array_intersect on the full token sets.
-    val a = prefixes.select(col("doc_id").as("a_id"), col("n").as("a_n"), col("tok"))
-    val b = prefixes.select(col("doc_id").as("b_id"), col("n").as("b_n"), col("tok"))
-    val candidates = a.join(b, Seq("tok"))
-      .filter(col("a_id") < col("b_id"))
-      // Length filter: J >= t needs t·|a| <= |b| (and vice versa).
-      .filter(col("b_n") >= ceil(lit(threshold) * col("a_n")) &&
-        col("a_n") >= ceil(lit(threshold) * col("b_n")))
-      .select("a_id", "b_id").distinct()
+    // 2. Exact distinct-set pairs (x_set < y_set) with common/jaccard.
+    val setPairs: DataFrame =
+      if (vocabSize <= 64 && nSets <= maxBroadcastSets) {
+        val masked = sets.withColumn("mask",
+          aggregate(col("ids"), lit(0L),
+            (acc, i) => acc.bitwiseOR(call_function("shiftleft", lit(1L), i))))
+          .select(col("set_id"), col("n"), col("mask"), col("docs"))
+        val x = masked.toDF("x_set", "x_n", "x_mask", "x_docs")
+        val y = masked.toDF("y_set", "y_n", "y_mask", "y_docs")
+        x.join(broadcast(y), col("x_set") < col("y_set"))
+          .withColumn("common",
+            bit_count(col("x_mask").bitwiseAND(col("y_mask"))).cast("long"))
+      } else {
+        val withPrefix = sets.withColumn("prefix",
+          slice(col("ids"), lit(1),
+            (floor(lit(1.0 - threshold) * col("n")) + 1).cast("int")))
+        val x = withPrefix.select(col("set_id").as("x_set"), col("n").as("x_n"),
+          explode(col("prefix")).as("tok_id"))
+        val y = withPrefix.select(col("set_id").as("y_set"), col("n").as("y_n"),
+          explode(col("prefix")).as("tok_id"))
+        val candidates = x.join(y, Seq("tok_id"))
+          .filter(col("x_set") < col("y_set"))
+          // Length filter: J >= t requires t·|x| <= |y| and t·|y| <= |x|.
+          .filter(col("y_n") >= ceil(lit(threshold) * col("x_n")) &&
+            col("x_n") >= ceil(lit(threshold) * col("y_n")))
+          .select("x_set", "y_set").distinct()
+        val full = sets.select(col("set_id"), col("ids"), col("n"), col("docs"))
+        candidates
+          .join(full.toDF("x_set", "x_ids", "x_n", "x_docs"), "x_set")
+          .join(full.toDF("y_set", "y_ids", "y_n", "y_docs"), "y_set")
+          .withColumn("common",
+            size(array_intersect(col("x_ids"), col("y_ids"))).cast("long"))
+      }
 
-    val sets = base.select(col("doc_id"), col("toks"))
-    candidates
-      .join(sets.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), "a_id")
-      .join(sets.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), "b_id")
-      .withColumn("common", size(array_intersect(col("a_toks"), col("b_toks"))))
+    val qualified = setPairs
       .withColumn("jaccard",
         col("common").cast("double") /
-          (size(col("a_toks")) + size(col("b_toks")) - col("common")).cast("double"))
+          (col("x_n") + col("y_n") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("common"),
+      .select(col("x_docs"), col("y_docs"), col("common"),
         round(col("jaccard"), 6).as("jaccard"))
+
+    // 3. Expansion. Inter-set: x_docs × y_docs (sets distinct => each doc
+    // pair appears exactly once; normalize order). Intra-set: ordered
+    // member pairs of each duplicated set at jaccard 1.0.
+    val inter = qualified
+      .select(explode(col("x_docs")).as("da"), col("y_docs"), col("common"), col("jaccard"))
+      .select(col("da"), explode(col("y_docs")).as("db"), col("common"), col("jaccard"))
+      .select(least(col("da"), col("db")).as("a_id"),
+        greatest(col("da"), col("db")).as("b_id"), col("common"), col("jaccard"))
+
+    val intraPairs = sets.filter(size(col("docs")) >= 2)
+      .select(col("n"), col("docs"), posexplode(col("docs")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "a_id")
+      .select(col("n"), col("a_id"), explode(slice(col("docs"), col("i") + 2, size(col("docs")))).as("b_id"))
+      .select(col("a_id"), col("b_id"), col("n").cast("long").as("common"), lit(1.0).as("jaccard"))
+
+    inter.unionByName(intraPairs)
   }
 }

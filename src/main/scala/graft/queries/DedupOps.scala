@@ -66,9 +66,16 @@ object DedupOps {
       .withColumnRenamed("pos", "tbl")
       .withColumn("bucket", element_at(col("col"), 1))
       .drop("col")
-    a.join(b, Seq("tbl", "bucket"))
+    // Dedup candidate pairs on ids ONLY (an 8-byte shuffle row), then
+    // re-attach vectors via broadcast — never shuffle the embeddings
+    // through the distinct.
+    val pairs = a.drop("a_emb").join(b.drop("b_emb"), Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_emb", "b_emb").distinct()
+      .select("a_id", "b_id").distinct()
+    val vecs = base.select(col("vec_id"), col("embD"))
+    pairs
+      .join(broadcast(vecs.select(col("vec_id").as("a_id"), col("embD").as("a_emb"))), "a_id")
+      .join(broadcast(vecs.select(col("vec_id").as("b_id"), col("embD").as("b_emb"))), "b_id")
       .withColumn("cosine",
         round(SimOps.dotD(col("a_emb"), col("b_emb")) /
           (SimOps.normD(col("a_emb")) * SimOps.normD(col("b_emb"))), 6))

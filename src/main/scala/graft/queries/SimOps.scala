@@ -119,8 +119,11 @@ object SimOps {
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
       .withColumn("buckets", lshBuckets(col("embD"), tables, bits))
 
+    // Bucket-membership rows carry ids only — embeddings re-attach after
+    // the candidate dedup, so the bucket join/distinct shuffles 16-byte
+    // rows instead of 512-byte vectors.
     val corpus = base
-      .select(col("vec_id").as("b_id"), col("embD").as("b_emb"),
+      .select(col("vec_id").as("b_id"),
         explodeBuckets(col("buckets"), bits, probe = false))
       .withColumnRenamed("pos", "tbl")
       .withColumn("bucket", element_at(col("col"), 1))
@@ -128,16 +131,18 @@ object SimOps {
 
     val queries = base
       .filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("embD").as("q_emb"),
+      .select(col("vec_id").as("q_id"),
         explodeBuckets(col("buckets"), bits, probe = true))
       .withColumnRenamed("pos", "tbl")
-      .select(col("q_id"), col("q_emb"), col("tbl"),
-        explode(col("col")).as("bucket"))
+      .select(col("q_id"), col("tbl"), explode(col("col")).as("bucket"))
 
     val scored = corpus.join(broadcast(queries), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("b_id"))
-      .select(col("q_id"), col("q_emb"), col("b_id"), col("b_emb"))
-      .distinct()
+      // Dedup candidates on ids only (cheap shuffle rows), then re-attach
+      // vectors via broadcast for scoring.
+      .select(col("q_id"), col("b_id")).distinct()
+      .join(broadcast(base.select(col("vec_id").as("q_id"), col("embD").as("q_emb"))), "q_id")
+      .join(broadcast(base.select(col("vec_id").as("b_id"), col("embD").as("b_emb"))), "b_id")
       .withColumn("cosine",
         round(dotD(col("q_emb"), col("b_emb")) /
           (normD(col("q_emb")) * normD(col("b_emb"))), 6))
