@@ -53,7 +53,7 @@ object DedupOps {
     * asserted in DedupSpec. O(n·probes) shuffle, no all-pairs stage.
     */
   def c2EmbedNearDup(spark: SparkSession, dir: String,
-      threshold: Double = 0.35, tables: Int = 16, bits: Int = 8): DataFrame = {
+      threshold: Double = 0.35, tables: Int = 8, bits: Int = 12): DataFrame = {
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
       .withColumn("buckets", SimOps.lshBuckets(col("embD"), tables, bits))

@@ -205,6 +205,30 @@ object Relational {
       .orderBy("nation", "yr")
   }
 
+  /** B6b: CUBE — all grouping-set combinations of (orderstatus, priority). */
+  def b6Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.col(sumMoney("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+
+  /** B2c: approximate distinct (HLL++) — the sketch path for COUNT
+    * DISTINCT at scale. Sketch values are engine-specific, so the driver
+    * gets a rows-only check; ApproxSpec asserts the estimate is within
+    * HLL error bounds of the exact count.
+    */
+  def b2AggApprox(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   /** B7: scalar function surface — string, date, JSON, math — over events. */
   def b7ScalarFns(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
@@ -306,6 +330,12 @@ object Relational {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey) " +
         "GROUP BY ROLLUP(n_name, yr)) ORDER BY nation, yr"),
+    "b6_cube" ->
+      (s"SELECT COALESCE(o_orderstatus, 'ALL') AS status, " +
+        "COALESCE(o_orderpriority, 'ALL') AS priority, " +
+        s"COUNT(*) AS n_orders, ${sumMoney("o_totalprice")} AS total_price " +
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY status, priority"),
     "b7_scalar_fns" ->
       ("SELECT event_id, upper(event_type) AS etype_upper, " +
         "CAST(length(event_type) AS INT) AS etype_len, " +
@@ -333,6 +363,8 @@ object Relational {
     "b5_setops" -> (b5SetOps _),
     "b5_distinct" -> (b5Distinct _),
     "b6_rollup" -> (b6Rollup _),
+    "b6_cube" -> (b6Cube _),
+    "b2_agg_approx" -> (b2AggApprox _),
     "b7_scalar_fns" -> (b7ScalarFns _)
   )
 }

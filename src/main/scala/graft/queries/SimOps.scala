@@ -68,28 +68,32 @@ object SimOps {
       .orderBy("q_id", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane p = a
-    * fixed 64-bit mix of (p, j) mapped to [-0.5, 0.5). The same constants
-    * produce the same planes on every executor — no runtime randomness,
-    * no driver-side state to ship.
+  /** Deterministic hyperplanes: a fixed-seed Gaussian matrix embedded in
+    * the plan as one literal (the same planes on every executor, no
+    * runtime randomness, no per-row hashing). Sized for 64-dim
+    * embeddings; planes are generated lazily per (tables, bits) request.
     */
-  private def hyperplaneComponent(p: Int, j: Column): Column =
-    (call_function("xxhash64", lit(p), j).cast("double") / lit(1.8446744073709552e19)) // / 2^64 → [-0.5, 0.5)
+  private val Dim = 64
+  private def planeMatrix(nPlanes: Int): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(nPlanes)(Seq.fill(Dim)(rng.nextGaussian()))
+  }
 
   /** Multi-table sign-LSH sketch: `tables` independent sketches of
     * `bits` sign bits each, as `array<bigint>` (element t = table t's
-    * bucket). Plane (t, i) is hyperplane index t*bits+i.
+    * bucket). Plane (t, i) is literal-matrix row t*bits+i.
     */
-  def lshBuckets(embD: Column, tables: Int, bits: Int): Column =
+  def lshBuckets(embD: Column, tables: Int, bits: Int): Column = {
+    val planes = typedLit(planeMatrix(tables * bits))
     array((0 until tables).map { t =>
       (0 until bits).map { i =>
         val dot = aggregate(
-          zip_with(embD, sequence(lit(0), size(embD) - 1),
-            (x, j) => x * hyperplaneComponent(t * bits + i, j)),
+          zip_with(embD, element_at(planes, t * bits + i + 1), (x, c) => x * c),
           lit(0.0d), (acc, x) => acc + x)
         when(dot > 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce((a, b) => a.bitwiseOR(b))
     }: _*)
+  }
 
   /** Explode a bucket array to (table, bucket) rows; when `probe` is set
     * also emit every Hamming-1 variant of each bucket (query-side

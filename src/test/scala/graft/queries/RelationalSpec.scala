@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSuite {
+
+  test("approx_count_distinct is within 10% of exact") {
+    val approx = Relational.b2AggApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Relational.b2AggDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, n) =>
+      val a = approx(flag)
+      assert(math.abs(a - n).toDouble / n < 0.10, s"$flag: approx=$a exact=$n")
+    }
+  }
+
+  test("cube contains rollup of both dimensions plus grand total") {
+    val rows = Relational.b6Cube(spark, sf).collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1)
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(grand.head.getLong(2) == total)
+    // status-level margins sum to the grand total
+    val statusMargins = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+    assert(statusMargins.map(_.getLong(2)).sum == total)
+  }
+
+  test("top-k plan avoids a global sort (TakeOrderedAndProject)") {
+    val plan = Relational.b5TopK(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("broadcast joins are planned for dimension tables in b3_join_agg") {
+    val plan = Relational.b3JoinAgg(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("filter and projection push into the parquet scan in b1") {
+    val plan = Relational.b1FilterProject(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(1200))
+  }
+}
