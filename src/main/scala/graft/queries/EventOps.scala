@@ -96,6 +96,38 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** C5e: AS-OF join — attribute each purchase to the same user's most
+    * recent view/click at-or-before the purchase time. Spark has no
+    * native as-of join; the scalable composition is the union + windowed
+    * last_value trick: tag both sides, union, and carry the latest
+    * right-side row forward within each user's time-ordered stream —
+    * ONE shuffle on user_id, no range-join pair explosion (a naive
+    * range join is O(|L|·|R|) per key; this is O((|L|+|R|) log)).
+    * Right rows sort before left rows at equal ts so the match is
+    * inclusive (ts_right <= ts_left), matching DuckDB's ASOF JOIN.
+    */
+  def c5AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val left = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        lit(0).as("is_right"), lit(null).cast("bigint").as("r_event_id"),
+        lit(null).cast("timestamp").as("r_ts"))
+    val right = e.filter(col("event_type").isin("view", "click"))
+      .select(lit(null).cast("bigint").as("event_id"), col("user_id"), col("ts"),
+        lit(1).as("is_right"), col("event_id").as("r_event_id"),
+        col("ts").as("r_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_right").desc, col("r_event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("matched_event", last(col("r_event_id"), ignoreNulls = true).over(w))
+      .withColumn("matched_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_right") === 0)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("matched_event"), col("matched_ts"))
+      .orderBy("event_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "c5_tumbling" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
@@ -121,6 +153,15 @@ object EventOps {
         "min(ts) AS session_start, max(ts) AS session_end, " +
         "CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec " +
         "FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
+    "c5_asof_join" ->
+      // DuckDB has a native ASOF JOIN; ts values are unique per user in
+      // the corpus (verified), so the inclusive match is deterministic.
+      ("SELECT l.event_id, l.user_id, l.ts, " +
+        "r.event_id AS matched_event, r.ts AS matched_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') l " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type IN ('view','click')) r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts " +
+        "ORDER BY l.event_id"),
     "c5_user_seq" ->
       ("SELECT event_id, user_id, event_type, " +
         "lag(event_type) OVER w AS prev_type, " +
@@ -133,6 +174,7 @@ object EventOps {
     "c5_tumbling" -> (c5Tumbling _),
     "c5_sliding" -> (c5Sliding _),
     "c5_sessionize" -> (c5Sessionize _),
-    "c5_user_seq" -> (c5UserSeq _)
+    "c5_user_seq" -> (c5UserSeq _),
+    "c5_asof_join" -> (c5AsofJoin _)
   )
 }
