@@ -29,36 +29,74 @@ final class JobStore(
   private val nextId = new AtomicLong(0L)
   private val jobs = new ConcurrentHashMap[Long, JobState]()
 
-  /** Validate + run a job of a registered type; returns the job id.
+  /** Validate + run a job of a registered type; returns the job id once
+    * the job has completed (synchronous form).
     * Mirrors handle_launch (`master.cc:527-559`): validation errors are
     * surfaced to the caller, nothing is registered for an invalid launch.
     */
   def launch(
       spark: SparkSession,
       spec: JobSpec,
-      input: Dataset[(String, String)]): Either[String, Long] = {
+      input: Dataset[(String, String)]): Either[String, Long] =
+    validate(spark, spec, input).map { fns =>
+      val id = register(spec)
+      execute(spark, id, spec, input, fns)
+      id
+    }
+
+  /** Async form — the reference's actual surface: `/launch` returns a job
+    * id immediately and clients poll `/getresult`
+    * (`gateway.cc:66-184`, example client polls every 2 s,
+    * `word_count_client.cc:54-57`). The Spark action runs on a daemon
+    * thread; status transitions Running → Finished/Failed.
+    */
+  def launchAsync(
+      spark: SparkSession,
+      spec: JobSpec,
+      input: Dataset[(String, String)]): Either[String, Long] =
+    validate(spark, spec, input).map { fns =>
+      val id = register(spec)
+      val t = new Thread(() => execute(spark, id, spec, input, fns),
+        s"graft-job-$id")
+      t.setDaemon(true)
+      t.start()
+      id
+    }
+
+  private def validate(
+      spark: SparkSession,
+      spec: JobSpec,
+      input: Dataset[(String, String)]): Either[String, JobTypeRegistry.MapReduceFn] =
     if (spec.mappers <= 0 || spec.reducers <= 0)
       Left("mapper_num and reducer_num must be > 0") // master.cc:530-532
     else JobTypeRegistry.lookup(spec.jobType) match {
       case None => Left(s"unknown job type: ${spec.jobType}") // no capable worker
       case Some(fns) =>
         if (input.isEmpty) Left("input kvs must be non-empty") // master.cc:533-535
-        else {
-          val id = nextId.getAndIncrement()
-          jobs.put(id, JobState(spec, Running, None, None))
-          try {
-            val out = MRJob
-              .run(spark, input, fns.mapFn, fns.reduceFn, spec.mappers, spec.reducers)
-              .collect()
-            jobs.put(id, JobState(spec, Finished, Some(out), Some(clock())))
-          } catch {
-            case e: Exception =>
-              jobs.put(id, JobState(spec, Failed(e.getMessage), None, Some(clock())))
-          }
-          Right(id)
-        }
+        else Right(fns)
     }
+
+  private def register(spec: JobSpec): Long = {
+    val id = nextId.getAndIncrement()
+    jobs.put(id, JobState(spec, Running, None, None))
+    id
   }
+
+  private def execute(
+      spark: SparkSession,
+      id: Long,
+      spec: JobSpec,
+      input: Dataset[(String, String)],
+      fns: JobTypeRegistry.MapReduceFn): Unit =
+    try {
+      val out = MRJob
+        .run(spark, input, fns.mapFn, fns.reduceFn, spec.mappers, spec.reducers)
+        .collect()
+      jobs.put(id, JobState(spec, Finished, Some(out), Some(clock())))
+    } catch {
+      case e: Exception =>
+        jobs.put(id, JobState(spec, Failed(e.getMessage), None, Some(clock())))
+    }
 
   /** Token-authenticated result fetch; mirrors handle_get_result guards
     * in order: exists → token → finished (`master.cc:685-699`).

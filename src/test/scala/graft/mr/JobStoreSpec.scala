@@ -43,4 +43,18 @@ class JobStoreSpec extends SparkSuite {
     val store = new JobStore(clock = () => 0L)
     assert(store.getResult(42L, "t") == Left("no such job: 42"))
   }
+
+  test("async launch returns immediately; result appears on poll") {
+    val store = new JobStore(clock = () => 0L)
+    val Right(id) = store.launchAsync(spark,
+      JobSpec("wc", "wordcount", "t"), kv(("d1", "x y x"), ("d2", "y")))
+    // poll (the reference client polls every 2s, word_count_client.cc:54-57)
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var res: Either[String, Seq[String]] = Left("job not finished")
+    while (res == Left("job not finished") && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      res = store.getResult(id, "t")
+    }
+    assert(res == Right(Seq("2", "2"))) // x=2, y=2 in key order
+  }
 }
