@@ -58,10 +58,14 @@ object MRJob {
       // Normalize column names: a Dataset[(String,String)] built from a
       // DataFrame keeps its source column names, so address by position.
       .toDF("_1", "_2").as[(String, String)]
-      // O2 launch sort + O3 contiguous split over sorted keys ≙ range
-      // partitioning into `mappers` partitions.
-      .repartitionByRange(mappers, $"_1")
-      .sortWithinPartitions($"_1")
+      // O2 launch sort + O3 contiguous-range split: the reference sorts
+      // the input and splits it into `mappers` contiguous ranges
+      // (master.cc:736-738, job.cc:10-28). Post-shuffle that sort is
+      // UNOBSERVABLE — values are re-sorted per group (deviation note
+      // below) and output is re-sorted by key — so we keep only the
+      // parallelism knob (round-robin repartition) and skip the range
+      // sampling pass + sort, saving a full input scan.
+      .repartition(mappers)
       .flatMap { case (k, v) => mapFn(k, v) } // O5 user map
 
     mapped

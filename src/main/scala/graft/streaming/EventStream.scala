@@ -76,6 +76,47 @@ object EventStream {
       .toDF()
   }
 
+  /** Custom sessionization via flatMapGroupsWithState — the full
+    * arbitrary-stateful surface (multi-row emission + explicit state
+    * lifecycle), for session logic `session_window` can't express (e.g.
+    * carrying per-session aggregates other than count). State per user is
+    * the open session only; closed sessions are emitted and dropped, so
+    * state is O(users), not O(stream).
+    */
+  final case class OpenSession(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, closed: Boolean)
+
+  def sessionizeWithState(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long = 1800L): org.apache.spark.sql.Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[OpenSession]) =>
+          val sorted = rows.map(_._2.getTime).toSeq.sorted
+          var out = List.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { t =>
+            cur match {
+              case Some(s) if t - s.last < gapSeconds * 1000 =>
+                cur = Some(OpenSession(s.start, t, s.n + 1))
+              case Some(s) =>
+                out ::= SessionOut(uid, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.last), s.n, closed = true)
+                cur = Some(OpenSession(t, t, 1))
+              case None =>
+                cur = Some(OpenSession(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.reverseIterator
+      }
+  }
+
   /** Run a streaming frame to a named in-memory sink until idle (test /
     * demo harness; production callers use their own writeStream).
     */
