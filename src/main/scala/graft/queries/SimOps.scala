@@ -82,17 +82,24 @@ object SimOps {
   /** Multi-table sign-LSH sketch: `tables` independent sketches of
     * `bits` sign bits each, as `array<bigint>` (element t = table t's
     * bucket). Plane (t, i) is literal-matrix row t*bits+i.
+    *
+    * Implementation note: everything is HOF loops (`transform` /
+    * `aggregate`) rather than `tables*bits` unrolled expressions — the
+    * unrolled form generated megabytes of Java that intermittently cost
+    * Janino 60-200 s of (near-single-threaded) compilation per plan.
+    * Loop form keeps generated code size constant in tables/bits.
     */
   def lshBuckets(embD: Column, tables: Int, bits: Int): Column = {
     val planes = typedLit(planeMatrix(tables * bits))
-    array((0 until tables).map { t =>
-      (0 until bits).map { i =>
+    transform(sequence(lit(0), lit(tables - 1)), t =>
+      aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) => {
+        // dot(embD, plane_{t*bits+i}) inline — evaluated once per (t, i)
         val dot = aggregate(
           zip_with(embD, element_at(planes, t * bits + i + 1), (x, c) => x * c),
-          lit(0.0d), (acc, x) => acc + x)
-        when(dot > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-    }: _*)
+          lit(0.0d), (a, x) => a + x)
+        acc.bitwiseOR(
+          when(dot > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+      }))
   }
 
   /** Explode a bucket array to (table, bucket) rows; when `probe` is set

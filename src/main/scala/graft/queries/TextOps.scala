@@ -78,6 +78,21 @@ object TextOps {
           .as("fingerprint"))
       .orderBy("doc_id")
 
+  /** C4f: polynomial rolling hash (Rabin–Karp) over the character
+    * stream — the order-SENSITIVE fingerprint complementing
+    * c4_fingerprint's order-insensitive set hash. Pure sequential HOF
+    * fold, mod a prime so both engines stay in exact BIGINT range.
+    */
+  def c4RollingHash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        aggregate(
+          transform(split(col("text"), ""), c => ascii(c).cast("long")),
+          lit(0L),
+          (acc, c) => (acc * 31L + c) % 1000000007L).as("rolling_hash"))
+      .orderBy("doc_id")
+
   /** C4e: token counting — whitespace tokens plus a BPE-ish sub-token
     * count via a regex lexer (letter runs / digit runs / single
     * punctuation, the usual pre-tokenization shape). `regexp_count` is
@@ -127,7 +142,12 @@ object TextOps {
     "c4_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens, " +
-        "CAST(length(text) AS INT) AS n_bytes FROM documents ORDER BY doc_id")
+        "CAST(length(text) AS INT) AS n_bytes FROM documents ORDER BY doc_id"),
+    "c4_rolling_hash" ->
+      ("SELECT doc_id, list_reduce(" +
+        "list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))), " +
+        "(acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash " +
+        "FROM documents ORDER BY doc_id")
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -136,6 +156,7 @@ object TextOps {
     "c4_quality_score" -> (c4QualityScore _),
     "c4_fingerprint" -> (c4Fingerprint _),
     "c4_token_count" -> (c4TokenCount _),
+    "c4_rolling_hash" -> (c4RollingHash _),
     "c4_langid" -> (c4LangId _)
   )
 }
