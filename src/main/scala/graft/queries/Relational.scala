@@ -229,6 +229,19 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** B2d: exact percentiles (median/p90) of order value per status —
+    * `percentile` is Spark's exact interpolated quantile, matching
+    * DuckDB's `quantile_cont` definition.
+    */
+  def b2Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        Exact.col("round(percentile(o_totalprice, 0.5), 4)").as("p50"),
+        Exact.col("round(percentile(o_totalprice, 0.9), 4)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** B7: scalar function surface — string, date, JSON, math — over events. */
   def b7ScalarFns(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
@@ -330,6 +343,10 @@ object Relational {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey) " +
         "GROUP BY ROLLUP(n_name, yr)) ORDER BY nation, yr"),
+    "b2_percentiles" ->
+      ("SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
+        "round(quantile_cont(o_totalprice, 0.9), 4) AS p90, COUNT(*) AS n " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "b6_cube" ->
       (s"SELECT COALESCE(o_orderstatus, 'ALL') AS status, " +
         "COALESCE(o_orderpriority, 'ALL') AS priority, " +
@@ -365,6 +382,7 @@ object Relational {
     "b6_rollup" -> (b6Rollup _),
     "b6_cube" -> (b6Cube _),
     "b2_agg_approx" -> (b2AggApprox _),
+    "b2_percentiles" -> (b2Percentiles _),
     "b7_scalar_fns" -> (b7ScalarFns _)
   )
 }

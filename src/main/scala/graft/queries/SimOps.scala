@@ -167,6 +167,93 @@ object SimOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Lloyd iterations on a driver-side sample — the standard IVF training
+    * workflow (train the coarse quantizer on a small sample, assign the
+    * full corpus distributed). Deterministic: fixed sample predicate,
+    * first-k init, fixed iteration count.
+    */
+  private def trainCentroids(
+      sample: Array[Array[Double]], cells: Int, iters: Int): Seq[Seq[Double]] = {
+    val dim = sample.head.length
+    var cents = sample.take(cells).map(_.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cells)(new Array[Double](dim))
+      val counts = new Array[Int](cells)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cells) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      cents = Array.tabulate(cells)(c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
+  /** C3d: ANN via IVF (inverted file): coarse k-means cells trained on a
+    * deterministic sample, corpus assigned to its nearest cell (one
+    * narrow HOF argmin per row — no shuffle), queries probe the `nprobe`
+    * nearest cells. At 100 TB: training stays sample-sized, assignment
+    * is embarrassingly parallel, and each query touches nprobe/nCells of
+    * the corpus. Rows-only driver check; recall asserted in SimOpsSpec.
+    */
+  def c3AnnIvf(spark: SparkSession, dir: String, k: Int = 5,
+      nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val base = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
+    val sample = base.filter(col("vec_id") % 7 === 0)
+      .select(col("embD")).as[Seq[Double]].collect().map(_.toArray)
+    val cents = typedLit(trainCentroids(sample, nCells, iters = 5))
+
+    // squared L2 to each centroid, as one HOF loop
+    def dists(v: Column): Column = transform(cents, c =>
+      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)), lit(0.0d), (a, x) => a + x))
+
+    val corpus = base
+      .withColumn("dists", dists(col("embD")))
+      .withColumn("cell", expr("array_position(dists, array_min(dists))").cast("int"))
+      .select(col("vec_id").as("b_id"), col("embD").as("b_emb"), col("cell"))
+
+    // queries probe the nprobe nearest cells: sort (dist, idx) structs
+    val queries = base.filter(col("vec_id") % 100 === 0)
+      .withColumn("dists", dists(col("embD")))
+      .withColumn("probes",
+        slice(transform(array_sort(zip_with(
+          col("dists"), sequence(lit(1), lit(nCells)),
+          (d, i) => struct(d.as("d"), i.as("i")))), s => s.getField("i")),
+          lit(1), lit(nprobe)))
+      .select(col("vec_id").as("q_id"), col("embD").as("q_emb"),
+        explode(col("probes")).as("cell"))
+
+    val scored = corpus.drop("b_emb")
+      .join(broadcast(queries.select(col("q_id"), col("cell"))), Seq("cell"))
+      .filter(col("q_id") =!= col("b_id"))
+      .select("q_id", "b_id").distinct()
+      .join(broadcast(base.select(col("vec_id").as("q_id"), col("embD").as("q_emb"))), "q_id")
+      .join(broadcast(base.select(col("vec_id").as("b_id"), col("embD").as("b_emb"))), "b_id")
+      .withColumn("cosine",
+        round(dotD(col("q_emb"), col("b_emb")) /
+          (normD(col("q_emb")) * normD(col("b_emb"))), 6))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("b_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("b_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   /** C3c: pairwise similarity stats per label — exercises the embedding
     * column through a fully SQL-expressible aggregate (mean vector norm
     * per label), oracle-checked.
@@ -204,6 +291,7 @@ object SimOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c3_cosine_topk" -> ((s: SparkSession, d: String) => c3CosineTopK(s, d)),
     "c3_ann_lsh" -> ((s: SparkSession, d: String) => c3AnnLsh(s, d)),
+    "c3_ann_ivf" -> ((s: SparkSession, d: String) => c3AnnIvf(s, d)),
     "c3_norm_stats" -> (c3NormStats _)
   )
 }

@@ -25,6 +25,18 @@ class SimOpsSpec extends SparkSuite {
     assert(recall >= 0.6)
   }
 
+  test("IVF ANN recall@5 reasonable for nprobe=4 of 16 cells") {
+    val exact = SimOps.c3CosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SimOps.c3AnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall")
+    // random 64-dim data has weak cell structure; nprobe/nCells = 1/4 of
+    // the corpus scanned → recall must beat the scan fraction clearly
+    assert(recall >= 0.4)
+  }
+
   test("cosine of a vector with itself is 1") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
