@@ -54,11 +54,15 @@ object SetSimJoin {
     val freq = base
       .select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
+    // Persisted: consumed by the vocab-size count and the broadcast join;
+    // vocab-sized (tiny), and persisting avoids a second full-corpus
+    // frequency scan when the broadcast is built.
     val dict = freq
       .withColumn("tok_id",
         (row_number().over(Window.orderBy(col("freq"), col("tok"))) - 1).cast("int"))
       .select("tok", "tok_id")
-    val vocabSize = dict.count() // vocab-sized action (tiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocabSize = dict.count() // vocab-sized action (tiny; fills the cache)
 
     // 0.+1. Distinct sets with member lists, ids ascending (= rarity order).
     val encodedRows = base
@@ -66,12 +70,18 @@ object SetSimJoin {
       .join(broadcast(dict), "tok")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("tok_id"))).as("ids"))
+    // Persisted: this subtree (tokenize → dict join → two aggregations) is
+    // consumed by the strategy-pick count, both join sides, and the
+    // intra-set expansion — without a persist it re-executes ~4×. The
+    // distinct-set table is corpus-compressed (tiny relative to input), so
+    // caching it is safe at any scale; MEMORY_AND_DISK spills if not.
     val sets = encodedRows
       .groupBy("ids")
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .withColumn("set_id", element_at(col("docs"), 1)) // min doc = stable set id
       .withColumn("n", size(col("ids")))
-    val nSets = sets.count() // distinct-set-count action
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSets = sets.count() // distinct-set-count action (also fills the cache)
 
     // 2. Exact distinct-set pairs (x_set < y_set) with common/jaccard.
     val setPairs: DataFrame =

@@ -54,9 +54,14 @@ object DedupOps {
     */
   def c2EmbedNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.35, tables: Int = 8, bits: Int = 12): DataFrame = {
+    // Persisted: the sketch column (tables×bits hyperplane dots per row) is
+    // the dominant per-row cost and is consumed by both join sides plus the
+    // two score-side broadcasts — compute it once. O(n) rows of
+    // (id, vec, sketch); spills to disk if it outgrows memory.
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
       .withColumn("buckets", SimOps.lshBuckets(col("embD"), tables, bits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = base.select(col("vec_id").as("a_id"), col("embD").as("a_emb"),
       SimOps.explodeBuckets(col("buckets"), bits, probe = true))
       .withColumnRenamed("pos", "tbl")

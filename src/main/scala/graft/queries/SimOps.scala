@@ -33,12 +33,23 @@ object SimOps {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
 
-  /** Sequential-fold dot product of two double arrays (codegen'd HOF). */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Sequential-fold dot product — native codegen'd Expression
+    * (graft.functions.DotProductD); same fold order as the HOF form and
+    * the DuckDB oracle, ~an order of magnitude faster (no per-element
+    * boxing, no intermediate array). The HOF twin below is kept for
+    * spec cross-validation.
+    */
+  def dotD(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
-  /** L2 norm via the same sequential fold. */
-  def normD(a: Column): Column =
+  /** L2 norm via the same sequential fold (native). */
+  def normD(a: Column): Column = graft.functions.VectorExprs.norm(a)
+
+  /** HOF twins of dotD/normD — used by specs to assert the native
+    * expressions are bitwise-identical to the declarative composition.
+    */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  def normHof(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
 
   private def asDouble(a: Column): Column = a.cast("array<double>")
@@ -89,7 +100,11 @@ object SimOps {
     * Janino 60-200 s of (near-single-threaded) compilation per plan.
     * Loop form keeps generated code size constant in tables/bits.
     */
-  def lshBuckets(embD: Column, tables: Int, bits: Int): Column = {
+  def lshBuckets(embD: Column, tables: Int, bits: Int): Column =
+    graft.functions.VectorExprs.signSketch(embD, planeMatrix(tables * bits), tables, bits)
+
+  /** HOF twin of lshBuckets (spec cross-validation of SignSketch). */
+  def lshBucketsHof(embD: Column, tables: Int, bits: Int): Column = {
     val planes = typedLit(planeMatrix(tables * bits))
     transform(sequence(lit(0), lit(tables - 1)), t =>
       aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) => {
@@ -126,9 +141,12 @@ object SimOps {
     */
   def c3AnnLsh(spark: SparkSession, dir: String, k: Int = 5,
       tables: Int = 16, bits: Int = 8): DataFrame = {
+    // Persisted: the sketch is consumed by the corpus side, the query side,
+    // and both score-side broadcasts (see DedupOps.c2EmbedNearDup).
     val base = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
       .withColumn("buckets", lshBuckets(col("embD"), tables, bits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Bucket-membership rows carry ids only — embeddings re-attach after
     // the candidate dedup, so the bucket join/distinct shuffles 16-byte
@@ -209,8 +227,11 @@ object SimOps {
   def c3AnnIvf(spark: SparkSession, dir: String, k: Int = 5,
       nCells: Int = 16, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
+    // Persisted: read once, consumed by the sample collect, corpus/query
+    // cell assignment, and the two score-side broadcasts.
     val base = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sample = base.filter(col("vec_id") % 7 === 0)
       .select(col("embD")).as[Seq[Double]].collect().map(_.toArray)
     val cents = typedLit(trainCentroids(sample, nCells, iters = 5))
