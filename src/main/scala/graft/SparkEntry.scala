@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupOps, EventOps, MultiModalOps, RefParity, Relational, SimOps, TextOps}
+import graft.queries.{DedupOps, EventOps, MultiModalOps, PipelineOps, RefParity, Relational, SimOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefParity.queries ++ Relational.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimOps.queries ++ EventOps.queries ++
-      MultiModalOps.queries
+      MultiModalOps.queries ++ PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +33,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RefParity.oracle ++ Relational.oracle ++ TextOps.oracle ++
       DedupOps.oracle ++ SimOps.oracle ++ EventOps.oracle ++
-      MultiModalOps.oracle
+      MultiModalOps.oracle ++ PipelineOps.oracle
 }

@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group C (round 2) — C7: deterministic corpus sampling and dataset
+  * splitting, the reproducibility primitives of a training-data pipeline
+  * (language rebalancing, train/val/test carve-out).
+  *
+  * Everything keys off a Knuth multiplicative hash bucket
+  * `(doc_id * 2654435761) mod 2^32` — pure 64-bit integer arithmetic that
+  * evaluates identically in Spark and DuckDB, so unlike `rand(seed)` or
+  * engine hash functions the sample is *portable*: the same rows are
+  * selected by any engine, any partitioning, any row order. That is the
+  * property a 100 TB pipeline needs (resume/backfill reproduces the same
+  * split without a stored assignment table), and it makes these fully
+  * oracle-checkable.
+  *
+  * Scale posture: both operators are pure narrow projections/filters —
+  * no shuffle at all before the (tiny) final aggregate/sort.
+  */
+object PipelineOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** The shared bucket: uniform in [0, 2^32) and decorrelated from
+    * doc_id's natural order.
+    */
+  private val bucketSql = "(doc_id * 2654435761) % 4294967296"
+
+  /** C7a: stratified (per-language) deterministic sampling — downsample
+    * dominant languages harder (en keeps 10%, others 40%): the language-
+    * rebalancing shape. Emits the surviving rows.
+    */
+  def c7SampleStrat(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("bucket", expr(bucketSql))
+      .withColumn("keep_below",
+        when(col("lang") === "en", lit((0.10 * 4294967296L).toLong))
+          .otherwise(lit((0.40 * 4294967296L).toLong)))
+      .filter(col("bucket") < col("keep_below"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
+  /** C7b: train/val/test split assignment (80/10/10 on the same portable
+    * bucket) with per-split corpus stats — the carve-out must be disjoint
+    * and exhaustive by construction.
+    */
+  def c7SplitAssign(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("bucket", expr(bucketSql))
+      .withColumn("split",
+        when(col("bucket") < (0.8 * 4294967296L).toLong, "train")
+          .when(col("bucket") < (0.9 * 4294967296L).toLong, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("split")
+
+  val oracle: Map[String, String] = Map(
+    "c7_sample_strat" ->
+      (s"SELECT doc_id, lang, source FROM documents " +
+        s"WHERE $bucketSql < CASE WHEN lang = 'en' " +
+        s"THEN ${(0.10 * 4294967296L).toLong} ELSE ${(0.40 * 4294967296L).toLong} END " +
+        "ORDER BY doc_id"),
+    "c7_split_assign" ->
+      (s"SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM (" +
+        s"SELECT *, CASE WHEN $bucketSql < ${(0.8 * 4294967296L).toLong} THEN 'train' " +
+        s"WHEN $bucketSql < ${(0.9 * 4294967296L).toLong} THEN 'val' ELSE 'test' END AS split " +
+        "FROM documents) GROUP BY split ORDER BY split")
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c7_sample_strat" -> (c7SampleStrat _),
+    "c7_split_assign" -> (c7SplitAssign _)
+  )
+}

@@ -217,6 +217,47 @@ object Relational {
         col("n_orders"), col("total_price"))
       .orderBy("status", "priority")
 
+  /** B3e: RANGE (non-equi) join — orders banded into price tiers via a
+    * broadcast interval table and `lo <= v < hi`. Catalyst plans the
+    * non-equi condition as a broadcast nested-loop join; with the band
+    * side broadcast, the fact side never shuffles — the right shape for
+    * interval lookup at 100 TB (a shuffle range join would need an
+    * interval-partitioner). Bands are generated in-plan from `range()`
+    * in both engines, so the two sides are structurally identical.
+    */
+  def b3JoinRange(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(0, 5)
+      .select(col("id").as("band"),
+        (col("id") * 100000L).cast("double").as("lo"),
+        ((col("id") + 1L) * 100000L).cast("double").as("hi"))
+    t(spark, dir, "orders")
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.col(sumMoney("o_totalprice")).as("total_price"))
+      .orderBy("band")
+  }
+
+  /** B3f: SALTED shuffle join — the manual skew-mitigation pattern: the
+    * probe side gets a deterministic salt, the build side is replicated
+    * once per salt value, and the join key becomes (key, salt) so one hot
+    * key spreads over `salts` reducers. AQE's skew-join split is the
+    * automatic version; this is the explicit form for engines/pipelines
+    * that pin AQE off. Oracle = the UNSALTED equi-join (salting must not
+    * change semantics — that is the point of the check).
+    */
+  def b3JoinSalted(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .withColumn("salt", pmod(col("l_linenumber"), lit(salts)))
+    val o = t(spark, dir, "orders")
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    li.join(o, col("l_orderkey") === col("o_orderkey") && li("salt") === o("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(Exact.col(revenueSql).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
   /** B2c: approximate distinct (HLL++) — the sketch path for COUNT
     * DISTINCT at scale. Sketch values are engine-specific, so the driver
     * gets a rows-only check; ApproxSpec asserts the estimate is within
@@ -353,6 +394,16 @@ object Relational {
         s"COUNT(*) AS n_orders, ${sumMoney("o_totalprice")} AS total_price " +
         "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
         "ORDER BY status, priority"),
+    "b3_join_range" ->
+      (s"SELECT band, COUNT(*) AS n_orders, ${sumMoney("o_totalprice")} AS total_price " +
+        "FROM orders JOIN (SELECT range AS band, " +
+        "CAST(range * 100000 AS DOUBLE) AS lo, CAST((range + 1) * 100000 AS DOUBLE) AS hi " +
+        "FROM range(0, 5)) ON o_totalprice >= lo AND o_totalprice < hi " +
+        "GROUP BY band ORDER BY band"),
+    "b3_join_salted" ->
+      (s"SELECT o_orderpriority, $revenueSql AS revenue, COUNT(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "b7_scalar_fns" ->
       ("SELECT event_id, upper(event_type) AS etype_upper, " +
         "CAST(length(event_type) AS INT) AS etype_len, " +
@@ -373,6 +424,8 @@ object Relational {
     "b3_join_broadcast" -> (b3JoinBroadcast _),
     "b3_join_semi" -> (b3JoinSemi _),
     "b3_join_anti" -> (b3JoinAnti _),
+    "b3_join_range" -> (b3JoinRange _),
+    "b3_join_salted" -> ((s: SparkSession, d: String) => b3JoinSalted(s, d)),
     "b4_window_topn" -> (b4WindowTopN _),
     "b4_window_running" -> (b4WindowRunning _),
     "b4_window_lag" -> (b4WindowLag _),

@@ -107,6 +107,33 @@ object TextOps {
         length(col("text")).as("n_bytes"))
       .orderBy("doc_id")
 
+  /** C4g: top-k word bigrams per language — the n-gram vocabulary-mining
+    * shape (explode n-grams → count → per-group top-k). The bigram
+    * construction is a narrow zip of the token array with its own tail;
+    * the count shuffles on (lang, bigram) with map-side partial
+    * aggregation, and the top-k is a bounded window over the (small)
+    * per-language count table. Ties broken by bigram text in both
+    * engines.
+    */
+  def c4NgramTop(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val counts = docs(spark, dir)
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy("lang", "bigram")
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("lang", "rank", "bigram", "cnt")
+      .orderBy("lang", "rank")
+  }
+
   /** C4d: heuristic language ID via stopword/character n-gram scoring —
     * argmax over per-language evidence. No DuckDB oracle (the scoring
     * table is engine-internal); accuracy is asserted in LangIdSpec on
@@ -143,6 +170,14 @@ object TextOps {
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens, " +
         "CAST(length(text) AS INT) AS n_bytes FROM documents ORDER BY doc_id"),
+    "c4_ngram_top" ->
+      ("WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents), " +
+        "ex AS (SELECT lang, unnest(list_transform(range(1, len(toks)), " +
+        "i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t), " +
+        "c AS (SELECT lang, bigram, count(*) AS cnt FROM ex GROUP BY lang, bigram), " +
+        "r AS (SELECT lang, bigram, cnt, CAST(row_number() OVER " +
+        "(PARTITION BY lang ORDER BY cnt DESC, bigram) AS INT) AS rank FROM c) " +
+        "SELECT lang, rank, bigram, cnt FROM r WHERE rank <= 5 ORDER BY lang, rank"),
     "c4_rolling_hash" ->
       ("SELECT doc_id, list_reduce(" +
         "list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))), " +
@@ -157,6 +192,7 @@ object TextOps {
     "c4_fingerprint" -> (c4Fingerprint _),
     "c4_token_count" -> (c4TokenCount _),
     "c4_rolling_hash" -> (c4RollingHash _),
-    "c4_langid" -> (c4LangId _)
+    "c4_langid" -> (c4LangId _),
+    "c4_ngram_top" -> ((s: SparkSession, d: String) => c4NgramTop(s, d))
   )
 }

@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.{SparkSuite, Tables}
+import graft.dedup.{MinHash, SimHash}
+import org.apache.spark.sql.functions._
+
+/** Native MinHashSig / SimHashFp must be bit-identical to the HOF
+  * compositions they replace (same XXH64 family, same seed, same child
+  * fold order as `functions.xxhash64`).
+  */
+class HashExprsSpec extends SparkSuite {
+
+  private def toks = Tables.load(spark, sf, "documents")
+    .select(col("doc_id"), MinHash.tokenSet(col("text")).as("toks"))
+
+  test("MinHashSig == HOF signature over the corpus") {
+    val n = toks
+      .withColumn("native", MinHash.signature(col("toks"), 64))
+      .withColumn("hof", MinHash.signatureHof(col("toks"), 64))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(n === 0)
+  }
+
+  test("SimHashFp == HOF fingerprint over the corpus") {
+    val n = toks
+      .withColumn("native", SimHash.fingerprint(col("toks")))
+      .withColumn("hof", SimHash.fingerprintHof(col("toks")))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(n === 0)
+  }
+
+  test("edge cases: empty and single-token arrays") {
+    import spark.implicits._
+    val df = Seq(Seq.empty[String], Seq("hello"), Seq("a", "b", "a"))
+      .toDF("toks")
+    val rows = df
+      .withColumn("sig_n", MinHash.signature(col("toks"), 8))
+      .withColumn("sig_h", MinHash.signatureHof(col("toks"), 8))
+      .withColumn("fp_n", SimHash.fingerprint(col("toks")))
+      .withColumn("fp_h", SimHash.fingerprintHof(col("toks")))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](1) === r.getSeq[Any](2), s"sig mismatch for ${r.get(0)}")
+      assert(r.getLong(3) === r.getLong(4), s"fp mismatch for ${r.get(0)}")
+    }
+  }
+}
