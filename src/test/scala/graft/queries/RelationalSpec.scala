@@ -42,4 +42,25 @@ class RelationalSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(1200))
   }
+
+  test("range join broadcasts the interval side (fact side never shuffles for it)") {
+    val plan = Relational.b3JoinRange(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("salted join spreads one key over `salts` composite keys") {
+    import org.apache.spark.sql.functions._
+    // The salted plan must produce exactly the unsalted aggregate (the
+    // oracle asserts this too) and its join key must include the salt.
+    val plan = Relational.b3JoinSalted(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("salt"), plan.take(800))
+    val salted = Relational.b3JoinSalted(spark, sf).collect().map(_.toSeq).toSeq
+    val plain = graft.Tables.load(spark, sf, "lineitem")
+      .join(graft.Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(Exact.col(Exact.revenueSql).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
+    assert(salted === plain)
+  }
 }
