@@ -117,6 +117,20 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of c1_exact_dedup: drop
+    * repeats of the same (user_id, event_type, value) payload arriving
+    * within the watermark horizon. `dropDuplicatesWithinWatermark` keys
+    * state by the dedup columns and evicts each key once the watermark
+    * passes it, so state is O(keys per horizon), not O(stream) — the form
+    * a 100 TB/day ingest pipeline can actually run forever. (Plain
+    * streaming `dropDuplicates` would keep every key seen since the start
+    * of the query.)
+    */
+  def dedupWithinWatermark(events: DataFrame, horizon: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+
   /** Run a streaming frame to a named in-memory sink until idle (test /
     * demo harness; production callers use their own writeStream).
     */

@@ -131,6 +131,29 @@ class EventStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups payload repeats like batch distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows
+    // Feed every event twice (same payload, same ts) — the stream must
+    // emit each distinct (user_id, event_type, value) payload once.
+    val mem = MemoryStream[Ev]
+    mem.addData(rows ++ rows)
+    val q = EventStream.runToMemory(
+      EventStream.dedupWithinWatermark(mem.toDF()), "dedup_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val streamed = spark.table("dedup_test")
+        .select("user_id", "event_type", "value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val batch = rows.toDF()
+        .select("user_id", "event_type", "value").distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(streamed.length === batch.length) // no within-horizon repeats survive
+      assert(streamed.toSet === batch.toSet)
+    } finally q.stop()
+  }
+
   test("batch sessionization query is internally consistent on testdata") {
     val s = EventOps.c5Sessionize(spark, sf).collect()
     assert(s.nonEmpty)
