@@ -43,6 +43,13 @@ object VectorExprs {
     */
   def signSketch(v: Column, planes: Seq[Seq[Double]], tables: Int, bits: Int): Column =
     ColumnBridge.column(SignSketch(ColumnBridge.expression(v), planes, tables, bits))
+
+  /** `centroidDists(v)`: squared L2 distance from `v` to each centroid of
+    * a plan-constant codebook — the IVF assignment/probe kernel as one
+    * fused narrow pass (`array<double>` of length `centroids.length`).
+    */
+  def centroidDists(v: Column, centroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(CentroidDists(ColumnBridge.expression(v), centroids))
 }
 
 /** Sequential-fold `array<double>` dot product (whole-stage codegen'd). */
@@ -147,6 +154,68 @@ case class SignSketch(child: Expression, planes: Seq[Seq[Double]], tables: Int, 
          |    if ($dot > 0) $acc |= (1L << $b);
          |  }
          |  $out[$t] = $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Squared-L2 distances from an `array<double>` vector to every row of a
+  * plan-constant centroid codebook (`array<double>` out, same fold order
+  * as `aggregate(zip_with(v, c, (x,y) => (x-y)*(x-y)), 0.0, _+_)`).
+  */
+case class CentroidDists(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_centroid_dists"
+
+  @transient private lazy val mat: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Double](mat.length)
+    var c = 0
+    while (c < mat.length) {
+      val cent = mat(c)
+      val n = math.min(v.numElements(), cent.length)
+      var d = 0.0
+      var j = 0
+      while (j < n) { val t = v.getDouble(j) - cent(j); d += t * t; j += 1 }
+      out(c) = d
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("centroids", mat, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val cent = ctx.freshName("cent")
+      val n = ctx.freshName("n")
+      s"""
+         |final double[] $out = new double[${mat.length}];
+         |for (int $c = 0; $c < ${mat.length}; $c++) {
+         |  final double[] $cent = $matRef[$c];
+         |  final int $n = Math.min($v.numElements(), $cent.length);
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    final double $t = $v.getDouble($j) - $cent[$j];
+         |    $d += $t * $t;
+         |  }
+         |  $out[$c] = $d;
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin

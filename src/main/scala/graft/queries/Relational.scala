@@ -283,6 +283,26 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** B2e: approximate percentiles via the GK quantile sketch
+    * (`percentile_approx`) — the 100 TB path: exact `percentile` buffers
+    * every group value in the aggregation state, while the sketch is
+    * bounded-size and mergeable (map-side partial aggregation works).
+    * Sketch internals are engine-specific → rows-only driver check;
+    * RelationalSpec asserts the estimates bracket the exact quantiles
+    * within the sketch's accuracy bound.
+    */
+  def b2PercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile_approx(o_totalprice, array(0.5D, 0.9D), 10000)").as("pcts"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus"),
+        element_at(col("pcts"), 1).as("p50_approx"),
+        element_at(col("pcts"), 2).as("p90_approx"),
+        col("n"))
+      .orderBy("o_orderstatus")
+
   /** B7: scalar function surface — string, date, JSON, math — over events. */
   def b7ScalarFns(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
@@ -436,6 +456,7 @@ object Relational {
     "b6_cube" -> (b6Cube _),
     "b2_agg_approx" -> (b2AggApprox _),
     "b2_percentiles" -> (b2Percentiles _),
+    "b2_percentiles_approx" -> (b2PercentilesApprox _),
     "b7_scalar_fns" -> (b7ScalarFns _)
   )
 }

@@ -234,11 +234,12 @@ object SimOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sample = base.filter(col("vec_id") % 7 === 0)
       .select(col("embD")).as[Seq[Double]].collect().map(_.toArray)
-    val cents = typedLit(trainCentroids(sample, nCells, iters = 5))
+    val centroids = trainCentroids(sample, nCells, iters = 5)
 
-    // squared L2 to each centroid, as one HOF loop
-    def dists(v: Column): Column = transform(cents, c =>
-      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)), lit(0.0d), (a, x) => a + x))
+    // squared L2 to each centroid — native fused pass (CentroidDists),
+    // same fold order as the HOF form (asserted in VectorExprsSpec).
+    def dists(v: Column): Column =
+      graft.functions.VectorExprs.centroidDists(v, centroids)
 
     val corpus = base
       .withColumn("dists", dists(col("embD")))

@@ -43,6 +43,23 @@ class VectorExprsSpec extends SparkSuite {
     assert(n === 0)
   }
 
+  test("CentroidDists == HOF squared-L2 distances, bitwise") {
+    val cents = Seq(
+      Seq.tabulate(64)(i => 0.01 * i),
+      Seq.tabulate(64)(i => -0.02 * i),
+      Seq.fill(64)(0.5))
+    val centsLit = typedLit(cents)
+    val hof = transform(centsLit, c =>
+      aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (a, x) => a + x))
+    val n = emb
+      .withColumn("native", VectorExprs.centroidDists(col("v"), cents))
+      .withColumn("hof", hof)
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(n === 0)
+  }
+
   test("interpreted eval matches codegen (DotProductD and SignSketch)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.util.ArrayData

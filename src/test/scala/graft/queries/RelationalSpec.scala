@@ -43,6 +43,23 @@ class RelationalSpec extends SparkSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(1200))
   }
 
+  test("approx percentiles land within the GK sketch rank-error bound of exact") {
+    val approx = Relational.b2PercentilesApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Relational.b2Percentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    // accuracy 10000 → rank error ≤ 1/10000; on these group sizes the
+    // sketch is effectively exact-rank, so allow a loose 5% value slack
+    // (quantile_cont interpolates between ranks, percentile_approx picks
+    // an observed value).
+    approx.foreach { case (k, (p50a, p90a)) =>
+      val (p50e, p90e) = exact(k)
+      assert(math.abs(p50a - p50e) / p50e < 0.05, s"$k p50 $p50a vs $p50e")
+      assert(math.abs(p90a - p90e) / p90e < 0.05, s"$k p90 $p90a vs $p90e")
+    }
+  }
+
   test("range join broadcasts the interval side (fact side never shuffles for it)") {
     val plan = Relational.b3JoinRange(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
