@@ -41,7 +41,7 @@ object RefParity {
   /** A1: word count over documents.text via the MR kernel. */
   def mrWordCount(spark: SparkSession, sfDir: String): DataFrame = {
     val out = MRJob.run(spark, docsAsKv(spark, sfDir),
-      JobTypeRegistry.wordCountMap, tabbedSum, mappers = 8, reducers = 8)
+      JobTypeRegistry.wordCountMap, tabbedSum, mappers = 32, reducers = 32)
     parseCounts(spark, out, "word").orderBy("word")
   }
 
@@ -50,7 +50,7 @@ object RefParity {
     */
   def mrCharCount(spark: SparkSession, sfDir: String): DataFrame = {
     val out = MRJob.run(spark, docsAsKv(spark, sfDir),
-      JobTypeRegistry.charCountMap, tabbedSum, mappers = 8, reducers = 8)
+      JobTypeRegistry.charCountMap, tabbedSum, mappers = 32, reducers = 32)
     parseCounts(spark, out, "c").orderBy("c")
   }
 
@@ -59,7 +59,7 @@ object RefParity {
     import spark.implicits._
     val out = MRJob.run(spark, docsAsKv(spark, sfDir),
       JobTypeRegistry.wordCountMap, JobTypeRegistry.distinctReduce,
-      mappers = 8, reducers = 8)
+      mappers = 32, reducers = 32)
     out.toDF("word").orderBy("word")
   }
 
