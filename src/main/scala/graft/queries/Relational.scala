@@ -152,6 +152,33 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** B4d: per-group top-k via the typed bounded-heap UDAF
+    * (graft.functions.TopKAggregator) — same result as b4_window_topn
+    * (same oracle SQL) but the aggregation state is k rows per group, so
+    * map-side combine shrinks the shuffle to O(groups·k). At 100 TB with
+    * hot groups this is the right physical shape; the window form
+    * materializes and sorts every row of every group at the window
+    * operator. The oracle equality *is* the semantics check.
+    */
+  def b4WindowTopNAgg(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val topk = new graft.functions.TopKAggregator[(Double, Long)](k, _._1, _._2)
+      .toColumn.name("topk")
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk)
+      .toDF("o_custkey", "topk")
+      .select(col("o_custkey"), posexplode(col("topk")))
+      .select(col("o_custkey"),
+        col("col._2").as("o_orderkey"),
+        col("col._1").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
   /** B5: global sort + limit (top-k): Spark plans this as TakeOrderedAndProject
     * — a per-partition top-k then a k-row merge, no full global sort.
     */
@@ -372,6 +399,12 @@ object Relational {
         "(SELECT o_custkey, o_orderkey, o_totalprice, CAST(row_number() OVER " +
         "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn " +
         "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    // Same semantics through the bounded-heap typed UDAF — identical SQL.
+    "b4_window_topn_agg" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, CAST(row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
     "b4_window_running" ->
       ("SELECT o_custkey, o_orderkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER " +
         "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
@@ -447,6 +480,7 @@ object Relational {
     "b3_join_range" -> (b3JoinRange _),
     "b3_join_salted" -> ((s: SparkSession, d: String) => b3JoinSalted(s, d)),
     "b4_window_topn" -> (b4WindowTopN _),
+    "b4_window_topn_agg" -> ((s: SparkSession, d: String) => b4WindowTopNAgg(s, d)),
     "b4_window_running" -> (b4WindowRunning _),
     "b4_window_lag" -> (b4WindowLag _),
     "b5_topk" -> (b5TopK _),

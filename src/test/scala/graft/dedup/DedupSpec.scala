@@ -100,6 +100,23 @@ class DedupSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("SetSimJoin prefix-filter path == bitmask path on the real corpus") {
+    // The corpus vocab (31 words) always selects the bitmask strategy;
+    // forcing maxBroadcastSets = 0 drives the same input down the
+    // prefix-filtered inverted-index path — the 100 TB strategy — which
+    // must produce the identical pair set WITH identical common/jaccard.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def run(maxSets: Long) = SetSimJoin.jaccardSelfJoin(
+      docs, col("doc_id"), MinHash.tokenSet(col("text")), 0.8, maxBroadcastSets = maxSets)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val bitmask = run(20000L)
+    val prefix = run(0L)
+    assert(prefix === bitmask)
+    assert(bitmask.nonEmpty)
+  }
+
   test("MinHash dedupAssignments: exact duplicates collapse to one kept doc") {
     val asg = MinHash.dedupAssignments(corpus, col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
