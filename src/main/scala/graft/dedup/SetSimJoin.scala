@@ -50,19 +50,39 @@ object SetSimJoin {
       maxBroadcastSets: Long = 20000L): DataFrame = {
     val base = df.select(id.as("doc_id"), tokens.as("toks"))
 
-    // 1. Dictionary: token -> dense int id, rarest first.
+    // 1. Dictionary: token -> dense int id, rarest first. Global dense
+    // rank WITHOUT a single-partition window (which would serialize a
+    // 100 TB corpus's vocabulary through one task): range-partition by
+    // (freq, tok), number within each (already range-ordered) partition,
+    // and add the per-partition row-count prefix offsets — the standard
+    // scalable zip-with-index construction. Order, and therefore every
+    // tok_id, is identical to a global row_number over (freq, tok).
     val freq = base
       .select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val ranged = freq
+      .repartitionByRange(col("freq"), col("tok"))
+      .sortWithinPartitions("freq", "tok")
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Tiny driver-side action: one (pid, count) row per partition.
+    val partCounts = ranged.groupBy("pid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = partCounts.map(_._2).scanLeft(0L)(_ + _)
+    val session = df.sparkSession
+    import session.implicits._
+    val offsetDf = partCounts.map(_._1).zip(offsets).toSeq.toDF("pid", "offset")
+    val wPart = Window.partitionBy(col("pid")).orderBy(col("freq"), col("tok"))
     // Persisted: consumed by the vocab-size count and the broadcast join;
     // vocab-sized (tiny), and persisting avoids a second full-corpus
     // frequency scan when the broadcast is built.
-    val dict = freq
-      .withColumn("tok_id",
-        (row_number().over(Window.orderBy(col("freq"), col("tok"))) - 1).cast("int"))
+    val dict = ranged
+      .withColumn("idx", row_number().over(wPart) - 1)
+      .join(broadcast(offsetDf), "pid")
+      .withColumn("tok_id", (col("offset") + col("idx")).cast("int"))
       .select("tok", "tok_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vocabSize = dict.count() // vocab-sized action (tiny; fills the cache)
+    val vocabSize = offsets.last // already computed from the partition counts
 
     // 0.+1. Distinct sets with member lists, ids ascending (= rarity order).
     val encodedRows = base
