@@ -61,7 +61,30 @@ object PipelineOps {
         countDistinct(col("lang")).as("n_langs"))
       .orderBy("split")
 
+  /** C7c: token-budget selection — greedily take documents (in stable
+    * doc_id order) per language until a per-language token budget is
+    * filled: the "assemble a training mix to N tokens per language"
+    * operator. One window shuffle on lang; the budget cut is a running
+    * sum, so the selection is deterministic and resumable.
+    */
+  def c7TokenBudget(spark: SparkSession, dir: String, budget: Long = 5000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    docs(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("lang", "doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "c7_token_budget" ->
+      ("SELECT lang, doc_id, n_tokens, cum_tokens FROM (" +
+        "SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(len(string_split(text, ' '))) OVER " +
+        "(PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_tokens " +
+        "FROM documents) WHERE cum_tokens <= 5000 ORDER BY lang, doc_id"),
     "c7_sample_strat" ->
       (s"SELECT doc_id, lang, source FROM documents " +
         s"WHERE $bucketSql < CASE WHEN lang = 'en' " +
@@ -77,6 +100,7 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c7_sample_strat" -> (c7SampleStrat _),
-    "c7_split_assign" -> (c7SplitAssign _)
+    "c7_split_assign" -> (c7SplitAssign _),
+    "c7_token_budget" -> ((s: SparkSession, d: String) => c7TokenBudget(s, d))
   )
 }

@@ -134,6 +134,32 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** C4h: duplicated-n-gram ratio — the C4/Gopher boilerplate heuristic:
+    * the fraction of a document's bigram occurrences that belong to a
+    * bigram repeated within the same document. High ratios flag
+    * templated/repetitive text for pipeline filtering. Two narrow
+    * explodes + per-doc aggregation; the ratio is one exact
+    * integer-over-integer double division, so the oracle matches bitwise.
+    */
+  def c4DupNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_bigrams"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_bigrams")).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** C4d: heuristic language ID via stopword/character n-gram scoring —
     * argmax over per-language evidence. No DuckDB oracle (the scoring
     * table is engine-internal); accuracy is asserted in LangIdSpec on
@@ -170,6 +196,15 @@ object TextOps {
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens, " +
         "CAST(length(text) AS INT) AS n_bytes FROM documents ORDER BY doc_id"),
+    "c4_dup_ngrams" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "ex AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), " +
+        "i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t), " +
+        "c AS (SELECT doc_id, bg, count(*) AS cnt FROM ex GROUP BY doc_id, bg) " +
+        "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup, " +
+        "CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt) AS dup_ratio " +
+        "FROM c GROUP BY doc_id ORDER BY doc_id"),
     "c4_ngram_top" ->
       ("WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents), " +
         "ex AS (SELECT lang, unnest(list_transform(range(1, len(toks)), " +
@@ -193,6 +228,7 @@ object TextOps {
     "c4_token_count" -> (c4TokenCount _),
     "c4_rolling_hash" -> (c4RollingHash _),
     "c4_langid" -> (c4LangId _),
-    "c4_ngram_top" -> ((s: SparkSession, d: String) => c4NgramTop(s, d))
+    "c4_ngram_top" -> ((s: SparkSession, d: String) => c4NgramTop(s, d)),
+    "c4_dup_ngrams" -> (c4DupNgrams _)
   )
 }
