@@ -117,7 +117,7 @@ object Bench {
     // reproduce on the re-run and keep their time.
     val med = firstPass.map(_._3).sorted.apply(firstPass.length / 2)
     firstPass.foreach { case (name, fn, sec) =>
-      if (sec > math.max(10.0, 5 * med) && !pastDeadline) {
+      if (sec > math.max(4.0, 4 * med) && !pastDeadline) {
         val again = run(name, fn)
         System.err.println(f"[bench] $name%-22s $again%8.2f s (outlier rerun; first $sec%.2f)")
         done.removeIf(_._1 == name)
