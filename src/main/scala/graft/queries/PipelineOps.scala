@@ -78,7 +78,45 @@ object PipelineOps {
       .orderBy("lang", "doc_id")
   }
 
+  /** C7d: train/test decontamination — flag training documents sharing
+    * any word k-gram with the held-out test split (the standard n-gram
+    * benchmark-decontamination pass). Both splits come from the same
+    * portable bucket as c7_split_assign, so the operator composes with
+    * the split it protects. Shape: narrow shingling on both sides, one
+    * shuffle join keyed by the shingle (at 100 TB you key by a hash of
+    * the shingle — same plan, smaller shuffle rows), tiny aggregate out.
+    */
+  def c7Decontaminate(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val toks = split(col("text"), " ")
+    val shingles = when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val base = docs(spark, dir)
+      .withColumn("bucket", expr(bucketSql))
+      .select(col("doc_id"), col("bucket"), explode(shingles).as("sh"))
+    val train = base.filter(col("bucket") < (0.8 * 4294967296L).toLong)
+      .select(col("doc_id"), col("sh"))
+    val test = base.filter(col("bucket") >= (0.9 * 4294967296L).toLong)
+      .select(col("sh")).distinct()
+    train.join(test, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("sh")).as("n_shingles_hit"))
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "c7_decontaminate" ->
+      (s"WITH d AS (SELECT doc_id, $bucketSql AS bucket, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "sh AS (SELECT doc_id, bucket, unnest(list_transform(range(1, len(toks) - 2), " +
+        "i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS sh FROM d), " +
+        s"te AS (SELECT DISTINCT sh FROM sh WHERE bucket >= ${(0.9 * 4294967296L).toLong}), " +
+        s"tr AS (SELECT doc_id, sh FROM sh WHERE bucket < ${(0.8 * 4294967296L).toLong}) " +
+        "SELECT doc_id, count(*) AS n_hits, " +
+        "CAST(count(DISTINCT sh) AS BIGINT) AS n_shingles_hit " +
+        "FROM tr JOIN te USING (sh) GROUP BY doc_id ORDER BY doc_id"),
     "c7_token_budget" ->
       ("SELECT lang, doc_id, n_tokens, cum_tokens FROM (" +
         "SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
@@ -101,6 +139,7 @@ object PipelineOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c7_sample_strat" -> (c7SampleStrat _),
     "c7_split_assign" -> (c7SplitAssign _),
-    "c7_token_budget" -> ((s: SparkSession, d: String) => c7TokenBudget(s, d))
+    "c7_token_budget" -> ((s: SparkSession, d: String) => c7TokenBudget(s, d)),
+    "c7_decontaminate" -> ((s: SparkSession, d: String) => c7Decontaminate(s, d))
   )
 }
