@@ -1,0 +1,62 @@
+package graft
+
+import graft.dedup.{MinHash, SetSimJoin, SimHash}
+import graft.text.LangId
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior of the reusable machinery: empty corpora,
+  * single documents, and empty/whitespace text must not crash any
+  * operator (a 100 TB pipeline always contains garbage rows).
+  */
+class EdgeCasesSpec extends SparkSuite {
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("SetSimJoin on an empty corpus returns no rows") {
+    val out = SetSimJoin.jaccardSelfJoin(
+      df(Seq.empty), col("doc_id"), MinHash.tokenSet(col("text")), 0.8)
+    assert(out.count() === 0)
+  }
+
+  test("SetSimJoin on a single doc returns no pairs") {
+    val out = SetSimJoin.jaccardSelfJoin(
+      df(Seq((1L, "a b c"))), col("doc_id"), MinHash.tokenSet(col("text")), 0.8)
+    assert(out.count() === 0)
+  }
+
+  test("SetSimJoin with identical docs yields the intra-set pair at jaccard 1") {
+    val out = SetSimJoin.jaccardSelfJoin(
+      df(Seq((1L, "a b c"), (2L, "a b c"))),
+      col("doc_id"), MinHash.tokenSet(col("text")), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("MinHash/SimHash assignments tolerate empty and single-token text") {
+    val rows = df(Seq((1L, ""), (2L, "word"), (3L, "word")))
+    val mh = MinHash.dedupAssignments(rows, col("doc_id"), col("text")).collect()
+    assert(mh.length === 3)
+    val sh = SimHash.dedupAssignments(rows, col("doc_id"), col("text")).collect()
+    assert(sh.length === 3)
+    // identical single-token docs must cluster together
+    val reps = mh.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps(2L) === reps(3L))
+  }
+
+  test("LangId on empty text emits a deterministic language with score 0") {
+    val out = LangId.detect(df(Seq((1L, ""))), col("text"))
+      .select("detected_lang", "lang_score").collect().head
+    assert(LangId.functionWords.contains(out.getString(0)))
+    assert(out.getDouble(1) === 0.0)
+  }
+
+  test("MRJob runs a one-record job") {
+    val out = graft.mr.MRJob.runLocal(spark, Seq(("k", "v")),
+      (k, _) => Seq((k, "1")),
+      (k, vs) => Seq(s"$k\t${vs.size}"))
+    assert(out === Seq("k\t1"))
+  }
+}
