@@ -128,7 +128,43 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** C5f: conversion funnel — users who viewed, then clicked strictly
+    * after their first view, then purchased strictly after that first
+    * qualifying click. Each stage is one aggregate + one equi-join on
+    * user_id (broadcast-sized stage tables at any corpus scale: one row
+    * per surviving user); no window needed.
+    */
+  def c5Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    val stages = Seq(("1_view", v), ("2_click_after_view", c), ("3_purchase_after_click", p))
+    stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    }.reduce(_.unionByName(_)).orderBy("stage")
+  }
+
   val oracle: Map[String, String] = Map(
+    "c5_funnel" ->
+      ("WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e " +
+        "JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts " +
+        "WHERE e.event_type = 'click' GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e " +
+        "JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts " +
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id) " +
+        "SELECT stage, n_users FROM (" +
+        "SELECT '1_view' AS stage, count(*) AS n_users FROM v " +
+        "UNION ALL SELECT '2_click_after_view', count(*) FROM c " +
+        "UNION ALL SELECT '3_purchase_after_click', count(*) FROM p) " +
+        "ORDER BY stage"),
     "c5_tumbling" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
         "count(*) AS n_events, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
@@ -175,6 +211,7 @@ object EventOps {
     "c5_sliding" -> (c5Sliding _),
     "c5_sessionize" -> (c5Sessionize _),
     "c5_user_seq" -> (c5UserSeq _),
-    "c5_asof_join" -> (c5AsofJoin _)
+    "c5_asof_join" -> (c5AsofJoin _),
+    "c5_funnel" -> (c5Funnel _)
   )
 }
