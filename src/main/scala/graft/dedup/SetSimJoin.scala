@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *     makes the output stage the only place the full pair multiplicity
   *     exists.)
   *  1. **Dictionary encoding** (always): tokens -> dense ints by ascending
-  *     global frequency (one vocab-sized aggregate, broadcast back). All
-  *     pairwise work is over ints/longs, never strings.
+  *     global frequency (one vocab-sized aggregate, shuffle-joined back —
+  *     a web corpus's vocabulary is itself billions of tokens, so the
+  *     dictionary is never broadcast). All pairwise work is over
+  *     ints/longs, never strings.
   *  2. **Strategy pick** (plan-build-time adaptivity, same class as AQE):
   *     - vocab <= 64 and few distinct sets: sets are 64-bit bitmasks;
   *       candidate generation is a broadcast nested-loop over distinct
@@ -73,9 +75,10 @@ object SetSimJoin {
     import session.implicits._
     val offsetDf = partCounts.map(_._1).zip(offsets).toSeq.toDF("pid", "offset")
     val wPart = Window.partitionBy(col("pid")).orderBy(col("freq"), col("tok"))
-    // Persisted: consumed by the vocab-size count and the broadcast join;
-    // vocab-sized (tiny), and persisting avoids a second full-corpus
-    // frequency scan when the broadcast is built.
+    // Persisted: consumed by the encode join (vocab-sized; persisting
+    // avoids a second full-corpus frequency scan when the join reads it).
+    // broadcast(offsetDf) is one tiny driver-built row per partition —
+    // NOT the dictionary.
     val dict = ranged
       .withColumn("idx", row_number().over(wPart) - 1)
       .join(broadcast(offsetDf), "pid")
@@ -85,9 +88,13 @@ object SetSimJoin {
     val vocabSize = offsets.last // already computed from the partition counts
 
     // 0.+1. Distinct sets with member lists, ids ascending (= rarity order).
+    // The encode step shuffle-joins (doc, token) rows against the
+    // dictionary on the token: the dictionary scales with the vocabulary
+    // (10^9+ distinct tokens on a web corpus), so broadcasting it would
+    // OOM every executor long before the corpus itself is a problem.
     val encodedRows = base
       .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .join(broadcast(dict), "tok")
+      .join(dict.hint("shuffle_hash"), "tok")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("tok_id"))).as("ids"))
     // Persisted: this subtree (tokenize → dict join → two aggregations) is

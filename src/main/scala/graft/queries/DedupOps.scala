@@ -56,7 +56,7 @@ object DedupOps {
       threshold: Double = 0.35, tables: Int = 8, bits: Int = 12): DataFrame = {
     // Persisted: the sketch column (tables×bits hyperplane dots per row) is
     // the dominant per-row cost and is consumed by both join sides plus the
-    // two score-side broadcasts — compute it once. O(n) rows of
+    // two score-side re-attach joins — compute it once. O(n) rows of
     // (id, vec, sketch); spills to disk if it outgrows memory.
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
@@ -72,15 +72,19 @@ object DedupOps {
       .withColumn("bucket", element_at(col("col"), 1))
       .drop("col")
     // Dedup candidate pairs on ids ONLY (an 8-byte shuffle row), then
-    // re-attach vectors via broadcast — never shuffle the embeddings
-    // through the distinct.
+    // re-attach vectors via shuffle hash joins on id — never shuffle the
+    // embeddings through the distinct, and never broadcast a corpus-sized
+    // table (both re-attach sides here are the FULL embeddings table; a
+    // broadcast would replicate the whole corpus to every executor).
     val pairs = a.drop("a_emb").join(b.drop("b_emb"), Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     val vecs = base.select(col("vec_id"), col("embD"))
     pairs
-      .join(broadcast(vecs.select(col("vec_id").as("a_id"), col("embD").as("a_emb"))), "a_id")
-      .join(broadcast(vecs.select(col("vec_id").as("b_id"), col("embD").as("b_emb"))), "b_id")
+      .join(vecs.select(col("vec_id").as("a_id"), col("embD").as("a_emb"))
+        .hint("shuffle_hash"), "a_id")
+      .join(vecs.select(col("vec_id").as("b_id"), col("embD").as("b_emb"))
+        .hint("shuffle_hash"), "b_id")
       .withColumn("cosine",
         round(SimOps.dotD(col("a_emb"), col("b_emb")) /
           (SimOps.normD(col("a_emb")) * SimOps.normD(col("b_emb"))), 6))

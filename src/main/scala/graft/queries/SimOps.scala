@@ -55,14 +55,20 @@ object SimOps {
   private def asDouble(a: Column): Column = a.cast("array<double>")
 
   /** C3a: exact cosine top-k (k=5) of every corpus vector for each query
-    * vector (query set: vec_id divisible by 100). Scores rounded to 6
-    * decimals; ties broken by neighbor id in both engines.
+    * vector. Scores rounded to 6 decimals; ties broken by neighbor id in
+    * both engines.
+    *
+    * `queryMod` selects the query subset (`vec_id % queryMod == 0`) — the
+    * oracle-stable stand-in for a caller-supplied query table. In
+    * production the query side is whatever small DataFrame the caller
+    * passes; only its smallness matters (it is the broadcast side).
     */
-  def c3CosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def c3CosineTopK(spark: SparkSession, dir: String, k: Int = 5,
+      queryMod: Int = 100): DataFrame = {
     val corpus = emb(spark, dir)
       .select(col("vec_id").as("b_id"), asDouble(col("embedding")).as("b_emb"))
     val queries = emb(spark, dir)
-      .filter(col("vec_id") % 100 === 0)
+      .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
 
     val scored = corpus.join(broadcast(queries), col("q_id") =!= col("b_id"))
@@ -140,9 +146,9 @@ object SimOps {
     * scan, which is information-theoretically unavoidable.
     */
   def c3AnnLsh(spark: SparkSession, dir: String, k: Int = 5,
-      tables: Int = 16, bits: Int = 8): DataFrame = {
+      tables: Int = 16, bits: Int = 8, queryMod: Int = 100): DataFrame = {
     // Persisted: the sketch is consumed by the corpus side, the query side,
-    // and both score-side broadcasts (see DedupOps.c2EmbedNearDup).
+    // and the score re-attach joins (see DedupOps.c2EmbedNearDup).
     val base = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
       .withColumn("buckets", lshBuckets(col("embD"), tables, bits))
@@ -159,7 +165,7 @@ object SimOps {
       .drop("col")
 
     val queries = base
-      .filter(col("vec_id") % 100 === 0)
+      .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"),
         explodeBuckets(col("buckets"), bits, probe = true))
       .withColumnRenamed("pos", "tbl")
@@ -168,10 +174,15 @@ object SimOps {
     val scored = corpus.join(broadcast(queries), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("b_id"))
       // Dedup candidates on ids only (cheap shuffle rows), then re-attach
-      // vectors via broadcast for scoring.
+      // vectors for scoring. Broadcast ONLY the query subset (genuinely
+      // small — it is the filtered side); the corpus side re-attaches via
+      // an explicit shuffle hash join on id so no plan ever materializes
+      // the full embeddings table on every executor.
       .select(col("q_id"), col("b_id")).distinct()
-      .join(broadcast(base.select(col("vec_id").as("q_id"), col("embD").as("q_emb"))), "q_id")
-      .join(broadcast(base.select(col("vec_id").as("b_id"), col("embD").as("b_emb"))), "b_id")
+      .join(broadcast(base.filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("q_id"), col("embD").as("q_emb"))), "q_id")
+      .join(base.select(col("vec_id").as("b_id"), col("embD").as("b_emb"))
+        .hint("shuffle_hash"), "b_id")
       .withColumn("cosine",
         round(dotD(col("q_emb"), col("b_emb")) /
           (normD(col("q_emb")) * normD(col("b_emb"))), 6))
@@ -217,23 +228,54 @@ object SimOps {
     cents.map(_.toSeq).toSeq
   }
 
+  /** Deterministic, size-bounded training sample: the driver never pulls
+    * more than `maxSample` vectors regardless of corpus size.
+    *
+    * Construction: rank rows by `xxhash64(vec_id)` (engine-stable, no
+    * runtime randomness), pre-filter to an expected 2×`maxSample` rows
+    * using the corpus count, then sort the survivors and keep the first
+    * `maxSample`. The pre-filter keeps the sort input ~constant-sized, so
+    * neither the sort nor the driver collect grows with the corpus — the
+    * bound a 100 TB run needs (the previous `% 7` predicate collected a
+    * constant FRACTION, i.e. unbounded rows).
+    */
+  private[queries] def boundedSample(
+      base: DataFrame, maxSample: Int): Array[Array[Double]] = {
+    val session = base.sparkSession
+    import session.implicits._
+    val n = base.count() // also fills the persist cache
+    val hashed = base.select(col("embD"), xxhash64(col("vec_id")).as("h"))
+    val prefiltered =
+      if (n <= 2L * maxSample) hashed
+      else {
+        // keep h below a threshold hit by ~2×maxSample rows (h is uniform
+        // over the full signed-long range)
+        val frac = 2.0 * maxSample / n
+        val cut = (Long.MinValue + math.rint(frac * 2.0 * Long.MaxValue)).toLong
+        hashed.filter(col("h") <= cut)
+      }
+    prefiltered.orderBy(col("h")).limit(maxSample)
+      .select(col("embD")).as[Seq[Double]].collect().map(_.toArray)
+  }
+
   /** C3d: ANN via IVF (inverted file): coarse k-means cells trained on a
-    * deterministic sample, corpus assigned to its nearest cell (one
-    * narrow HOF argmin per row — no shuffle), queries probe the `nprobe`
-    * nearest cells. At 100 TB: training stays sample-sized, assignment
-    * is embarrassingly parallel, and each query touches nprobe/nCells of
-    * the corpus. Rows-only driver check; recall asserted in SimOpsSpec.
+    * deterministic bounded sample (≤ `maxSample` rows on the driver, a
+    * constant independent of corpus size), corpus assigned to its nearest
+    * cell (one narrow HOF argmin per row — no shuffle), queries probe the
+    * `nprobe` nearest cells. At 100 TB: training stays sample-sized,
+    * assignment is embarrassingly parallel, and each query touches
+    * nprobe/nCells of the corpus. Rows-only driver check; recall and the
+    * sample bound asserted in SimOpsSpec.
     */
   def c3AnnIvf(spark: SparkSession, dir: String, k: Int = 5,
-      nCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    import spark.implicits._
+      nCells: Int = 16, nprobe: Int = 4, queryMod: Int = 100,
+      maxSample: Int = 100000): DataFrame = {
     // Persisted: read once, consumed by the sample collect, corpus/query
-    // cell assignment, and the two score-side broadcasts.
+    // cell assignment, and the score re-attach joins.
     val base = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sample = base.filter(col("vec_id") % 7 === 0)
-      .select(col("embD")).as[Seq[Double]].collect().map(_.toArray)
+    val sample = boundedSample(base, maxSample)
     val centroids = trainCentroids(sample, nCells, iters = 5)
 
     // squared L2 to each centroid — native fused pass (CentroidDists),
@@ -247,7 +289,7 @@ object SimOps {
       .select(col("vec_id").as("b_id"), col("embD").as("b_emb"), col("cell"))
 
     // queries probe the nprobe nearest cells: sort (dist, idx) structs
-    val queries = base.filter(col("vec_id") % 100 === 0)
+    val queries = base.filter(col("vec_id") % queryMod === 0)
       .withColumn("dists", dists(col("embD")))
       .withColumn("probes",
         slice(transform(array_sort(zip_with(
@@ -257,12 +299,17 @@ object SimOps {
       .select(col("vec_id").as("q_id"), col("embD").as("q_emb"),
         explode(col("probes")).as("cell"))
 
+    // Same re-attach posture as c3AnnLsh: broadcast only the small query
+    // subset; the corpus side joins by shuffle so nothing corpus-sized is
+    // ever replicated to executors.
     val scored = corpus.drop("b_emb")
       .join(broadcast(queries.select(col("q_id"), col("cell"))), Seq("cell"))
       .filter(col("q_id") =!= col("b_id"))
       .select("q_id", "b_id").distinct()
-      .join(broadcast(base.select(col("vec_id").as("q_id"), col("embD").as("q_emb"))), "q_id")
-      .join(broadcast(base.select(col("vec_id").as("b_id"), col("embD").as("b_emb"))), "b_id")
+      .join(broadcast(base.filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("q_id"), col("embD").as("q_emb"))), "q_id")
+      .join(base.select(col("vec_id").as("b_id"), col("embD").as("b_emb"))
+        .hint("shuffle_hash"), "b_id")
       .withColumn("cosine",
         round(dotD(col("q_emb"), col("b_emb")) /
           (normD(col("q_emb")) * normD(col("b_emb"))), 6))

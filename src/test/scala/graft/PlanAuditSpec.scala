@@ -33,4 +33,62 @@ class PlanAuditSpec extends SparkSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  /** Subtree string of every BroadcastExchange in `name`'s physical plan,
+    * built with size-based auto-broadcast disabled so the only broadcasts
+    * left are the ones the operator code explicitly requests. (At cluster
+    * scale every corpus-derived side exceeds the threshold anyway, so this
+    * reproduces the 100 TB planning environment; locally the tiny fixtures
+    * would otherwise let Catalyst "rescue" a bad plan by size.)
+    */
+  private def broadcastSubtrees(name: String): Seq[String] = {
+    // AQE is also disabled for the audit: AdaptiveSparkPlanExec hides its
+    // input plan from TreeNode.collect until execution, and the property
+    // under test is the STATIC plan shape.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      plan.collect {
+        case e if e.getClass.getSimpleName.startsWith("BroadcastExchange") =>
+          e.toString
+      }
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("ANN score re-attach never broadcasts the unfiltered embeddings table") {
+    // c3_ann_lsh / c3_ann_ivf: every broadcast must be the query subset
+    // (carries the `% 100` filter); the corpus re-attach side must come
+    // back as a shuffle join.
+    for (name <- Seq("c3_ann_lsh", "c3_ann_ivf")) {
+      val trees = broadcastSubtrees(name)
+      assert(trees.nonEmpty, s"$name: expected query-subset broadcasts")
+      val offenders = trees.filterNot(_.contains("% 100"))
+      assert(offenders.isEmpty,
+        s"$name: broadcast without the query-subset filter:\n${offenders.mkString("\n")}")
+    }
+  }
+
+  test("embedding near-dup re-attach is broadcast-free (both sides are corpus-sized)") {
+    val trees = broadcastSubtrees("c2_embed_neardup")
+    assert(trees.isEmpty,
+      s"c2_embed_neardup: corpus-sized broadcast:\n${trees.mkString("\n")}")
+  }
+
+  test("set-sim join never broadcasts the token dictionary (vocab-sized)") {
+    // Allowed broadcasts in c2_ngram_jaccard: the driver-built per-partition
+    // offset table (pid/offset) and — on the bitmask path — the capped
+    // distinct-set table. The dictionary scan (tok -> tok_id) must never
+    // feed a BroadcastExchange. Only the plan ABOVE the first
+    // InMemoryRelation matters: the relation prints its full cached
+    // lineage (which legitimately contains the dict encode join), but a
+    // cached table is materialized once, not broadcast from that lineage.
+    val offenders = broadcastSubtrees("c2_ngram_jaccard")
+      .filter(_.split("InMemoryRelation").head.contains("tok_id"))
+    assert(offenders.isEmpty,
+      s"c2_ngram_jaccard: vocabulary-sized broadcast:\n${offenders.mkString("\n")}")
+  }
 }

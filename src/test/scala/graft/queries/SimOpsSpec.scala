@@ -37,6 +37,20 @@ class SimOpsSpec extends SparkSuite {
     assert(recall >= 0.4)
   }
 
+  test("IVF training sample is driver-bounded and deterministic") {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
+    val cap = 37
+    assert(base.count() > cap, "fixture must exceed the cap for this test to bite")
+    val s1 = SimOps.boundedSample(base, cap)
+    val s2 = SimOps.boundedSample(base, cap)
+    // the driver never holds more than `cap` vectors, however big the corpus
+    assert(s1.length == cap)
+    // deterministic: same sample on every invocation (resume/backfill safety)
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+  }
+
   test("cosine of a vector with itself is 1") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
