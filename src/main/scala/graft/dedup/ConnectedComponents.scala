@@ -1,0 +1,109 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating large-star /
+  * small-star contraction (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC 2014 — public literature, see PAPERS.md).
+  *
+  * Why this and not one more min-propagation round: plain label
+  * propagation needs O(component diameter) rounds — a chain of near-dup
+  * clusters (doc A ~ B, B ~ C, ...) converges linearly. Star contraction
+  * converges in O(log n) rounds regardless of topology, which is the
+  * bound a 100 TB dedup job needs.
+  *
+  * Scale posture: every round is two self-joins + two aggregations over
+  * the edge list — no `collect_list` of neighborhoods (a star center's
+  * neighbor list is component-sized; building it as an array row would
+  * reintroduce the skew this algorithm exists to avoid). Rounds are
+  * `localCheckpoint`ed to truncate lineage (on a cluster with an HDFS
+  * checkpoint dir, `checkpoint()` is the durable equivalent).
+  *
+  * The reference engine has no graph/dedup operator at all — a tMapReduce
+  * user would chain hand-written Map/Reduce rounds from
+  * `/root/reference/src/tmapreduce/mrf.h:9-11` and drive the iteration
+  * from a client; here the fixpoint loop is part of the operator.
+  */
+object ConnectedComponents {
+
+  /** Cluster assignment for a bipartite membership table
+    * `(doc_id, band, bucket)` (docs sharing any (band, bucket) are
+    * connected): returns `(doc_id, cluster_rep, is_kept)` with
+    * `cluster_rep` = the smallest doc_id in the doc's connected
+    * component — the full transitive closure, unlike the single
+    * min-propagation round in `MinHash.dedupAssignments`.
+    */
+  def assignmentsFromMemberships(memberships: DataFrame): DataFrame = {
+    val docs = memberships.select(col("doc_id")).distinct()
+    // Star edges: doc -> min doc of each of its buckets. Connectivity is
+    // preserved (every bucket member links to the bucket min) while edge
+    // count stays O(n · bands) — never the O(Σ|bucket|²) pair list.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val edges = memberships
+      .withColumn("bmin", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("bmin"))
+      .select(col("doc_id").as("u"), col("bmin").as("v"))
+      .distinct()
+    val roots = starRoots(edges)
+    docs
+      .join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+      .withColumn("is_kept", col("doc_id") === col("cluster_rep"))
+  }
+
+  /** Contract an undirected edge list `(u, v)` to stars and return
+    * `(doc_id, rep)` for every non-isolated node (rep = component min).
+    */
+  def starRoots(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // Oriented canonical form: (u, v) with u > v.
+    var e = edges
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: symmetrize; for each node u, attach every LARGER
+      // neighbor to m(u) = min(N(u) ∪ {u}).
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val lMins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(lMins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // u > v by construction
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+      // small-star: edges already oriented (u > v); for each node u,
+      // attach every smaller neighbor (and u itself) to m(u) = min(N<(u)).
+      val sMins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val next = large.join(sMins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(sMins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+
+      // Fixpoint: the edge set stopped changing (exact anti-join check —
+      // both are distinct sets, so equal counts + no novel rows = equal).
+      val changed =
+        next.count() != e.count() ||
+          next.join(e, Seq("u", "v"), "left_anti").limit(1).count() > 0
+      e = next
+      converged = !changed
+      round += 1
+    }
+    // Star graph: every non-root points straight at its component root.
+    e.groupBy("u").agg(min(col("v")).as("rep"))
+      .select(col("u").as("doc_id"), col("rep"))
+      .unionByName( // roots themselves
+        e.select(col("v").as("doc_id")).distinct()
+          .join(e.select(col("u").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+          .withColumn("rep", col("doc_id")))
+  }
+}

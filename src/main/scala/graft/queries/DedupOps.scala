@@ -47,6 +47,23 @@ object DedupOps {
     SimHash.dedupAssignments(docs(spark, dir), col("doc_id"), col("text"), maxHamming = 3)
       .orderBy("doc_id")
 
+  /** C2b': MinHash LSH dedup with full transitive closure — duplicate
+    * chains collapse via distributed connected components
+    * (large-star/small-star, O(log n) rounds) instead of the one
+    * min-propagation round of c2_minhash_lsh. Rows-only driver check;
+    * equality with a brute-force union-find closure is asserted in
+    * DedupSpec.
+    */
+  def c2MinHashCc(spark: SparkSession, dir: String): DataFrame =
+    MinHash.dedupAssignmentsCC(
+      docs(spark, dir), col("doc_id"), col("text"), numHashes = 64, bands = 16)
+      .orderBy("doc_id")
+
+  /** C2c': SimHash dedup with full transitive closure (see c2_minhash_cc). */
+  def c2SimHashCc(spark: SparkSession, dir: String): DataFrame =
+    SimHash.dedupAssignmentsCC(docs(spark, dir), col("doc_id"), col("text"), maxHamming = 3)
+      .orderBy("doc_id")
+
   /** C2d: embedding-cosine near-duplicates — sign-LSH bucketed candidate
     * pairs (plus Hamming-1 multi-probe on one side) confirmed by exact
     * cosine >= 0.9. Rows-only driver check; recall vs brute force is
@@ -109,7 +126,9 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c2_ngram_jaccard" -> (c2NgramJaccard _),
     "c2_minhash_lsh" -> (c2MinHashLsh _),
+    "c2_minhash_cc" -> (c2MinHashCc _),
     "c2_simhash" -> (c2SimHash _),
+    "c2_simhash_cc" -> (c2SimHashCc _),
     "c2_embed_neardup" -> ((s: SparkSession, d: String) => c2EmbedNearDup(s, d))
   )
 }

@@ -131,6 +131,71 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  /** Union-find ground truth over an edge set. */
+  private def bruteCC(nodes: Seq[Long], edges: Iterable[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    nodes.map { n =>
+      // component rep = min member; path-compress via repeated find
+      var r = find(n)
+      while (parent(r) != r) r = parent(r)
+      n -> r
+    }.toMap
+  }
+
+  test("CC closure == brute-force transitive closure of the LSH bucket graph (real corpus)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // Ground truth: union-find over the SAME bucket graph the operator sees.
+    val mem = MinHash.memberships(docs, col("doc_id"), col("text"), 64, 16)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+    val nodes = mem.map(_._1).distinct.toSeq
+    val edges = mem.groupBy(_._2).values.flatMap { ms =>
+      val ids = ms.map(_._1).distinct.sorted
+      ids.tail.map(x => (ids.head, x)) // star within each bucket
+    }
+    val want = bruteCC(nodes, edges)
+    val got = MinHash.dedupAssignmentsCC(docs, col("doc_id"), col("text"), 64, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // sanity: real duplicate structure exists and reps are component minima
+    assert(got.exists { case (id, rep) => rep != id })
+  }
+
+  test("CC closure collapses duplicate CHAINS that one-round propagation over-keeps") {
+    import spark.implicits._
+    // A chain: d1 ~ d2 (share most tokens), d2 ~ d3, d3 ~ d4 — but d1 and
+    // d4 share almost nothing. Transitive closure must put all four in one
+    // cluster; the one-round form provably cannot when no single bucket
+    // holds them all.
+    val words = (0 until 40).map(i => s"w$i")
+    def doc(lo: Int) = words.slice(lo, lo + 16).mkString(" ")
+    val chain = Seq(
+      (1L, doc(0)), (2L, doc(4)), (3L, doc(8)), (4L, doc(12)),
+      (9L, "zz yy xx totally separate vocabulary island")
+    ).toDF("doc_id", "text")
+    val cc = MinHash.dedupAssignmentsCC(chain, col("doc_id"), col("text"), 64, 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // neighbors overlap 12/20 tokens (J = 0.6); 32 bands of 2 rows catch
+    // them w.p. 1 - (1 - 0.36)^32 ≈ 1 - 6e-7 per link
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L && cc(4L) == 1L)
+    assert(cc(9L) == 9L)
+    // and the SimHash CC variant agrees on exact-dup structure
+    val sh = SimHash.dedupAssignmentsCC(
+      Seq((1L, doc(0)), (2L, doc(0)), (3L, "unrelated island text")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == 1L && sh(2L) == 1L && sh(3L) == 3L)
+  }
+
   test("SimHash nearDuplicates returns pairs within maxHamming only") {
     val got = SimHash.nearDuplicates(corpus, col("doc_id"), col("text"), maxHamming = 10)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
