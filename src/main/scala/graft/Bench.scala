@@ -21,7 +21,14 @@ import org.apache.spark.sql.SparkSession
   *     process is killed (SIGTERM) before the normal print — a timed-out
   *     run still yields a parseable benchmark line;
   *   - statistical outliers (freeze-inflated timings) get one re-run and
-  *     keep the better time; honest regressions reproduce.
+  *     keep the better time; honest regressions reproduce;
+  *   - every completed timing is appended to a history file
+  *     (`.bench_history.jsonl`, override via SPARK_GRAFT_BENCH_HISTORY)
+  *     the moment it finishes, so even a SIGKILL leaves the measurements
+  *     on disk; the next run reads the history and times never-measured
+  *     queries FIRST, then the rest cheapest-first — a deadline skip
+  *     always lands on the queries we already have numbers for, and
+  *     repeated freeze-afflicted runs converge on full coverage.
   */
 object Bench {
 
@@ -97,8 +104,36 @@ object Bench {
     val benchStart = System.nanoTime()
     def pastDeadline: Boolean = (System.nanoTime() - benchStart) / 1e9 > deadlineSec
 
+    // Cross-run timing history: best (minimum) observed seconds per query.
+    // Best-of-history is the right aggregate here — the noise source is
+    // one-sided (external host freezes only ever inflate a timing).
+    val historyPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", ".bench_history.jsonl"))
+    val historyLine = """\{"q":"([^"]+)","sec":([0-9.]+)\}""".r
+    val history: Map[String, Double] =
+      if (!java.nio.file.Files.exists(historyPath)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(historyPath).asScala.toSeq
+          .collect { case historyLine(q, s) => (q, s.toDouble) }
+          .groupMapReduce(_._1)(_._2)(math.min)
+      }
+    def recordHistory(name: String, sec: Double): Unit =
+      try java.nio.file.Files.writeString(
+        historyPath,
+        f"""{"q":"$name","sec":$sec%.3f}""" + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] history append failed: ${e.getMessage}")
+      }
+
+    // Order: never-measured queries first (coverage accrues across runs
+    // even when every run hits a bad window), then cheapest-first (a
+    // deadline skip drops only the most-expensive, already-known tail).
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+      .sortBy { case (n, _) => history.get(n).map(t => (1, t, n)).getOrElse((0, 0.0, n)) }
     val firstPass = selected.flatMap { case (name, fn) =>
       if (pastDeadline) {
         System.err.println(s"[bench] $name skipped (past ${deadlineSec}s deadline)")
@@ -107,6 +142,7 @@ object Bench {
         val sec = run(name, fn)
         System.err.println(f"[bench] $name%-22s $sec%8.2f s")
         done.add(name -> sec)
+        recordHistory(name, sec)
         Some((name, fn, sec))
       }
     }
@@ -122,6 +158,7 @@ object Bench {
         System.err.println(f"[bench] $name%-22s $again%8.2f s (outlier rerun; first $sec%.2f)")
         done.removeIf(_._1 == name)
         done.add(name -> math.min(sec, again))
+        recordHistory(name, again)
       }
     }
     emitLine()
