@@ -286,15 +286,24 @@ object Relational {
   }
 
   /** B2c: approximate distinct (HLL++) — the sketch path for COUNT
-    * DISTINCT at scale. Sketch values are engine-specific, so the driver
-    * gets a rows-only check; ApproxSpec asserts the estimate is within
-    * HLL error bounds of the exact count.
+    * DISTINCT at scale. The raw estimate is engine-specific, so it is not
+    * an output column; instead the row carries the exact twin AND
+    * `within_bound` = |estimate − exact| ≤ 3·rsd·exact, evaluated inside
+    * the Spark plan (rsd = 0.02, so a 6% tolerance — HLL++ at that rsd is
+    * virtually always inside 3 standard deviations). This makes the query
+    * fully oracle-checkable: DuckDB supplies the exact columns and
+    * literal TRUE for the bound claim — if the sketch ever drifts out of
+    * bound, the hash mismatches and the driver flags it.
     */
   def b2AggApprox(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("est"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+        (abs(col("est") - col("exact_parts")).cast("double") <=
+          lit(3 * 0.02) * col("exact_parts").cast("double")).as("within_bound"))
       .orderBy("l_returnflag")
 
   /** B2d: exact percentiles (median/p90) of order value per status —
@@ -314,20 +323,28 @@ object Relational {
     * (`percentile_approx`) — the 100 TB path: exact `percentile` buffers
     * every group value in the aggregation state, while the sketch is
     * bounded-size and mergeable (map-side partial aggregation works).
-    * Sketch internals are engine-specific → rows-only driver check;
-    * RelationalSpec asserts the estimates bracket the exact quantiles
-    * within the sketch's accuracy bound.
+    * The sketch value itself is engine-specific, so (as in b2_agg_approx)
+    * the output carries the exact quantiles plus in-plan bound checks:
+    * the GK estimate at accuracy 10000 has rank error 1e-4; we assert the
+    * 100×-headroom claim that it lies between the exact quantiles at
+    * q ± 0.01 — DuckDB supplies TRUE, a drifting sketch breaks the hash.
     */
   def b2PercentilesApprox(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .groupBy(col("o_orderstatus"))
       .agg(
         expr("percentile_approx(o_totalprice, array(0.5D, 0.9D), 10000)").as("pcts"),
+        Exact.col("round(percentile(o_totalprice, 0.5), 4)").as("p50"),
+        Exact.col("round(percentile(o_totalprice, 0.9), 4)").as("p90"),
+        expr("percentile(o_totalprice, array(0.49D, 0.51D, 0.89D, 0.91D))").as("brackets"),
         count(lit(1)).as("n"))
-      .select(col("o_orderstatus"),
-        element_at(col("pcts"), 1).as("p50_approx"),
-        element_at(col("pcts"), 2).as("p90_approx"),
-        col("n"))
+      .select(col("o_orderstatus"), col("p50"), col("p90"), col("n"),
+        element_at(col("pcts"), 1).between(
+          element_at(col("brackets"), 1), element_at(col("brackets"), 2))
+          .as("p50_in_bound"),
+        element_at(col("pcts"), 2).between(
+          element_at(col("brackets"), 3), element_at(col("brackets"), 4))
+          .as("p90_in_bound"))
       .orderBy("o_orderstatus")
 
   /** B7: scalar function surface — string, date, JSON, math — over events. */
@@ -440,6 +457,18 @@ object Relational {
     "b2_percentiles" ->
       ("SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
         "round(quantile_cont(o_totalprice, 0.9), 4) AS p90, COUNT(*) AS n " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // Approx twins: DuckDB supplies the exact columns and TRUE for the
+    // in-plan sketch-bound claims (the sketch estimate itself is engine-
+    // specific and deliberately not an output column).
+    "b2_agg_approx" ->
+      ("SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts, " +
+        "COUNT(*) AS n_rows, TRUE AS within_bound " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "b2_percentiles_approx" ->
+      ("SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
+        "round(quantile_cont(o_totalprice, 0.9), 4) AS p90, COUNT(*) AS n, " +
+        "TRUE AS p50_in_bound, TRUE AS p90_in_bound " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "b6_cube" ->
       (s"SELECT COALESCE(o_orderstatus, 'ALL') AS status, " +

