@@ -1,0 +1,117 @@
+package graft.mr
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** Runnable HTTP front for the job surface — wire-level parity with the
+  * reference gateway (`/root/reference/src/tmapreduce/gateway.cc`):
+  *
+  *  - `GET  /helloworld` → `Hello world.` (gateway.cc:64-66)
+  *  - `POST /launch` with body `{name, type, mapper_num, reducer_num,
+  *    token, kvs:[{key,value}]}` → 400 on a body failing the field checks
+  *    (gateway.cc:15-51); 500 `{"ok":false,"message":…}` when the master
+  *    rejects the launch (unknown type / bad counts / empty kvs,
+  *    master.cc:530-535); 200 `{"ok":true,"message":"","job_id":N}` on
+  *    success (gateway.cc:110-127). Launch is asynchronous — clients poll,
+  *    exactly like the reference example client (word_count_client.cc).
+  *  - `GET /getresult?job_id=N&token=T` → 200
+  *    `{"ok":true,"message":"","result":[…]}` when finished
+  *    (gateway.cc:167-176); 500 `{"ok":false,"message":…}` for missing
+  *    job / wrong token / not-finished (master.cc:685-699 guard order,
+  *    via JobStore.getResult).
+  *
+  * Deviation (documented): the reference calls `std::stoul` on `job_id`
+  * with no validation — a missing parameter crashes the handler; here a
+  * missing/non-numeric parameter is a 400. Everything Raft/brpc-related
+  * is dropped per SURVEY.md §7.6 — the Spark driver is the single master,
+  * so there is no leader lookup and no 502 path.
+  *
+  * This is a control-plane front (one small JSON document per request),
+  * not a data plane: large inputs belong in tables read by the query
+  * surface, and large results in `Sources.writeResultJsonl`.
+  */
+final class Gateway(spark: SparkSession, store: JobStore, port: Int = 2335) {
+
+  @volatile private var server: HttpServer = _
+
+  /** Bind + start; returns the actual port (use port 0 for ephemeral). */
+  def start(): Int = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/helloworld", (ex: HttpExchange) =>
+      respond(ex, 200, "Hello world.", "text/plain"))
+    server.createContext("/launch", handleLaunch _)
+    server.createContext("/getresult", handleGetResult _)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      4, r => { val t = new Thread(r, "graft-gateway"); t.setDaemon(true); t }))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def handleLaunch(ex: HttpExchange): Unit =
+    if (ex.getRequestMethod != "POST") respond(ex, 405, "", "text/plain")
+    else {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      graft.sources.Sources.parseLaunchJson(spark, body) match {
+        case Left(_) =>
+          // field-check failure = bare 400, like check_launch_request
+          respond(ex, 400, "", "text/plain")
+        case Right(launch) =>
+          val spec = JobStore.JobSpec(
+            launch.name, launch.jobType, launch.token,
+            launch.mapperNum, launch.reducerNum)
+          store.launchAsync(spark, spec, launch.kvs) match {
+            case Left(msg) =>
+              respond(ex, 500, s"""{"ok":false,"message":${jstr(msg)}}""")
+            case Right(id) =>
+              respond(ex, 200, s"""{"ok":true,"message":"","job_id":$id}""")
+          }
+      }
+    }
+
+  private def handleGetResult(ex: HttpExchange): Unit =
+    if (ex.getRequestMethod != "GET") respond(ex, 405, "", "text/plain")
+    else {
+      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").iterator.map(_.split("=", 2))
+        .collect { case Array(k, v) =>
+          k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+        }.toMap
+      (params.get("job_id").flatMap(_.toLongOption), params.get("token")) match {
+        case (Some(id), Some(token)) =>
+          store.getResult(id, token) match {
+            case Right(results) =>
+              respond(ex, 200,
+                results.map(jstr).mkString(
+                  """{"ok":true,"message":"","result":[""", ",", "]}"))
+            case Left(msg) =>
+              respond(ex, 500, s"""{"ok":false,"message":${jstr(msg)}}""")
+          }
+        case _ => respond(ex, 400, "", "text/plain")
+      }
+    }
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def respond(
+      ex: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+}

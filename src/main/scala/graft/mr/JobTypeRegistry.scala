@@ -53,8 +53,20 @@ object JobTypeRegistry {
   /** Identity map (pass-through). */
   val identityMap: MRJob.MapFn = (k, v) => Iterator.single((k, v))
 
+  /** The shipped example's reduce VERBATIM: emits the key and the total as
+    * TWO result strings (`word_count.cc:24-34` pushes `reduce_kv.first`
+    * then the sum) — the exact `/getresult` wire shape of the reference's
+    * example `.so`.
+    */
+  val exampleReduce: MRJob.ReduceFn = (k, values) =>
+    Iterator(k, values.iterator.map(_.toLong).sum.toString)
+
   register("charcount", charCountMap, sumReduce)
   register("wordcount", wordCountMap, sumReduce)
   register("distinct", wordCountMap, distinctReduce)
   register("identity", identityMap, (k, vs) => vs.map(v => s"$k\t$v"))
+  // The reference example registers this UDF pair under the .so basename
+  // "wordcount" even though it counts characters (word_count.cc:5-22);
+  // graft names it for what it does.
+  register("charcount_example", charCountMap, exampleReduce)
 }

@@ -45,13 +45,27 @@ object Sources {
     * mirror the gateway's checks: missing/ill-typed fields and empty kvs
     * are rejected (gateway.cc:15-51, master.cc:530-535).
     */
-  def readLaunchJson(spark: SparkSession, path: String): Either[String, Launch] = {
-    import spark.implicits._
-    val raw = spark.read
+  def readLaunchJson(spark: SparkSession, path: String): Either[String, Launch] =
+    validateLaunch(spark, spark.read
       .option("multiLine", "true")
       .schema(launchSchema)
       .option("mode", "FAILFAST")
-      .json(path)
+      .json(path))
+
+  /** Parse + validate a launch document held in memory (an HTTP `/launch`
+    * request body) — same schema and checks as [[readLaunchJson]].
+    */
+  def parseLaunchJson(spark: SparkSession, body: String): Either[String, Launch] = {
+    import spark.implicits._
+    validateLaunch(spark, spark.read
+      .schema(launchSchema)
+      .option("mode", "FAILFAST")
+      .json(Seq(body).toDS()))
+  }
+
+  private def validateLaunch(
+      spark: SparkSession, raw: DataFrame): Either[String, Launch] = {
+    import spark.implicits._
     try {
       val rows = raw.collect()
       if (rows.length != 1) Left(s"expected one launch document, got ${rows.length}")

@@ -1,0 +1,110 @@
+package graft.mr
+
+import graft.SparkSuite
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** End-to-end wire test: the reference's own single-node smoke flow
+  * (`/root/reference/scripts/single_node.sh:19-21` — curl POST /launch,
+  * then GET /getresult) against the graft gateway, with the script's
+  * exact 3-row kvs fixture. Job type is `charcount_example` — the
+  * registry entry with the example `.so`'s verbatim semantics (the
+  * reference registers that UDF under its .so basename "wordcount").
+  */
+class GatewaySpec extends SparkSuite {
+
+  // The three value strings from single_node.sh:19.
+  private val vals = Seq(
+    "sgdakjsdkashdashdashdjkasdhkjasdhkashdk",
+    "sdakjshdkajsdhkasjhdakshdashdaskjfgsdfgsjdhfsdf6sd4f65sd4af",
+    "dhaksjdhksadhasjkdashdasdhkjasdhakjshdkasjdhksajda")
+
+  private def launchBody(jobType: String) = {
+    val kvs = vals.zipWithIndex
+      .map { case (v, i) => s"""{"key": "${i + 1}", "value": "$v"}""" }
+      .mkString("[", ", ", "]")
+    s"""{"name": "wc-test", "type": "$jobType", "mapper_num": 2,""" +
+      s""" "reducer_num": 2, "token": "ztorchan", "kvs": $kvs}"""
+  }
+
+  private val client = HttpClient.newHttpClient()
+  private def get(url: String) = client.send(
+    HttpRequest.newBuilder(URI.create(url)).GET().build(),
+    HttpResponse.BodyHandlers.ofString())
+  private def post(url: String, body: String) = client.send(
+    HttpRequest.newBuilder(URI.create(url))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+    HttpResponse.BodyHandlers.ofString())
+
+  private def withGateway(f: String => Unit): Unit = {
+    val gw = new Gateway(spark, new JobStore(), port = 0)
+    val port = gw.start()
+    try f(s"http://127.0.0.1:$port") finally gw.stop()
+  }
+
+  test("single_node.sh flow: launch + poll getresult returns the reference's array") {
+    withGateway { base =>
+      assert(get(s"$base/helloworld").body() == "Hello world.")
+
+      val launch = post(s"$base/launch", launchBody("charcount_example"))
+      assert(launch.statusCode() == 200, launch.body())
+      val jobId = """"job_id":(\d+)""".r
+        .findFirstMatchIn(launch.body()).get.group(1)
+
+      // Poll like word_count_client.cc (loops until the master says done).
+      var resp = get(s"$base/getresult?job_id=$jobId&token=ztorchan")
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (resp.statusCode() != 200 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        resp = get(s"$base/getresult?job_id=$jobId&token=ztorchan")
+      }
+      assert(resp.statusCode() == 200, resp.body())
+
+      // Reference-expected array: per-char counts (word_count.cc:5-22),
+      // keys ascending, each group contributing [key, total]
+      // (word_count.cc:24-34, concat in key order, job.cc:68-77).
+      val expected = vals.flatMap(_.toLowerCase)
+        .filter(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))
+        .groupBy(identity).toSeq.sortBy(_._1)
+        .flatMap { case (c, cs) => Seq(c.toString, cs.length.toString) }
+      val expectedJson = expected
+        .map("\"" + _ + "\"").mkString(
+          """{"ok":true,"message":"","result":[""", ",", "]}")
+      assert(resp.body() == expectedJson)
+    }
+  }
+
+  test("launch validation: bad bodies 400, master-side rejections 500 with message") {
+    withGateway { base =>
+      // not JSON / missing fields -> bare 400 (check_launch_request)
+      assert(post(s"$base/launch", "not json").statusCode() == 400)
+      assert(post(s"$base/launch",
+        """{"name":"x","type":"charcount"}""").statusCode() == 400)
+      // well-formed but unknown job type -> 500 {"ok":false,...}
+      val unknown = post(s"$base/launch", launchBody("no_such_type"))
+      assert(unknown.statusCode() == 500)
+      assert(unknown.body().contains(""""ok":false"""))
+      assert(unknown.body().contains("no_such_type"))
+      // method mismatch
+      assert(get(s"$base/launch").statusCode() == 405)
+    }
+  }
+
+  test("getresult guards: missing params 400; bad job/token 500 in reference order") {
+    withGateway { base =>
+      assert(get(s"$base/getresult").statusCode() == 400)
+      assert(get(s"$base/getresult?job_id=abc&token=t").statusCode() == 400)
+      val noJob = get(s"$base/getresult?job_id=99&token=t")
+      assert(noJob.statusCode() == 500 && noJob.body().contains("no such job"))
+
+      val launch = post(s"$base/launch", launchBody("charcount_example"))
+      val jobId = """"job_id":(\d+)""".r
+        .findFirstMatchIn(launch.body()).get.group(1)
+      // wrong token beats not-finished (master.cc:685-699 guard order)
+      val wrongTok = get(s"$base/getresult?job_id=$jobId&token=nope")
+      assert(wrongTok.statusCode() == 500 && wrongTok.body().contains("wrong token"))
+    }
+  }
+}
