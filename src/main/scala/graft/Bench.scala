@@ -149,11 +149,15 @@ object Bench {
     // The host shows sporadic multi-minute freezes that park on whatever
     // query is running (observed repeatedly: a 2-4 s query charged 60-400 s
     // while system load stays idle). Best-of-2 on statistical outliers
-    // (> max(10 s, 5× median)) removes that noise; honest regressions
-    // reproduce on the re-run and keep their time.
+    // removes that noise; honest regressions reproduce on the re-run and
+    // keep their time. Outlier rule: > 3× the query's own cross-run history
+    // best (the run median is itself freeze-inflatable — an inflated median
+    // once let 17-30 s artifacts stand); median×4 only for queries with no
+    // history yet; 4 s floor so sub-second jitter never triggers a rerun.
     val med = firstPass.map(_._3).sorted.apply(firstPass.length / 2)
     firstPass.foreach { case (name, fn, sec) =>
-      if (sec > math.max(4.0, 4 * med) && !pastDeadline) {
+      val threshold = history.get(name).map(3 * _).getOrElse(4 * med)
+      if (sec > math.max(4.0, threshold) && !pastDeadline) {
         val again = run(name, fn)
         System.err.println(f"[bench] $name%-22s $again%8.2f s (outlier rerun; first $sec%.2f)")
         done.removeIf(_._1 == name)
