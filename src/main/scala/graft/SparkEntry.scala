@@ -34,4 +34,12 @@ object SparkEntry {
     RefParity.oracle ++ Relational.oracle ++ TextOps.oracle ++
       DedupOps.oracle ++ SimOps.oracle ++ EventOps.oracle ++
       MultiModalOps.oracle ++ PipelineOps.oracle
+
+  /** Oracle SQL whose text depends on data-trained plan literals (e.g.
+    * the IVF codebook): generated against the verify-time tables, merged
+    * into oracle_sql.json by Verify. Same correctness contract as
+    * `oracleSql` — DuckDB replays the full query downstream of training.
+    */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    SimOps.dynamicOracle(spark, sfDir)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MinHash + LSH banding near-duplicate detection, built entirely from
-  * codegen'd higher-order functions — no UDFs, no cross join.
+  * codegen'd expressions — no UDFs, no cross join.
   *
   * Public technique (MMDS ch.3; the band/bucket candidate-generation
   * pattern also appears in the V-SMART-Join literature referenced in
@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   * tMapReduce user would hand-roll this as Map/Reduce `.so`s
   * (`/root/reference/src/tmapreduce/mrf.h:9-11`); here it is a
   * first-class declarative plan.
+  *
+  * Hash family — PORTABLE (see graft.functions.HashExprs): every hash in
+  * the pipeline (token base hash, affine MinHash members, band-bucket
+  * ids) is md5-prefix + exact 64-bit integer arithmetic that any SQL
+  * engine evaluates identically, so the whole LSH pipeline is replayable
+  * by the DuckDB oracle (DedupOps.oracle) — the dedup output is
+  * hash-checked end-to-end, not just spec-sampled.
   *
   * Scale design (100 TB): candidate generation is
   *   explode(bands) → shuffle on (band, slice-hash) → within-bucket pairs,
@@ -24,27 +31,53 @@ import org.apache.spark.sql.functions._
   */
 object MinHash {
 
+  /** 2^31 − 1 — modulus of the affine MinHash family. */
+  val P: Long = graft.functions.PortableHashImpl.P
+
+  /** SQL-portable base hash of a string column: integer value of the
+    * first 15 hex chars (60 bits) of its md5 —
+    * DuckDB: `('0x'||substr(md5(t),1,15))::BIGINT`.
+    */
+  def base60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Per-row MinHash signature as an `array<bigint>` column.
-    * hash_i(token) = xxhash64(token, i): xxhash64 folds every argument
-    * into the digest, so each i yields an independent hash family member.
-    * Native fused expression (graft.functions.MinHashSig): one string
-    * hash per token + cheap integer mixes, bit-identical to the HOF twin
-    * below (HashExprsSpec).
+    * h_i(token) = (A_i · (base60(token) % P) + B_i) % P — a Carter–Wegman
+    * affine family over the md5 base hash; every member is replayable in
+    * portable SQL. Native fused expression (graft.functions.MinHashSig):
+    * one MD5 per token + cheap affine mixes, bit-identical to the HOF
+    * twin below (HashExprsSpec).
     */
   def signature(tokens: Column, numHashes: Int): Column =
     graft.functions.HashExprs.minHashSig(tokens, numHashes)
 
-  /** HOF twin of `signature` (spec cross-validation only). */
+  /** HOF twin of `signature` (spec cross-validation only) — the same
+    * family composed from built-ins, and the shape the DuckDB oracle SQL
+    * mirrors.
+    */
   def signatureHof(tokens: Column, numHashes: Int): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(tokens, t => xxhash64(t, i))))
+      i => {
+        val a = ((i + 1) * lit(2654435761L)) % P
+        val b = ((i + 1) * lit(40503L)) % P
+        array_min(transform(tokens, t => (a * (base60(t) % P) + b) % P))
+      })
 
   /** Distinct whitespace tokens — the Jaccard universe used across the
     * dedup operators (documents.text is space-separated word soup).
     */
   def tokenSet(text: Column): Column =
     array_distinct(split(text, " "))
+
+  /** Band-bucket id: 60-bit md5 hash of `band:sig₁:sig₂:…` — an 8-byte
+    * shuffle key (vs shipping the slice itself), salted by the band index
+    * so identical slices in different bands never collide, and portable
+    * (DuckDB replays the same concat + md5 parse).
+    */
+  private[dedup] def bandBucket(band: Column, sliceCol: Column): Column =
+    base60(concat_ws(":",
+      band.cast("string"), array_join(sliceCol.cast("array<string>"), ":")))
 
   /** Per-document dedup assignment via LSH banding — the O(n)-output form
     * a training pipeline actually applies at scale (on a self-similar
@@ -86,7 +119,7 @@ object MinHash {
         col("doc_id"),
         posexplode(transform(
           sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+          b => bandBucket(b, slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
   }
@@ -125,14 +158,14 @@ object MinHash {
     val base = df.select(id.as("doc_id"), tokenSet(text).as("toks"))
       .withColumn("sig", signature(col("toks"), numHashes))
 
-    // One row per (doc, band); bucket key = hash of the band's signature
-    // slice. posexplode keeps the band index so identical slices in
-    // different bands never collide into one bucket.
+    // One row per (doc, band); bucket key = portable hash of the band's
+    // signature slice. The band salt keeps identical slices in different
+    // bands from colliding into one bucket.
     val banded = base.select(
       col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+        b => bandBucket(b, slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 

@@ -1,42 +1,86 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the token-hashing hot path of the
   * dedup operators (MinHash signatures, SimHash fingerprints).
   *
-  * The HOF forms evaluate `numHashes × |tokens|` (resp. `64 × |tokens|`)
-  * boxed lambda calls and re-hash each token string once per hash-family
-  * member. These fuse the loops: ONE xxhash64 string hash per token, then
-  * cheap avalanche mixes — same hash family (`XXH64`, seed 42, identical
-  * child fold order as `functions.xxhash64`), so signatures are
-  * bit-identical to the HOF twins (asserted in HashExprsSpec).
+  * Hash family (PORTABLE — chosen so an independent engine can replay it
+  * in plain SQL, which is what makes the LSH operators oracle-checkable):
+  *
+  *  - `base60(token)` = first 60 bits of `md5(token)` — in SQL:
+  *    Spark `conv(substr(md5(t),1,15),16,10)`,
+  *    DuckDB `('0x'||substr(md5(t),1,15))::BIGINT`.
+  *  - MinHash member i: `h_i = (A_i * (base60 % P) + B_i) % P` with
+  *    `P = 2^31 - 1` (prime), `A_i = ((i+1)*2654435761) % P`,
+  *    `B_i = ((i+1)*40503) % P` — the classic Carter–Wegman affine
+  *    family; every product stays < 2^62 so the arithmetic is exact
+  *    in any engine with 64-bit integers (no overflow, no wrap
+  *    divergence between Java and SQL).
+  *  - SimHash: 60-bit fingerprint over the bits of `base60` directly.
+  *
+  * The HOF twins in graft.dedup.{MinHash,SimHash} compose the same
+  * family from built-ins (`md5`/`conv`/`transform`); these expressions
+  * fuse the loops — ONE MD5 per token, then cheap affine mixes — and are
+  * asserted bit-identical to the twins in HashExprsSpec.
   */
 object HashExprs {
 
   /** `minHashSig(tokens, n)`: array of n MinHash values; element i =
-    * min over tokens of `xxhash64(token, i)`.
+    * min over non-null tokens of `(A_i * (base60(t) % P) + B_i) % P`.
     */
   def minHashSig(tokens: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(tokens), numHashes))
 
-  /** `simHashFp(tokens)`: 64-bit SimHash; bit j = sign of
-    * Σ_tokens (±1 per bit j of `xxhash64(token)`).
+  /** `simHashFp(tokens)`: 60-bit SimHash; bit j = sign of
+    * Σ_tokens (±1 per bit j of `base60(token)`).
     */
   def simHashFp(tokens: Column): Column =
     ColumnBridge.column(SimHashFp(ColumnBridge.expression(tokens)))
 }
 
+/** JVM twin of the SQL-portable hash family — callable from generated
+  * code (static forwarders) and interpreted eval.
+  */
+object PortableHashImpl {
+
+  /** 2^31 − 1, the Mersenne prime bounding the affine MinHash family. */
+  val P: Long = 2147483647L
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(utf8 bytes) == integer value of the first 15
+    * hex chars of the digest (what `conv(substr(md5(t),1,15),16,10)`
+    * computes): big-endian load of digest bytes 0..7, shifted right 4.
+    */
+  def base60(s: UTF8String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def aConst(i: Int): Long = ((i + 1) * 2654435761L) % P
+  def bConst(i: Int): Long = ((i + 1) * 40503L) % P
+}
+
 /** MinHash signature of an `array<string>`: element i is
-  * `min_j XXH64.hashInt(i, XXH64.hashUTF8String(token_j, 42))` — exactly
-  * `array_min(transform(tokens, t => xxhash64(t, i)))`. Empty input
-  * yields all-null elements (array_min of empty is null), matching the
-  * HOF twin.
+  * `min_j (A_i * (base60(token_j) % P) + B_i) % P` — exactly
+  * `array_min(transform(tokens, t => (A_i*(base60(t)%P)+B_i)%P))`.
+  * Null tokens are skipped (array_min ignores nulls); empty input and
+  * all-null input yield all-null elements, matching the HOF twin.
   */
 case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
 
@@ -48,49 +92,58 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
-    if (n == 0) return new GenericArrayData(new Array[Any](numHashes))
     val out = Array.fill(numHashes)(Long.MaxValue)
+    var any = false
     var j = 0
     while (j < n) {
-      // null token → seed passes through unchanged (InterpretedHashFunction)
-      val base = if (v.isNullAt(j)) 42L else XXH64.hashUTF8String(v.getUTF8String(j), 42L)
-      var i = 0
-      while (i < numHashes) {
-        val h = XXH64.hashInt(i, base)
-        if (h < out(i)) out(i) = h
-        i += 1
+      if (!v.isNullAt(j)) {
+        any = true
+        val base = PortableHashImpl.base60(v.getUTF8String(j)) % PortableHashImpl.P
+        var i = 0
+        while (i < numHashes) {
+          val h = (PortableHashImpl.aConst(i) * base + PortableHashImpl.bConst(i)) %
+            PortableHashImpl.P
+          if (h < out(i)) out(i) = h
+          i += 1
+        }
       }
       j += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    if (!any) new GenericArrayData(new Array[Any](numHashes))
+    else UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val xxh = classOf[XXH64].getName
+      val impl = "graft.functions.PortableHashImpl"
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
+      val any = ctx.freshName("any")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val base = ctx.freshName("base")
       val h = ctx.freshName("h")
       s"""
          |final int $n = $v.numElements();
-         |if ($n == 0) {
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$numHashes]);
-         |} else {
-         |  final long[] $out = new long[$numHashes];
-         |  java.util.Arrays.fill($out, Long.MAX_VALUE);
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    final long $base = $v.isNullAt($j)
-         |      ? 42L : $xxh.hashUTF8String($v.getUTF8String($j), 42L);
+         |final long[] $out = new long[$numHashes];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |boolean $any = false;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$v.isNullAt($j)) {
+         |    $any = true;
+         |    final long $base = $impl.base60($v.getUTF8String($j)) % ${PortableHashImpl.P}L;
          |    for (int $i = 0; $i < $numHashes; $i++) {
-         |      final long $h = $xxh.hashInt($i, $base);
+         |      final long $h =
+         |        ($impl.aConst($i) * $base + $impl.bConst($i)) % ${PortableHashImpl.P}L;
          |      if ($h < $out[$i]) $out[$i] = $h;
          |    }
          |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
          |}
+         |${ev.value} = $any
+         |  ? (org.apache.spark.sql.catalyst.util.ArrayData)
+         |      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out)
+         |  : (org.apache.spark.sql.catalyst.util.ArrayData)
+         |      new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$numHashes]);
        """.stripMargin
     })
 
@@ -98,9 +151,10 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
-/** 64-bit SimHash fingerprint of an `array<string>`: bit j is set iff
-  * Σ_tokens (+1 if bit j of `xxhash64(token)` else −1) > 0 — exactly the
-  * HOF composition in graft.dedup.SimHash.fingerprintHof.
+/** 60-bit SimHash fingerprint of an `array<string>`: bit j is set iff
+  * Σ_tokens (+1 if bit j of `base60(token)` else −1) > 0 — exactly the
+  * HOF composition in graft.dedup.SimHash.fingerprintHof. Null tokens
+  * are skipped.
   */
 case class SimHashFp(child: Expression) extends UnaryExpression {
 
@@ -110,20 +164,22 @@ case class SimHashFp(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](60)
     var j = 0
     while (j < n) {
-      val h = if (v.isNullAt(j)) 42L else XXH64.hashUTF8String(v.getUTF8String(j), 42L)
-      var b = 0
-      while (b < 64) {
-        counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
-        b += 1
+      if (!v.isNullAt(j)) {
+        val h = PortableHashImpl.base60(v.getUTF8String(j))
+        var b = 0
+        while (b < 60) {
+          counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
       }
       j += 1
     }
     var fp = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 60) {
       if (counts(b) > 0) fp |= (1L << b)
       b += 1
     }
@@ -132,7 +188,7 @@ case class SimHashFp(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val xxh = classOf[XXH64].getName
+      val impl = "graft.functions.PortableHashImpl"
       val n = ctx.freshName("n")
       val counts = ctx.freshName("counts")
       val j = ctx.freshName("j")
@@ -141,16 +197,17 @@ case class SimHashFp(child: Expression) extends UnaryExpression {
       val fp = ctx.freshName("fp")
       s"""
          |final int $n = $v.numElements();
-         |final int[] $counts = new int[64];
+         |final int[] $counts = new int[60];
          |for (int $j = 0; $j < $n; $j++) {
-         |  final long $h = $v.isNullAt($j)
-         |    ? 42L : $xxh.hashUTF8String($v.getUTF8String($j), 42L);
-         |  for (int $b = 0; $b < 64; $b++) {
-         |    $counts[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |  if (!$v.isNullAt($j)) {
+         |    final long $h = $impl.base60($v.getUTF8String($j));
+         |    for (int $b = 0; $b < 60; $b++) {
+         |      $counts[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |    }
          |  }
          |}
          |long $fp = 0L;
-         |for (int $b = 0; $b < 64; $b++) {
+         |for (int $b = 0; $b < 60; $b++) {
          |  if ($counts[$b] > 0) $fp |= (1L << $b);
          |}
          |${ev.value} = $fp;

@@ -110,6 +110,51 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** DuckDB replay of the portable MinHash pipeline (same family as
+    * graft.functions.HashExprs: md5-prefix base hash, affine members mod
+    * 2^31−1, md5-prefix band buckets — 64 hashes × 16 bands of 4 rows).
+    */
+  private val mhBase: String =
+    "base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
+      "FROM documents), " +
+      "tb AS (SELECT doc_id, list_transform(toks, t -> " +
+      "('0x'||substr(md5(t),1,15))::BIGINT % 2147483647) AS hs FROM base), " +
+      "sig AS (SELECT doc_id, list_transform(range(0, 64), i -> " +
+      "list_min(list_transform(hs, h -> ((((i+1)*2654435761) % 2147483647) * h " +
+      "+ (((i+1)*40503) % 2147483647)) % 2147483647))) AS sig FROM tb), " +
+      "mem AS (SELECT doc_id, b AS band, " +
+      "('0x'||substr(md5(CAST(b AS VARCHAR)||':'||" +
+      "array_to_string(list_slice(sig, b*4+1, b*4+4), ':')),1,15))::BIGINT AS bucket " +
+      "FROM sig CROSS JOIN range(0, 16) rt(b))"
+
+  /** DuckDB replay of the portable SimHash pipeline (60-bit fingerprint
+    * over md5-prefix hashes, 4 blocks of 15 bits).
+    */
+  private val shBase: String =
+    "base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
+      "FROM documents), " +
+      "tb AS (SELECT doc_id, list_transform(toks, t -> " +
+      "('0x'||substr(md5(t),1,15))::BIGINT) AS hs FROM base), " +
+      "fps AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b -> " +
+      "CASE WHEN list_sum(list_transform(hs, h -> " +
+      "CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
+      "THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS fp FROM tb), " +
+      "mem AS (SELECT doc_id, fp, b AS block, (fp >> (b*15)) & 32767 AS bucket " +
+      "FROM fps CROSS JOIN range(0, 4) rt(b))"
+
+  /** Min-label transitive closure over co-bucket edges as a recursive CTE
+    * — the oracle twin of ConnectedComponents (which computes the same
+    * fixpoint via large-star/small-star contraction).
+    */
+  private def closureSql(bandCol: String): String =
+    "edges AS (SELECT DISTINCT m1.doc_id AS s, m2.doc_id AS d FROM mem m1 " +
+      s"JOIN mem m2 ON m1.$bandCol = m2.$bandCol AND m1.bucket = m2.bucket " +
+      "AND m1.doc_id <> m2.doc_id), " +
+      "reach AS (SELECT doc_id AS id, doc_id AS r FROM base " +
+      "UNION SELECT e.d, reach.r FROM reach JOIN edges e ON reach.id = e.s) " +
+      "SELECT id AS doc_id, min(r) AS cluster_rep, id = min(r) AS is_kept " +
+      "FROM reach GROUP BY id ORDER BY doc_id"
+
   val oracle: Map[String, String] = Map(
     "c2_ngram_jaccard" ->
       ("WITH base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
@@ -120,6 +165,40 @@ object DedupOps {
         "FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id " +
         "GROUP BY a.doc_id, b.doc_id, a.n, b.n " +
         "HAVING CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) >= 0.8 " +
+        "ORDER BY a_id, b_id"),
+    "c2_minhash_lsh" ->
+      (s"WITH $mhBase, " +
+        "mm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) " +
+        "AS bucket_min FROM mem) " +
+        "SELECT doc_id, min(bucket_min) AS cluster_rep, " +
+        "doc_id = min(bucket_min) AS is_kept " +
+        "FROM mm GROUP BY doc_id ORDER BY doc_id"),
+    "c2_minhash_cc" ->
+      (s"WITH RECURSIVE $mhBase, " + closureSql("band")),
+    "c2_simhash" ->
+      (s"WITH $shBase, " +
+        "mm AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY block, bucket) " +
+        "AS bucket_min FROM mem) " +
+        "SELECT doc_id, min(fp) AS fp, min(bucket_min) AS cluster_rep, " +
+        "doc_id = min(bucket_min) AS is_kept " +
+        "FROM mm GROUP BY doc_id ORDER BY doc_id"),
+    "c2_simhash_cc" ->
+      (s"WITH RECURSIVE $shBase, " + closureSql("block")),
+    "c2_embed_neardup" ->
+      (s"WITH ${SimOps.sketchCte(tables = 8, bits = 12)}, " +
+        "aa AS (SELECT vec_id AS a_id, rt.t AS tbl, " +
+        "unnest(list_prepend(buckets[rt.t+1], list_transform(range(0, 12), i -> " +
+        "xor(buckets[rt.t+1], (1::BIGINT << i))))) AS bucket " +
+        "FROM bk CROSS JOIN range(0, 8) rt(t)), " +
+        "bb AS (SELECT vec_id AS b_id, rt.t AS tbl, buckets[rt.t+1] AS bucket " +
+        "FROM bk CROSS JOIN range(0, 8) rt(t)), " +
+        "cand AS (SELECT DISTINCT a_id, b_id FROM aa JOIN bb " +
+        "ON aa.tbl = bb.tbl AND aa.bucket = bb.bucket AND aa.a_id < bb.b_id), " +
+        "sc AS (SELECT a_id, b_id, round(list_dot_product(x.v, y.v) / " +
+        "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) " +
+        "AS cosine FROM cand JOIN e x ON x.vec_id = cand.a_id " +
+        "JOIN e y ON y.vec_id = cand.b_id) " +
+        "SELECT a_id, b_id, cosine FROM sc WHERE cosine >= 0.35 " +
         "ORDER BY a_id, b_id")
   )
 

@@ -144,6 +144,28 @@ object MultiModalOps {
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
   val oracle: Map[String, String] = Map(
+    // The stub codec's features are deterministic arithmetic over the
+    // payload bytes, and the corpus text is pure ASCII (verified), so
+    // DuckDB can replay them over character code points: byte histogram
+    // via per-char unnest, exact integer mean, and the entropy fold in
+    // byte-value order (list_sort) with the same `p * ln(p) / ln(2)`
+    // association as StubCodec.decode — bit-identical before round(4).
+    "c6_mm_features" ->
+      (s"WITH chars AS (SELECT doc_id, ascii(substr(text, CAST(gs.i AS INT), 1)) AS b " +
+        "FROM documents, LATERAL (SELECT unnest(range(1, length(text)+1)) AS i) gs), " +
+        "hist AS (SELECT doc_id, b, count(*) AS c FROM chars GROUP BY doc_id, b), " +
+        "hl AS (SELECT doc_id, list_sort(list([b, c])) AS h, " +
+        "CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY doc_id), " +
+        "f AS (SELECT doc_id AS f_doc, " +
+        "round(CAST(list_sum(list_transform(h, x -> x[1]*x[2])) AS DOUBLE) / n, 4) AS mean_byte, " +
+        "round(0.0 - list_sum(list_transform(h, x -> (x[2]/n) * ln(x[2]/n) / ln(2))), 4) AS byte_entropy " +
+        "FROM hl) " +
+        s"SELECT d.doc_id AS asset_id, $modalitySql AS modality, " +
+        "CAST(octet_length(encode(d.text)) AS INT) AS n_bytes, " +
+        "COALESCE(f.mean_byte, 0.0) AS mean_byte, " +
+        "COALESCE(f.byte_entropy, 0.0) AS byte_entropy, " +
+        "CAST((octet_length(encode(d.text)) + 255) // 256 AS INT) AS n_frames " +
+        "FROM documents d LEFT JOIN f ON f.f_doc = d.doc_id ORDER BY asset_id"),
     // Frame sampling is oracle-expressible because frames are byte slices
     // and the corpus text is pure ASCII (verified): DuckDB can't slice
     // BLOBs, so the oracle slices the VARCHAR — byte-identical content.

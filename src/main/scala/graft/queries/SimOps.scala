@@ -337,7 +337,91 @@ object SimOps {
         round(max(col("norm")), 6).as("max_norm"))
       .orderBy("label")
 
+  /** Render a literal double matrix as a DuckDB nested-list literal.
+    * Java's `Double.toString` emits the shortest decimal that round-trips,
+    * so DuckDB parses back bit-identical doubles — the planes/centroids in
+    * the oracle SQL are exactly the plan literals.
+    */
+  private[queries] def matLit(m: Seq[Seq[Double]]): String =
+    m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** Shared oracle CTE: embeddings + the multi-table sign sketch, with
+    * the hyperplane matrix embedded as a literal — the DuckDB replay of
+    * `lshBuckets` (same sequential dot products, same sign rule, same
+    * bit packing).
+    */
+  private[queries] def sketchCte(tables: Int, bits: Int): String =
+    s"pl AS (SELECT ${matLit(planeMatrix(tables * bits))} AS p), " +
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"bk AS (SELECT vec_id, v, list_transform(range(0, $tables), t -> " +
+      s"CAST(list_sum(list_transform(range(0, $bits), i -> " +
+      s"CASE WHEN list_dot_product(v, p[t*$bits+i+1]) > 0 " +
+      "THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)) AS buckets " +
+      "FROM e CROSS JOIN pl)"
+
+  /** Exact-cosine rescore + per-query top-k tail shared by the ANN
+    * oracles (identical to the c3_cosine_topk oracle's scoring).
+    */
+  private def annScoreTail(k: Int): String =
+    "sc AS (SELECT q_id, b_id, round(list_dot_product(q.v, c.v) / " +
+      "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) " +
+      "AS cosine FROM cand JOIN e q ON q.vec_id = cand.q_id " +
+      "JOIN e c ON c.vec_id = cand.b_id), " +
+      "r AS (SELECT q_id, b_id, cosine, CAST(row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY cosine DESC, b_id) AS INT) AS rank FROM sc) " +
+      s"SELECT q_id, rank, b_id, cosine FROM r WHERE rank <= $k ORDER BY q_id, rank"
+
+  /** Deterministically retrain the IVF codebook the way c3AnnIvf does —
+    * same bounded sample, same Lloyd iterations — so the dynamic oracle
+    * (generated at verify time, with the trained centroids embedded as
+    * literals) replays assignment, probing, rescoring and top-k against
+    * the exact codebook the Spark plan used. Training itself is covered
+    * by SimOpsSpec (determinism + sample bound), not the oracle.
+    */
+  private[queries] def ivfCentroids(spark: SparkSession, dir: String,
+      nCells: Int = 16, maxSample: Int = 100000): Seq[Seq[Double]] = {
+    val base = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
+    trainCentroids(boundedSample(base, maxSample), nCells, iters = 5)
+  }
+
+  /** Oracle SQL that depends on data-trained plan literals — generated at
+    * verify time (Verify merges it into oracle_sql.json).
+    */
+  def dynamicOracle(spark: SparkSession, dir: String): Map[String, String] = {
+    val cents = ivfCentroids(spark, dir)
+    val n = cents.length
+    Map(
+      "c3_ann_ivf" ->
+        (s"WITH ct AS (SELECT ${matLit(cents)} AS c), " +
+          "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+          s"d AS (SELECT vec_id, v, list_transform(range(1, ${n + 1}), k -> " +
+          "list_sum(list_transform(range(1, 65), j -> " +
+          "(v[j]-c[k][j])*(v[j]-c[k][j])))) AS dists FROM e CROSS JOIN ct), " +
+          "corp AS (SELECT vec_id AS b_id, " +
+          "list_position(dists, list_min(dists)) AS cell FROM d), " +
+          "qs AS (SELECT vec_id AS q_id, unnest(list_transform(list_slice(" +
+          s"list_sort(list_transform(range(1, ${n + 1}), k -> " +
+          "[dists[k], CAST(k AS DOUBLE)])), 1, 4), s -> CAST(s[2] AS BIGINT))) " +
+          "AS cell FROM d WHERE vec_id % 100 = 0), " +
+          "cand AS (SELECT DISTINCT q_id, b_id FROM corp JOIN qs " +
+          "ON corp.cell = qs.cell AND qs.q_id <> corp.b_id), " +
+          annScoreTail(5))
+    )
+  }
+
   val oracle: Map[String, String] = Map(
+    "c3_ann_lsh" ->
+      (s"WITH ${sketchCte(tables = 16, bits = 8)}, " +
+        "corp AS (SELECT vec_id AS b_id, rt.t AS tbl, buckets[rt.t+1] AS bucket " +
+        "FROM bk CROSS JOIN range(0, 16) rt(t)), " +
+        "qs AS (SELECT vec_id AS q_id, rt.t AS tbl, " +
+        "unnest(list_prepend(buckets[rt.t+1], list_transform(range(0, 8), i -> " +
+        "xor(buckets[rt.t+1], (1::BIGINT << i))))) AS bucket " +
+        "FROM bk CROSS JOIN range(0, 16) rt(t) WHERE vec_id % 100 = 0), " +
+        "cand AS (SELECT DISTINCT q_id, b_id FROM corp JOIN qs " +
+        "ON corp.tbl = qs.tbl AND corp.bucket = qs.bucket AND qs.q_id <> corp.b_id), " +
+        annScoreTail(5)),
     "c3_cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb " +
         "FROM embeddings WHERE vec_id % 100 = 0), " +

@@ -161,16 +161,44 @@ object TextOps {
   }
 
   /** C4d: heuristic language ID via stopword/character n-gram scoring —
-    * argmax over per-language evidence. No DuckDB oracle (the scoring
-    * table is engine-internal); accuracy is asserted in LangIdSpec on
-    * real-language fixtures. Rows-only check from the driver.
+    * argmax over per-language evidence. Oracle-checked: the scoring table
+    * (LangId.functionWords) is embedded in the generated DuckDB SQL, which
+    * replays tokenization, per-language evidence, CJK counting, and the
+    * (score, code) argmax tie-break. Accuracy on real-language fixtures is
+    * additionally asserted in LangIdSpec.
     */
   def c4LangId(spark: SparkSession, dir: String): DataFrame =
     LangId.detect(docs(spark, dir), col("text"))
       .select(col("doc_id"), col("detected_lang"), col("lang_score"))
       .orderBy("doc_id")
 
+  /** DuckDB replay of LangId.detect: same function-word lists, same
+    * `\s+` tokenization of lower(text), same CJK regexp count, same
+    * struct-max tie-break (score first, then language code — DuckDB
+    * struct comparison is field-order lexicographic like Spark's).
+    */
+  private def langIdOracle: String = {
+    val langs = LangId.functionWords.keys.toSeq.sorted
+    def words(l: String): String =
+      LangId.functionWords(l).map(w => s"'$w'").mkString("[", ",", "]")
+    val scoreCols = langs.map { l =>
+      val base = s"CAST(len(list_filter(toks, t -> list_contains(${words(l)}, t))) AS BIGINT)"
+      val s = if (l == "zh") s"$base + cjk" else base
+      s"struct_pack(score := $s, code := '$l') AS s_$l"
+    }.mkString(", ")
+    "WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks, " +
+      "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk " +
+      "FROM documents), " +
+      s"s AS (SELECT doc_id, greatest(len(toks), 1) AS nt, $scoreCols FROM t), " +
+      "b AS (SELECT doc_id, nt, " +
+      s"list_max([${langs.map("s_" + _).mkString(", ")}]) AS best FROM s) " +
+      "SELECT doc_id, struct_extract(best, 'code') AS detected_lang, " +
+      "CAST(struct_extract(best, 'score') AS DOUBLE) / nt AS lang_score " +
+      "FROM b ORDER BY doc_id"
+  }
+
   val oracle: Map[String, String] = Map(
+    "c4_langid" -> langIdOracle,
     "c1_exact_dedup" ->
       ("SELECT md5(text) AS text_hash, min(doc_id) AS first_doc_id, " +
         "count(*) AS n_copies FROM documents GROUP BY text ORDER BY first_doc_id"),
