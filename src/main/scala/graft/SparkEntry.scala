@@ -25,7 +25,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefParity.queries ++ Relational.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimOps.queries ++ EventOps.queries ++
-      MultiModalOps.queries ++ PipelineOps.queries
+      MultiModalOps.queries ++ PipelineOps.queries ++
+      graft.streaming.EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,7 +34,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RefParity.oracle ++ Relational.oracle ++ TextOps.oracle ++
       DedupOps.oracle ++ SimOps.oracle ++ EventOps.oracle ++
-      MultiModalOps.oracle ++ PipelineOps.oracle
+      MultiModalOps.oracle ++ PipelineOps.oracle ++
+      graft.streaming.EventStream.oracle
 
   /** Oracle SQL whose text depends on data-trained plan literals (e.g.
     * the IVF codebook): generated against the verify-time tables, merged

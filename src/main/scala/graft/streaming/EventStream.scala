@@ -26,14 +26,17 @@ object EventStream {
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark — the
     * streaming twin of EventOps.c5Tumbling. Late events beyond the
-    * watermark are dropped; state for closed windows is evicted.
+    * watermark are dropped; state for closed windows is evicted. The
+    * value sum goes through an exact decimal (like the batch twin) so the
+    * result is independent of partial-aggregation order — which is what
+    * lets the driver hash-check the streaming path against DuckDB.
     */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -140,4 +143,106 @@ object EventStream {
     q.processAllAvailable()
     q
   }
+
+  // ---- driver-checkable batch surface -------------------------------
+  // Each c5_stream_* query runs the REAL streaming operator (readStream
+  // file source → watermarked transform → memory sink) with an
+  // AvailableNow trigger over the static events table, then returns the
+  // sink contents as a batch DataFrame — so the driver's DuckDB oracle
+  // hash-checks the streaming execution path itself, not a batch
+  // re-derivation. Sink names are uniqued per invocation (Bench reruns
+  // queries in one session).
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming file-source read of the sf events table, with the same
+    * TIMESTAMP(NANOS) handling as graft.Tables.load.
+    */
+  def readEventsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // The sf tables are single parquet FILES; the file stream source
+    // needs a directory, so stream the sf dir filtered to the events file.
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def runAvailableNow(df: DataFrame, mode: OutputMode)
+      (implicit spark: SparkSession): DataFrame = {
+    val name = s"graft_stream_q${runSeq.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** c5_stream_tumbling: the streaming tumbling aggregation, driver-
+    * checked against the same oracle shape as the batch twin.
+    */
+  def c5StreamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    runAvailableNow(tumblingCounts(readEventsTable(spark, sfDir)), OutputMode.Complete())
+      .orderBy("window_start", "event_type")
+  }
+
+  /** c5_stream_sessionize: the native session_window operator under
+    * streaming execution; oracle = gaps-and-islands sessions with
+    * session_end = last event + gap.
+    */
+  def c5StreamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    runAvailableNow(sessionCounts(readEventsTable(spark, sfDir)), OutputMode.Complete())
+      .orderBy("user_id", "session_start")
+  }
+
+  /** c5_stream_dedup: dropDuplicatesWithinWatermark over the event
+    * payload columns; projected to the dedup key so the surviving-row
+    * choice (arrival order) doesn't enter the result — oracle = batch
+    * DISTINCT.
+    */
+  def c5StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    runAvailableNow(
+      dedupWithinWatermark(readEventsTable(spark, sfDir))
+        .select(col("user_id"), col("event_type"), col("value")),
+      OutputMode.Append())
+      .orderBy("user_id", "event_type", "value")
+  }
+
+  /** Oracles for the driver-checkable streaming queries (same tables,
+    * DuckDB SQL).
+    */
+  val oracle: Map[String, String] = Map(
+    "c5_stream_tumbling" ->
+      ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
+        "count(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "c5_stream_sessionize" ->
+      ("WITH flagged AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END " +
+        "AS new_session FROM events WINDOW w AS " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT user_id, ts, SUM(new_session) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx " +
+        "FROM flagged) " +
+        "SELECT min(ts) AS session_start, " +
+        "max(ts) + INTERVAL '30 minutes' AS session_end, " +
+        "user_id, count(*) AS n_events " +
+        "FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_start"),
+    "c5_stream_dedup" ->
+      ("SELECT DISTINCT user_id, event_type, value FROM events " +
+        "ORDER BY user_id, event_type, value")
+  )
+
+  /** Driver query registry (merged into SparkEntry.queries). */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c5_stream_tumbling" -> (c5StreamTumbling _),
+    "c5_stream_sessionize" -> (c5StreamSessionize _),
+    "c5_stream_dedup" -> (c5StreamDedup _)
+  )
 }
