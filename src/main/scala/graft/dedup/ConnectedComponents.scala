@@ -33,6 +33,13 @@ object ConnectedComponents {
     * `cluster_rep` = the smallest doc_id in the doc's connected
     * component — the full transitive closure, unlike the single
     * min-propagation round in `MinHash.dedupAssignments`.
+    *
+    * Durability: rounds truncate lineage with `localCheckpoint` by
+    * default (fast, executor-local). On a real cluster set
+    * `spark.graft.cc.checkpointDir` (or call [[starRoots]] with
+    * `checkpointDir`) to use durable `checkpoint()` instead — with
+    * localCheckpoint an executor loss mid-iteration cannot recompute the
+    * truncated lineage; with an HDFS/object-store dir the job survives it.
     */
   def assignmentsFromMemberships(memberships: DataFrame): DataFrame = {
     val docs = memberships.select(col("doc_id")).distinct()
@@ -55,15 +62,28 @@ object ConnectedComponents {
 
   /** Contract an undirected edge list `(u, v)` to stars and return
     * `(doc_id, rep)` for every non-isolated node (rep = component min).
+    *
+    * `checkpointDir`: when set (explicitly or via the session conf
+    * `spark.graft.cc.checkpointDir`), rounds use durable `checkpoint()`
+    * there instead of `localCheckpoint()` — the failure-tolerant mode for
+    * long cluster runs.
     */
-  def starRoots(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+  def starRoots(edges: DataFrame, maxRounds: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val dir = checkpointDir.orElse(
+      Option(spark.conf.get("spark.graft.cc.checkpointDir", null)))
+    dir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (dir.isDefined) df.checkpoint() else df.localCheckpoint()
+
     // Oriented canonical form: (u, v) with u > v.
-    var e = edges
+    var e = truncate(edges
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
+    var eCount = e.count()
 
     var converged = false
     var round = 0
@@ -81,20 +101,24 @@ object ConnectedComponents {
       // small-star: edges already oriented (u > v); for each node u,
       // attach every smaller neighbor (and u itself) to m(u) = min(N<(u)).
       val sMins = large.groupBy("u").agg(min(col("v")).as("m"))
-      val next = large.join(sMins, "u")
+      val next = truncate(large.join(sMins, "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(sMins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
 
-      // Fixpoint: the edge set stopped changing (exact anti-join check —
-      // both are distinct sets, so equal counts + no novel rows = equal).
+      // Fixpoint: the edge set stopped changing. Both sides are distinct
+      // sets, so equal counts + no novel rows = equal. The count rides on
+      // the checkpoint materialization (1 action); the previous round's
+      // count is reused, and the anti-join probe (2nd action) only runs
+      // when the counts agree — 1-2 driver actions per round, not 3.
+      val nextCount = next.count()
       val changed =
-        next.count() != e.count() ||
+        nextCount != eCount ||
           next.join(e, Seq("u", "v"), "left_anti").limit(1).count() > 0
       e = next
+      eCount = nextCount
       converged = !changed
       round += 1
     }

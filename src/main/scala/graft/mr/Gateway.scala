@@ -33,7 +33,9 @@ import java.nio.charset.StandardCharsets
   * not a data plane: large inputs belong in tables read by the query
   * surface, and large results in `Sources.writeResultJsonl`.
   */
-final class Gateway(spark: SparkSession, store: JobStore, port: Int = 2335) {
+final class Gateway(spark: SparkSession, store: JobStore, port: Int = 2335,
+    maxBodyBytes: Int = Gateway.DefaultMaxBodyBytes,
+    threads: Int = Gateway.DefaultThreads) {
 
   @volatile private var server: HttpServer = _
 
@@ -45,7 +47,7 @@ final class Gateway(spark: SparkSession, store: JobStore, port: Int = 2335) {
     server.createContext("/launch", handleLaunch _)
     server.createContext("/getresult", handleGetResult _)
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
-      4, r => { val t = new Thread(r, "graft-gateway"); t.setDaemon(true); t }))
+      threads, r => { val t = new Thread(r, "graft-gateway"); t.setDaemon(true); t }))
     server.start()
     server.getAddress.getPort
   }
@@ -55,7 +57,16 @@ final class Gateway(spark: SparkSession, store: JobStore, port: Int = 2335) {
   private def handleLaunch(ex: HttpExchange): Unit =
     if (ex.getRequestMethod != "POST") respond(ex, 405, "", "text/plain")
     else {
-      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      // Bounded read: a launch is a control-plane document, not a data
+      // upload — cap it instead of buffering an arbitrary client body
+      // (the reference reads the whole body unchecked; large inputs
+      // belong in tables, SURVEY §2.2). One byte past the cap = 413.
+      val raw = ex.getRequestBody.readNBytes(maxBodyBytes + 1)
+      if (raw.length > maxBodyBytes) {
+        respond(ex, 413, "", "text/plain")
+        return
+      }
+      val body = new String(raw, StandardCharsets.UTF_8)
       graft.sources.Sources.parseLaunchJson(spark, body) match {
         case Left(_) =>
           // field-check failure = bare 400, like check_launch_request
@@ -114,4 +125,12 @@ final class Gateway(spark: SparkSession, store: JobStore, port: Int = 2335) {
     if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
     ex.close()
   }
+}
+
+object Gateway {
+  /** Launch-body cap: far above any control-plane document, far below a
+    * buffering hazard.
+    */
+  val DefaultMaxBodyBytes: Int = 8 * 1024 * 1024
+  val DefaultThreads: Int = 8
 }

@@ -110,4 +110,60 @@ object Sources {
     */
   def writeResultJsonl(results: Dataset[String], dir: String): Unit =
     results.toDF("result").write.mode("overwrite").json(dir)
+
+  // ---- generic tabular sources (SURVEY §2.2) ------------------------
+  // Schema-validated spark.read wrappers: the supplied schema is enforced
+  // with FAILFAST, so ill-typed / malformed rows fail the read instead of
+  // silently nulling — the batch-ingest analog of the gateway's
+  // field-by-field launch checks (gateway.cc:15-51). At cluster scale
+  // these are the same readers against HDFS/S3A paths; Catalyst still
+  // pushes projections/filters into the scans.
+
+  /** The `documents` corpus shape (TESTDATA.md) for csv/json ingest. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("n_chars", LongType, nullable = true)))
+
+  /** Schema-checked CSV reader (header expected by default). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** Schema-checked JSON-lines reader. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  /** Raw text-lines reader: one `value` string column per line (the
+    * word_count client's file-ingest shape,
+    * `/root/reference/example/word_count/word_count_client.cc:30-45`).
+    */
+  def readTextLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Read a csv/json file into the `documents` shape and validate the
+    * required fields the way the gateway validates a launch: any row
+    * with a null `doc_id`/`text` is a rejection, reported with a count.
+    */
+  def readDocuments(spark: SparkSession, path: String,
+      format: String = "csv"): Either[String, DataFrame] = {
+    val df = format match {
+      case "csv" => readCsv(spark, path, documentsSchema)
+      case "json" => readJsonl(spark, path, documentsSchema)
+      case other => return Left(s"unsupported documents format: $other")
+    }
+    try {
+      val bad = df.filter(col("doc_id").isNull || col("text").isNull).count()
+      if (bad > 0) Left(s"$bad rows with missing doc_id/text")
+      else Right(df)
+    } catch {
+      case e: Exception => Left(s"malformed $format: ${e.getMessage}")
+    }
+  }
 }

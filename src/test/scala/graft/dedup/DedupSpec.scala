@@ -202,4 +202,24 @@ class DedupSpec extends SparkSuite {
     assert(got.contains((1L, 2L)) && got((1L, 2L)) == 0)
     got.values.foreach(h => assert(h <= 10))
   }
+
+  test("starRoots with a durable checkpoint dir matches the localCheckpoint path") {
+    import spark.implicits._
+    // a chain (1-2-3-4), a triangle (10-11-12), an isolated edge (20-21)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("u", "v")
+    val local = ConnectedComponents.starRoots(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val durable = ConnectedComponents.starRoots(edges, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(durable === local)
+      assert(durable(4L) == 1L && durable(12L) == 10L && durable(21L) == 20L)
+      // checkpoint() actually wrote durable state
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -92,6 +92,73 @@ class GatewaySpec extends SparkSuite {
     }
   }
 
+  test("concurrent launches: parallel POSTs all get distinct job ids and results") {
+    withGateway { base =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val n = 6 // > half the pool: exercises queueing + handler reentrancy
+      val launches = Await.result(
+        Future.sequence(Seq.fill(n)(Future(
+          post(s"$base/launch", launchBody("charcount_example"))))), 60.seconds)
+      assert(launches.forall(_.statusCode() == 200), launches.map(_.body()))
+      val ids = launches.map(l => """"job_id":(\d+)""".r
+        .findFirstMatchIn(l.body()).get.group(1))
+      assert(ids.distinct.size == n, s"job ids not distinct: $ids")
+      // every job completes and serves its result
+      ids.foreach { id =>
+        var resp = get(s"$base/getresult?job_id=$id&token=ztorchan")
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (resp.statusCode() != 200 && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          resp = get(s"$base/getresult?job_id=$id&token=ztorchan")
+        }
+        assert(resp.statusCode() == 200, s"job $id: ${resp.body()}")
+        assert(resp.body().contains(""""ok":true"""))
+      }
+    }
+  }
+
+  test("TTL-expired result over HTTP: finished job evicts after the TTL (O11)") {
+    // Injectable clock: finish the job, then jump past the TTL — the next
+    // HTTP fetch must report the job gone (BGScaner sweep, master.cc:449-463).
+    @volatile var now = 1000L
+    val store = new JobStore(clock = () => now, ttlMillis = 60_000L)
+    val gw = new Gateway(spark, store, port = 0)
+    val port = gw.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      val launch = post(s"$base/launch", launchBody("charcount_example"))
+      assert(launch.statusCode() == 200, launch.body())
+      val id = """"job_id":(\d+)""".r.findFirstMatchIn(launch.body()).get.group(1)
+      var resp = get(s"$base/getresult?job_id=$id&token=ztorchan")
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (resp.statusCode() != 200 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        resp = get(s"$base/getresult?job_id=$id&token=ztorchan")
+      }
+      assert(resp.statusCode() == 200, resp.body())
+      now += 61_000L // past the TTL
+      val gone = get(s"$base/getresult?job_id=$id&token=ztorchan")
+      assert(gone.statusCode() == 500 && gone.body().contains("no such job"),
+        gone.body())
+    } finally gw.stop()
+  }
+
+  test("oversized launch body is rejected with 413, not buffered") {
+    val store = new JobStore()
+    val gw = new Gateway(spark, store, port = 0, maxBodyBytes = 4096)
+    val port = gw.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      val big = launchBody("charcount_example") + " " * 5000
+      assert(post(s"$base/launch", big).statusCode() == 413)
+      // a body exactly at the cap still parses
+      val ok = post(s"$base/launch", launchBody("charcount_example"))
+      assert(ok.statusCode() == 200, ok.body())
+    } finally gw.stop()
+  }
+
   test("getresult guards: missing params 400; bad job/token 500 in reference order") {
     withGateway { base =>
       assert(get(s"$base/getresult").statusCode() == 400)

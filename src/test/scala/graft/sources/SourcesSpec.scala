@@ -10,8 +10,8 @@ import java.nio.file.Files
   */
 class SourcesSpec extends SparkSuite {
 
-  private def writeTemp(content: String): String = {
-    val f = Files.createTempFile("launch", ".json")
+  private def writeTemp(content: String, suffix: String = ".json"): String = {
+    val f = Files.createTempFile("launch", suffix)
     Files.writeString(f, content)
     f.toString
   }
@@ -60,5 +60,53 @@ class SourcesSpec extends SparkSuite {
     Sources.writeResultJson(Seq("a\"b", "c\\d", "e\nf"), out)
     assert(Files.readString(java.nio.file.Paths.get(out)) ==
       "[\"a\\\"b\",\"c\\\\d\",\"e\\nf\"]")
+  }
+
+  test("csv source reads into the documents shape with schema validation") {
+    val path = writeTemp(
+      """doc_id,text,lang,source,n_chars
+        |1,hello world,en,web,11
+        |2,hola mundo,es,web,10""".stripMargin, suffix = ".csv")
+    val Right(df) = Sources.readDocuments(spark, path, format = "csv")
+    val rows = df.orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "hello world")
+    assert(rows(1).getString(2) == "es" && rows(1).getLong(4) == 10L)
+    // and the generic reader can feed the real query surface: the shape
+    // matches the parquet documents table column-for-column
+    assert(df.schema.fieldNames.toSeq ==
+      graft.Tables.load(spark, sf, "documents").schema.fieldNames.toSeq)
+  }
+
+  test("csv source rejects rows with missing required fields") {
+    val path = writeTemp(
+      """doc_id,text,lang,source,n_chars
+        |1,hello,en,web,5
+        |,orphan,en,web,6""".stripMargin, suffix = ".csv")
+    val res = Sources.readDocuments(spark, path, format = "csv")
+    assert(res.isLeft && res.swap.exists(_.contains("missing doc_id/text")))
+  }
+
+  test("csv source FAILFAST rejects ill-typed rows") {
+    val path = writeTemp(
+      """doc_id,text,lang,source,n_chars
+        |not_a_number,hello,en,web,5""".stripMargin, suffix = ".csv")
+    assert(Sources.readDocuments(spark, path, format = "csv").isLeft)
+  }
+
+  test("jsonl source reads the documents shape") {
+    val path = writeTemp(
+      """{"doc_id": 7, "text": "bonjour", "lang": "fr", "source": "web", "n_chars": 7}""",
+      suffix = ".json")
+    val Right(df) = Sources.readDocuments(spark, path, format = "json")
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 7L && r.getString(1) == "bonjour" && r.getString(2) == "fr")
+  }
+
+  test("text-lines source: one value row per line (word_count client shape)") {
+    val path = writeTemp("line one\nline two\nline three", suffix = ".txt")
+    val lines = Sources.readTextLines(spark, path)
+      .collect().map(_.getString(0)).toSeq
+    assert(lines == Seq("line one", "line two", "line three"))
   }
 }
