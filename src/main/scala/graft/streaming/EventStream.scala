@@ -174,7 +174,11 @@ object EventStream {
     val name = s"graft_stream_q${runSeq.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // Bounded wait: AvailableNow over a static table terminates in
+    // seconds; the cap only exists so an external stall can't wedge the
+    // caller (Bench watchdogs cancel job groups, which streaming's
+    // microbatch thread ignores).
+    if (!q.awaitTermination(300000L)) q.stop()
     spark.table(name)
   }
 
