@@ -67,6 +67,21 @@ object Bench {
     // Warm the session (classloading, codegen compiler, shuffle machinery)
     // so the first timed query doesn't absorb JVM startup.
     spark.range(100000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
+    // Warm the streaming stack too (microbatch planner, state store,
+    // memory sink): the c5_stream_* queries would otherwise be charged
+    // this one-time classloading in their first timing.
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("bench-stream-warm")
+      spark.range(2).toDF("v").write.mode("overwrite").parquet(tmp.toString)
+      val q = spark.readStream.schema("v LONG").parquet(tmp.toString)
+        .groupBy("v").count()
+        .writeStream.format("memory").queryName("bench_stream_warm")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000L)
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] stream warmup failed: ${e.getMessage}")
+    }
 
     val watchdog = new java.util.Timer("bench-watchdog", true)
 
