@@ -145,6 +145,12 @@ object DedupOps {
   /** Min-label transitive closure over co-bucket edges as a recursive CTE
     * — the oracle twin of ConnectedComponents (which computes the same
     * fixpoint via large-star/small-star contraction).
+    *
+    * Scale note: the CTE's reach set is O(Σ component²) — fine at the
+    * driver's sf0.01 gate (verified in seconds), quadratic on the very
+    * self-similar larger corpora. That asymmetry is the point: the
+    * ENGINE side contracts stars in O(E log n); plain SQL has no
+    * comparably scalable closure, which is why the operator exists.
     */
   private def closureSql(bandCol: String): String =
     "edges AS (SELECT DISTINCT m1.doc_id AS s, m2.doc_id AS d FROM mem m1 " +
