@@ -106,7 +106,40 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** C7e: end-to-end corpus curation — the composition a training
+    * pipeline actually ships: exact-dedup first-copy flag (window min
+    * over the content), language agreement (LangId.detect vs the
+    * declared lang), and a minimum-length gate, combined into one
+    * per-doc keep decision. Demonstrates that the curation primitives
+    * compose in a single declarative plan: one shuffle on text (dedup
+    * window), everything else narrow. Fully oracle-checked — dedup,
+    * lang-id scoring, argmax tie-break and the final conjunction are all
+    * replayed in SQL.
+    */
+  def c7Curate(spark: SparkSession, dir: String, minTokens: Int = 40): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    graft.text.LangId.detect(docs(spark, dir), col("text"))
+      .withColumn("first_copy", col("doc_id") === min(col("doc_id")).over(w))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("keep",
+        col("first_copy") && col("detected_lang") === col("lang") &&
+          col("n_tokens") >= minTokens)
+      .select(col("doc_id"), col("lang"), col("detected_lang"),
+        col("first_copy"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "c7_curate" ->
+      (s"WITH ${TextOps.langIdCtes}, " +
+        "det AS (SELECT doc_id, struct_extract(best, 'code') AS detected_lang FROM b), " +
+        "d2 AS (SELECT d.doc_id, d.lang, det.detected_lang, " +
+        "d.doc_id = min(d.doc_id) OVER (PARTITION BY d.text) AS first_copy, " +
+        "len(string_split(d.text, ' ')) AS n_tokens " +
+        "FROM documents d JOIN det ON det.doc_id = d.doc_id) " +
+        "SELECT doc_id, lang, detected_lang, first_copy, " +
+        "(first_copy AND detected_lang = lang AND n_tokens >= 40) AS keep " +
+        "FROM d2 ORDER BY doc_id"),
     "c7_decontaminate" ->
       (s"WITH d AS (SELECT doc_id, $bucketSql AS bucket, string_split(text, ' ') AS toks " +
         "FROM documents), " +
@@ -140,6 +173,7 @@ object PipelineOps {
     "c7_sample_strat" -> (c7SampleStrat _),
     "c7_split_assign" -> (c7SplitAssign _),
     "c7_token_budget" -> ((s: SparkSession, d: String) => c7TokenBudget(s, d)),
-    "c7_decontaminate" -> ((s: SparkSession, d: String) => c7Decontaminate(s, d))
+    "c7_decontaminate" -> ((s: SparkSession, d: String) => c7Decontaminate(s, d)),
+    "c7_curate" -> ((s: SparkSession, d: String) => c7Curate(s, d))
   )
 }

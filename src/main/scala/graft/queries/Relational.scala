@@ -244,6 +244,25 @@ object Relational {
         col("n_orders"), col("total_price"))
       .orderBy("status", "priority")
 
+  /** B6c: GROUPING SETS — the general form rollup/cube specialize; the
+    * set list here ((status, priority), (status), ()) is rollup-shaped
+    * but written explicitly through the groupingSets API, completing the
+    * §2.2 grouping-analytics row alongside b6_rollup/b6_cube.
+    */
+  def b6GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.col(sumMoney("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+
   /** B3e: RANGE (non-equi) join — orders banded into price tiers via a
     * broadcast interval table and `lo <= v < hi`. Catalyst plans the
     * non-equi condition as a broadcast nested-loop join; with the band
@@ -476,6 +495,13 @@ object Relational {
         s"COUNT(*) AS n_orders, ${sumMoney("o_totalprice")} AS total_price " +
         "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
         "ORDER BY status, priority"),
+    "b6_grouping_sets" ->
+      (s"SELECT COALESCE(o_orderstatus, 'ALL') AS status, " +
+        "COALESCE(o_orderpriority, 'ALL') AS priority, " +
+        s"COUNT(*) AS n_orders, ${sumMoney("o_totalprice")} AS total_price " +
+        "FROM orders GROUP BY GROUPING SETS " +
+        "((o_orderstatus, o_orderpriority), (o_orderstatus), ()) " +
+        "ORDER BY status, priority"),
     "b3_join_range" ->
       (s"SELECT band, COUNT(*) AS n_orders, ${sumMoney("o_totalprice")} AS total_price " +
         "FROM orders JOIN (SELECT range AS band, " +
@@ -517,6 +543,7 @@ object Relational {
     "b5_distinct" -> (b5Distinct _),
     "b6_rollup" -> (b6Rollup _),
     "b6_cube" -> (b6Cube _),
+    "b6_grouping_sets" -> (b6GroupingSets _),
     "b2_agg_approx" -> (b2AggApprox _),
     "b2_percentiles" -> (b2Percentiles _),
     "b2_percentiles_approx" -> (b2PercentilesApprox _),

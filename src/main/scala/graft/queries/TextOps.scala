@@ -177,7 +177,10 @@ object TextOps {
     * struct-max tie-break (score first, then language code — DuckDB
     * struct comparison is field-order lexicographic like Spark's).
     */
-  private def langIdOracle: String = {
+  /** CTE chain ending in `b(doc_id, nt, best)` — shared by the langid
+    * oracle and the c7_curate composition oracle (PipelineOps).
+    */
+  private[queries] def langIdCtes: String = {
     val langs = LangId.functionWords.keys.toSeq.sorted
     def words(l: String): String =
       LangId.functionWords(l).map(w => s"'$w'").mkString("[", ",", "]")
@@ -186,16 +189,19 @@ object TextOps {
       val s = if (l == "zh") s"$base + cjk" else base
       s"struct_pack(score := $s, code := '$l') AS s_$l"
     }.mkString(", ")
-    "WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks, " +
+    "t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks, " +
       "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk " +
       "FROM documents), " +
       s"s AS (SELECT doc_id, greatest(len(toks), 1) AS nt, $scoreCols FROM t), " +
       "b AS (SELECT doc_id, nt, " +
-      s"list_max([${langs.map("s_" + _).mkString(", ")}]) AS best FROM s) " +
+      s"list_max([${langs.map("s_" + _).mkString(", ")}]) AS best FROM s)"
+  }
+
+  private def langIdOracle: String =
+    s"WITH $langIdCtes " +
       "SELECT doc_id, struct_extract(best, 'code') AS detected_lang, " +
       "CAST(struct_extract(best, 'score') AS DOUBLE) / nt AS lang_score " +
       "FROM b ORDER BY doc_id"
-  }
 
   val oracle: Map[String, String] = Map(
     "c4_langid" -> langIdOracle,
