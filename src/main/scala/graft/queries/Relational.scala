@@ -244,6 +244,21 @@ object Relational {
         col("n_orders"), col("total_price"))
       .orderBy("status", "priority")
 
+  /** B2e: PIVOT — order totals restated wide (status columns per
+    * priority row). Pivot values are EXPLICIT, which is the 100 TB form:
+    * `pivot(col)` without values runs a driver-side distinct scan of the
+    * pivot column before planning; the explicit list keeps the plan a
+    * single pass. Oracle = the equivalent CASE-per-value aggregation.
+    */
+  def b2Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(Exact.col(sumMoney("o_totalprice")))
+      .select(col("o_orderpriority").as("priority"),
+        col("F").as("f_total"), col("O").as("o_total"), col("P").as("p_total"))
+      .orderBy("priority")
+
   /** B6c: GROUPING SETS — the general form rollup/cube specialize; the
     * set list here ((status, priority), (status), ()) is rollup-shaped
     * but written explicitly through the groupingSets API, completing the
@@ -495,6 +510,12 @@ object Relational {
         s"COUNT(*) AS n_orders, ${sumMoney("o_totalprice")} AS total_price " +
         "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
         "ORDER BY status, priority"),
+    "b2_pivot" ->
+      ("SELECT o_orderpriority AS priority, " +
+        "CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(12,2))) AS DOUBLE) AS f_total, " +
+        "CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(12,2))) AS DOUBLE) AS o_total, " +
+        "CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(12,2))) AS DOUBLE) AS p_total " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
     "b6_grouping_sets" ->
       (s"SELECT COALESCE(o_orderstatus, 'ALL') AS status, " +
         "COALESCE(o_orderpriority, 'ALL') AS priority, " +
@@ -544,6 +565,7 @@ object Relational {
     "b6_rollup" -> (b6Rollup _),
     "b6_cube" -> (b6Cube _),
     "b6_grouping_sets" -> (b6GroupingSets _),
+    "b2_pivot" -> (b2Pivot _),
     "b2_agg_approx" -> (b2AggApprox _),
     "b2_percentiles" -> (b2Percentiles _),
     "b2_percentiles_approx" -> (b2PercentilesApprox _),
