@@ -31,6 +31,28 @@ class HashExprsSpec extends SparkSuite {
     assert(n === 0)
   }
 
+  test("property: native == HOF on arbitrary unicode token lists") {
+    import spark.implicits._
+    // Adversarial token soup: empty strings, spaces, quotes, CJK,
+    // astral-plane emoji, combining marks — the JVM base60 (digest of
+    // UTF8String bytes) must agree with the built-in md5/conv composition
+    // for any of them.
+    val rng = new scala.util.Random(7)
+    val pool = Seq("", " ", "a", "é", "的", "😀", "é",
+      "tok:1", "\"q\"", "\\back", "\n", "longtoken" * 20)
+    val docs = Seq.fill(200)(
+      Seq.fill(1 + rng.nextInt(8))(pool(rng.nextInt(pool.length))))
+    val df = docs.toDF("toks")
+    val bad = df
+      .withColumn("sig_n", MinHash.signature(col("toks"), 16))
+      .withColumn("sig_h", MinHash.signatureHof(col("toks"), 16))
+      .withColumn("fp_n", SimHash.fingerprint(col("toks")))
+      .withColumn("fp_h", SimHash.fingerprintHof(col("toks")))
+      .filter(col("sig_n") =!= col("sig_h") || col("fp_n") =!= col("fp_h"))
+      .count()
+    assert(bad === 0)
+  }
+
   test("edge cases: empty and single-token arrays") {
     import spark.implicits._
     val df = Seq(Seq.empty[String], Seq("hello"), Seq("a", "b", "a"))
