@@ -43,16 +43,7 @@ object ConnectedComponents {
     */
   def assignmentsFromMemberships(memberships: DataFrame): DataFrame = {
     val docs = memberships.select(col("doc_id")).distinct()
-    // Star edges: doc -> min doc of each of its buckets. Connectivity is
-    // preserved (every bucket member links to the bucket min) while edge
-    // count stays O(n · bands) — never the O(Σ|bucket|²) pair list.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val edges = memberships
-      .withColumn("bmin", min(col("doc_id")).over(w))
-      .filter(col("doc_id") =!= col("bmin"))
-      .select(col("doc_id").as("u"), col("bmin").as("v"))
-      .distinct()
-    val roots = starRoots(edges)
+    val roots = starRoots(edgesFromMemberships(memberships))
     docs
       .join(roots, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -60,13 +51,34 @@ object ConnectedComponents {
       .withColumn("is_kept", col("doc_id") === col("cluster_rep"))
   }
 
+  /** Star edges for a bipartite membership table: doc -> min doc of each
+    * of its buckets. Connectivity is preserved (every bucket member links
+    * to the bucket min) while edge count stays O(n · bands) — never the
+    * O(Σ|bucket|²) pair list. The per-bucket min is a partial (map-side
+    * combining) aggregate shuffle-joined back on (band, bucket) — a
+    * window over the raw memberships would funnel a mega-bucket into one
+    * task with no partial aggregation and no AQE skew split (the dedup
+    * workload's own skew would become its straggler).
+    */
+  private[dedup] def edgesFromMemberships(memberships: DataFrame): DataFrame =
+    memberships
+      .join(MinHash.bucketMins(memberships, "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("bucket_min"))
+      .select(col("doc_id").as("u"), col("bucket_min").as("v"))
+      .distinct()
+
   /** Contract an undirected edge list `(u, v)` to stars and return
     * `(doc_id, rep)` for every non-isolated node (rep = component min).
     *
     * `checkpointDir`: when set (explicitly or via the session conf
     * `spark.graft.cc.checkpointDir`), rounds use durable `checkpoint()`
     * there instead of `localCheckpoint()` — the failure-tolerant mode for
-    * long cluster runs.
+    * long cluster runs. NOTE this calls `setCheckpointDir` on the shared
+    * SparkContext (a global side effect visible to other jobs in the
+    * session), and each round's durable checkpoint files stay on disk
+    * until the RDDs are GC'd — enable
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` (or clean the dir
+    * after the job) on long-lived clusters to reclaim superseded rounds.
     */
   def starRoots(edges: DataFrame, maxRounds: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -85,12 +97,17 @@ object ConnectedComponents {
       .distinct())
     var eCount = e.count()
 
-    var converged = false
+    // Dedup-free corpus: nothing to contract — skip the loop (and its
+    // per-round driver actions) and return the empty star mapping.
+    var converged = eCount == 0
     var round = 0
     while (!converged && round < maxRounds) {
       // large-star: symmetrize; for each node u, attach every LARGER
-      // neighbor to m(u) = min(N(u) ∪ {u}).
+      // neighbor to m(u) = min(N(u) ∪ {u}). sym feeds two consumers
+      // (lMins + the join probe); persist it for the round so the union
+      // isn't recomputed.
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .persist()
       val lMins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
       val large = sym.join(lMins, "u")
         .filter(col("v") > col("u"))
@@ -107,6 +124,7 @@ object ConnectedComponents {
         .unionByName(sMins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct())
+      sym.unpersist(blocking = false) // truncate() is eager; sym is spent
 
       // Fixpoint: the edge set stopped changing. Both sides are distinct
       // sets, so equal counts + no novel rows = equal. The count rides on

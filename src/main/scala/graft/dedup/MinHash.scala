@@ -86,6 +86,13 @@ object MinHash {
     * any of its LSH buckets (one min-propagation round): `is_kept` docs
     * form the deduplicated corpus.
     * Output: `(doc_id, cluster_rep, is_kept)`.
+    *
+    * Skew posture: the per-bucket min comes from [[bucketMins]] (partial
+    * hash aggregate + shuffle join back), NOT a window over the raw
+    * memberships — a window would ship every row of a mega-bucket (10⁸
+    * copies of boilerplate sharing one (band, bucket)) into one task with
+    * no map-side combine and no AQE skew splitting. With groupBy+join the
+    * mega-bucket collapses map-side and AQE skew-join handles the probe.
     */
   def dedupAssignments(
       df: DataFrame,
@@ -94,13 +101,22 @@ object MinHash {
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     val banded = memberships(df, id, text, numHashes, bands)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
     banded
-      .withColumn("bucket_min", min(col("doc_id")).over(w))
+      .join(bucketMins(banded, "band", "bucket"), Seq("band", "bucket"))
       .groupBy("doc_id")
       .agg(min(col("bucket_min")).as("cluster_rep"))
       .withColumn("is_kept", col("doc_id") === col("cluster_rep"))
   }
+
+  /** `(keyCols..., bucket_min)` — smallest doc_id per bucket, as a partial
+    * (map-side combining) aggregate. The skew-safe building block shared
+    * by the assignment and connected-components paths.
+    */
+  private[dedup] def bucketMins(
+      memberships: DataFrame, keyCols: String*): DataFrame =
+    memberships
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("doc_id")).as("bucket_min"))
 
   /** LSH bucket memberships `(doc_id, band, bucket)` — the bipartite graph
     * behind both the one-round assignment and the transitive closure.

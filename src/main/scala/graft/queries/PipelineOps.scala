@@ -107,19 +107,24 @@ object PipelineOps {
   }
 
   /** C7e: end-to-end corpus curation — the composition a training
-    * pipeline actually ships: exact-dedup first-copy flag (window min
-    * over the content), language agreement (LangId.detect vs the
-    * declared lang), and a minimum-length gate, combined into one
-    * per-doc keep decision. Demonstrates that the curation primitives
-    * compose in a single declarative plan: one shuffle on text (dedup
-    * window), everything else narrow. Fully oracle-checked — dedup,
-    * lang-id scoring, argmax tie-break and the final conjunction are all
-    * replayed in SQL.
+    * pipeline actually ships: exact-dedup first-copy flag, language
+    * agreement (LangId.detect vs the declared lang), and a minimum-length
+    * gate, combined into one per-doc keep decision. The first-copy min is
+    * a partial (map-side combining) aggregate on the content shuffle-
+    * joined back — NOT a window over text: a corpus with a million copies
+    * of one boilerplate string would funnel them all into a single window
+    * task (no partial agg, no AQE skew split), whereas the groupBy
+    * collapses each text map-side and AQE skew-join handles the probe.
+    * Fully oracle-checked — dedup, lang-id scoring, argmax tie-break and
+    * the final conjunction are all replayed in SQL.
     */
   def c7Curate(spark: SparkSession, dir: String, minTokens: Int = 40): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
-    graft.text.LangId.detect(docs(spark, dir), col("text"))
-      .withColumn("first_copy", col("doc_id") === min(col("doc_id")).over(w))
+    val base = docs(spark, dir)
+    val firstIds = base.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("first_id"))
+    graft.text.LangId.detect(base, col("text"))
+      .join(firstIds, Seq("text"))
+      .withColumn("first_copy", col("doc_id") === col("first_id"))
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .withColumn("keep",
         col("first_copy") && col("detected_lang") === col("lang") &&

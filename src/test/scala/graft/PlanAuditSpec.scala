@@ -78,6 +78,25 @@ class PlanAuditSpec extends SparkSuite {
       s"c2_embed_neardup: corpus-sized broadcast:\n${trees.mkString("\n")}")
   }
 
+  test("dedup assignment bucket-min is a partial aggregate, never a window") {
+    // min().over(Window.partitionBy(band, bucket)) would ship every
+    // membership row of a mega-bucket into ONE task — no map-side combine,
+    // and AQE's skew mitigation does not apply to window exchanges. The
+    // assignment family must plan the bucket min as groupBy (partial
+    // HashAggregate) + join back. These queries need no window for
+    // anything else, so the assertion is simply: zero Window nodes.
+    // (The CC variants' edge generation is materialized during query
+    // construction, so its subtree is pinned separately in DedupSpec.)
+    // String checks, not TreeNode.collect: AdaptiveSparkPlanExec hides
+    // its input from collect until execution, but prints the full tree.
+    for (name <- Seq("c2_minhash_lsh", "c2_simhash", "c7_curate")) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name: window over raw memberships:\n$plan")
+      assert(plan.contains("HashAggregate"),
+        s"$name: expected a hash aggregate for the bucket min:\n$plan")
+    }
+  }
+
   test("set-sim join never broadcasts the token dictionary (vocab-sized)") {
     // Allowed broadcasts in c2_ngram_jaccard: the driver-built per-partition
     // offset table (pid/offset) and — on the bitmask path — the capped

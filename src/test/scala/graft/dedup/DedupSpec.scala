@@ -203,6 +203,36 @@ class DedupSpec extends SparkSuite {
     got.values.foreach(h => assert(h <= 10))
   }
 
+  test("CC edge generation: bucket-min is a partial aggregate, never a window") {
+    // The CC rounds materialize eagerly during query construction, so the
+    // edge subtree never shows up in the final query's physical plan —
+    // pin it directly: groupBy(band, bucket) partial agg + join back, no
+    // Window node (a window over raw memberships would funnel a
+    // mega-bucket into one task; see ConnectedComponents.edgesFromMemberships).
+    val mem = MinHash.memberships(
+      corpus, col("doc_id"), col("text"), numHashes = 64, bands = 16)
+    // String checks, not TreeNode.collect: AdaptiveSparkPlanExec hides
+    // its input from collect until execution, but prints the full tree.
+    val plan = ConnectedComponents.edgesFromMemberships(mem)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"edge generation uses a window:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"expected a hash aggregate for the bucket min:\n$plan")
+  }
+
+  test("starRoots short-circuits on an edge-free corpus (all docs kept)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(ConnectedComponents.starRoots(empty).count() == 0)
+    // End-to-end through the CC path: all-singleton buckets -> zero edges
+    // -> every doc is its own cluster rep.
+    val uniq = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val got = MinHash.dedupAssignmentsCC(uniq, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == 3 && got.forall { case (id, rep, kept) => id == rep && kept })
+  }
+
   test("starRoots with a durable checkpoint dir matches the localCheckpoint path") {
     import spark.implicits._
     // a chain (1-2-3-4), a triangle (10-11-12), an isolated edge (20-21)
