@@ -62,6 +62,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf, set at session build: b8_bucketed_join persists
+      // bucketed tables into the session catalog
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (classloading, codegen compiler, shuffle machinery)
@@ -70,17 +74,21 @@ object Bench {
     // Warm the streaming stack too (microbatch planner, state store,
     // memory sink): the c5_stream_* queries would otherwise be charged
     // this one-time classloading in their first timing.
+    val warmDir = java.nio.file.Files.createTempDirectory("bench-stream-warm")
     try {
-      val tmp = java.nio.file.Files.createTempDirectory("bench-stream-warm")
-      spark.range(2).toDF("v").write.mode("overwrite").parquet(tmp.toString)
-      val q = spark.readStream.schema("v LONG").parquet(tmp.toString)
+      spark.range(2).toDF("v").write.mode("overwrite").parquet(warmDir.toString)
+      val q = spark.readStream.schema("v LONG").parquet(warmDir.toString)
         .groupBy("v").count()
         .writeStream.format("memory").queryName("bench_stream_warm")
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(60000L)
+      // A wedged warmup must not leave a live streaming query (and its
+      // microbatch thread) running under the timed passes.
+      if (!q.awaitTermination(60000L)) q.stop()
     } catch { case e: Exception =>
       System.err.println(s"[bench] stream warmup failed: ${e.getMessage}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(warmDir.toFile)
     }
 
     val watchdog = new java.util.Timer("bench-watchdog", true)
@@ -149,35 +157,50 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
       .sortBy { case (n, _) => history.get(n).map(t => (1, t, n)).getOrElse((0, 0.0, n)) }
-    val firstPass = selected.flatMap { case (name, fn) =>
-      if (pastDeadline) {
-        System.err.println(s"[bench] $name skipped (past ${deadlineSec}s deadline)")
-        None
-      } else {
-        val sec = run(name, fn)
-        System.err.println(f"[bench] $name%-22s $sec%8.2f s")
-        done.add(name -> sec)
-        recordHistory(name, sec)
-        Some((name, fn, sec))
-      }
-    }
     // The host shows sporadic multi-minute freezes that park on whatever
     // query is running (observed repeatedly: a 2-4 s query charged 60-400 s
     // while system load stays idle). Best-of-2 on statistical outliers
     // removes that noise; honest regressions reproduce on the re-run and
     // keep their time. Outlier rule: > 3× the query's own cross-run history
     // best (the run median is itself freeze-inflatable — an inflated median
-    // once let 17-30 s artifacts stand); median×4 only for queries with no
-    // history yet; 4 s floor so sub-second jitter never triggers a rerun.
-    val med = firstPass.map(_._3).sorted.apply(firstPass.length / 2)
-    firstPass.foreach { case (name, fn, sec) =>
-      val threshold = history.get(name).map(3 * _).getOrElse(4 * med)
-      if (sec > math.max(4.0, threshold) && !pastDeadline) {
-        val again = run(name, fn)
-        System.err.println(f"[bench] $name%-22s $again%8.2f s (outlier rerun; first $sec%.2f)")
-        done.removeIf(_._1 == name)
-        done.add(name -> math.min(sec, again))
-        recordHistory(name, again)
+    // once let 17-30 s artifacts stand); 4 s floor so sub-second jitter
+    // never triggers a rerun. The rerun happens INLINE, the moment the
+    // outlier is detected — a deferred rerun pass was starved whenever a
+    // freeze-riddled first pass ate the whole deadline, which is exactly
+    // the run that needs reruns most (round-5 official bench).
+    val firstPass = selected.flatMap { case (name, fn) =>
+      if (pastDeadline) {
+        System.err.println(s"[bench] $name skipped (past ${deadlineSec}s deadline)")
+        None
+      } else {
+        var sec = run(name, fn)
+        System.err.println(f"[bench] $name%-22s $sec%8.2f s")
+        recordHistory(name, sec)
+        val threshold = history.get(name).map(3 * _)
+        if (threshold.exists(t => sec > math.max(4.0, t))) {
+          val again = run(name, fn)
+          System.err.println(
+            f"[bench] $name%-22s $again%8.2f s (inline outlier rerun; first $sec%.2f)")
+          recordHistory(name, again)
+          sec = math.min(sec, again)
+        }
+        done.add(name -> sec)
+        Some((name, fn, sec))
+      }
+    }
+    // Residual pass for queries with no history yet: their outlier
+    // threshold is median×4 of this run, which only exists after the full
+    // pass. Known queries were already corrected inline above.
+    if (firstPass.nonEmpty) {
+      val med = firstPass.map(_._3).sorted.apply(firstPass.length / 2)
+      firstPass.foreach { case (name, fn, sec) =>
+        if (!history.contains(name) && sec > math.max(4.0, 4 * med) && !pastDeadline) {
+          val again = run(name, fn)
+          System.err.println(f"[bench] $name%-22s $again%8.2f s (outlier rerun; first $sec%.2f)")
+          done.removeIf(_._1 == name)
+          done.add(name -> math.min(sec, again))
+          recordHistory(name, again)
+        }
       }
     }
     emitLine()

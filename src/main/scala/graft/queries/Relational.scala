@@ -319,6 +319,72 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** B3g: LEFT OUTER join — customers against their high-value orders,
+    * keeping customers with none (the null-extended side), aggregated per
+    * market segment with explicit null-side accounting. The most common
+    * join kind after inner; the filter on the order side lives in the
+    * join (pre-filtered build side), so null-extension semantics — not a
+    * WHERE that would silently turn the join back into an inner — are
+    * what the oracle checks.
+    */
+  def b3JoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 400000.0)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(col("o_orderkey")).as("n_big_orders"), // count(col) skips nulls
+        countDistinct(when(col("o_orderkey").isNull, col("c_custkey")))
+          .as("n_without"),
+        Exact.col(sumMoney("o_totalprice")).as("big_total"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** B3h: FULL OUTER join — one segment's customers against the distinct
+    * buyers of high-value orders; rows classify as customer-only /
+    * order-only / both, which exercises null extension on BOTH sides.
+    */
+  def b3JoinOuterFull(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey")).distinct()
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("both").as("side"))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("side")
+  }
+
+  /** B8: bucketed-storage join — both fact tables persisted bucketed (and
+    * sorted) on the join key via sources/Storage, so the join plans with
+    * NO exchange on either side: SortMergeJoin reads co-located buckets
+    * straight off disk. At 100 TB this converts the lineitem⋈orders
+    * shuffle — the single largest network cost in the corpus — into a
+    * one-time layout decision; every subsequent join on the key is
+    * shuffle-free. Shuffle-freedom is pinned in PlanAuditSpec; the oracle
+    * is the plain join (layout must not change semantics).
+    */
+  def b8BucketedJoin(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    graft.sources.Storage.writeBucketed(
+      t(spark, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+      "graft_b8_lineitem", "l_orderkey", buckets)
+    graft.sources.Storage.writeBucketed(
+      t(spark, dir, "orders").select("o_orderkey", "o_orderpriority"),
+      "graft_b8_orders", "o_orderkey", buckets)
+    spark.table("graft_b8_lineitem")
+      .join(spark.table("graft_b8_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(Exact.col(revenueSql).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
   /** B2c: approximate distinct (HLL++) — the sketch path for COUNT
     * DISTINCT at scale. The raw estimate is engine-specific, so it is not
     * an output column; instead the row carries the exact twin AND
@@ -529,6 +595,29 @@ object Relational {
         "CAST(range * 100000 AS DOUBLE) AS lo, CAST((range + 1) * 100000 AS DOUBLE) AS hi " +
         "FROM range(0, 5)) ON o_totalprice >= lo AND o_totalprice < hi " +
         "GROUP BY band ORDER BY band"),
+    "b3_join_outer" ->
+      ("SELECT c_mktsegment, CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers, " +
+        "COUNT(o_orderkey) AS n_big_orders, " +
+        "CAST(COUNT(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END) AS BIGINT) " +
+        "AS n_without, " +
+        s"${sumMoney("o_totalprice")} AS big_total " +
+        "FROM customer LEFT OUTER JOIN orders " +
+        "ON c_custkey = o_custkey AND o_totalprice > 400000.0 " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "b3_join_outer_full" ->
+      ("SELECT side, count(*) AS n FROM (" +
+        "SELECT CASE WHEN c_custkey IS NULL THEN 'order_only' " +
+        "WHEN o_custkey IS NULL THEN 'customer_only' ELSE 'both' END AS side " +
+        "FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c " +
+        "FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders " +
+        "WHERE o_totalprice > 400000.0) o ON c_custkey = o_custkey) " +
+        "GROUP BY side ORDER BY side"),
+    // Layout must not change semantics: the bucketed join's oracle is the
+    // plain join.
+    "b8_bucketed_join" ->
+      (s"SELECT o_orderpriority, $revenueSql AS revenue, COUNT(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "b3_join_salted" ->
       (s"SELECT o_orderpriority, $revenueSql AS revenue, COUNT(*) AS n_items " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
@@ -555,6 +644,9 @@ object Relational {
     "b3_join_anti" -> (b3JoinAnti _),
     "b3_join_range" -> (b3JoinRange _),
     "b3_join_salted" -> ((s: SparkSession, d: String) => b3JoinSalted(s, d)),
+    "b3_join_outer" -> (b3JoinOuter _),
+    "b3_join_outer_full" -> (b3JoinOuterFull _),
+    "b8_bucketed_join" -> ((s: SparkSession, d: String) => b8BucketedJoin(s, d)),
     "b4_window_topn" -> (b4WindowTopN _),
     "b4_window_topn_agg" -> ((s: SparkSession, d: String) => b4WindowTopNAgg(s, d)),
     "b4_window_running" -> (b4WindowRunning _),

@@ -97,6 +97,33 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("bucketed join plans with no exchange on either join input") {
+    // b8_bucketed_join persists both sides bucketed+sorted on the join
+    // key: the SortMergeJoin must read co-located buckets directly — any
+    // Exchange under the join means the layout was ignored and the 100 TB
+    // shuffle is back. Audited under cluster-planning conditions
+    // (auto-broadcast off so the small side can't be rescued by size, AQE
+    // off so the static tree is inspectable).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val plan = SparkEntry.queries("b8_bucketed_join")(spark, sf)
+        .queryExecution.executedPlan
+      val joins = plan.collect {
+        case j if j.getClass.getSimpleName.contains("SortMergeJoin") => j
+      }
+      assert(joins.nonEmpty, s"expected a SortMergeJoin:\n$plan")
+      val exchanges = joins.head.collect {
+        case e if e.getClass.getSimpleName.contains("Exchange") => e.nodeName
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join still shuffles: ${exchanges.mkString(", ")}\n${joins.head}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("set-sim join never broadcasts the token dictionary (vocab-sized)") {
     // Allowed broadcasts in c2_ngram_jaccard: the driver-built per-partition
     // offset table (pid/offset) and — on the bitmask path — the capped
