@@ -40,6 +40,17 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding windows (1 hour, every 30 minutes) — the streaming twin of
+    * EventOps.c5Sliding: each event lands in 2 open windows; the
+    * watermark closes and evicts them 2 hours after their end.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"))
+
   /** Session windows (30-minute gap) per user — the streaming twin of
     * EventOps.c5Sessionize, via the native session_window operator.
     */
@@ -79,12 +90,27 @@ object EventStream {
       .toDF()
   }
 
+  /** Epoch MICROseconds of a Timestamp — `getTime` alone is millisecond-
+    * grained and would silently truncate the corpus's microsecond event
+    * times (the state ops must match the batch oracles bit-for-bit).
+    */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Custom sessionization via flatMapGroupsWithState — the full
     * arbitrary-stateful surface (multi-row emission + explicit state
     * lifecycle), for session logic `session_window` can't express (e.g.
     * carrying per-session aggregates other than count). State per user is
-    * the open session only; closed sessions are emitted and dropped, so
-    * state is O(users), not O(stream).
+    * the open session only; CLOSED sessions are emitted and dropped, so
+    * state is O(users), not O(stream) — each user's final session stays
+    * open (a real stream never ends) and is deliberately not emitted.
+    * Session times are exact to the microsecond (see [[tsMicros]]).
     */
   final case class OpenSession(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
@@ -100,16 +126,16 @@ object EventStream {
       .flatMapGroupsWithState[OpenSession, SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         case (uid, rows, state: GroupState[OpenSession]) =>
-          val sorted = rows.map(_._2.getTime).toSeq.sorted
+          val sorted = rows.map(r => tsMicros(r._2)).toSeq.sorted
           var out = List.empty[SessionOut]
           var cur = state.getOption
           sorted.foreach { t =>
             cur match {
-              case Some(s) if t - s.last < gapSeconds * 1000 =>
+              case Some(s) if t - s.last < gapSeconds * 1000000L =>
                 cur = Some(OpenSession(s.start, t, s.n + 1))
               case Some(s) =>
-                out ::= SessionOut(uid, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.last), s.n, closed = true)
+                out ::= SessionOut(uid, microsTs(s.start),
+                  microsTs(s.last), s.n, closed = true)
                 cur = Some(OpenSession(t, t, 1))
               case None =>
                 cur = Some(OpenSession(t, t, 1))
@@ -177,8 +203,25 @@ object EventStream {
     // Bounded wait: AvailableNow over a static table terminates in
     // seconds; the cap only exists so an external stall can't wedge the
     // caller (Bench watchdogs cancel job groups, which streaming's
-    // microbatch thread ignores).
-    if (!q.awaitTermination(300000L)) q.stop()
+    // microbatch thread ignores). A stalled stream FAILS — returning the
+    // partially-filled sink would be plausible-but-wrong rows.
+    if (!q.awaitTermination(300000L)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming query $name did not terminate within 300s; " +
+          "refusing to return a partially-filled sink")
+    }
+    // Single-batch invariant: the oracles are batch SQL over the whole
+    // table, equivalent to the streaming result only because every row
+    // arrives in ONE data micro-batch (the sf events table is a single
+    // parquet file). A multi-file table or maxFilesPerTrigger would let
+    // the 2h watermark drop late rows / evict dedup state mid-stream and
+    // diverge silently — fail loudly instead.
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (dataBatches != 1)
+      throw new IllegalStateException(
+        s"streaming query $name ran $dataBatches data micro-batches; " +
+          "the batch oracle is only valid for exactly one")
     spark.table(name)
   }
 
@@ -198,6 +241,44 @@ object EventStream {
   def c5StreamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s: SparkSession = spark
     runAvailableNow(sessionCounts(readEventsTable(spark, sfDir)), OutputMode.Complete())
+      .orderBy("user_id", "session_start")
+  }
+
+  /** c5_stream_sliding: the streaming sliding-window aggregation — same
+    * oracle as the batch twin (two shifted tumbling bucketings).
+    */
+  def c5StreamSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    runAvailableNow(slidingCounts(readEventsTable(spark, sfDir)), OutputMode.Complete())
+      .orderBy("window_start")
+  }
+
+  /** c5_stream_user_stats: the mapGroupsWithState arbitrary-state surface
+    * under real streaming execution. With the single AvailableNow data
+    * batch, each user's state is updated once, so the Update-mode sink
+    * holds exactly the final per-user stats — oracle = per-user count +
+    * max ts in plain SQL.
+    */
+  def c5StreamUserStats(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    runAvailableNow(
+      userRunningStats(spark, readEventsTable(spark, sfDir)),
+      OutputMode.Update())
+      .orderBy("user_id")
+  }
+
+  /** c5_stream_sessionize_state: the flatMapGroupsWithState surface
+    * (multi-row emission, explicit state lifecycle) under streaming
+    * execution. Only CLOSED sessions are emitted — each user's last
+    * session stays open in state — so the oracle is the batch
+    * gaps-and-islands sessions minus each user's final session.
+    */
+  def c5StreamSessionizeState(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    runAvailableNow(
+      sessionizeWithState(spark, readEventsTable(spark, sfDir)).toDF(),
+      OutputMode.Append())
+      .select("user_id", "session_start", "session_end", "n_events")
       .orderBy("user_id", "session_start")
   }
 
@@ -240,13 +321,41 @@ object EventStream {
         "FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_start"),
     "c5_stream_dedup" ->
       ("SELECT DISTINCT user_id, event_type, value FROM events " +
-        "ORDER BY user_id, event_type, value")
+        "ORDER BY user_id, event_type, value"),
+    "c5_stream_sliding" ->
+      ("SELECT window_start, count(*) AS n_events FROM (" +
+        "SELECT unnest([time_bucket(INTERVAL '30 minutes', ts), " +
+        "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS window_start " +
+        "FROM events) GROUP BY window_start ORDER BY window_start"),
+    "c5_stream_user_stats" ->
+      ("SELECT user_id, count(*) AS n_events, max(ts) AS last_ts " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "c5_stream_sessionize_state" ->
+      ("WITH flagged AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END " +
+        "AS new_session FROM events WINDOW w AS " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT user_id, ts, SUM(new_session) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx " +
+        "FROM flagged), " +
+        "agg AS (SELECT user_id, session_idx, min(ts) AS session_start, " +
+        "max(ts) AS session_end, count(*) AS n_events " +
+        "FROM sess GROUP BY user_id, session_idx), " +
+        "agg2 AS (SELECT *, max(session_idx) OVER (PARTITION BY user_id) " +
+        "AS last_idx FROM agg) " +
+        "SELECT user_id, session_start, session_end, n_events FROM agg2 " +
+        "WHERE session_idx < last_idx ORDER BY user_id, session_start")
   )
 
   /** Driver query registry (merged into SparkEntry.queries). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c5_stream_tumbling" -> (c5StreamTumbling _),
     "c5_stream_sessionize" -> (c5StreamSessionize _),
-    "c5_stream_dedup" -> (c5StreamDedup _)
+    "c5_stream_dedup" -> (c5StreamDedup _),
+    "c5_stream_sliding" -> (c5StreamSliding _),
+    "c5_stream_user_stats" -> (c5StreamUserStats _),
+    "c5_stream_sessionize_state" -> (c5StreamSessionizeState _)
   )
 }

@@ -104,25 +104,28 @@ class EventStreamSpec extends SparkSuite {
       EventStream.sessionizeWithState(spark, mem.toDF()).toDF(), "fmgs_test",
       org.apache.spark.sql.streaming.OutputMode.Append())
     try {
-      // compare at millisecond precision (the state op's Timestamp math)
+      // compare at MICROsecond precision — the state op's session math is
+      // epoch-micros exact (it must match the driver's batch oracle
+      // bit-for-bit, and the corpus carries microsecond event times)
+      def micros(t: Timestamp): Long =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
       val closed = spark.table("fmgs_test").filter(col("closed"))
         .select("user_id", "session_start", "n_events")
-        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+        .collect().map(r => (r.getLong(0), micros(r.getTimestamp(1)), r.getLong(2))).toSet
       // batch sessions over the same rows; every closed streaming session
       // (all but each user's last) must appear identically in batch.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val batch = eventRows.toDF()
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        // millisecond boundary logic, identical to the state op's getTime math
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-            unix_millis(col("ts")) - unix_millis(col("prev_ts")) >= 1800000L, 1L)
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 1800000000L, 1L)
             .otherwise(0L))
         .withColumn("session_idx", sum(col("new_session")).over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
         .groupBy("user_id", "session_idx")
-        .agg(unix_millis(min(col("ts"))).as("session_start"), count(lit(1)).as("n_events"))
+        .agg(unix_micros(min(col("ts"))).as("session_start"), count(lit(1)).as("n_events"))
         .select("user_id", "session_start", "n_events")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(closed.subsetOf(batch),
