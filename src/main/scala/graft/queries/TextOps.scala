@@ -182,8 +182,12 @@ object TextOps {
     */
   private[queries] def langIdCtes: String = {
     val langs = LangId.functionWords.keys.toSeq.sorted
+    // SQL-escape each word: a function word containing an apostrophe
+    // (e.g. a French elision like l'on) must not corrupt the generated
+    // oracle text.
     def words(l: String): String =
-      LangId.functionWords(l).map(w => s"'$w'").mkString("[", ",", "]")
+      LangId.functionWords(l)
+        .map(w => s"'${w.replace("'", "''")}'").mkString("[", ",", "]")
     val scoreCols = langs.map { l =>
       val base = s"CAST(len(list_filter(toks, t -> list_contains(${words(l)}, t))) AS BIGINT)"
       val s = if (l == "zh") s"$base + cjk" else base

@@ -78,20 +78,50 @@ class SourcesSpec extends SparkSuite {
       graft.Tables.load(spark, sf, "documents").schema.fieldNames.toSeq)
   }
 
-  test("csv source rejects rows with missing required fields") {
+  test("csv source rejects rows with missing required fields (eager audit mode)") {
     val path = writeTemp(
       """doc_id,text,lang,source,n_chars
         |1,hello,en,web,5
         |,orphan,en,web,6""".stripMargin, suffix = ".csv")
-    val res = Sources.readDocuments(spark, path, format = "csv")
+    val res = Sources.readDocuments(spark, path, format = "csv", audit = true)
     assert(res.isLeft && res.swap.exists(_.contains("missing doc_id/text")))
+  }
+
+  test("default mode validates in a single scan: read is lazy, first action fails") {
+    val bad = writeTemp(
+      """doc_id,text,lang,source,n_chars
+        |1,hello,en,web,5
+        |,orphan,en,web,6""".stripMargin, suffix = ".csv")
+    // No eager validation scan: the read returns Right even on a bad file
+    // (the old two-scan audit would have returned Left here)...
+    val res = Sources.readDocuments(spark, bad, format = "csv")
+    assert(res.isRight)
+    // ...and the consumer's FIRST action fails loudly on the bad row.
+    val e = intercept[Exception](res.toOption.get.collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("missing doc_id/text"))),
+      s"unexpected failure: $e")
+    // A clean file flows through the same guard untouched.
+    val good = writeTemp(
+      """doc_id,text,lang,source,n_chars
+        |1,hello,en,web,5
+        |2,hola,es,web,4""".stripMargin, suffix = ".csv")
+    val Right(df) = Sources.readDocuments(spark, good, format = "csv")
+    assert(df.count() == 2)
   }
 
   test("csv source FAILFAST rejects ill-typed rows") {
     val path = writeTemp(
       """doc_id,text,lang,source,n_chars
         |not_a_number,hello,en,web,5""".stripMargin, suffix = ".csv")
-    assert(Sources.readDocuments(spark, path, format = "csv").isLeft)
+    assert(Sources.readDocuments(spark, path, format = "csv", audit = true).isLeft)
+    // default (single-scan) mode surfaces the same FAILFAST error at the
+    // consumer's action instead
+    val lazyRes = Sources.readDocuments(spark, path, format = "csv")
+    assert(lazyRes.isRight)
+    intercept[Exception](lazyRes.toOption.get.collect())
   }
 
   test("jsonl source reads the documents shape") {
