@@ -42,8 +42,13 @@ object ConnectedComponents {
     * truncated lineage; with an HDFS/object-store dir the job survives it.
     */
   def assignmentsFromMemberships(memberships: DataFrame): DataFrame = {
-    val docs = memberships.select(col("doc_id")).distinct()
-    val roots = starRoots(edgesFromMemberships(memberships))
+    // Persisted: the membership table (signature = one MD5 per token)
+    // feeds three consumers — the doc universe, the bucket-min aggregate,
+    // and the join probe of the edge generation — compute it once.
+    val mem = memberships
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = mem.select(col("doc_id")).distinct()
+    val roots = starRoots(edgesFromMemberships(mem))
     docs
       .join(roots, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -100,7 +100,11 @@ object MinHash {
       text: Column,
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
+    // Persisted: the signature (one MD5 per token) dominates per-row cost
+    // and the membership table feeds two consumers (the bucket-min
+    // aggregate and the join probe) — compute it once, spill if large.
     val banded = memberships(df, id, text, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded
       .join(bucketMins(banded, "band", "bucket"), Seq("band", "bucket"))
       .groupBy("doc_id")
