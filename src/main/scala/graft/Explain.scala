@@ -4,11 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: run named queries with formatted explain + repeated timing.
   * Usage: runMain graft.Explain <sfDir> <query...> [-n reps] [-x (explain)]
+  *   [-b (cluster-planning mode: auto-broadcast off — the tiny local
+  *        fixtures otherwise let Catalyst broadcast sides that would be
+  *        corpus-sized on a real cluster)]
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args.drop(1).filterNot(_.startsWith("-"))
+      .filterNot(a => args.indexOf("-n") >= 0 && args(args.indexOf("-n") + 1) == a)
     val reps = if (args.contains("-n")) args(args.indexOf("-n") + 1).toInt else 2
     val doExplain = args.contains("-x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,8 +21,12 @@ object Explain {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("-b"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       if (doExplain) {

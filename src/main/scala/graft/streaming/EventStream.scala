@@ -146,6 +146,31 @@ object EventStream {
       }
   }
 
+  /** Stream-stream inner join — purchases joined to the same user's
+    * clicks within the preceding `windowHours` hours, both sides
+    * streaming. The time-range condition + watermarks bound the join
+    * state: each side buffers only rows younger than watermark +
+    * constraint span, so state is O(rows per horizon), not O(stream) —
+    * the form an attribution pipeline runs forever. (Spark requires
+    * watermarks on both inputs and a time constraint to age state out;
+    * without them a stream-stream join is unbounded.)
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+      windowHours: Int = 6): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowHours HOURS") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"), col("c_ts"))
+  }
+
   /** Streaming exact dedup — the streaming twin of c1_exact_dedup: drop
     * repeats of the same (user_id, event_type, value) payload arriving
     * within the watermark horizon. `dropDuplicatesWithinWatermark` keys
@@ -282,6 +307,21 @@ object EventStream {
       .orderBy("user_id", "session_start")
   }
 
+  /** c5_stream_join: the watermarked stream-stream interval join under
+    * real streaming execution (both sides are independent file-source
+    * streams of the same events table); oracle = the equivalent batch
+    * interval join. Inner-join matches emit as soon as both rows are
+    * buffered, so the single AvailableNow batch yields the full result.
+    */
+  def c5StreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    runAvailableNow(
+      purchaseClickJoin(
+        readEventsTable(spark, sfDir), readEventsTable(spark, sfDir)),
+      OutputMode.Append())
+      .orderBy("p_id", "c_id")
+  }
+
   /** c5_stream_dedup: dropDuplicatesWithinWatermark over the event
     * payload columns; projected to the dedup key so the surviving-row
     * choice (arrival order) doesn't enter the result — oracle = batch
@@ -330,6 +370,14 @@ object EventStream {
     "c5_stream_user_stats" ->
       ("SELECT user_id, count(*) AS n_events, max(ts) AS last_ts " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    "c5_stream_join" ->
+      ("SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts, " +
+        "c.event_id AS c_id, c.ts AS c_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id " +
+        "AND c.ts >= p.ts - INTERVAL '6 hours' AND c.ts <= p.ts " +
+        "ORDER BY p_id, c_id"),
     "c5_stream_sessionize_state" ->
       ("WITH flagged AS (SELECT user_id, ts, event_id, " +
         "CASE WHEN lag(ts) OVER w IS NULL OR " +
@@ -356,6 +404,7 @@ object EventStream {
     "c5_stream_dedup" -> (c5StreamDedup _),
     "c5_stream_sliding" -> (c5StreamSliding _),
     "c5_stream_user_stats" -> (c5StreamUserStats _),
-    "c5_stream_sessionize_state" -> (c5StreamSessionizeState _)
+    "c5_stream_sessionize_state" -> (c5StreamSessionizeState _),
+    "c5_stream_join" -> (c5StreamJoin _)
   )
 }
