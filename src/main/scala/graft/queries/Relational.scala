@@ -385,6 +385,31 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** B8b: partition-pruned scan — the events table persisted
+    * directory-per-day (`sources/Storage.writePartitioned`, the standard
+    * time-series layout), then queried with a date predicate: the scan
+    * reads ONLY the matching directories (`PartitionFilters` in the scan
+    * node, pinned in PlanAuditSpec). At 100 TB this is the difference
+    * between reading 5 days and reading 30 — pruning happens at file
+    * listing, before any I/O. Oracle = the same filter over the unlaid
+    * table (layout must not change semantics).
+    */
+  def b8PartitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:") + "/graft_b8_events_bydate"
+    graft.sources.Storage.writePartitioned(
+      t(spark, dir, "events")
+        .select(col("ts"), col("event_type"), col("value"),
+          to_date(col("ts")).as("event_date")),
+      out, Seq("event_date"))
+    spark.read.parquet(out)
+      .filter(col("event_date").between("2024-01-05", "2024-01-09"))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.col("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("sum_value"))
+      .orderBy("event_date", "event_type")
+  }
+
   /** B2c: approximate distinct (HLL++) — the sketch path for COUNT
     * DISTINCT at scale. The raw estimate is engine-specific, so it is not
     * an output column; instead the row carries the exact twin AND
@@ -612,6 +637,13 @@ object Relational {
         "FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders " +
         "WHERE o_totalprice > 400000.0) o ON c_custkey = o_custkey) " +
         "GROUP BY side ORDER BY side"),
+    "b8_partitioned_scan" ->
+      ("SELECT CAST(ts AS DATE) AS event_date, event_type, " +
+        "count(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
+        "FROM events " +
+        "WHERE CAST(ts AS DATE) BETWEEN '2024-01-05' AND '2024-01-09' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     // Layout must not change semantics: the bucketed join's oracle is the
     // plain join.
     "b8_bucketed_join" ->
@@ -647,6 +679,7 @@ object Relational {
     "b3_join_outer" -> (b3JoinOuter _),
     "b3_join_outer_full" -> (b3JoinOuterFull _),
     "b8_bucketed_join" -> ((s: SparkSession, d: String) => b8BucketedJoin(s, d)),
+    "b8_partitioned_scan" -> (b8PartitionedScan _),
     "b4_window_topn" -> (b4WindowTopN _),
     "b4_window_topn_agg" -> ((s: SparkSession, d: String) => b4WindowTopNAgg(s, d)),
     "b4_window_running" -> (b4WindowRunning _),

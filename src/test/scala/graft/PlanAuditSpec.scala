@@ -124,6 +124,19 @@ class PlanAuditSpec extends SparkSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("partitioned scan prunes to the filtered date directories") {
+    // b8_partitioned_scan lays events out directory-per-day; the date
+    // predicate must land in PartitionFilters (pruned at file listing,
+    // before any I/O) — an empty PartitionFilters list means the scan
+    // reads all 30 days to answer a 5-day question.
+    val plan = SparkEntry.queries("b8_partitioned_scan")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pf = plan.split("PartitionFilters: \\[")
+    assert(pf.length > 1, s"no PartitionFilters in scan:\n$plan")
+    assert(pf(1).split("\\]").head.contains("event_date"),
+      s"date predicate not pushed to partition pruning:\n$plan")
+  }
+
   test("set-sim join never broadcasts the token dictionary (vocab-sized)") {
     // Allowed broadcasts in c2_ngram_jaccard: the driver-built per-partition
     // offset table (pid/offset) and — on the bitmask path — the capped
