@@ -134,7 +134,43 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** C7f: causal-LM sequence packing — concatenate documents in stable
+    * order and chunk the token stream into fixed-length training
+    * sequences (docs split across boundaries, the standard GPT-style
+    * packing). Emits, per doc, the first/last sequence index it lands in
+    * and how many sequences it spans — the assignment a tokenizer shard
+    * needs to materialize packed examples. Pure integer window
+    * arithmetic off the running token sum, so any engine reproduces the
+    * same packing bit-for-bit (resume/backfill-safe, like the other C7
+    * operators). Packing is per-language (the mix is assembled per
+    * source stream); the window partitions on lang, so no global-order
+    * single-partition scan — the 100 TB form shards the stream the same
+    * way.
+    */
+  def c7PackSequences(spark: SparkSession, dir: String, seqLen: Long = 2048L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    docs(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $seqLen").as("first_seq"),
+        expr(s"(cum - 1) div $seqLen").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1L)
+      .orderBy("lang", "doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "c7_pack_sequences" ->
+      ("SELECT lang, doc_id, n_tokens, " +
+        "(cum - n_tokens) // 2048 AS first_seq, " +
+        "(cum - 1) // 2048 AS last_seq, " +
+        "((cum - 1) // 2048) - ((cum - n_tokens) // 2048) + 1 AS n_seqs " +
+        "FROM (SELECT lang, doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(len(string_split(text, ' '))) OVER " +
+        "(PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum " +
+        "FROM documents) ORDER BY lang, doc_id"),
     "c7_curate" ->
       (s"WITH ${TextOps.langIdCtes}, " +
         "det AS (SELECT doc_id, struct_extract(best, 'code') AS detected_lang FROM b), " +
@@ -179,6 +215,7 @@ object PipelineOps {
     "c7_split_assign" -> (c7SplitAssign _),
     "c7_token_budget" -> ((s: SparkSession, d: String) => c7TokenBudget(s, d)),
     "c7_decontaminate" -> ((s: SparkSession, d: String) => c7Decontaminate(s, d)),
-    "c7_curate" -> ((s: SparkSession, d: String) => c7Curate(s, d))
+    "c7_curate" -> ((s: SparkSession, d: String) => c7Curate(s, d)),
+    "c7_pack_sequences" -> ((s: SparkSession, d: String) => c7PackSequences(s, d))
   )
 }

@@ -179,6 +179,26 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** B4e: the full ranking-function family over one window —
+    * rank/dense_rank (gap vs no-gap on price ties), ntile quartiles,
+    * percent_rank and cume_dist (rational of two counts — both engines
+    * perform the identical single double division, so the comparison is
+    * bitwise-stable). Completes the §2.2 window-function row beyond
+    * row_number/lag/running-sum.
+    */
+  def b4WindowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** B5: global sort + limit (top-k): Spark plans this as TakeOrderedAndProject
     * — a per-partition top-k then a k-row merge, no full global sort.
     */
@@ -557,6 +577,16 @@ object Relational {
         "lag(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
         "o_orderdate) AS INT) AS days_since_prev " +
         "FROM orders ORDER BY o_custkey, o_orderkey"),
+    "b4_window_ranks" ->
+      ("SELECT o_orderpriority, o_orderkey, " +
+        "CAST(rank() OVER w AS INT) AS rnk, " +
+        "CAST(dense_rank() OVER w AS INT) AS drnk, " +
+        "CAST(ntile(4) OVER w AS INT) AS quartile, " +
+        "percent_rank() OVER w AS pct_rank, " +
+        "cume_dist() OVER w AS cdist " +
+        "FROM orders WINDOW w AS " +
+        "(PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) " +
+        "ORDER BY o_orderpriority, o_orderkey"),
     "b5_topk" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
         "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"),
@@ -684,6 +714,7 @@ object Relational {
     "b4_window_topn_agg" -> ((s: SparkSession, d: String) => b4WindowTopNAgg(s, d)),
     "b4_window_running" -> (b4WindowRunning _),
     "b4_window_lag" -> (b4WindowLag _),
+    "b4_window_ranks" -> (b4WindowRanks _),
     "b5_topk" -> (b5TopK _),
     "b5_setops" -> (b5SetOps _),
     "b5_distinct" -> (b5Distinct _),
