@@ -150,7 +150,34 @@ object EventOps {
     }.reduce(_.unionByName(_)).orderBy("stage")
   }
 
+  /** C5g: cohort retention — users cohorted by first-seen date; for each
+    * (cohort, day-offset) cell, how many of the cohort's users were
+    * active that day. The classic product-analytics matrix (funnel's
+    * sibling). Two shuffles: the per-user min (partial agg) and the
+    * final cell aggregate — the cohort table is one row per user, so the
+    * join back is a plain equi-join AQE can handle at any scale.
+    */
+  def c5Retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    e.join(cohorts, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val oracle: Map[String, String] = Map(
+    "c5_retention" ->
+      ("WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id) " +
+        "SELECT cohort_day, " +
+        "CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset, " +
+        "CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active " +
+        "FROM d JOIN c ON d.user_id = c.user_id " +
+        "GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset"),
     "c5_funnel" ->
       ("WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events " +
         "WHERE event_type = 'view' GROUP BY user_id), " +
@@ -212,6 +239,7 @@ object EventOps {
     "c5_sessionize" -> (c5Sessionize _),
     "c5_user_seq" -> (c5UserSeq _),
     "c5_asof_join" -> (c5AsofJoin _),
-    "c5_funnel" -> (c5Funnel _)
+    "c5_funnel" -> (c5Funnel _),
+    "c5_retention" -> (c5Retention _)
   )
 }
