@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** Structural invariants of the C7 packing and C5 retention operators —
+  * properties the row-level oracle compare can't express (the DuckDB
+  * check proves cross-engine equality; these prove the *semantics* are
+  * the ones a training pipeline needs).
+  */
+class PipelineSpec extends SparkSuite {
+
+  test("c7_pack_sequences: contiguous, gap-free packing per language") {
+    val rows = PipelineOps.c7PackSequences(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val L = 2048L
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      val ordered = docs.sortBy(_._2)
+      // spans are self-consistent and non-negative
+      ordered.foreach { case (_, id, n, first, last, nSeqs) =>
+        assert(n >= 1, s"$lang/$id: empty doc")
+        assert(first <= last && nSeqs == last - first + 1, s"$lang/$id: bad span")
+        // a doc of n tokens can span at most ceil(n/L)+1 sequences
+        assert(nSeqs <= (n - 1) / L + 2, s"$lang/$id: span too wide for $n tokens")
+      }
+      // the token stream is contiguous: each doc starts in the sequence
+      // its predecessor ended in, or (exactly at a boundary) the next one
+      ordered.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (_, idA, _, _, lastA, _) = pair(0)
+        val (_, idB, _, firstB, _, _) = pair(1)
+        assert(firstB == lastA || firstB == lastA + 1,
+          s"$lang: gap between doc $idA (last_seq $lastA) and doc $idB (first_seq $firstB)")
+      }
+      // full coverage: total sequences = ceil(total tokens / L)
+      val totalTokens = ordered.map(_._3).sum
+      assert(ordered.map(_._5).max == (totalTokens - 1) / L,
+        s"$lang: sequence count != ceil(total/L)")
+      assert(ordered.head._4 == 0L, s"$lang: packing must start at sequence 0")
+    }
+  }
+
+  test("c5_retention: day-0 cell equals cohort size; offsets non-negative") {
+    val cells = EventOps.c5Retention(spark, sf)
+      .collect()
+      .map(r => (r.getDate(0), r.getInt(1), r.getLong(2)))
+    assert(cells.nonEmpty)
+    cells.foreach { case (_, off, n) =>
+      assert(off >= 0, "activity before a user's first-seen day")
+      assert(n >= 1)
+    }
+    // every cohort has a day-0 cell (each user is active on their
+    // first-seen day by construction), and no later cell can exceed it
+    cells.groupBy(_._1).foreach { case (cohort, cs) =>
+      val byOff = cs.map(c => c._2 -> c._3).toMap
+      assert(byOff.contains(0), s"$cohort: missing day-0 cell")
+      byOff.foreach { case (off, n) =>
+        assert(n <= byOff(0), s"$cohort: offset $off actives $n > cohort size ${byOff(0)}")
+      }
+    }
+  }
+}
