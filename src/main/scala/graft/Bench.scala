@@ -93,28 +93,43 @@ object Bench {
 
     val watchdog = new java.util.Timer("bench-watchdog", true)
 
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Some(seconds) iff the query ran to completion. A watchdog-cancelled
+    // or crashed query returns None and is recorded NOWHERE — not in the
+    // JSON line, not in history: elapsed-time-at-cancellation is not a
+    // timing, and recording it once let 150 s ceiling artifacts stand in
+    // the official record as if the queries *took* 150 s.
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       // Operators persist() reused intermediates; drop them between timed
       // runs so every measurement starts cold and reruns can't cheat.
       spark.catalog.clearCache()
       val group = s"bench-$name"
       spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+      val cancelled = new AtomicBoolean(false)
       val cancel = new java.util.TimerTask {
         def run(): Unit = {
           System.err.println(s"[bench] $name exceeded ${queryTimeoutSec}s — cancelling")
+          cancelled.set(true)
           spark.sparkContext.cancelJobGroup(group)
         }
       }
       watchdog.schedule(cancel, queryTimeoutSec * 1000L)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      } finally {
-        cancel.cancel()
-        spark.sparkContext.clearJobGroup()
+      val completed =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          if (!cancelled.get)
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        } finally {
+          cancel.cancel()
+          spark.sparkContext.clearJobGroup()
+        }
+      if (completed && !cancelled.get) Some((System.nanoTime() - t0) / 1e9)
+      else {
+        System.err.println(s"[bench] $name NOT recorded (" +
+          (if (cancelled.get) "watchdog-cancelled" else "failed") + ")")
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // Optional dev filter: SPARK_GRAFT_ONLY=<regex> times a subset.
@@ -173,19 +188,25 @@ object Bench {
         System.err.println(s"[bench] $name skipped (past ${deadlineSec}s deadline)")
         None
       } else {
-        var sec = run(name, fn)
-        System.err.println(f"[bench] $name%-22s $sec%8.2f s")
-        recordHistory(name, sec)
-        val threshold = history.get(name).map(3 * _)
-        if (threshold.exists(t => sec > math.max(4.0, t))) {
-          val again = run(name, fn)
-          System.err.println(
-            f"[bench] $name%-22s $again%8.2f s (inline outlier rerun; first $sec%.2f)")
-          recordHistory(name, again)
-          sec = math.min(sec, again)
+        run(name, fn).map { first =>
+          System.err.println(f"[bench] $name%-22s $first%8.2f s")
+          recordHistory(name, first)
+          var sec = first
+          val threshold = history.get(name).map(3 * _)
+          // Inline rerun only while inside the soft deadline: a
+          // freeze-inflated outlier detected AT the deadline edge must
+          // not buy another full execution past it.
+          if (threshold.exists(t => sec > math.max(4.0, t)) && !pastDeadline) {
+            run(name, fn).foreach { again =>
+              System.err.println(
+                f"[bench] $name%-22s $again%8.2f s (inline outlier rerun; first $sec%.2f)")
+              recordHistory(name, again)
+              sec = math.min(sec, again)
+            }
+          }
+          done.add(name -> sec)
+          (name, fn, sec)
         }
-        done.add(name -> sec)
-        Some((name, fn, sec))
       }
     }
     // Residual pass for queries with no history yet: their outlier
@@ -195,11 +216,12 @@ object Bench {
       val med = firstPass.map(_._3).sorted.apply(firstPass.length / 2)
       firstPass.foreach { case (name, fn, sec) =>
         if (!history.contains(name) && sec > math.max(4.0, 4 * med) && !pastDeadline) {
-          val again = run(name, fn)
-          System.err.println(f"[bench] $name%-22s $again%8.2f s (outlier rerun; first $sec%.2f)")
-          done.removeIf(_._1 == name)
-          done.add(name -> math.min(sec, again))
-          recordHistory(name, again)
+          run(name, fn).foreach { again =>
+            System.err.println(f"[bench] $name%-22s $again%8.2f s (outlier rerun; first $sec%.2f)")
+            done.removeIf(_._1 == name)
+            done.add(name -> math.min(sec, again))
+            recordHistory(name, again)
+          }
         }
       }
     }

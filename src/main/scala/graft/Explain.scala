@@ -11,9 +11,15 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args.drop(1).filterNot(_.startsWith("-"))
-      .filterNot(a => args.indexOf("-n") >= 0 && args(args.indexOf("-n") + 1) == a)
-    val reps = if (args.contains("-n")) args(args.indexOf("-n") + 1).toInt else 2
+    // The reps value is dropped from `names` by POSITION (the single slot
+    // after -n), never by value — a query name equal to the number must
+    // survive; a trailing -n (no value) falls back to the default.
+    val nIdx = args.indexOf("-n")
+    val repsIdx = if (nIdx >= 0 && nIdx + 1 < args.length) nIdx + 1 else -1
+    val reps = if (repsIdx >= 0) args(repsIdx).toInt else 2
+    val names = args.indices.drop(1)
+      .filterNot(i => args(i).startsWith("-") || i == repsIdx)
+      .map(args)
     val doExplain = args.contains("-x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -33,7 +33,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // Dedup/prefix-sum operators persist reused intermediates scoped
+        // to their own materialization; drop them so 75 sequential dumps
+        // don't accumulate a session's worth of MEMORY_AND_DISK blocks.
+        spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

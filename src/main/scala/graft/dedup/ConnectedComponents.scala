@@ -44,7 +44,11 @@ object ConnectedComponents {
   def assignmentsFromMemberships(memberships: DataFrame): DataFrame = {
     // Persisted: the membership table (signature = one MD5 per token)
     // feeds three consumers — the doc universe, the bucket-min aggregate,
-    // and the join probe of the edge generation — compute it once.
+    // and the join probe of the edge generation — compute it once. The
+    // cache must outlive the returned (lazy) frame, so it cannot be
+    // unpersisted here; callers that run many operators per session
+    // should `spark.catalog.clearCache()` between materializations
+    // (Bench and Verify both do).
     val mem = memberships
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docs = mem.select(col("doc_id")).distinct()

@@ -103,6 +103,9 @@ object MinHash {
     // Persisted: the signature (one MD5 per token) dominates per-row cost
     // and the membership table feeds two consumers (the bucket-min
     // aggregate and the join probe) — compute it once, spill if large.
+    // The cache must outlive the returned lazy frame (it is read when the
+    // caller materializes), so it is not unpersisted here; session-style
+    // callers should clearCache() between operators (Bench/Verify do).
     val banded = memberships(df, id, text, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded

@@ -61,18 +61,62 @@ object PipelineOps {
         countDistinct(col("lang")).as("n_langs"))
       .orderBy("split")
 
+  /** Scale-safe per-language running sum of `valueCol` in ascending
+    * `doc_id` order, emitted as `cumName`. A plain
+    * `Window.partitionBy(lang)` would ship EVERY row of a language
+    * through one task — a language is not a bounded partition (English
+    * is half of a real corpus), and window exchanges get no map-side
+    * combine and no AQE skew split. Instead, the two-phase zip-with-index
+    * construction proven in [[graft.dedup.SetSimJoin]]: range-partition
+    * by (lang, doc_id) so partitions are size-bounded, compute one
+    * (partition, lang) token subtotal per partition-run (a partial
+    * aggregate; O(partitions + languages) rows to the driver), turn the
+    * subtotals into per-(pid, lang) prefix offsets, broadcast the tiny
+    * offset table back, and add a running sum windowed by (pid, lang) —
+    * bounded by the range partitioner, never by language mass.
+    *
+    * The `ranged` frame is persisted because its pids must be identical
+    * between the offset action and the final pass (and a re-scan of the
+    * corpus is saved); Bench/Verify clear the cache between queries.
+    */
+  private def withRunningSum(df: DataFrame, valueCol: String, cumName: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val ranged = df
+      .repartitionByRange(col("lang"), col("doc_id"))
+      .sortWithinPartitions("lang", "doc_id")
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = ranged.groupBy("pid", "lang")
+      .agg(sum(col(valueCol)).as("psum"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets = partSums.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+        .map { case (pid, off) => (pid, lang, off) }
+    }
+    val session = df.sparkSession
+    import session.implicits._
+    val offsetDf = offsets.toDF("pid", "lang", "offset")
+    val wPart = w.partitionBy(col("pid"), col("lang")).orderBy(col("doc_id"))
+    ranged
+      .join(broadcast(offsetDf), Seq("pid", "lang"))
+      .withColumn(cumName, col("offset") + sum(col(valueCol)).over(wPart))
+      .drop("pid", "offset")
+  }
+
   /** C7c: token-budget selection — greedily take documents (in stable
     * doc_id order) per language until a per-language token budget is
     * filled: the "assemble a training mix to N tokens per language"
-    * operator. One window shuffle on lang; the budget cut is a running
-    * sum, so the selection is deterministic and resumable.
+    * operator. The running sum is the two-phase bounded-partition
+    * construction (see [[withRunningSum]]), so the selection is
+    * deterministic, resumable, and never serializes a whole language
+    * through one task.
     */
   def c7TokenBudget(spark: SparkSession, dir: String, budget: Long = 5000L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
-    docs(spark, dir)
+    val base = docs(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("lang"), col("doc_id"), col("n_tokens"))
+    withRunningSum(base, "n_tokens", "cum_tokens")
       .filter(col("cum_tokens") <= budget)
       .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
       .orderBy("lang", "doc_id")
@@ -122,9 +166,14 @@ object PipelineOps {
     val base = docs(spark, dir)
     val firstIds = base.groupBy(col("text"))
       .agg(min(col("doc_id")).as("first_id"))
+    // Left join: a null text equi-joins nothing, and null text can't be a
+    // duplicate of anything — such rows keep first_copy = true rather
+    // than silently dropping out of the corpus (the oracle spells out the
+    // same null rule).
     graft.text.LangId.detect(base, col("text"))
-      .join(firstIds, Seq("text"))
-      .withColumn("first_copy", col("doc_id") === col("first_id"))
+      .join(firstIds, Seq("text"), "left")
+      .withColumn("first_copy",
+        col("first_id").isNull || col("doc_id") === col("first_id"))
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .withColumn("keep",
         col("first_copy") && col("detected_lang") === col("lang") &&
@@ -139,20 +188,19 @@ object PipelineOps {
     * sequences (docs split across boundaries, the standard GPT-style
     * packing). Emits, per doc, the first/last sequence index it lands in
     * and how many sequences it spans — the assignment a tokenizer shard
-    * needs to materialize packed examples. Pure integer window
-    * arithmetic off the running token sum, so any engine reproduces the
-    * same packing bit-for-bit (resume/backfill-safe, like the other C7
-    * operators). Packing is per-language (the mix is assembled per
-    * source stream); the window partitions on lang, so no global-order
-    * single-partition scan — the 100 TB form shards the stream the same
-    * way.
+    * needs to materialize packed examples. Pure integer arithmetic off
+    * the running token sum, so any engine reproduces the same packing
+    * bit-for-bit (resume/backfill-safe, like the other C7 operators).
+    * Packing is per-language (the mix is assembled per source stream);
+    * the running sum is the two-phase bounded-partition construction
+    * (see [[withRunningSum]]) — no global-order scan, and no
+    * one-task-per-language window either.
     */
   def c7PackSequences(spark: SparkSession, dir: String, seqLen: Long = 2048L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
-    docs(spark, dir)
+    val base = docs(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("lang"), col("doc_id"), col("n_tokens"))
+    withRunningSum(base, "n_tokens", "cum")
       .select(col("lang"), col("doc_id"), col("n_tokens"),
         expr(s"(cum - n_tokens) div $seqLen").as("first_seq"),
         expr(s"(cum - 1) div $seqLen").as("last_seq"))
@@ -175,7 +223,8 @@ object PipelineOps {
       (s"WITH ${TextOps.langIdCtes}, " +
         "det AS (SELECT doc_id, struct_extract(best, 'code') AS detected_lang FROM b), " +
         "d2 AS (SELECT d.doc_id, d.lang, det.detected_lang, " +
-        "d.doc_id = min(d.doc_id) OVER (PARTITION BY d.text) AS first_copy, " +
+        "(d.text IS NULL OR d.doc_id = min(d.doc_id) " +
+        "OVER (PARTITION BY d.text)) AS first_copy, " +
         "len(string_split(d.text, ' ')) AS n_tokens " +
         "FROM documents d JOIN det ON det.doc_id = d.doc_id) " +
         "SELECT doc_id, lang, detected_lang, first_copy, " +

@@ -97,6 +97,23 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("c7 running sums never window on a language alone") {
+    // Window.partitionBy(lang) ships every row of a language through ONE
+    // task (no partial agg, and AQE skew mitigation does not apply to
+    // window exchanges) — English alone is half of a real corpus. The
+    // two-phase prefix-sum construction must window on (pid, lang),
+    // bounded by the range partitioner. String checks, not
+    // TreeNode.collect (AdaptiveSparkPlanExec hides its input until
+    // execution).
+    for (name <- Seq("c7_token_budget", "c7_pack_sequences")) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert("windowspecdefinition\\(lang#".r.findFirstIn(plan).isEmpty,
+        s"$name: window partitioned by lang alone:\n$plan")
+      assert("windowspecdefinition\\(pid#".r.findFirstIn(plan).isDefined,
+        s"$name: expected the bounded (pid, lang) window:\n$plan")
+    }
+  }
+
   test("bucketed join plans with no exchange on either join input") {
     // b8_bucketed_join persists both sides bucketed+sorted on the join
     // key: the SortMergeJoin must read co-located buckets directly — any
