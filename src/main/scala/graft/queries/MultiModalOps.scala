@@ -128,6 +128,28 @@ object MultiModalOps {
 
   }
 
+  /** C6d: exact multimodal asset dedup — md5 over the binary payload,
+    * first-copy keep decision (the c1_exact_dedup pattern applied to the
+    * binary column; closes the "dedup never touches bytes" gap). Scale
+    * posture mirrors c1/c7_curate: the payload never shuffles — each
+    * asset hashes narrow, the groupBy and join move 32-char digests and
+    * ids only, and the first-copy min is a partial (map-side combining)
+    * aggregate shuffle-joined back, never a window over payloads (a
+    * million copies of one boilerplate asset collapse map-side; AQE
+    * skew-join handles the probe).
+    */
+  def c6AssetDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = assets(spark, dir).toDF()
+      .select(col("asset_id"), col("modality"), md5(col("content")).as("payload_md5"))
+    val firsts = hashed.groupBy(col("payload_md5"))
+      .agg(min(col("asset_id")).as("first_id"), count(lit(1)).as("n_copies"))
+    hashed.join(firsts, Seq("payload_md5"))
+      .withColumn("is_kept", col("asset_id") === col("first_id"))
+      .select(col("asset_id"), col("modality"), col("payload_md5"),
+        col("n_copies"), col("is_kept"))
+      .orderBy("asset_id")
+  }
+
   /** C6c: metadata summary per modality — fully SQL-expressible (the
     * metadata/typed-columns side of the multimodal schema), oracle-checked.
     */
@@ -178,6 +200,17 @@ object MultiModalOps {
         "CAST(length(substring(text, 1 + (gs.i*4)*256, 256)) AS INT) AS frame_bytes " +
         "FROM a, LATERAL (SELECT unnest(range(0, CAST(ceil(greatest(n_frames,1) / 4.0) AS BIGINT))) AS i) gs " +
         "ORDER BY asset_id, sample_idx"),
+    // Payload md5 replays over the text because content = UTF-8 bytes of
+    // the (pure-ASCII, verified) corpus text — the same bridge
+    // c6_frame_sample uses for its frame hashes.
+    "c6_asset_dedup" ->
+      (s"WITH h AS (SELECT doc_id AS asset_id, $modalitySql AS modality, " +
+        "md5(text) AS payload_md5 FROM documents), " +
+        "f AS (SELECT payload_md5, min(asset_id) AS first_id, " +
+        "count(*) AS n_copies FROM h GROUP BY payload_md5) " +
+        "SELECT h.asset_id, h.modality, h.payload_md5, f.n_copies, " +
+        "h.asset_id = f.first_id AS is_kept " +
+        "FROM h JOIN f USING (payload_md5) ORDER BY asset_id"),
     "c6_meta_stats" ->
       (s"SELECT $modalitySql AS modality, count(*) AS n_assets, " +
         "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, " +
@@ -189,6 +222,7 @@ object MultiModalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c6_mm_features" -> ((s: SparkSession, d: String) => c6Features(s, d)),
     "c6_frame_sample" -> ((s: SparkSession, d: String) => c6FrameSample(s, d)),
+    "c6_asset_dedup" -> (c6AssetDedup _),
     "c6_meta_stats" -> (c6MetaStats _)
   )
 }

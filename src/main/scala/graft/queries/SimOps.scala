@@ -323,6 +323,30 @@ object SimOps {
       .orderBy("q_id", "rank")
   }
 
+  /** C3e: driver-checked ANN quality — recall@k of the sign-LSH ANN
+    * against the exact brute-force top-k, per query, with an in-plan
+    * bound claim (the b2_agg_approx pattern): `recall_ok` = recall ≥
+    * 0.6, DuckDB supplies literal TRUE — if multi-probe LSH quality
+    * ever drifts below the bound the hash mismatches and the driver
+    * flags it. 0.6 is the tight portable bound: measured per-query
+    * minima are 0.6 / 0.8 / 0.6 at sf0.001 / 0.01 / 0.1 (means 0.72 /
+    * 0.96 / 0.91; SimOpsSpec asserts the mean separately).
+    * Scale posture: both inputs are the ANN and brute-force plans
+    * themselves; the recall join moves (q_id, b_id) id pairs only.
+    */
+  def c3AnnRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val ann = c3AnnLsh(spark, dir, k).select(col("q_id"), col("b_id"))
+    val bf = c3CosineTopK(spark, dir, k).select(col("q_id"), col("b_id"))
+    val hits = bf.join(ann, Seq("q_id", "b_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    bf.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_at_5", round(col("n_hits").cast("double") / k, 6))
+      .withColumn("recall_ok", col("recall_at_5") >= 0.6)
+      .orderBy("q_id")
+  }
+
   /** C3c: pairwise similarity stats per label — exercises the embedding
     * column through a fully SQL-expressible aggregate (mean vector norm
     * per label), oracle-checked.
@@ -358,6 +382,21 @@ object SimOps {
       s"CASE WHEN list_dot_product(v, p[t*$bits+i+1]) > 0 " +
       "THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)) AS buckets " +
       "FROM e CROSS JOIN pl)"
+
+  /** Shared candidate-generation CTEs for the sign-LSH ANN oracles:
+    * corpus bucket rows, multi-probe query bucket rows, and the distinct
+    * candidate pairs (the DuckDB replay of c3AnnLsh's bucket join).
+    * Expects [[sketchCte]]'s `e` and `bk` CTEs in scope.
+    */
+  private def annCandCtes(tables: Int, bits: Int): String =
+    s"corp AS (SELECT vec_id AS b_id, rt.t AS tbl, buckets[rt.t+1] AS bucket " +
+      s"FROM bk CROSS JOIN range(0, $tables) rt(t)), " +
+      "qs AS (SELECT vec_id AS q_id, rt.t AS tbl, " +
+      s"unnest(list_prepend(buckets[rt.t+1], list_transform(range(0, $bits), i -> " +
+      "xor(buckets[rt.t+1], (1::BIGINT << i))))) AS bucket " +
+      s"FROM bk CROSS JOIN range(0, $tables) rt(t) WHERE vec_id % 100 = 0), " +
+      "cand AS (SELECT DISTINCT q_id, b_id FROM corp JOIN qs " +
+      "ON corp.tbl = qs.tbl AND corp.bucket = qs.bucket AND qs.q_id <> corp.b_id)"
 
   /** Exact-cosine rescore + per-query top-k tail shared by the ANN
     * oracles (identical to the c3_cosine_topk oracle's scoring).
@@ -413,15 +452,35 @@ object SimOps {
   val oracle: Map[String, String] = Map(
     "c3_ann_lsh" ->
       (s"WITH ${sketchCte(tables = 16, bits = 8)}, " +
-        "corp AS (SELECT vec_id AS b_id, rt.t AS tbl, buckets[rt.t+1] AS bucket " +
-        "FROM bk CROSS JOIN range(0, 16) rt(t)), " +
-        "qs AS (SELECT vec_id AS q_id, rt.t AS tbl, " +
-        "unnest(list_prepend(buckets[rt.t+1], list_transform(range(0, 8), i -> " +
-        "xor(buckets[rt.t+1], (1::BIGINT << i))))) AS bucket " +
-        "FROM bk CROSS JOIN range(0, 16) rt(t) WHERE vec_id % 100 = 0), " +
-        "cand AS (SELECT DISTINCT q_id, b_id FROM corp JOIN qs " +
-        "ON corp.tbl = qs.tbl AND corp.bucket = qs.bucket AND qs.q_id <> corp.b_id), " +
-        annScoreTail(5)),
+        annCandCtes(tables = 16, bits = 8) + ", " + annScoreTail(5)),
+    // Recall replay: the ANN top-k (candidates + rescore, identical to
+    // the c3_ann_lsh oracle) intersected with the brute-force top-k
+    // (identical to the c3_cosine_topk oracle) — both deterministic
+    // (round-6 cosine, b_id tie-break), so n_hits matches exactly;
+    // recall_ok is literal TRUE (the bound lives in the Spark plan).
+    "c3_ann_recall" ->
+      (s"WITH ${sketchCte(tables = 16, bits = 8)}, " +
+        annCandCtes(tables = 16, bits = 8) + ", " +
+        "sc AS (SELECT q_id, b_id, round(list_dot_product(q.v, c.v) / " +
+        "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) " +
+        "AS cosine FROM cand JOIN e q ON q.vec_id = cand.q_id " +
+        "JOIN e c ON c.vec_id = cand.b_id), " +
+        "annr AS (SELECT q_id, b_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cosine DESC, b_id) AS rank FROM sc), " +
+        "ann AS (SELECT q_id, b_id FROM annr WHERE rank <= 5), " +
+        "bsc AS (SELECT q.vec_id AS q_id, c.vec_id AS b_id, " +
+        "round(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * " +
+        "sqrt(list_dot_product(c.v, c.v))), 6) AS cosine " +
+        "FROM e q JOIN e c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id), " +
+        "bfr AS (SELECT q_id, b_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cosine DESC, b_id) AS rank FROM bsc), " +
+        "bf AS (SELECT q_id, b_id FROM bfr WHERE rank <= 5), " +
+        "hits AS (SELECT q_id, count(*) AS n_hits FROM bf JOIN ann " +
+        "USING (q_id, b_id) GROUP BY q_id) " +
+        "SELECT q.q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+        "round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5, TRUE AS recall_ok " +
+        "FROM (SELECT DISTINCT q_id FROM bf) q LEFT JOIN hits h USING (q_id) " +
+        "ORDER BY q_id"),
     "c3_cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb " +
         "FROM embeddings WHERE vec_id % 100 = 0), " +
@@ -445,6 +504,7 @@ object SimOps {
     "c3_cosine_topk" -> ((s: SparkSession, d: String) => c3CosineTopK(s, d)),
     "c3_ann_lsh" -> ((s: SparkSession, d: String) => c3AnnLsh(s, d)),
     "c3_ann_ivf" -> ((s: SparkSession, d: String) => c3AnnIvf(s, d)),
+    "c3_ann_recall" -> ((s: SparkSession, d: String) => c3AnnRecall(s, d)),
     "c3_norm_stats" -> (c3NormStats _)
   )
 }

@@ -250,6 +250,78 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Like [[runAvailableNow]] but for deliberately MULTI-batch execution:
+    * asserts at least `minBatches` data micro-batches actually ran (a
+    * single-batch run would not exercise watermark advancement between
+    * batches, which is the property the caller is verifying).
+    */
+  private def runIncremental(df: DataFrame, mode: OutputMode, minBatches: Int)
+      (implicit spark: SparkSession): DataFrame = {
+    val name = s"graft_stream_q${runSeq.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    if (!q.awaitTermination(300000L)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming query $name did not terminate within 300s; " +
+          "refusing to return a partially-filled sink")
+    }
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (dataBatches < minBatches)
+      throw new IllegalStateException(
+        s"streaming query $name ran $dataBatches data micro-batches; " +
+          s"this query exists to verify incremental arrival (>= $minBatches)")
+    spark.table(name)
+  }
+
+  /** c5_stream_tumbling_incr: the tumbling aggregation under REAL
+    * incremental arrival — the events table is split chronologically
+    * into two files, streamed with maxFilesPerTrigger=1 (two data
+    * micro-batches), output-mode Append so only watermark-FINALIZED
+    * windows reach the sink. This checks what the watermark actually
+    * does across batches — state eviction and append finalization —
+    * rather than asserting single-batch arrival made them unobservable
+    * (the other c5_stream_* oracles' posture).
+    *
+    * Determinism: the split is chronological (file 1 = events at or
+    * before the midpoint of the time span, file 2 = the rest) and file
+    * order is forced via modification times, so arrival is in-order and
+    * no row is ever late — the final watermark is max(ts) − 2h over the
+    * WHOLE table, and the sink holds exactly the windows whose end ≤
+    * that watermark (Spark runs a no-data batch after the last file to
+    * advance the watermark and flush — `noDataMicroBatches` default).
+    * Oracle: the batch tumbling aggregation filtered to those windows.
+    */
+  def c5StreamTumblingIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import java.nio.file.{Files => JFiles, StandardCopyOption}
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val bounds = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx")).head()
+    val cutUs = Math.floorDiv(bounds.getLong(0) + bounds.getLong(1), 2L)
+    // Two-file layout written in-query (the b8 pattern): stage each half
+    // as a single parquet file, then order the stream dir by mtime.
+    val stage = JFiles.createTempDirectory("graft_incr_stage")
+    val streamDir = JFiles.createTempDirectory("graft_incr_src")
+    def writeHalf(half: DataFrame, tag: String, mtime: Long): Unit = {
+      val out = stage.resolve(tag)
+      half.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      val part = out.toFile.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written for $tag"))
+      val dest = streamDir.resolve(s"$tag.parquet")
+      JFiles.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    writeHalf(ev.filter(unix_micros(col("ts")) <= cutUs), "00_early", now - 120000L)
+    writeHalf(ev.filter(unix_micros(col("ts")) > cutUs), "01_late", now - 60000L)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    runIncremental(tumblingCounts(stream), OutputMode.Append(), minBatches = 2)
+      .orderBy("window_start", "event_type")
+  }
+
   /** c5_stream_tumbling: the streaming tumbling aggregation, driver-
     * checked against the same oracle shape as the batch twin.
     */
@@ -359,6 +431,17 @@ object EventStream {
         "max(ts) + INTERVAL '30 minutes' AS session_end, " +
         "user_id, count(*) AS n_events " +
         "FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_start"),
+    // Incremental twin: only windows finalized by the final watermark
+    // (max ts − 2h) are in the Append-mode sink; arrival is in-order by
+    // construction so finalized windows carry their full batch counts.
+    "c5_stream_tumbling_incr" ->
+      ("WITH agg AS (SELECT date_trunc('hour', ts) AS window_start, " +
+        "event_type, count(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2), " +
+        "wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM events) " +
+        "SELECT window_start, event_type, n_events, sum_value FROM agg, wm " +
+        "WHERE window_start + INTERVAL '1 hour' <= w ORDER BY 1, 2"),
     "c5_stream_dedup" ->
       ("SELECT DISTINCT user_id, event_type, value FROM events " +
         "ORDER BY user_id, event_type, value"),
@@ -400,6 +483,7 @@ object EventStream {
   /** Driver query registry (merged into SparkEntry.queries). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c5_stream_tumbling" -> (c5StreamTumbling _),
+    "c5_stream_tumbling_incr" -> (c5StreamTumblingIncr _),
     "c5_stream_sessionize" -> (c5StreamSessionize _),
     "c5_stream_dedup" -> (c5StreamDedup _),
     "c5_stream_sliding" -> (c5StreamSliding _),

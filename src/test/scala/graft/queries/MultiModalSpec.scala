@@ -25,6 +25,23 @@ class MultiModalSpec extends SparkSuite {
       Seq("asset_id", "modality", "n_bytes", "mean_byte", "byte_entropy", "n_frames"))
   }
 
+  test("asset dedup keeps exactly the min asset per payload digest") {
+    val rows = MultiModalOps.c6AssetDedup(spark, sf).collect()
+    assert(rows.length == 500) // one row per asset
+    val byMd5 = rows.groupBy(_.getString(2))
+    byMd5.foreach { case (md5, rs) =>
+      val kept = rs.filter(_.getBoolean(4))
+      assert(kept.length == 1, s"digest $md5: ${kept.length} kept")
+      assert(kept.head.getLong(0) == rs.map(_.getLong(0)).min)
+      assert(rs.forall(_.getLong(3) == rs.length), s"digest $md5: n_copies")
+    }
+    // exactly one keeper per distinct payload (the sf0.001/sf0.01
+    // corpora carry no duplicate payloads so kept == all here; sf0.1
+    // carries 8 duplicated texts and is covered by the sf0.1 pre-flight
+    // oracle run)
+    assert(rows.count(_.getBoolean(4)) == byMd5.size)
+  }
+
   test("frame sampling: every 4th 256-byte frame, consistent with n_frames") {
     val df = MultiModalOps.c6FrameSample(spark, sf)
     val byAsset = df.collect().groupBy(_.getLong(0))

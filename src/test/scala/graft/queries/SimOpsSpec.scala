@@ -37,6 +37,26 @@ class SimOpsSpec extends SparkSuite {
     assert(recall >= 0.4)
   }
 
+  test("c3_ann_recall agrees with independently-computed recall and meets its bound") {
+    val exact = SimOps.c3CosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val ann = SimOps.c3AnnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val wantHits = exact.groupBy(_._1).view
+      .mapValues(_.count(ann.contains).toLong).toMap
+    val got = SimOps.c3AnnRecall(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSet == wantHits.keySet)
+    got.foreach { r =>
+      val (q, hits, recall, ok) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+      assert(hits == wantHits(q), s"q=$q")
+      assert(recall == hits / 5.0)
+      // the in-plan bound claim must hold here too (the oracle replays it
+      // as literal TRUE, so a false claim at any verified SF = red row)
+      assert(ok, s"q=$q recall=$recall below the 0.6 bound")
+    }
+  }
+
   test("IVF training sample is driver-bounded and deterministic") {
     import org.apache.spark.sql.functions._
     val base = graft.Tables.load(spark, sf, "embeddings")

@@ -157,6 +157,28 @@ class EventStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("incremental tumbling emits exactly the watermark-finalized windows") {
+    // Two-file chronological split, maxFilesPerTrigger=1, Append mode:
+    // the sink must hold the batch tumbling windows whose end <= final
+    // watermark (max ts - 2h) — full counts (in-order arrival, no late
+    // rows) — and withhold the still-open tail.
+    val got = EventStream.c5StreamTumblingIncr(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val ev = Tables.load(spark, sf, "events")
+    val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wmUs = maxTs - 2L * 3600L * 1000000L
+    val all = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n_events"))
+    val closed = all.filter(unix_micros(col("we")) <= wmUs)
+      .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3))).toSet
+    val open = all.filter(unix_micros(col("we")) > wmUs).count()
+    assert(got == closed)
+    assert(open > 0, "fixture must leave open windows for this test to bite")
+  }
+
   test("batch sessionization query is internally consistent on testdata") {
     val s = EventOps.c5Sessionize(spark, sf).collect()
     assert(s.nonEmpty)
