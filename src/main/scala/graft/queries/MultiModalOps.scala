@@ -111,7 +111,12 @@ object MultiModalOps {
     * pure built-ins (binary substring over an exploded frame index): the
     * explode/downstream shape of a video frame-sampler, no UDF.
     */
-  def c6FrameSample(spark: SparkSession, dir: String, everyK: Int = 4): DataFrame = {
+  /** Every `everyK`-th fixed-size frame of each payload, exploded to one
+    * row per sampled frame (shared by the sampler and the near-dup
+    * clusterer): `(asset_id, modality, sample_idx, frame_hash,
+    * frame_bytes)`, unordered.
+    */
+  private def sampledFrames(spark: SparkSession, dir: String, everyK: Int): DataFrame = {
     val fb = StubCodec.FrameBytes
     assets(spark, dir).toDF()
       .withColumn("n_frames",
@@ -124,9 +129,11 @@ object MultiModalOps {
         col("pos").as("sample_idx"),
         md5(col("col")).as("frame_hash"),
         length(col("col")).as("frame_bytes"))
-      .orderBy("asset_id", "sample_idx")
-
   }
+
+  def c6FrameSample(spark: SparkSession, dir: String, everyK: Int = 4): DataFrame =
+    sampledFrames(spark, dir, everyK)
+      .orderBy("asset_id", "sample_idx")
 
   /** C6d: exact multimodal asset dedup — md5 over the binary payload,
     * first-copy keep decision (the c1_exact_dedup pattern applied to the
@@ -147,6 +154,27 @@ object MultiModalOps {
       .withColumn("is_kept", col("asset_id") === col("first_id"))
       .select(col("asset_id"), col("modality"), col("payload_md5"),
         col("n_copies"), col("is_kept"))
+      .orderBy("asset_id")
+  }
+
+  /** C6e: multimodal NEAR-dup — cluster assets sharing any sampled frame
+    * hash (the content-defined-chunk analog for binary payloads: two
+    * videos that share a sampled frame, or two images whose byte streams
+    * coincide on a 256-byte block boundary, land in one cluster). Same
+    * O(n)-output posture as MinHash.dedupAssignments: the per-frame-hash
+    * min is a partial (map-side combining) aggregate shuffle-joined back
+    * — one min-propagation round, never a pair list, never a window over
+    * raw memberships; only (asset_id, 32-char digest) rows shuffle.
+    */
+  def c6FrameNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val memb = sampledFrames(spark, dir, everyK = 4)
+      .select(col("asset_id"), col("frame_hash"))
+    val mins = memb.groupBy(col("frame_hash"))
+      .agg(min(col("asset_id")).as("bucket_min"))
+    memb.join(mins, Seq("frame_hash"))
+      .groupBy(col("asset_id"))
+      .agg(min(col("bucket_min")).as("cluster_rep"))
+      .withColumn("is_kept", col("asset_id") === col("cluster_rep"))
       .orderBy("asset_id")
   }
 
@@ -200,6 +228,19 @@ object MultiModalOps {
         "CAST(length(substring(text, 1 + (gs.i*4)*256, 256)) AS INT) AS frame_bytes " +
         "FROM a, LATERAL (SELECT unnest(range(0, CAST(ceil(greatest(n_frames,1) / 4.0) AS BIGINT))) AS i) gs " +
         "ORDER BY asset_id, sample_idx"),
+    // Frame-hash replay (same VARCHAR-slice bridge as c6_frame_sample)
+    // feeding the one-round min-propagation in plain SQL.
+    "c6_frame_neardup" ->
+      ("WITH a AS (SELECT doc_id AS asset_id, text, " +
+        "CAST(ceil(length(text) / 256.0) AS INT) AS n_frames FROM documents), " +
+        "fr AS (SELECT asset_id, md5(substring(text, 1 + (gs.i*4)*256, 256)) AS frame_hash " +
+        "FROM a, LATERAL (SELECT unnest(range(0, " +
+        "CAST(ceil(greatest(n_frames,1) / 4.0) AS BIGINT))) AS i) gs), " +
+        "mins AS (SELECT frame_hash, min(asset_id) AS bucket_min " +
+        "FROM fr GROUP BY frame_hash) " +
+        "SELECT asset_id, min(bucket_min) AS cluster_rep, " +
+        "asset_id = min(bucket_min) AS is_kept " +
+        "FROM fr JOIN mins USING (frame_hash) GROUP BY asset_id ORDER BY asset_id"),
     // Payload md5 replays over the text because content = UTF-8 bytes of
     // the (pure-ASCII, verified) corpus text — the same bridge
     // c6_frame_sample uses for its frame hashes.
@@ -223,6 +264,7 @@ object MultiModalOps {
     "c6_mm_features" -> ((s: SparkSession, d: String) => c6Features(s, d)),
     "c6_frame_sample" -> ((s: SparkSession, d: String) => c6FrameSample(s, d)),
     "c6_asset_dedup" -> (c6AssetDedup _),
+    "c6_frame_neardup" -> (c6FrameNearDup _),
     "c6_meta_stats" -> (c6MetaStats _)
   )
 }

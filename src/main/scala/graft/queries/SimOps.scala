@@ -334,16 +334,47 @@ object SimOps {
     * Scale posture: both inputs are the ANN and brute-force plans
     * themselves; the recall join moves (q_id, b_id) id pairs only.
     */
-  def c3AnnRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val ann = c3AnnLsh(spark, dir, k).select(col("q_id"), col("b_id"))
-    val bf = c3CosineTopK(spark, dir, k).select(col("q_id"), col("b_id"))
+  /** Per-query hit counts of `ann` against the brute-force top-k: one
+    * row per query with `n_hits` = |ann ∩ brute-force| (0 for queries
+    * the ANN missed entirely). Shared by both recall queries; the
+    * downstream frame is query-set-sized, never corpus-sized.
+    */
+  private def recallHits(ann: DataFrame, bf: DataFrame): DataFrame = {
     val hits = bf.join(ann, Seq("q_id", "b_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
     bf.select(col("q_id")).distinct()
       .join(hits, Seq("q_id"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+  }
+
+  def c3AnnRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallHits(
+      c3AnnLsh(spark, dir, k).select(col("q_id"), col("b_id")),
+      c3CosineTopK(spark, dir, k).select(col("q_id"), col("b_id")))
       .withColumn("recall_at_5", round(col("n_hits").cast("double") / k, 6))
       .withColumn("recall_ok", col("recall_at_5") >= 0.6)
+      .orderBy("q_id")
+
+  /** C3f: the IVF twin of [[c3AnnRecall]]. IVF at nprobe/nCells = 1/4
+    * scans ~25% of the corpus, so per-query recall legitimately bottoms
+    * out low (measured minima 0.2 at sf0.01) — the meaningful portable
+    * claim is about the QUERY-SET mean: `mean_recall_ok` = mean ≥ 0.3
+    * (measured 0.48 at sf0.01; SimOpsSpec asserts ≥ 0.4 at sf0.001).
+    * The mean is one integer sum over the per-query frame — a global
+    * window, but over one row per query (bounded by the caller's query
+    * set, never the corpus), computed as sum(n_hits)/(k·n_queries) so
+    * no float fold order enters the hash.
+    */
+  def c3AnnIvfRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    recallHits(
+      c3AnnIvf(spark, dir, k).select(col("q_id"), col("b_id")),
+      c3CosineTopK(spark, dir, k).select(col("q_id"), col("b_id")))
+      .withColumn("recall_at_5", round(col("n_hits").cast("double") / k, 6))
+      .withColumn("mean_recall",
+        round(sum(col("n_hits")).over(w).cast("double") /
+          (lit(k) * count(lit(1)).over(w)), 6))
+      .withColumn("mean_recall_ok", col("mean_recall") >= 0.3)
       .orderBy("q_id")
   }
 
@@ -398,6 +429,28 @@ object SimOps {
       "cand AS (SELECT DISTINCT q_id, b_id FROM corp JOIN qs " +
       "ON corp.tbl = qs.tbl AND corp.bucket = qs.bucket AND qs.q_id <> corp.b_id)"
 
+  /** Shared CTE chain of the recall oracles: rescored ANN top-k (from
+    * whatever `cand` CTE is in scope), brute-force top-k, and per-query
+    * hit counts. Expects `e` (vec_id, v) and `cand` (q_id, b_id) CTEs.
+    */
+  private def recallCtes(k: Int): String =
+    "sc AS (SELECT q_id, b_id, round(list_dot_product(q.v, c.v) / " +
+      "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) " +
+      "AS cosine FROM cand JOIN e q ON q.vec_id = cand.q_id " +
+      "JOIN e c ON c.vec_id = cand.b_id), " +
+      "annr AS (SELECT q_id, b_id, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY cosine DESC, b_id) AS rank FROM sc), " +
+      s"ann AS (SELECT q_id, b_id FROM annr WHERE rank <= $k), " +
+      "bsc AS (SELECT q.vec_id AS q_id, c.vec_id AS b_id, " +
+      "round(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * " +
+      "sqrt(list_dot_product(c.v, c.v))), 6) AS cosine " +
+      "FROM e q JOIN e c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id), " +
+      "bfr AS (SELECT q_id, b_id, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY cosine DESC, b_id) AS rank FROM bsc), " +
+      s"bf AS (SELECT q_id, b_id FROM bfr WHERE rank <= $k), " +
+      "hits AS (SELECT q_id, count(*) AS n_hits FROM bf JOIN ann " +
+      "USING (q_id, b_id) GROUP BY q_id)"
+
   /** Exact-cosine rescore + per-query top-k tail shared by the ANN
     * oracles (identical to the c3_cosine_topk oracle's scoring).
     */
@@ -430,22 +483,34 @@ object SimOps {
   def dynamicOracle(spark: SparkSession, dir: String): Map[String, String] = {
     val cents = ivfCentroids(spark, dir)
     val n = cents.length
+    // IVF candidate CTEs (assignment + probing with the trained codebook
+    // embedded as a literal), shared by the ANN query and its recall twin.
+    val ivfCandCtes =
+      s"ct AS (SELECT ${matLit(cents)} AS c), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"d AS (SELECT vec_id, v, list_transform(range(1, ${n + 1}), k -> " +
+        "list_sum(list_transform(range(1, 65), j -> " +
+        "(v[j]-c[k][j])*(v[j]-c[k][j])))) AS dists FROM e CROSS JOIN ct), " +
+        "corp AS (SELECT vec_id AS b_id, " +
+        "list_position(dists, list_min(dists)) AS cell FROM d), " +
+        "qs AS (SELECT vec_id AS q_id, unnest(list_transform(list_slice(" +
+        s"list_sort(list_transform(range(1, ${n + 1}), k -> " +
+        "[dists[k], CAST(k AS DOUBLE)])), 1, 4), s -> CAST(s[2] AS BIGINT))) " +
+        "AS cell FROM d WHERE vec_id % 100 = 0), " +
+        "cand AS (SELECT DISTINCT q_id, b_id FROM corp JOIN qs " +
+        "ON corp.cell = qs.cell AND qs.q_id <> corp.b_id)"
     Map(
-      "c3_ann_ivf" ->
-        (s"WITH ct AS (SELECT ${matLit(cents)} AS c), " +
-          "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-          s"d AS (SELECT vec_id, v, list_transform(range(1, ${n + 1}), k -> " +
-          "list_sum(list_transform(range(1, 65), j -> " +
-          "(v[j]-c[k][j])*(v[j]-c[k][j])))) AS dists FROM e CROSS JOIN ct), " +
-          "corp AS (SELECT vec_id AS b_id, " +
-          "list_position(dists, list_min(dists)) AS cell FROM d), " +
-          "qs AS (SELECT vec_id AS q_id, unnest(list_transform(list_slice(" +
-          s"list_sort(list_transform(range(1, ${n + 1}), k -> " +
-          "[dists[k], CAST(k AS DOUBLE)])), 1, 4), s -> CAST(s[2] AS BIGINT))) " +
-          "AS cell FROM d WHERE vec_id % 100 = 0), " +
-          "cand AS (SELECT DISTINCT q_id, b_id FROM corp JOIN qs " +
-          "ON corp.cell = qs.cell AND qs.q_id <> corp.b_id), " +
-          annScoreTail(5))
+      "c3_ann_ivf" -> (s"WITH $ivfCandCtes, " + annScoreTail(5)),
+      // Mean over the query set as one integer sum (no float fold order);
+      // mean_recall_ok is literal TRUE — the bound lives in the Spark plan.
+      "c3_ann_ivf_recall" ->
+        (s"WITH $ivfCandCtes, " + recallCtes(5) + " " +
+          "SELECT q.q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+          "round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5, " +
+          "round(sum(COALESCE(h.n_hits, 0)) OVER () / (5.0 * count(*) OVER ()), 6) " +
+          "AS mean_recall, TRUE AS mean_recall_ok " +
+          "FROM (SELECT DISTINCT q_id FROM bf) q LEFT JOIN hits h USING (q_id) " +
+          "ORDER BY q_id")
     )
   }
 
@@ -460,23 +525,7 @@ object SimOps {
     // recall_ok is literal TRUE (the bound lives in the Spark plan).
     "c3_ann_recall" ->
       (s"WITH ${sketchCte(tables = 16, bits = 8)}, " +
-        annCandCtes(tables = 16, bits = 8) + ", " +
-        "sc AS (SELECT q_id, b_id, round(list_dot_product(q.v, c.v) / " +
-        "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) " +
-        "AS cosine FROM cand JOIN e q ON q.vec_id = cand.q_id " +
-        "JOIN e c ON c.vec_id = cand.b_id), " +
-        "annr AS (SELECT q_id, b_id, row_number() OVER " +
-        "(PARTITION BY q_id ORDER BY cosine DESC, b_id) AS rank FROM sc), " +
-        "ann AS (SELECT q_id, b_id FROM annr WHERE rank <= 5), " +
-        "bsc AS (SELECT q.vec_id AS q_id, c.vec_id AS b_id, " +
-        "round(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * " +
-        "sqrt(list_dot_product(c.v, c.v))), 6) AS cosine " +
-        "FROM e q JOIN e c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id), " +
-        "bfr AS (SELECT q_id, b_id, row_number() OVER " +
-        "(PARTITION BY q_id ORDER BY cosine DESC, b_id) AS rank FROM bsc), " +
-        "bf AS (SELECT q_id, b_id FROM bfr WHERE rank <= 5), " +
-        "hits AS (SELECT q_id, count(*) AS n_hits FROM bf JOIN ann " +
-        "USING (q_id, b_id) GROUP BY q_id) " +
+        annCandCtes(tables = 16, bits = 8) + ", " + recallCtes(5) + " " +
         "SELECT q.q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, " +
         "round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5, TRUE AS recall_ok " +
         "FROM (SELECT DISTINCT q_id FROM bf) q LEFT JOIN hits h USING (q_id) " +
@@ -505,6 +554,7 @@ object SimOps {
     "c3_ann_lsh" -> ((s: SparkSession, d: String) => c3AnnLsh(s, d)),
     "c3_ann_ivf" -> ((s: SparkSession, d: String) => c3AnnIvf(s, d)),
     "c3_ann_recall" -> ((s: SparkSession, d: String) => c3AnnRecall(s, d)),
+    "c3_ann_ivf_recall" -> ((s: SparkSession, d: String) => c3AnnIvfRecall(s, d)),
     "c3_norm_stats" -> (c3NormStats _)
   )
 }

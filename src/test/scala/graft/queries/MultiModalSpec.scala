@@ -42,6 +42,22 @@ class MultiModalSpec extends SparkSuite {
     assert(rows.count(_.getBoolean(4)) == byMd5.size)
   }
 
+  test("frame near-dup: one-round min propagation over shared frame hashes") {
+    val memb = MultiModalOps.c6FrameSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val bucketMin = memb.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val want = memb.groupBy(_._1).view
+      .mapValues(_.map(fh => bucketMin(fh._2)).min).toMap
+    val got = MultiModalOps.c6FrameNearDup(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (id, rep, kept) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      assert(rep == want(id), s"asset $id")
+      assert(rep <= id)
+      assert(kept == (id == rep))
+    }
+  }
+
   test("frame sampling: every 4th 256-byte frame, consistent with n_frames") {
     val df = MultiModalOps.c6FrameSample(spark, sf)
     val byAsset = df.collect().groupBy(_.getLong(0))

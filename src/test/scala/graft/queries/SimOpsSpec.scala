@@ -57,6 +57,23 @@ class SimOpsSpec extends SparkSuite {
     }
   }
 
+  test("c3_ann_ivf_recall matches independent hit counts; mean bound holds") {
+    val exact = SimOps.c3CosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val ivf = SimOps.c3AnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val wantHits = exact.groupBy(_._1).view
+      .mapValues(_.count(ivf.contains).toLong).toMap
+    val got = SimOps.c3AnnIvfRecall(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSet == wantHits.keySet)
+    val wantMean = wantHits.values.sum.toDouble / (5 * wantHits.size)
+    got.foreach { r =>
+      assert(r.getLong(1) == wantHits(r.getLong(0)))
+      assert(math.abs(r.getDouble(3) - wantMean) < 1e-6)
+      assert(r.getBoolean(4), s"mean recall ${r.getDouble(3)} below the 0.3 bound")
+    }
+  }
+
   test("IVF training sample is driver-bounded and deterministic") {
     import org.apache.spark.sql.functions._
     val base = graft.Tables.load(spark, sf, "embeddings")
