@@ -16,9 +16,11 @@ class PlanAuditSpec extends SparkSuite {
   // Queries whose PHYSICAL design is a broadcast nested-loop join on
   // purpose (small broadcast side, non-equi predicate).
   private val bnljAllowed = Set(
-    "b3_join_range",    // broadcast interval table
-    "c2_ngram_jaccard", // distinct-set bitmask path: broadcast distinct sets
-    "c3_cosine_topk"    // broadcast query subset, q_id <> b_id theta join
+    "b3_join_range",     // broadcast interval table
+    "c2_ngram_jaccard",  // distinct-set bitmask path: broadcast distinct sets
+    "c3_cosine_topk",    // broadcast query subset, q_id <> b_id theta join
+    "c3_ann_recall",     // composes c3_cosine_topk: same intentional BNLJ
+    "c3_ann_ivf_recall"  // composes c3_cosine_topk: same intentional BNLJ
   )
 
   test("no CartesianProduct anywhere; BNLJ only on the allowlist") {
