@@ -134,6 +134,39 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** C4i: heavy hitters via the Misra–Gries mergeable sketch
+    * ([[graft.functions.MisraGriesAggregator]]) — the bounded-memory
+    * scale path for frequent-token mining (exact `groupBy(token)` must
+    * shuffle the whole vocabulary; the sketch shuffles ≤ cap counters
+    * per partial buffer). The sketch CONTENTS depend on merge order, so
+    * the query emits the order-INDEPENDENT facts: the deterministic set
+    * of guaranteed-heavy tokens (exact freq·(cap+1) > n — integer
+    * arithmetic, no float threshold) with exact counts, plus the three
+    * MG guarantees evaluated in-plan against the actual sketch
+    * (membership, no-overcount, bounded undercount). DuckDB supplies
+    * the exact side and literal TRUE — a buggy sketch breaks the hash
+    * (the b2_agg_approx pattern). The sketch itself is one bounded
+    * aggregate (≤ cap entries to the driver, embedded as a map literal).
+    */
+  def c4HeavyHitters(spark: SparkSession, dir: String, cap: Int = 199): DataFrame = {
+    import spark.implicits._
+    val toks = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sketch: Map[String, Long] =
+      toks.as[String].select(graft.functions.MisraGriesAggregator.sketch(cap)).head()
+    val est = typedLit(sketch)
+    val n = toks.count()
+    toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * (cap + 1) > lit(n))
+      .select(col("tok"), col("freq"),
+        element_at(est, col("tok")).isNotNull.as("in_sketch"),
+        (coalesce(element_at(est, col("tok")), lit(0L)) <= col("freq"))
+          .as("no_overcount"),
+        ((col("freq") - coalesce(element_at(est, col("tok")), lit(0L)))
+          * (cap + 1) <= lit(n)).as("within_bound"))
+      .orderBy("tok")
+  }
+
   /** C4h: duplicated-n-gram ratio — the C4/Gopher boilerplate heuristic:
     * the fraction of a document's bigram occurrences that belong to a
     * bigram repeated within the same document. High ratios flag
@@ -243,6 +276,15 @@ object TextOps {
         "CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup, " +
         "CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt) AS dup_ratio " +
         "FROM c GROUP BY doc_id ORDER BY doc_id"),
+    // Guaranteed-heavy tokens are a pure exact-arithmetic set; the three
+    // sketch-guarantee booleans are literal TRUE (the bounds live in the
+    // Spark plan against the actual Misra-Gries sketch).
+    "c4_heavy_hitters" ->
+      ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "e AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok), " +
+        "tot AS (SELECT count(*) AS n FROM t) " +
+        "SELECT tok, freq, TRUE AS in_sketch, TRUE AS no_overcount, " +
+        "TRUE AS within_bound FROM e, tot WHERE freq * 200 > tot.n ORDER BY tok"),
     "c4_ngram_top" ->
       ("WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents), " +
         "ex AS (SELECT lang, unnest(list_transform(range(1, len(toks)), " +
@@ -267,6 +309,7 @@ object TextOps {
     "c4_rolling_hash" -> (c4RollingHash _),
     "c4_langid" -> (c4LangId _),
     "c4_ngram_top" -> ((s: SparkSession, d: String) => c4NgramTop(s, d)),
+    "c4_heavy_hitters" -> ((s: SparkSession, d: String) => c4HeavyHitters(s, d)),
     "c4_dup_ngrams" -> (c4DupNgrams _)
   )
 }
