@@ -130,7 +130,11 @@ object PipelineOps {
     * shuffle join keyed by the shingle (at 100 TB you key by a hash of
     * the shingle — same plan, smaller shuffle rows), tiny aggregate out.
     */
-  def c7Decontaminate(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+  /** Train-side `(doc_id, sh)` shingle rows and the distinct held-out
+    * test shingles — shared by the exact and bloom-prefiltered
+    * decontamination variants.
+    */
+  private def shingleSides(spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
     val toks = split(col("text"), " ")
     val shingles = when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - (k - 1)),
@@ -143,11 +147,49 @@ object PipelineOps {
       .select(col("doc_id"), col("sh"))
     val test = base.filter(col("bucket") >= (0.9 * 4294967296L).toLong)
       .select(col("sh")).distinct()
-    train.join(test, "sh")
-      .groupBy(col("doc_id"))
+    (train, test)
+  }
+
+  private def decontamTail(hits: DataFrame): DataFrame =
+    hits.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"),
         countDistinct(col("sh")).as("n_shingles_hit"))
       .orderBy("doc_id")
+
+  def c7Decontaminate(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val (train, test) = shingleSides(spark, dir, k)
+    decontamTail(train.join(test, "sh"))
+  }
+
+  /** C7g: bloom-prefiltered decontamination — the 100 TB posture for
+    * c7_decontaminate. The exact variant shuffles EVERY train shingle
+    * into the join; here a bloom filter built over the (benchmark-sized)
+    * test shingles — one bounded aggregate, OR-merged so the bits are
+    * arrival-order-independent — is embedded as a ~1 MB binary literal
+    * and filters train shingles with the codegen'd `might_contain`
+    * BEFORE the shuffle: only might-contain rows (true matches + the
+    * bloom's false-positive sliver) reach the exact confirm join. Bloom
+    * filters have no false negatives, so the output is bit-identical to
+    * c7_decontaminate for ANY bloom parameters — the oracle is literally
+    * the same SQL. This is the runtime-filter / semi-join-reduction
+    * pattern lifted to an explicit operator (Spark's own injection can't
+    * see through the distinct-aggregate build side here).
+    */
+  def c7DecontaminateBloom(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    val (train, test) = shingleSides(spark, dir, k)
+    val bloomBin = test.select(ColumnBridge.column(
+        new BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col("sh"))), 1000000L)
+          .toAggregateExpression()))
+      .head().getAs[Array[Byte]](0)
+    val prefiltered = train.filter(ColumnBridge.column(
+      BloomFilterMightContain(
+        Literal.create(bloomBin, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(xxhash64(col("sh"))))))
+    decontamTail(prefiltered.join(test, "sh"))
   }
 
   /** C7e: end-to-end corpus curation — the composition a training
@@ -246,6 +288,19 @@ object PipelineOps {
         "CAST(SUM(len(string_split(text, ' '))) OVER " +
         "(PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_tokens " +
         "FROM documents) WHERE cum_tokens <= 5000 ORDER BY lang, doc_id"),
+    // Identical SQL to c7_decontaminate by design: the bloom prefilter
+    // must not change the result (no false negatives; the exact join
+    // removes false positives).
+    "c7_decontaminate_bloom" ->
+      (s"WITH d AS (SELECT doc_id, $bucketSql AS bucket, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "sh AS (SELECT doc_id, bucket, unnest(list_transform(range(1, len(toks) - 2), " +
+        "i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS sh FROM d), " +
+        s"te AS (SELECT DISTINCT sh FROM sh WHERE bucket >= ${(0.9 * 4294967296L).toLong}), " +
+        s"tr AS (SELECT doc_id, sh FROM sh WHERE bucket < ${(0.8 * 4294967296L).toLong}) " +
+        "SELECT doc_id, count(*) AS n_hits, " +
+        "CAST(count(DISTINCT sh) AS BIGINT) AS n_shingles_hit " +
+        "FROM tr JOIN te USING (sh) GROUP BY doc_id ORDER BY doc_id"),
     "c7_sample_strat" ->
       (s"SELECT doc_id, lang, source FROM documents " +
         s"WHERE $bucketSql < CASE WHEN lang = 'en' " +
@@ -264,6 +319,7 @@ object PipelineOps {
     "c7_split_assign" -> (c7SplitAssign _),
     "c7_token_budget" -> ((s: SparkSession, d: String) => c7TokenBudget(s, d)),
     "c7_decontaminate" -> ((s: SparkSession, d: String) => c7Decontaminate(s, d)),
+    "c7_decontaminate_bloom" -> ((s: SparkSession, d: String) => c7DecontaminateBloom(s, d)),
     "c7_curate" -> ((s: SparkSession, d: String) => c7Curate(s, d)),
     "c7_pack_sequences" -> ((s: SparkSession, d: String) => c7PackSequences(s, d))
   )

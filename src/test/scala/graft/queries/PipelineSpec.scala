@@ -40,6 +40,22 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("bloom-prefiltered decontamination is bit-identical to the exact join") {
+    // No false negatives: the prefilter may only pass extra candidates,
+    // and the exact confirm join removes them — for ANY bloom params.
+    val exact = PipelineOps.c7Decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val bloom = PipelineOps.c7DecontaminateBloom(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(bloom == exact)
+    assert(bloom.nonEmpty)
+    // and the prefilter is actually in the plan (this must not silently
+    // degrade into the exact query)
+    val plan = PipelineOps.c7DecontaminateBloom(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom prefilter missing:\n$plan")
+  }
+
   test("c5_retention: day-0 cell equals cohort size; offsets non-negative") {
     val cells = EventOps.c5Retention(spark, sf)
       .collect()
