@@ -292,15 +292,20 @@ object EventStream {
     * advance the watermark and flush — `noDataMicroBatches` default).
     * Oracle: the batch tumbling aggregation filtered to those windows.
     */
-  def c5StreamTumblingIncr(spark: SparkSession, sfDir: String): DataFrame = {
-    implicit val s: SparkSession = spark
+  /** Chronological two-file split of the events table, written in-query
+    * (the b8 pattern) and returned as a streaming source reading the
+    * split dir with `maxFilesPerTrigger=1` — two data micro-batches, in
+    * event-time order (file order forced via modification times), so no
+    * row is ever late. Shared by the incremental streaming checks.
+    */
+  private def twoBatchEventStream(spark: SparkSession, sfDir: String,
+      cutUsOpt: Option[Long] = None): DataFrame = {
     import java.nio.file.{Files => JFiles, StandardCopyOption}
     val ev = graft.Tables.load(spark, sfDir, "events")
     val bounds = ev.agg(
       min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx")).head()
-    val cutUs = Math.floorDiv(bounds.getLong(0) + bounds.getLong(1), 2L)
-    // Two-file layout written in-query (the b8 pattern): stage each half
-    // as a single parquet file, then order the stream dir by mtime.
+    val cutUs = cutUsOpt.getOrElse(
+      Math.floorDiv(bounds.getLong(0) + bounds.getLong(1), 2L))
     val stage = JFiles.createTempDirectory("graft_incr_stage")
     val streamDir = JFiles.createTempDirectory("graft_incr_src")
     def writeHalf(half: DataFrame, tag: String, mtime: Long): Unit = {
@@ -315,11 +320,61 @@ object EventStream {
     val now = System.currentTimeMillis()
     writeHalf(ev.filter(unix_micros(col("ts")) <= cutUs), "00_early", now - 120000L)
     writeHalf(ev.filter(unix_micros(col("ts")) > cutUs), "01_late", now - 60000L)
-    val stream = spark.readStream.schema(ev.schema)
+    spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
-    runIncremental(tumblingCounts(stream), OutputMode.Append(), minBatches = 2)
+  }
+
+  def c5StreamTumblingIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    runIncremental(tumblingCounts(twoBatchEventStream(spark, sfDir)),
+      OutputMode.Append(), minBatches = 2)
       .orderBy("window_start", "event_type")
+  }
+
+  /** c5_stream_sessionize_incr: the session_window operator under REAL
+    * incremental arrival (same two-file chronological split). Beyond
+    * what the tumbling twin checks, this exercises cross-batch session
+    * STATE MERGING: a session spanning the file cut sits open in the
+    * state store after batch 1 and must be extended (not restarted) by
+    * batch 2's rows. Append mode emits a session once the watermark
+    * passes its end (last event + gap); oracle = batch gaps-and-islands
+    * sessions whose end ≤ max(ts) − 2h, with full counts (in-order
+    * arrival, nothing late).
+    */
+  /** Cut point for the incremental session check: the microsecond
+    * midpoint of the adjacent same-user event pair that is closer than
+    * the session gap AND nearest the center of the event-time span —
+    * guaranteeing some session straddles the file boundary (open in
+    * state after batch 1, extended by batch 2). Any chronological cut
+    * keeps the oracle valid (nothing is ever late); this one makes the
+    * merge path provably exercised. Deterministic; falls back to the
+    * span midpoint on a degenerate corpus with no intra-gap pairs.
+    */
+  private[streaming] def sessionCutUs(ev: DataFrame, gapUs: Long = 1800000000L): Long = {
+    val b = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx")).head()
+    val mid = Math.floorDiv(b.getLong(0) + b.getLong(1), 2L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cut = ev.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("nxt", lead(col("us"), 1).over(w))
+      .filter(col("nxt").isNotNull &&
+        col("nxt") - col("us") < gapUs && col("nxt") =!= col("us"))
+      .select((col("us") + (col("nxt") - col("us")) / 2L).cast("long").as("cut"))
+      .withColumn("d", abs(col("cut") - mid))
+      .orderBy(col("d"), col("cut"))
+      .limit(1).collect()
+    if (cut.isEmpty) mid else cut.head.getLong(0)
+  }
+
+  def c5StreamSessionizeIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cut = sessionCutUs(graft.Tables.load(spark, sfDir, "events"))
+    runIncremental(sessionCounts(twoBatchEventStream(spark, sfDir, Some(cut))),
+      OutputMode.Append(), minBatches = 2)
+      .orderBy("user_id", "session_start")
   }
 
   /** c5_stream_tumbling: the streaming tumbling aggregation, driver-
@@ -442,6 +497,26 @@ object EventStream {
         "wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM events) " +
         "SELECT window_start, event_type, n_events, sum_value FROM agg, wm " +
         "WHERE window_start + INTERVAL '1 hour' <= w ORDER BY 1, 2"),
+    // Incremental session twin: only sessions whose end (last event +
+    // gap) the final watermark has passed are in the Append-mode sink;
+    // counts are full (in-order two-batch arrival, nothing late).
+    "c5_stream_sessionize_incr" ->
+      ("WITH flagged AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END " +
+        "AS new_session FROM events WINDOW w AS " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT user_id, ts, SUM(new_session) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx " +
+        "FROM flagged), " +
+        "agg AS (SELECT min(ts) AS session_start, " +
+        "max(ts) + INTERVAL '30 minutes' AS session_end, " +
+        "user_id, count(*) AS n_events " +
+        "FROM sess GROUP BY user_id, session_idx), " +
+        "wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM events) " +
+        "SELECT session_start, session_end, user_id, n_events FROM agg, wm " +
+        "WHERE session_end <= w ORDER BY user_id, session_start"),
     "c5_stream_dedup" ->
       ("SELECT DISTINCT user_id, event_type, value FROM events " +
         "ORDER BY user_id, event_type, value"),
@@ -484,6 +559,7 @@ object EventStream {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c5_stream_tumbling" -> (c5StreamTumbling _),
     "c5_stream_tumbling_incr" -> (c5StreamTumblingIncr _),
+    "c5_stream_sessionize_incr" -> (c5StreamSessionizeIncr _),
     "c5_stream_sessionize" -> (c5StreamSessionize _),
     "c5_stream_dedup" -> (c5StreamDedup _),
     "c5_stream_sliding" -> (c5StreamSliding _),

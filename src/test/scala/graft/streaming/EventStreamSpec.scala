@@ -179,6 +179,48 @@ class EventStreamSpec extends SparkSuite {
     assert(open > 0, "fixture must leave open windows for this test to bite")
   }
 
+  test("incremental sessionize emits watermark-closed sessions incl. cut-spanning ones") {
+    val got = EventStream.c5StreamSessionizeIncr(spark, sf)
+      .collect()
+      .map(r => (r.getLong(2), r.getTimestamp(0), r.getTimestamp(1), r.getLong(3)))
+      .toSet
+    val ev = Tables.load(spark, sf, "events")
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val cutUs = EventStream.sessionCutUs(ev)
+    val wmUs = maxUs - 2L * 3600L * 1000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = ev
+      .withColumn("prev", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - col("prev") >= 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts")).as("session_start"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getLong(3) + 1800000000L, r.getLong(4)))
+    val closed = sessions.filter(_._3 <= wmUs)
+      .map { case (u, st, endUs, n) =>
+        val end = new java.sql.Timestamp(Math.floorDiv(endUs, 1000000L) * 1000L)
+        end.setNanos((Math.floorMod(endUs, 1000000L) * 1000L).toInt)
+        (u, st, end, n)
+      }.toSet
+    assert(got == closed)
+    assert(sessions.exists(_._3 > wmUs), "fixture must leave open sessions")
+    // the cut falls inside at least one session by construction
+    // (sessionCutUs picks an intra-gap event pair): that session sat
+    // open in state after batch 1 and was EXTENDED by batch 2 — the
+    // cross-batch merge path this query exists to exercise
+    assert(sessions.exists { case (_, st, endUs, _) =>
+      val stUs = Math.floorDiv(st.getTime, 1000L) * 1000000L + st.getNanos / 1000L
+      stUs <= cutUs && (endUs - 1800000000L) > cutUs
+    }, "no session spans the file cut")
+  }
+
   test("batch sessionization query is internally consistent on testdata") {
     val s = EventOps.c5Sessionize(spark, sf).collect()
     assert(s.nonEmpty)
