@@ -80,6 +80,21 @@ class PlanAuditSpec extends SparkSuite {
       s"c2_embed_neardup: corpus-sized broadcast:\n${trees.mkString("\n")}")
   }
 
+  test("multimodal dedup digest joins are broadcast-free (digest tables are corpus-sized)") {
+    // c6_asset_dedup joins per-asset digests against the per-digest
+    // first-copy table; c6_frame_neardup joins frame memberships against
+    // per-frame-hash mins. Every side scales with the corpus — none may
+    // plan as a broadcast under cluster confs (locally the tiny fixtures
+    // would let size-based broadcast mask a 100 TB OOM). Same for the
+    // bloom-decontamination confirm join: the bloom itself is an in-plan
+    // literal, never an Exchange.
+    for (name <- Seq("c6_asset_dedup", "c6_frame_neardup", "c7_decontaminate_bloom")) {
+      val trees = broadcastSubtrees(name)
+      assert(trees.isEmpty,
+        s"$name: corpus-sized broadcast:\n${trees.mkString("\n")}")
+    }
+  }
+
   test("dedup assignment bucket-min is a partial aggregate, never a window") {
     // min().over(Window.partitionBy(band, bucket)) would ship every
     // membership row of a mega-bucket into ONE task — no map-side combine,
