@@ -152,10 +152,15 @@ object TextOps {
     import spark.implicits._
     val toks = docs(spark, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
-    val sketch: Map[String, Long] =
-      toks.as[String].select(graft.functions.MisraGriesAggregator.sketch(cap)).head()
+    // One fused pass computes the sketch AND the stream length (the
+    // exact-count pass below is the only other corpus scan; at real
+    // scale a caller would run the sketch pass alone and skip the
+    // verification side entirely).
+    val (sketch, n) = toks.as[String]
+      .select(graft.functions.MisraGriesAggregator.sketch(cap),
+        count(lit(1)).as[Long])
+      .head()
     val est = typedLit(sketch)
-    val n = toks.count()
     toks.groupBy("tok").agg(count(lit(1)).as("freq"))
       .filter(col("freq") * (cap + 1) > lit(n))
       .select(col("tok"), col("freq"),
