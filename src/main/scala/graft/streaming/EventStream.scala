@@ -320,6 +320,8 @@ object EventStream {
     val now = System.currentTimeMillis()
     writeHalf(ev.filter(unix_micros(col("ts")) <= cutUs), "00_early", now - 120000L)
     writeHalf(ev.filter(unix_micros(col("ts")) > cutUs), "01_late", now - 60000L)
+    // the staged writer dirs are empty shells after the part-file moves
+    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
     spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
