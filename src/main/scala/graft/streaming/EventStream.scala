@@ -379,6 +379,26 @@ object EventStream {
       .orderBy("user_id", "session_start")
   }
 
+  /** c5_stream_user_stats_incr: mapGroupsWithState under REAL
+    * incremental arrival — the third streaming-state family (after the
+    * windowed and session incrementals) verified across micro-batches.
+    * A user with events in both halves is updated twice; the Update-mode
+    * sink then holds both emissions, and the final per-user row (max of
+    * the running counter) equals the full batch count ONLY if the
+    * custom state actually carried the batch-1 counter into batch 2 —
+    * a restarted state would report the second half alone. Oracle =
+    * the same per-user count + max ts as the single-batch twin.
+    */
+  def c5StreamUserStatsIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    runIncremental(
+      userRunningStats(spark, twoBatchEventStream(spark, sfDir)),
+      OutputMode.Update(), minBatches = 2)
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"), max(col("last_ts")).as("last_ts"))
+      .orderBy("user_id")
+  }
+
   /** c5_stream_tumbling: the streaming tumbling aggregation, driver-
     * checked against the same oracle shape as the batch twin.
     */
@@ -530,6 +550,11 @@ object EventStream {
     "c5_stream_user_stats" ->
       ("SELECT user_id, count(*) AS n_events, max(ts) AS last_ts " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    // Incremental twin: identical oracle — the final running counter
+    // must equal the full count despite arriving in two batches.
+    "c5_stream_user_stats_incr" ->
+      ("SELECT user_id, count(*) AS n_events, max(ts) AS last_ts " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
     "c5_stream_join" ->
       ("SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts, " +
         "c.event_id AS c_id, c.ts AS c_ts " +
@@ -562,6 +587,7 @@ object EventStream {
     "c5_stream_tumbling" -> (c5StreamTumbling _),
     "c5_stream_tumbling_incr" -> (c5StreamTumblingIncr _),
     "c5_stream_sessionize_incr" -> (c5StreamSessionizeIncr _),
+    "c5_stream_user_stats_incr" -> (c5StreamUserStatsIncr _),
     "c5_stream_sessionize" -> (c5StreamSessionize _),
     "c5_stream_dedup" -> (c5StreamDedup _),
     "c5_stream_sliding" -> (c5StreamSliding _),

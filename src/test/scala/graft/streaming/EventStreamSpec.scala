@@ -221,6 +221,24 @@ class EventStreamSpec extends SparkSuite {
     }, "no session spans the file cut")
   }
 
+  test("incremental user stats carry custom state across batches") {
+    val ev = Tables.load(spark, sf, "events")
+    val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val cutUs = Math.floorDiv(b.getLong(0) + b.getLong(1), 2L)
+    // the check only bites if some user has events in BOTH halves — a
+    // restarted state would then report the second half alone
+    val spanning = ev.groupBy("user_id")
+      .agg(sum(when(unix_micros(col("ts")) <= cutUs, 1).otherwise(0)).as("a"),
+        sum(when(unix_micros(col("ts")) > cutUs, 1).otherwise(0)).as("b"))
+      .filter(col("a") > 0 && col("b") > 0).count()
+    assert(spanning > 0, "fixture must have users on both sides of the cut")
+    val got = EventStream.c5StreamUserStatsIncr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = ev.groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
   test("batch sessionization query is internally consistent on testdata") {
     val s = EventOps.c5Sessionize(spark, sf).collect()
     assert(s.nonEmpty)
