@@ -298,8 +298,8 @@ object EventStream {
     * event-time order (file order forced via modification times), so no
     * row is ever late. Shared by the incremental streaming checks.
     */
-  private def twoBatchEventStream(spark: SparkSession, sfDir: String,
-      cutUsOpt: Option[Long] = None): DataFrame = {
+  private def twoBatchSplitDir(spark: SparkSession, sfDir: String,
+      cutUsOpt: Option[Long] = None): (String, org.apache.spark.sql.types.StructType) = {
     import java.nio.file.{Files => JFiles, StandardCopyOption}
     val ev = graft.Tables.load(spark, sfDir, "events")
     val bounds = ev.agg(
@@ -308,6 +308,10 @@ object EventStream {
       Math.floorDiv(bounds.getLong(0) + bounds.getLong(1), 2L))
     val stage = JFiles.createTempDirectory("graft_incr_stage")
     val streamDir = JFiles.createTempDirectory("graft_incr_src")
+    // Test-harness scaffolding, not an ingest pattern: coalesce(1)
+    // single-task writes exist because the check needs EXACTLY one file
+    // per micro-batch; the temp split is reclaimed on JVM exit.
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(streamDir.toFile)
     def writeHalf(half: DataFrame, tag: String, mtime: Long): Unit = {
       val out = stage.resolve(tag)
       half.coalesce(1).write.mode("overwrite").parquet(out.toString)
@@ -315,16 +319,27 @@ object EventStream {
         .getOrElse(sys.error(s"no parquet part written for $tag"))
       val dest = streamDir.resolve(s"$tag.parquet")
       JFiles.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
-      dest.toFile.setLastModified(mtime)
+      // File order (= arrival order) is carried by modification times; a
+      // filesystem that refuses to set them could invert the batches and
+      // make batch-2 rows late — fail loudly instead of flaking.
+      if (!dest.toFile.setLastModified(mtime))
+        sys.error(s"setLastModified failed for $dest; " +
+          "two-batch arrival order would be undefined")
     }
     val now = System.currentTimeMillis()
     writeHalf(ev.filter(unix_micros(col("ts")) <= cutUs), "00_early", now - 120000L)
     writeHalf(ev.filter(unix_micros(col("ts")) > cutUs), "01_late", now - 60000L)
     // the staged writer dirs are empty shells after the part-file moves
     org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
-    spark.readStream.schema(ev.schema)
+    (streamDir.toString, ev.schema)
+  }
+
+  private def twoBatchEventStream(spark: SparkSession, sfDir: String,
+      cutUsOpt: Option[Long] = None): DataFrame = {
+    val (dir, schema) = twoBatchSplitDir(spark, sfDir, cutUsOpt)
+    spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
+      .parquet(dir)
   }
 
   def c5StreamTumblingIncr(spark: SparkSession, sfDir: String): DataFrame = {
@@ -397,6 +412,71 @@ object EventStream {
       .groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"), max(col("last_ts")).as("last_ts"))
       .orderBy("user_id")
+  }
+
+  /** Cut point for the incremental stream-stream join check: the
+    * microsecond midpoint of a matched (click, purchase) attribution
+    * pair with the click STRICTLY before the purchase — so the click
+    * lands in batch 1 and the purchase in batch 2, forcing the join to
+    * match against a row buffered across the micro-batch boundary. Among
+    * qualifying pairs, picks the one nearest the center of the event-time
+    * span (deterministic tiebreak on the cut value). None on a corpus
+    * with no strictly-ordered attribution pair — the caller then skips
+    * the cross-batch assertion (any chronological cut stays oracle-safe).
+    */
+  private[streaming] def joinCutUs(ev: DataFrame, windowHours: Int = 6): Option[Long] = {
+    val b = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx")).head()
+    val mid = Math.floorDiv(b.getLong(0) + b.getLong(1), 2L)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+    val cut = p.join(c, col("user_id") === col("c_user") &&
+        col("c_us") >= col("p_us") - lit(windowHours * 3600000000L) &&
+        col("c_us") < col("p_us"))
+      .select((col("c_us") + (col("p_us") - col("c_us")) / 2L).cast("long").as("cutc"))
+      .withColumn("d", abs(col("cutc") - lit(mid)))
+      .orderBy(col("d"), col("cutc"))
+      .limit(1).collect()
+    cut.headOption.map(_.getLong(0))
+  }
+
+  /** c5_stream_join_incr: the stream-stream interval join under REAL
+    * incremental arrival — the fourth and last streaming-state family
+    * (join row buffers) verified across micro-batches. Both sides stream
+    * the SAME chronological two-file split with maxFilesPerTrigger=1, so
+    * each data micro-batch advances both sides by one file. The cut (see
+    * [[joinCutUs]]) places a matched click/purchase pair across the file
+    * boundary: the click is buffered into join state in batch 1 and its
+    * purchase only arrives in batch 2 — the pair reaches the sink ONLY if
+    * buffered join rows survive the batch boundary, which the query
+    * asserts explicitly before returning.
+    *
+    * Oracle: the full batch interval join, identical to c5_stream_join.
+    * In-order arrival makes that exact: after batch 1 the watermark is
+    * max(early ts) − 2h, and a click evictable before batch 2 (c_ts + 6h
+    * < watermark) is > 6h older than any batch-2 purchase — outside the
+    * join window anyway, so state eviction can never drop a true pair.
+    */
+  def c5StreamJoinIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cutOpt = joinCutUs(graft.Tables.load(spark, sfDir, "events"))
+    val (dir, schema) = twoBatchSplitDir(spark, sfDir, cutOpt)
+    def side: DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val joined = runIncremental(purchaseClickJoin(side, side),
+      OutputMode.Append(), minBatches = 2)
+    cutOpt.foreach { cut =>
+      val straddling = joined.filter(
+        unix_micros(col("c_ts")) <= cut && unix_micros(col("p_ts")) > cut)
+        .limit(1).count()
+      if (straddling == 0)
+        throw new IllegalStateException(
+          "no cross-batch pair in the join sink: stream-stream join state " +
+            "was not carried across micro-batches")
+    }
+    joined.orderBy("p_id", "c_id")
   }
 
   /** c5_stream_tumbling: the streaming tumbling aggregation, driver-
@@ -563,6 +643,18 @@ object EventStream {
         "ON p.user_id = c.user_id " +
         "AND c.ts >= p.ts - INTERVAL '6 hours' AND c.ts <= p.ts " +
         "ORDER BY p_id, c_id"),
+    // Incremental twin: identical oracle — inner-join matches emit as
+    // soon as both rows are buffered, in-order arrival never drops a
+    // matchable row (see c5StreamJoinIncr), so the two-batch sink must
+    // hold the complete batch join.
+    "c5_stream_join_incr" ->
+      ("SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts, " +
+        "c.event_id AS c_id, c.ts AS c_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id " +
+        "AND c.ts >= p.ts - INTERVAL '6 hours' AND c.ts <= p.ts " +
+        "ORDER BY p_id, c_id"),
     "c5_stream_sessionize_state" ->
       ("WITH flagged AS (SELECT user_id, ts, event_id, " +
         "CASE WHEN lag(ts) OVER w IS NULL OR " +
@@ -593,6 +685,7 @@ object EventStream {
     "c5_stream_sliding" -> (c5StreamSliding _),
     "c5_stream_user_stats" -> (c5StreamUserStats _),
     "c5_stream_sessionize_state" -> (c5StreamSessionizeState _),
-    "c5_stream_join" -> (c5StreamJoin _)
+    "c5_stream_join" -> (c5StreamJoin _),
+    "c5_stream_join_incr" -> (c5StreamJoinIncr _)
   )
 }

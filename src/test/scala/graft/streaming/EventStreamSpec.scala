@@ -239,6 +239,31 @@ class EventStreamSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("incremental stream-stream join carries buffered rows across batches") {
+    val ev = Tables.load(spark, sf, "events")
+    // the check only bites if a matched pair straddles the cut — the
+    // query itself throws when the cut is defined but no cross-batch
+    // pair reaches the sink, so a defined cut makes this a real test of
+    // join-state retention
+    val cut = EventStream.joinCutUs(ev)
+    assert(cut.isDefined, "fixture must contain a click strictly before its purchase")
+    val got = EventStream.c5StreamJoinIncr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val want = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 6 HOURS") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("batch sessionization query is internally consistent on testdata") {
     val s = EventOps.c5Sessionize(spark, sf).collect()
     assert(s.nonEmpty)
