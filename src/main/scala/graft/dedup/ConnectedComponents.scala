@@ -157,4 +157,44 @@ object ConnectedComponents {
           .join(e.select(col("u").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
           .withColumn("rep", col("doc_id")))
   }
+
+  /** Engine-side structural verification of a CC labelling against the
+    * membership table it was derived from — the check for scales where a
+    * SQL transitive-closure oracle is intractable (the recursive-CTE
+    * reach set is O(Σ component²); see BASELINE.md). Each invariant is a
+    * groupBy or join over the assignments/edges — the same bounded
+    * shapes as the algorithm itself, so the verification runs wherever
+    * the algorithm runs. Returns the total violation count (0 = the
+    * labelling is a star-contraction fixed point with min labels):
+    *
+    *  (a) completeness — member docs and assignment rows are in
+    *      bijection (no doc unlabelled, none labelled twice or invented);
+    *  (b) min-label — every cluster's rep equals the minimum doc_id in
+    *      the cluster (which also proves the rep is a member, assigned
+    *      to itself);
+    *  (c) fixed point — relabelling the endpoints of every derived edge
+    *      (doc → bucket-min) by its cluster rep contracts each edge to a
+    *      self-loop: no edge crosses two clusters, so one more
+    *      large-star/small-star round over the contracted graph changes
+    *      nothing. With (b), labels can only drop; with no cross-cluster
+    *      edge, there is nothing left to drop.
+    */
+  def invariantViolations(memberships: DataFrame, assignments: DataFrame): Long = {
+    val mem = memberships
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val asg = assignments.select(col("doc_id"), col("cluster_rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = mem.select(col("doc_id")).distinct()
+    val unlabelled = docs.join(asg, Seq("doc_id"), "left_anti").count()
+    val invented = asg.join(docs, Seq("doc_id"), "left_anti").count()
+    val relabelled = asg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    val badMin = asg.groupBy(col("cluster_rep")).agg(min(col("doc_id")).as("mn"))
+      .filter(col("mn") =!= col("cluster_rep")).count()
+    val crossEdges = edgesFromMemberships(mem)
+      .join(asg.select(col("doc_id").as("u"), col("cluster_rep").as("rep_u")), "u")
+      .join(asg.select(col("doc_id").as("v"), col("cluster_rep").as("rep_v")), "v")
+      .filter(col("rep_u") =!= col("rep_v")).count()
+    unlabelled + invented + relabelled + badMin + crossEdges
+  }
 }

@@ -75,17 +75,25 @@ object PipelineOps {
     * offset table back, and add a running sum windowed by (pid, lang) —
     * bounded by the range partitioner, never by language mass.
     *
-    * The `ranged` frame is persisted because its pids must be identical
-    * between the offset action and the final pass (and a re-scan of the
-    * corpus is saved); Bench/Verify clear the cache between queries.
+    * The `ranged` frame is CHECKPOINTED (not merely persisted) because
+    * its pids must be identical between the offset action and the final
+    * pass: with a plain persist, an executor loss would silently
+    * recompute the frame — repartitionByRange resamples its bounds, the
+    * pids shift, and the broadcast offsets would corrupt every cum sum
+    * downstream. localCheckpoint truncates the lineage, so a lost block
+    * FAILS the job loudly instead (on a real cluster, set a durable
+    * `spark.sparkContext.setCheckpointDir` and swap in `checkpoint()` —
+    * the [[graft.dedup.ConnectedComponents.starRoots]] posture — to
+    * survive executor loss too). Bench/Verify clear the cache between
+    * queries; checkpoint blocks are reclaimed when the RDD is GC'd.
     */
-  private def withRunningSum(df: DataFrame, valueCol: String, cumName: String): DataFrame = {
+  private[queries] def withRunningSum(df: DataFrame, valueCol: String, cumName: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val ranged = df
       .repartitionByRange(col("lang"), col("doc_id"))
       .sortWithinPartitions("lang", "doc_id")
       .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val partSums = ranged.groupBy("pid", "lang")
       .agg(sum(col(valueCol)).as("psum"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
@@ -175,16 +183,46 @@ object PipelineOps {
     * pattern lifted to an explicit operator (Spark's own injection can't
     * see through the distinct-aggregate build side here).
     */
-  def c7DecontaminateBloom(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+  /** Bloom binary over the distinct test shingles, sized for
+    * `expectedItems` (Spark's default FPP target, 3%). Factored out so
+    * the sizing behavior is testable without the full operator.
+    */
+  private[queries] def testShingleBloom(test: DataFrame, expectedItems: Long): Array[Byte] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
-    val (train, test) = shingleSides(spark, dir, k)
-    val bloomBin = test.select(ColumnBridge.column(
+    test.select(ColumnBridge.column(
         new BloomFilterAggregate(
-          ColumnBridge.expression(xxhash64(col("sh"))), 1000000L)
+          ColumnBridge.expression(xxhash64(col("sh"))),
+          math.max(expectedItems, 1L))
           .toAggregateExpression()))
       .head().getAs[Array[Byte]](0)
+  }
+
+  def c7DecontaminateBloom(spark: SparkSession, dir: String, k: Int = 4,
+      expectedTestShingles: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    val (train, test0) = shingleSides(spark, dir, k)
+    // The test side now feeds three consumers (count, bloom build, exact
+    // confirm join) — persist it for the operator's lifetime; Bench and
+    // Verify clearCache() between queries (the assignmentsFromMemberships
+    // posture).
+    val test = test0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Size the bloom from the data, not a constant: with a hardcoded
+    // expectation, a test split much larger than it degrades the FPP
+    // toward 1 and the prefilter silently stops pruning at exactly the
+    // scale it was built for. The count is one cheap aggregate over the
+    // (benchmark-sized) held-out side — and the result is unchanged for
+    // ANY sizing (no false negatives + exact confirm).
+    val expected = expectedTestShingles.getOrElse(test.count())
+    val bloomBin = testShingleBloom(test, expected)
+    // Observability: the sketch's own achieved-FPP estimate under the
+    // actual load, so the prefilter's selectivity is visible in logs.
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBin))
+    System.err.println(
+      f"[graft] c7_decontaminate_bloom: test_shingles=$expected%d " +
+        f"bloom_bits=${bf.bitSize()}%d expected_fpp=${bf.expectedFpp()}%.4f")
     val prefiltered = train.filter(ColumnBridge.column(
       BloomFilterMightContain(
         Literal.create(bloomBin, org.apache.spark.sql.types.BinaryType),

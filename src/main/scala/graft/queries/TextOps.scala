@@ -148,26 +148,65 @@ object TextOps {
     * (the b2_agg_approx pattern). The sketch itself is one bounded
     * aggregate (≤ cap entries to the driver, embedded as a map literal).
     */
-  def c4HeavyHitters(spark: SparkSession, dir: String, cap: Int = 199): DataFrame = {
+  /** The product path at 100 TB: ONE bounded-memory sketch pass over a
+    * token column — no full-vocabulary shuffle anywhere (the partial
+    * buffers carry ≤ cap counters each; the merged sketch is a single
+    * ≤ cap-entry driver row). Returns (sketch estimates, stream length):
+    * for every token with true frequency > n/(cap+1) the sketch holds an
+    * entry with `freq − n/(cap+1) ≤ estimate ≤ freq` (the Misra–Gries
+    * guarantee), so the keys are a complete heavy-hitter candidate set.
+    */
+  def heavyHitterSketch(tokens: DataFrame, cap: Int = 199): (Map[String, Long], Long) = {
+    val spark = tokens.sparkSession
     import spark.implicits._
-    val toks = docs(spark, dir)
-      .select(explode(split(col("text"), " ")).as("tok"))
-    // One fused pass computes the sketch AND the stream length (the
-    // exact-count pass below is the only other corpus scan; at real
-    // scale a caller would run the sketch pass alone and skip the
-    // verification side entirely).
-    val (sketch, n) = toks.as[String]
+    tokens.select(col(tokens.columns.head).as("tok")).as[String]
       .select(graft.functions.MisraGriesAggregator.sketch(cap),
         count(lit(1)).as[Long])
       .head()
+  }
+
+  /** First-class heavy-hitter candidates from the sketch pass alone —
+    * what a scale caller runs INSTEAD of the exact verification query:
+    * per candidate token, the estimate (a lower bound on its true
+    * frequency), the MG upper bound `estimate + n div (cap+1)`, and
+    * whether the token is GUARANTEED heavy (estimate·(cap+1) > n — true
+    * frequency ≥ estimate, so no exact pass is needed to act on it).
+    * Every truly-heavy token is present; entries with
+    * guaranteed_heavy = false are the candidate sliver an exact
+    * confirm pass (e.g. [[c4HeavyHitters]]'s) would resolve.
+    */
+  def heavyHitterCandidates(spark: SparkSession, dir: String,
+      cap: Int = 199): DataFrame = {
+    import spark.implicits._
+    val toks = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val (sketch, n) = heavyHitterSketch(toks, cap)
+    sketch.toSeq.toDF("tok", "est_freq")
+      .select(col("tok"), col("est_freq"),
+        (col("est_freq") + lit(n / (cap + 1))).as("freq_upper"),
+        (col("est_freq") * (cap + 1) > lit(n)).as("guaranteed_heavy"))
+      .orderBy("tok")
+  }
+
+  def c4HeavyHitters(spark: SparkSession, dir: String, cap: Int = 199): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    // One fused pass computes the sketch AND the stream length; the
+    // exact full-vocabulary aggregate below exists only to make the
+    // sketch guarantees hash-checkable — the scale caller runs
+    // [[heavyHitterCandidates]] and never pays it.
+    val (sketch, n) = heavyHitterSketch(toks, cap)
     val est = typedLit(sketch)
+    // try_element_at, not element_at: under ANSI mode (Spark 4 default)
+    // element_at THROWS on a missing map key — a guarantee violation
+    // must surface as a hash mismatch (in_sketch = false), not a crash.
     toks.groupBy("tok").agg(count(lit(1)).as("freq"))
       .filter(col("freq") * (cap + 1) > lit(n))
       .select(col("tok"), col("freq"),
-        element_at(est, col("tok")).isNotNull.as("in_sketch"),
-        (coalesce(element_at(est, col("tok")), lit(0L)) <= col("freq"))
+        try_element_at(est, col("tok")).isNotNull.as("in_sketch"),
+        (coalesce(try_element_at(est, col("tok")), lit(0L)) <= col("freq"))
           .as("no_overcount"),
-        ((col("freq") - coalesce(element_at(est, col("tok")), lit(0L)))
+        ((col("freq") - coalesce(try_element_at(est, col("tok")), lit(0L)))
           * (cap + 1) <= lit(n)).as("within_bound"))
       .orderBy("tok")
   }

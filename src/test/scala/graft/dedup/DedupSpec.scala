@@ -233,6 +233,35 @@ class DedupSpec extends SparkSuite {
     assert(got.length == 3 && got.forall { case (id, rep, kept) => id == rep && kept })
   }
 
+  test("CC invariants hold at sf0.1 — fixed point + min labels beyond the oracle's reach") {
+    // The recursive-CTE closure oracle is O(Σ component²) and intractable
+    // at sf0.1 (BASELINE.md), so the transitive-closure path gets an
+    // ENGINE-side structural check at 10× the driver gate: the labelling
+    // must be a star-contraction fixed point (no cross-cluster edge) with
+    // min labels, in bijection with the member docs.
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val mem = MinHash.memberships(docs, col("doc_id"), col("text"), 64, 16)
+    val asg = ConnectedComponents.assignmentsFromMemberships(mem)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(ConnectedComponents.invariantViolations(mem, asg) == 0L)
+      // the check bites: sf0.1 is the SF with real duplicate structure
+      val merged = asg.filter(col("doc_id") =!= col("cluster_rep"))
+        .orderBy("doc_id").limit(1).collect()
+      assert(merged.nonEmpty, "sf0.1 fixture must contain collapsed duplicates")
+      // negative control: splitting one doc out of its cluster must be
+      // rejected (its derived edges now cross two clusters)
+      val victim = merged.head.getLong(0)
+      val corrupted = asg.withColumn("cluster_rep",
+        when(col("doc_id") === victim, col("doc_id")).otherwise(col("cluster_rep")))
+      assert(ConnectedComponents.invariantViolations(mem, corrupted) > 0L)
+    } finally {
+      asg.unpersist(blocking = false)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("starRoots with a durable checkpoint dir matches the localCheckpoint path") {
     import spark.implicits._
     // a chain (1-2-3-4), a triangle (10-11-12), an isolated edge (20-21)

@@ -65,4 +65,27 @@ class MisraGriesSpec extends SparkSuite {
     assert(got.map(_.getString(0)).toSet == want)
     got.foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
   }
+
+  test("heavyHitterCandidates: sketch-only path brackets exact counts, no heavy token missed") {
+    import org.apache.spark.sql.functions._
+    val cap = 199
+    val cands = TextOps.heavyHitterCandidates(spark, sf, cap).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(cands.nonEmpty && cands.size <= cap,
+      "candidate set must be bounded by the sketch cap")
+    val toks = graft.Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok")).collect().map(_.getString(0))
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = toks.length.toLong
+    // completeness: every truly-heavy token is a candidate
+    exact.filter { case (_, f) => f * (cap + 1) > n }.keys.foreach { t =>
+      assert(cands.contains(t), s"heavy token $t missing from candidates")
+    }
+    // bounds: est ≤ freq ≤ freq_upper; guaranteed_heavy implies heavy
+    cands.foreach { case (t, (est, ub, guaranteed)) =>
+      val f = exact(t)
+      assert(est <= f && f <= ub, s"$t: exact $f outside [$est, $ub]")
+      if (guaranteed) assert(f * (cap + 1) > n, s"$t: false heavy guarantee")
+    }
+  }
 }

@@ -56,6 +56,74 @@ class PipelineSpec extends SparkSuite {
     assert(plan.contains("might_contain"), s"bloom prefilter missing:\n$plan")
   }
 
+  test("withRunningSum == naive per-language cumulative sum (property, varied partitioning)") {
+    // The two-phase prefix sum (range-partition → per-(pid,lang) offsets
+    // → bounded window) is oracle-green at two SFs, but that pins one
+    // data distribution and one partition count. This pins the ALGEBRA:
+    // for random inputs it must equal the naive per-language cumulative
+    // sum under every partitioning, including the degenerate 1-partition
+    // and more-partitions-than-rows cases.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val rowGen = for {
+      lang <- Gen.oneOf("en", "fr", "de", "ja")
+      id <- Gen.chooseNum(0L, 400L)
+      n <- Gen.chooseNum(0L, 100L)
+    } yield ((lang, id), n)
+    val dataGen = Gen.chooseNum(0, 50).flatMap(k => Gen.mapOfN(k, rowGen))
+    val prop = Prop.forAll(dataGen) { m =>
+      val rows = m.toSeq.map { case ((l, id), n) => (l, id, n) }
+      val want = rows.groupBy(_._1).flatMap { case (l, rs) =>
+        val sorted = rs.sortBy(_._2)
+        sorted.map(_._2).zip(sorted.map(_._3).scanLeft(0L)(_ + _).tail)
+          .map { case (id, cum) => ((l, id), cum) }
+      }
+      Seq(1, 2, 7, 32).forall { np =>
+        spark.conf.set("spark.sql.shuffle.partitions", np)
+        try {
+          val got = PipelineOps
+            .withRunningSum(rows.toDF("lang", "doc_id", "n_tokens"), "n_tokens", "cum")
+            .select("lang", "doc_id", "cum").collect()
+            .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+          got == want
+        } finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("decontamination bloom sizing follows the data, so a large test split still prunes") {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.functions.{concat, lit => flit, xxhash64}
+    def fpRate(bin: Array[Byte]): Double = {
+      // disjoint probe set: the observed pass rate on non-members is the
+      // prefilter's wasted-shuffle fraction
+      val probe = spark.range(0, 100000)
+        .select(concat(flit("probe_"), org.apache.spark.sql.functions.col("id")).as("sh"))
+      val hits = probe.filter(ColumnBridge.column(
+        BloomFilterMightContain(
+          Literal.create(bin, org.apache.spark.sql.types.BinaryType),
+          ColumnBridge.expression(xxhash64(org.apache.spark.sql.functions.col("sh")))))).count()
+      hits.toDouble / 100000.0
+    }
+    // 300k synthetic shingles: large enough that mis-sizing shows up in
+    // the FPP, small enough for the suite
+    val n = 300000L
+    val test = spark.range(0, n)
+      .select(concat(flit("t"), org.apache.spark.sql.functions.col("id")).as("sh"))
+    // sized from the data (what c7DecontaminateBloom now does): FPP
+    // stays at the ~3% design point and the prefilter keeps pruning
+    val sized = PipelineOps.testShingleBloom(test, n)
+    assert(fpRate(sized) < 0.06, "data-sized bloom must keep its design FPP")
+    // the failure mode this guards against: a hardcoded expectation 100×
+    // too small saturates the bits and the prefilter stops filtering
+    val undersized = PipelineOps.testShingleBloom(test, n / 100)
+    assert(fpRate(undersized) > 0.5,
+      "undersized bloom should saturate — if this fails, the guard is untestable")
+  }
+
   test("c5_retention: day-0 cell equals cohort size; offsets non-negative") {
     val cells = EventOps.c5Retention(spark, sf)
       .collect()
