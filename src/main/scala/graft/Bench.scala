@@ -44,9 +44,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDirForLine"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDirForLine"}"""
+    println(line)
     System.out.flush()
+    // The stdout line is NOT guaranteed last under sbt (a trailing
+    // "[success] ..." line follows it), so a mechanical consumer can't
+    // just take the tail — mirror the line to a dedicated file
+    // (SPARK_GRAFT_BENCH_OUT, default bench_line.json) that holds
+    // exactly the one JSON line.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_line.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] bench-out write failed: ${e.getMessage}")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -93,11 +105,12 @@ object Bench {
 
     val watchdog = new java.util.Timer("bench-watchdog", true)
 
-    // Some(seconds) iff the query ran to completion. A watchdog-cancelled
-    // or crashed query returns None and is recorded NOWHERE — not in the
-    // JSON line, not in history: elapsed-time-at-cancellation is not a
-    // timing, and recording it once let 150 s ceiling artifacts stand in
-    // the official record as if the queries *took* 150 s.
+    // Some(seconds) iff the query ran to completion. A query that did
+    // NOT complete (watchdog-cancelled mid-run, or crashed) returns None
+    // and is recorded NOWHERE — not in the JSON line, not in history:
+    // elapsed-time-at-cancellation is not a timing, and recording it
+    // once let 150 s ceiling artifacts stand in the official record as
+    // if the queries *took* 150 s.
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       // Operators persist() reused intermediates; drop them between timed
       // runs so every measurement starts cold and reruns can't cheat.
@@ -124,7 +137,12 @@ object Bench {
           cancel.cancel()
           spark.sparkContext.clearJobGroup()
         }
-      if (completed && !cancelled.get) Some((System.nanoTime() - t0) / 1e9)
+      // completed is checked FIRST: if save() finished, the timing is an
+      // honest measurement of a completed run even when the watchdog
+      // fired concurrently (the rare race where cancelJobGroup lands
+      // just after the last job finishes) — discard only cancelled runs
+      // that did NOT complete.
+      if (completed) Some((System.nanoTime() - t0) / 1e9)
       else {
         System.err.println(s"[bench] $name NOT recorded (" +
           (if (cancelled.get) "watchdog-cancelled" else "failed") + ")")
