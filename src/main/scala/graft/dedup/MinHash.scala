@@ -99,6 +99,22 @@ object MinHash {
       id: Column,
       text: Column,
       numHashes: Int = 64,
+      bands: Int = 16): DataFrame =
+    dedupAssignmentsFromSets(df, id, tokenSet(text), numHashes, bands)
+
+  /** [[dedupAssignments]] over a PRECOMPUTED set column instead of
+    * whitespace tokens — MinHash is agnostic to what the set elements
+    * are, so the same machinery dedups any set-shaped identity: word
+    * shingles, frame-hash sets of a video asset
+    * (MultiModalOps.c6FrameNearDupMinhash), feature bags. The signature
+    * is a min over the element hashes, so element order in the array
+    * never affects the result.
+    */
+  def dedupAssignmentsFromSets(
+      df: DataFrame,
+      id: Column,
+      tokens: Column,
+      numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     // Persisted: the signature (one MD5 per token) dominates per-row cost
     // and the membership table feeds two consumers (the bucket-min
@@ -106,7 +122,7 @@ object MinHash {
     // The cache must outlive the returned lazy frame (it is read when the
     // caller materializes), so it is not unpersisted here; session-style
     // callers should clearCache() between operators (Bench/Verify do).
-    val banded = memberships(df, id, text, numHashes, bands)
+    val banded = membershipsFromSets(df, id, tokens, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded
       .join(bucketMins(banded, "band", "bucket"), Seq("band", "bucket"))
@@ -133,10 +149,18 @@ object MinHash {
       id: Column,
       text: Column,
       numHashes: Int,
+      bands: Int): DataFrame =
+    membershipsFromSets(df, id, tokenSet(text), numHashes, bands)
+
+  private[dedup] def membershipsFromSets(
+      df: DataFrame,
+      id: Column,
+      tokens: Column,
+      numHashes: Int,
       bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    df.select(id.as("doc_id"), tokenSet(text).as("toks"))
+    df.select(id.as("doc_id"), tokens.as("toks"))
       .withColumn("sig", signature(col("toks"), numHashes))
       .select(
         col("doc_id"),

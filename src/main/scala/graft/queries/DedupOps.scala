@@ -114,10 +114,13 @@ object DedupOps {
     * graft.functions.HashExprs: md5-prefix base hash, affine members mod
     * 2^31−1, md5-prefix band buckets — 64 hashes × 16 bands of 4 rows).
     */
-  private val mhBase: String =
-    "base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
-      "FROM documents), " +
-      "tb AS (SELECT doc_id, list_transform(toks, t -> " +
+  /** The tokenset-agnostic tail of the MinHash replay — tb/sig/mem CTEs
+    * over a preceding `base(doc_id, toks)` CTE. Shared with the
+    * frame-set variant (MultiModalOps.c6_frame_neardup_minhash), which
+    * supplies a different base.
+    */
+  private[queries] val mhChainSql: String =
+    "tb AS (SELECT doc_id, list_transform(toks, t -> " +
       "('0x'||substr(md5(t),1,15))::BIGINT % 2147483647) AS hs FROM base), " +
       "sig AS (SELECT doc_id, list_transform(range(0, 64), i -> " +
       "list_min(list_transform(hs, h -> ((((i+1)*2654435761) % 2147483647) * h " +
@@ -126,6 +129,10 @@ object DedupOps {
       "('0x'||substr(md5(CAST(b AS VARCHAR)||':'||" +
       "array_to_string(list_slice(sig, b*4+1, b*4+4), ':')),1,15))::BIGINT AS bucket " +
       "FROM sig CROSS JOIN range(0, 16) rt(b))"
+
+  private val mhBase: String =
+    "base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
+      "FROM documents), " + mhChainSql
 
   /** DuckDB replay of the portable SimHash pipeline (60-bit fingerprint
     * over md5-prefix hashes, 4 blocks of 15 bits).

@@ -178,6 +178,31 @@ object MultiModalOps {
       .orderBy("asset_id")
   }
 
+  /** C6f: banded-MinHash video near-dup — each asset reduced to its SET
+    * of sampled frame hashes, then the whole MinHash+LSH dedup machinery
+    * reused wholesale ([[graft.dedup.MinHash.dedupAssignmentsFromSets]]:
+    * MinHash is set-agnostic, frames instead of word tokens). Assets
+    * cluster on HIGH JACCARD of their frame sets — a full signature band
+    * must agree — which is the semantics a video pipeline wants:
+    * [[c6FrameNearDup]]'s any-shared-frame rule lets ONE boilerplate
+    * frame (an intro card on every video) chain the whole corpus into a
+    * single cluster, while banding collapses only assets that share most
+    * of their frames (trims, appended tails, container changes). Same
+    * O(n)-output dedup-assignment posture; the per-asset frame set is
+    * bounded by the asset's own size (a per-record column, like a doc's
+    * token set), and only (asset_id, band, bucket) rows shuffle.
+    */
+  def c6FrameNearDupMinhash(spark: SparkSession, dir: String,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sets = sampledFrames(spark, dir, everyK = 4)
+      .groupBy(col("asset_id"))
+      .agg(collect_set(col("frame_hash")).as("frames"))
+    graft.dedup.MinHash
+      .dedupAssignmentsFromSets(sets, col("asset_id"), col("frames"), numHashes, bands)
+      .withColumnRenamed("doc_id", "asset_id")
+      .orderBy("asset_id")
+  }
+
   /** C6c: metadata summary per modality — fully SQL-expressible (the
     * metadata/typed-columns side of the multimodal schema), oracle-checked.
     */
@@ -252,6 +277,25 @@ object MultiModalOps {
         "SELECT h.asset_id, h.modality, h.payload_md5, f.n_copies, " +
         "h.asset_id = f.first_id AS is_kept " +
         "FROM h JOIN f USING (payload_md5) ORDER BY asset_id"),
+    // Full replay of the frame-set MinHash: frame hashes from the same
+    // VARCHAR-slice bridge as c6_frame_neardup form the per-asset set
+    // (base CTE), then the shared portable MinHash chain
+    // (DedupOps.mhChainSql — same as the c2_minhash_lsh oracle) and the
+    // one-round min-propagation.
+    "c6_frame_neardup_minhash" ->
+      ("WITH a AS (SELECT doc_id AS asset_id, text, " +
+        "CAST(ceil(length(text) / 256.0) AS INT) AS n_frames FROM documents), " +
+        "fr AS (SELECT asset_id, md5(substring(text, 1 + (gs.i*4)*256, 256)) AS frame_hash " +
+        "FROM a, LATERAL (SELECT unnest(range(0, " +
+        "CAST(ceil(greatest(n_frames,1) / 4.0) AS BIGINT))) AS i) gs), " +
+        "base AS (SELECT asset_id AS doc_id, list_distinct(list(frame_hash)) AS toks " +
+        "FROM fr GROUP BY asset_id), " +
+        DedupOps.mhChainSql + ", " +
+        "mm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) " +
+        "AS bucket_min FROM mem) " +
+        "SELECT doc_id AS asset_id, min(bucket_min) AS cluster_rep, " +
+        "doc_id = min(bucket_min) AS is_kept " +
+        "FROM mm GROUP BY doc_id ORDER BY asset_id"),
     "c6_meta_stats" ->
       (s"SELECT $modalitySql AS modality, count(*) AS n_assets, " +
         "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, " +
@@ -265,6 +309,8 @@ object MultiModalOps {
     "c6_frame_sample" -> ((s: SparkSession, d: String) => c6FrameSample(s, d)),
     "c6_asset_dedup" -> (c6AssetDedup _),
     "c6_frame_neardup" -> (c6FrameNearDup _),
+    "c6_frame_neardup_minhash" ->
+      ((s: SparkSession, d: String) => c6FrameNearDupMinhash(s, d)),
     "c6_meta_stats" -> (c6MetaStats _)
   )
 }

@@ -390,13 +390,30 @@ object Relational {
     * shuffle-free. Shuffle-freedom is pinned in PlanAuditSpec; the oracle
     * is the plain join (layout must not change semantics).
     */
+  /** Cheap fingerprint of a source table's files (total bytes + max
+    * mtime + path) — NO data scan. Layout names are keyed by it so a
+    * corpus regenerated at the same path changes the key and a stale
+    * layout is never silently served (dir.hashCode alone could not see
+    * regeneration).
+    */
+  private def sourceFingerprint(paths: String*): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    val fs = paths.flatMap(p => walk(new java.io.File(p)))
+    val size = fs.map(_.length).sum
+    val mtime = if (fs.isEmpty) 0L else fs.map(_.lastModified).max
+    (((paths.mkString(",").hashCode.toLong * 31 + size) * 31 + mtime)
+      & 0x7fffffffffffffffL).toHexString
+  }
+
   def b8BucketedJoin(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
     // The layout write is a ONE-TIME decision (that is the operator's
     // whole point), so it is idempotent per session: reruns in the same
     // session (bench best-of-2, repeated timings) measure the join, not
-    // the write. Table names are keyed by the input dir so two corpora
-    // in one session never alias a stale layout.
-    val suffix = (dir.hashCode & 0x7fffffff).toString
+    // the write. Table names are keyed by a source fingerprint so two
+    // corpora in one session — or a REGENERATED corpus at the same
+    // path — never alias a stale layout.
+    val suffix = sourceFingerprint(s"$dir/lineitem.parquet", s"$dir/orders.parquet")
     val (ltab, otab) = (s"graft_b8_lineitem_$suffix", s"graft_b8_orders_$suffix")
     if (!spark.catalog.tableExists(ltab))
       graft.sources.Storage.writeBucketed(
@@ -426,10 +443,12 @@ object Relational {
   def b8PartitionedScan(spark: SparkSession, dir: String): DataFrame = {
     // One-time layout, idempotent per session (see b8BucketedJoin);
     // completion is detected via the writer's _SUCCESS marker so a
-    // half-written layout is re-written, never trusted.
+    // half-written layout is re-written, never trusted, and the name is
+    // fingerprint-keyed so a regenerated events table at the same path
+    // gets a fresh layout instead of the stale one.
     val out = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:") +
-      s"/graft_b8_events_bydate_${dir.hashCode & 0x7fffffff}"
+      s"/graft_b8_events_bydate_${sourceFingerprint(s"$dir/events.parquet")}"
     if (!new java.io.File(out, "_SUCCESS").exists())
       graft.sources.Storage.writePartitioned(
         t(spark, dir, "events")

@@ -106,7 +106,8 @@ class PlanAuditSpec extends SparkSuite {
     // construction, so its subtree is pinned separately in DedupSpec.)
     // String checks, not TreeNode.collect: AdaptiveSparkPlanExec hides
     // its input from collect until execution, but prints the full tree.
-    for (name <- Seq("c2_minhash_lsh", "c2_simhash", "c7_curate")) {
+    for (name <- Seq("c2_minhash_lsh", "c2_simhash", "c7_curate",
+        "c6_frame_neardup_minhash")) {
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("Window"), s"$name: window over raw memberships:\n$plan")
       assert(plan.contains("HashAggregate"),

@@ -58,6 +58,35 @@ class MultiModalSpec extends SparkSuite {
     }
   }
 
+  test("frame-set MinHash near-dup: high-Jaccard frame sets collapse, disjoint stay apart") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the discrimination c6_frame_neardup can't make: B shares 95% of
+    // A's frames (Jaccard ≈ 0.90 — a trim/appended-tail edit) and must
+    // band-collide; C is fully disjoint and must stay its own cluster,
+    // even though a single-shared-frame rule would treat both the same
+    // way if any one frame coincided
+    val f = (0 until 100).map(i => s"f$i")
+    val rows = Seq(
+      (1L, f),
+      (2L, f.take(95) ++ Seq("g1", "g2", "g3", "g4", "g5")),
+      (3L, (0 until 100).map(i => s"z$i")))
+    val got = graft.dedup.MinHash
+      .dedupAssignmentsFromSets(rows.toDF("asset_id", "frames"),
+        col("asset_id"), col("frames"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L)
+    assert(got(2L) == 1L, "95%-overlap frame sets must share an LSH band")
+    assert(got(3L) == 3L, "disjoint frame set must keep its own cluster")
+    // and the declared query agrees with the one-round assignment shape
+    val q = MultiModalOps.c6FrameNearDupMinhash(spark, sf).collect()
+    assert(q.length == MultiModalOps.c6FrameNearDup(spark, sf).count())
+    q.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0))
+      assert(r.getBoolean(2) == (r.getLong(0) == r.getLong(1)))
+    }
+  }
+
   test("frame sampling: every 4th 256-byte frame, consistent with n_frames") {
     val df = MultiModalOps.c6FrameSample(spark, sf)
     val byAsset = df.collect().groupBy(_.getLong(0))
