@@ -479,6 +479,93 @@ object EventStream {
     joined.orderBy("p_id", "c_id")
   }
 
+  /** Dedup-state horizon for the incremental dedup check (24 h): the
+    * corpus has no duplicate payloads closer than ~5.6 h (sf0.1) /
+    * ~24.8 h (sf0.01), so the single-batch twin's 2 h horizon leaves no
+    * way to place a duplicate pair with its first copy still inside the
+    * watermark when the second arrives.
+    */
+  private val DedupHorizonUs: Long = 24L * 3600L * 1000000L
+
+  /** Cut point for the incremental dedup check: the midpoint of a
+    * same-payload (user_id, event_type, value) occurrence pair closer
+    * together than TWICE the dedup horizon — so after batch 1 the first
+    * copy's dedup state is still unexpired (its event time ≥ watermark −
+    * horizon) when the second copy arrives in batch 2, and the second
+    * copy is dropped ONLY if that state survived the batch boundary.
+    * Returns the cut plus the pair's key so the caller can assert the
+    * drop; None when no such pair exists (sf0.001 has no duplicate
+    * payloads at all) — the caller then runs cut-at-midpoint with the
+    * assertion skipped (the oracle is cut-invariant by construction).
+    */
+  private[streaming] def dedupCutUs(ev: DataFrame,
+      horizonUs: Long = DedupHorizonUs): Option[(Long, Long, String, Double)] = {
+    val b = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx")).head()
+    val mid = Math.floorDiv(b.getLong(0) + b.getLong(1), 2L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("us"))
+    val cut = ev
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("nxt", lead(col("us"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") > col("us") &&
+        col("nxt") - col("us") < lit(2L * horizonUs))
+      .select(col("user_id"), col("event_type"), col("value"),
+        (col("us") + (col("nxt") - col("us")) / 2L).cast("long").as("cutc"))
+      .withColumn("d", abs(col("cutc") - lit(mid)))
+      .orderBy(col("d"), col("cutc"))
+      .limit(1).collect()
+    cut.headOption.map(r =>
+      (r.getLong(3), r.getLong(0), r.getString(1), r.getDouble(2)))
+  }
+
+  /** c5_stream_dedup_incr: dropDuplicatesWithinWatermark under REAL
+    * incremental arrival — the FIFTH streaming-state family (dedup key
+    * state), beyond the four the *_incr twins already cover. The cut
+    * (see [[dedupCutUs]]) places a duplicate payload pair across the
+    * file boundary with the first copy still inside the watermark
+    * horizon: the batch-2 copy is dropped ONLY if the key's state
+    * survived the batch boundary, which the query asserts (its
+    * `n_emitted` must be 1, not 2). The sink is grouped to
+    * (key, n_emitted) so any re-emission would change the hashed
+    * result instead of being collapsed away.
+    *
+    * Oracle: every distinct key exactly once. The operator GUARANTEES
+    * dedup within the horizon and MAY dedup beyond it (state eviction
+    * is lazy, at end-of-batch with the batch's entry watermark —
+    * verified empirically at sf0.1, where 29 keys whose state was
+    * expiry-eligible at the batch-2 watermark were still deduplicated):
+    * in a two-batch in-order run no state is evicted before the last
+    * data batch, so nothing is ever re-admitted and n_emitted is 1
+    * everywhere — which is exactly what makes the column a hard
+    * cross-batch signal: a state store that failed to carry keys over
+    * the boundary would re-emit every early/late duplicate as
+    * n_emitted = 2 and break the hash.
+    */
+  def c5StreamDedupIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val pairOpt = dedupCutUs(graft.Tables.load(spark, sfDir, "events"))
+    val stream = twoBatchEventStream(spark, sfDir, pairOpt.map(_._1))
+    val sink = runIncremental(
+      dedupWithinWatermark(stream, "24 hours")
+        .select(col("user_id"), col("event_type"), col("value")),
+      OutputMode.Append(), minBatches = 2)
+    val res = sink.groupBy(col("user_id"), col("event_type"), col("value"))
+      .agg(count(lit(1)).as("n_emitted"))
+    pairOpt.foreach { case (_, uid, etype, v) =>
+      val emitted = res.filter(col("user_id") === uid &&
+        col("event_type") === etype && col("value") === v)
+        .head().getLong(3)
+      if (emitted != 1L)
+        throw new IllegalStateException(
+          s"straddling duplicate emitted $emitted times: dedup state was " +
+            "not carried across micro-batches")
+    }
+    res.orderBy("user_id", "event_type", "value")
+  }
+
   /** c5_stream_tumbling: the streaming tumbling aggregation, driver-
     * checked against the same oracle shape as the batch twin.
     */
@@ -622,6 +709,14 @@ object EventStream {
     "c5_stream_dedup" ->
       ("SELECT DISTINCT user_id, event_type, value FROM events " +
         "ORDER BY user_id, event_type, value"),
+    // Incremental dedup twin: every distinct key exactly once — lazy
+    // end-of-batch eviction means a two-batch in-order run never
+    // re-admits a key (see c5StreamDedupIncr); a state store that
+    // dropped keys at the batch boundary would re-emit straddling
+    // duplicates as n_emitted = 2 and break the hash.
+    "c5_stream_dedup_incr" ->
+      ("SELECT user_id, event_type, value, CAST(1 AS BIGINT) AS n_emitted " +
+        "FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     "c5_stream_sliding" ->
       ("SELECT window_start, count(*) AS n_events FROM (" +
         "SELECT unnest([time_bucket(INTERVAL '30 minutes', ts), " +
@@ -686,6 +781,7 @@ object EventStream {
     "c5_stream_user_stats" -> (c5StreamUserStats _),
     "c5_stream_sessionize_state" -> (c5StreamSessionizeState _),
     "c5_stream_join" -> (c5StreamJoin _),
-    "c5_stream_join_incr" -> (c5StreamJoinIncr _)
+    "c5_stream_join_incr" -> (c5StreamJoinIncr _),
+    "c5_stream_dedup_incr" -> (c5StreamDedupIncr _)
   )
 }

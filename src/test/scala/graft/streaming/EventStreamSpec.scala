@@ -264,6 +264,22 @@ class EventStreamSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("incremental dedup carries key state across batches (no re-emission)") {
+    // sf0.001 has no duplicate payloads at all, so this check runs on
+    // sf0.01 — the smallest fixture where a duplicate pair can straddle
+    // the cut with its first copy inside the dedup horizon (the query
+    // itself throws if that pair is emitted twice)
+    val sf01 = "/root/testdata/sf0.01"
+    val ev = Tables.load(spark, sf01, "events")
+    assert(EventStream.dedupCutUs(ev).isDefined,
+      "sf0.01 fixture must contain a duplicate pair within twice the horizon")
+    val got = EventStream.c5StreamDedupIncr(spark, sf01).collect()
+    assert(got.forall(_.getLong(3) == 1L),
+      "a two-batch in-order run must never re-emit a key")
+    assert(got.length ==
+      ev.select("user_id", "event_type", "value").distinct().count())
+  }
+
   test("batch sessionization query is internally consistent on testdata") {
     val s = EventOps.c5Sessionize(spark, sf).collect()
     assert(s.nonEmpty)
