@@ -256,6 +256,12 @@ class DedupSpec extends SparkSuite {
       val corrupted = asg.withColumn("cluster_rep",
         when(col("doc_id") === victim, col("doc_id")).otherwise(col("cluster_rep")))
       assert(ConnectedComponents.invariantViolations(mem, corrupted) > 0L)
+      // same verification for the OTHER closure path (SimHash blocks
+      // relabelled to the band/bucket shape its CC call uses)
+      val memSh = SimHash.memberships(docs, col("doc_id"), col("text"), 3)
+        .select(col("doc_id"), col("block").as("band"), col("bucket"))
+      val asgSh = ConnectedComponents.assignmentsFromMemberships(memSh)
+      assert(ConnectedComponents.invariantViolations(memSh, asgSh) == 0L)
     } finally {
       asg.unpersist(blocking = false)
       spark.catalog.clearCache()
