@@ -298,8 +298,27 @@ object EventStream {
     * event-time order (file order forced via modification times), so no
     * row is ever late. Shared by the incremental streaming checks.
     */
+  /** Memoized split layouts per (sfDir, cut): writing the two-file split
+    * is one-time scaffolding (the b8 layout-idempotence posture), so
+    * bench reruns of the *_incr queries re-measure the streaming
+    * operator, not a repeated coalesce(1) write. Process-local; temp
+    * dirs are reclaimed on JVM exit.
+    */
+  private val splitCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Option[Long]),
+      (String, org.apache.spark.sql.types.StructType)]()
+
   private def twoBatchSplitDir(spark: SparkSession, sfDir: String,
       cutUsOpt: Option[Long] = None): (String, org.apache.spark.sql.types.StructType) = {
+    val cached = splitCache.get((sfDir, cutUsOpt))
+    if (cached != null && new java.io.File(cached._1).isDirectory) return cached
+    val fresh = writeTwoBatchSplitDir(spark, sfDir, cutUsOpt)
+    splitCache.put((sfDir, cutUsOpt), fresh)
+    fresh
+  }
+
+  private def writeTwoBatchSplitDir(spark: SparkSession, sfDir: String,
+      cutUsOpt: Option[Long]): (String, org.apache.spark.sql.types.StructType) = {
     import java.nio.file.{Files => JFiles, StandardCopyOption}
     val ev = graft.Tables.load(spark, sfDir, "events")
     val bounds = ev.agg(

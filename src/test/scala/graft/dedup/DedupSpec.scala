@@ -268,6 +268,26 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("dedupAssignmentsFromSets: empty sets cluster together, no doc is dropped") {
+    // Degenerate-input pin for the set-agnostic entry point: an empty
+    // set's signature is all-NULL, but the band bucket hashes the band
+    // prefix alone (concat_ws skips nulls) — so empty sets are mutual
+    // duplicates (empty == empty) and every input id keeps an
+    // assignment row; nothing silently vanishes from the keep/drop
+    // decision.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]),
+      (3L, Seq("a", "b")), (4L, Seq.empty[String])).toDF("id", "s")
+    val got = MinHash.dedupAssignmentsFromSets(df, col("id"), col("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "every input id must be assigned")
+    assert(got(1L) == (1L, true) && got(3L) == (1L, false),
+      "identical sets must collapse")
+    assert(got(2L) == (2L, true) && got(4L) == (2L, false),
+      "empty sets are duplicates of each other, not of anything else")
+  }
+
   test("starRoots with a durable checkpoint dir matches the localCheckpoint path") {
     import spark.implicits._
     // a chain (1-2-3-4), a triangle (10-11-12), an isolated edge (20-21)
