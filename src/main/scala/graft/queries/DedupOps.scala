@@ -115,11 +115,13 @@ object DedupOps {
     * 2^31−1, md5-prefix band buckets — 64 hashes × 16 bands of 4 rows).
     */
   /** The tokenset-agnostic tail of the MinHash replay — tb/sig/mem CTEs
-    * over a preceding `base(doc_id, toks)` CTE. Shared with the
-    * frame-set variant (MultiModalOps.c6_frame_neardup_minhash), which
-    * supplies a different base.
+    * over a preceding `base(doc_id, toks)` CTE, parameterized by the
+    * banding (bands × rows must cover the 64-hash signature). Shared
+    * with the frame-set variant (MultiModalOps
+    * .c6_frame_neardup_minhash) and the composed curation pipeline
+    * (PipelineOps.c7_pipeline), which use different bases/bandings.
     */
-  private[queries] val mhChainSql: String =
+  private[queries] def mhChainSql(bands: Int = 16, rows: Int = 4): String =
     "tb AS (SELECT doc_id, list_transform(toks, t -> " +
       "('0x'||substr(md5(t),1,15))::BIGINT % 2147483647) AS hs FROM base), " +
       "sig AS (SELECT doc_id, list_transform(range(0, 64), i -> " +
@@ -127,12 +129,12 @@ object DedupOps {
       "+ (((i+1)*40503) % 2147483647)) % 2147483647))) AS sig FROM tb), " +
       "mem AS (SELECT doc_id, b AS band, " +
       "('0x'||substr(md5(CAST(b AS VARCHAR)||':'||" +
-      "array_to_string(list_slice(sig, b*4+1, b*4+4), ':')),1,15))::BIGINT AS bucket " +
-      "FROM sig CROSS JOIN range(0, 16) rt(b))"
+      s"array_to_string(list_slice(sig, b*$rows+1, b*$rows+$rows), ':')),1,15))::BIGINT AS bucket " +
+      s"FROM sig CROSS JOIN range(0, $bands) rt(b))"
 
   private val mhBase: String =
     "base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
-      "FROM documents), " + mhChainSql
+      "FROM documents), " + mhChainSql()
 
   /** DuckDB replay of the portable SimHash pipeline (60-bit fingerprint
     * over md5-prefix hashes, 4 blocks of 15 bits).

@@ -288,7 +288,81 @@ object PipelineOps {
       .orderBy("lang", "doc_id")
   }
 
+  /** C7h: the END-TO-END curation pipeline a training run actually
+    * ships, composed from the engine's own operators in ONE declarative
+    * plan: MinHash-LSH near-dup first-copy selection (not just exact
+    * dedup — the [[graft.dedup.MinHash.dedupAssignments]] one-round
+    * assignment), language agreement (LangId), a minimum-length gate,
+    * the portable 80% train carve-out, and GPT-style sequence packing
+    * of the surviving train docs (the [[withRunningSum]] two-phase
+    * prefix sum). Catalyst sees the whole composition: the corpus scans
+    * fuse, filters push, and each stage keeps its individually-pinned
+    * scale posture (bucket-min partial agg, bounded-partition prefix
+    * sum). Fully oracle-checked — every stage already has a bit-exact
+    * SQL replay (mhChainSql, langIdCtes, bucketSql, the pack window),
+    * so the COMPOSITION is hash-verified end-to-end, which is the real
+    * statement: a user chains these operators and the result is still
+    * engine-independent.
+    */
+  def c7Pipeline(spark: SparkSession, dir: String, minTokens: Int = 10,
+      seqLen: Long = 2048L): DataFrame = {
+    val base = docs(spark, dir)
+    // 4 bands × 16 rows ⇒ collision threshold ≈ (1/4)^(1/16) ≈ 0.92
+    // Jaccard: curation dedup merges only true near-duplicates — the
+    // 16×4 banding of c2_minhash_lsh (threshold ≈ 0.5) would collapse
+    // most of a self-similar corpus into a handful of survivors, which
+    // is recall tuning, not a different operator.
+    val firstCopy = graft.dedup.MinHash
+      .dedupAssignments(base, col("doc_id"), col("text"), numHashes = 64, bands = 4)
+      .select(col("doc_id"), col("is_kept").as("first_copy"))
+    val kept = graft.text.LangId.detect(base, col("text"))
+      .select(col("doc_id"), col("lang"), col("detected_lang"), col("text"))
+      .join(firstCopy, "doc_id")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .filter(col("first_copy") && col("detected_lang") === col("lang") &&
+        col("n_tokens") >= minTokens &&
+        expr(bucketSql) < lit((0.8 * 4294967296L).toLong))
+      .select(col("lang"), col("doc_id"), col("n_tokens"))
+    // (minTokens = 10, not c7_curate's 40: the pipeline's length gate is
+    // a floor against fragments, and the corpus's first-copy survivors
+    // skew short — 40 would leave a near-empty train set at sf0.01.)
+    withRunningSum(kept, "n_tokens", "cum")
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $seqLen").as("first_seq"),
+        expr(s"(cum - 1) div $seqLen").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1L)
+      .orderBy("lang", "doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    // The full composed pipeline: MinHash first-copy (the c2_minhash_lsh
+    // replay), lang-id agreement (the c4_langid CTEs), length gate,
+    // train bucket, then the pack window over the SURVIVING set — every
+    // stage is the same SQL already proven bit-exact on its own query.
+    "c7_pipeline" ->
+      ("WITH base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
+        "FROM documents), " +
+        DedupOps.mhChainSql(bands = 4, rows = 16) + ", " +
+        "mm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) " +
+        "AS bucket_min FROM mem), " +
+        "asg AS (SELECT doc_id, doc_id = min(bucket_min) AS first_copy " +
+        "FROM mm GROUP BY doc_id), " +
+        TextOps.langIdCtes + ", " +
+        "det AS (SELECT doc_id, struct_extract(best, 'code') AS detected_lang FROM b), " +
+        "kept AS (SELECT d.lang, d.doc_id, " +
+        "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM documents d JOIN asg USING (doc_id) JOIN det USING (doc_id) " +
+        "WHERE asg.first_copy AND det.detected_lang = d.lang " +
+        "AND len(string_split(d.text, ' ')) >= 10 " +
+        s"AND $bucketSql < ${(0.8 * 4294967296L).toLong}), " +
+        "p AS (SELECT lang, doc_id, n_tokens, " +
+        "CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) " +
+        "AS cum FROM kept) " +
+        "SELECT lang, doc_id, n_tokens, " +
+        "(cum - n_tokens) // 2048 AS first_seq, " +
+        "(cum - 1) // 2048 AS last_seq, " +
+        "((cum - 1) // 2048) - ((cum - n_tokens) // 2048) + 1 AS n_seqs " +
+        "FROM p ORDER BY lang, doc_id"),
     "c7_pack_sequences" ->
       ("SELECT lang, doc_id, n_tokens, " +
         "(cum - n_tokens) // 2048 AS first_seq, " +
@@ -359,6 +433,7 @@ object PipelineOps {
     "c7_decontaminate" -> ((s: SparkSession, d: String) => c7Decontaminate(s, d)),
     "c7_decontaminate_bloom" -> ((s: SparkSession, d: String) => c7DecontaminateBloom(s, d)),
     "c7_curate" -> ((s: SparkSession, d: String) => c7Curate(s, d)),
-    "c7_pack_sequences" -> ((s: SparkSession, d: String) => c7PackSequences(s, d))
+    "c7_pack_sequences" -> ((s: SparkSession, d: String) => c7PackSequences(s, d)),
+    "c7_pipeline" -> ((s: SparkSession, d: String) => c7Pipeline(s, d))
   )
 }

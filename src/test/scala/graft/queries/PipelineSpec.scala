@@ -124,6 +124,35 @@ class PipelineSpec extends SparkSuite {
       "undersized bloom should saturate — if this fails, the guard is untestable")
   }
 
+  test("c7_pipeline: survivors satisfy every gate and pack gap-free") {
+    import org.apache.spark.sql.functions.col
+    val rows = PipelineOps.c7Pipeline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty, "the composed pipeline must keep a non-trivial train set")
+    // gates that are recomputable without rerunning the heavy stages
+    rows.foreach { case (_, id, n, _, _, _) =>
+      assert(n >= 10, s"doc $id under the length floor")
+      assert((id * 2654435761L) % 4294967296L < (0.8 * 4294967296L).toLong,
+        s"doc $id not in the train bucket")
+    }
+    // the dedup gate actually bit: survivors are a strict subset
+    val total = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.length < total)
+    // packing over the SURVIVING set is contiguous and gap-free per lang
+    val L = 2048L
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      val ordered = docs.sortBy(_._2)
+      assert(ordered.head._4 == 0L, s"$lang: packing must start at sequence 0")
+      ordered.sliding(2).filter(_.length == 2).foreach { pair =>
+        assert(pair(1)._4 == pair(0)._5 || pair(1)._4 == pair(0)._5 + 1,
+          s"$lang: gap between docs ${pair(0)._2} and ${pair(1)._2}")
+      }
+      val totalTokens = ordered.map(_._3).sum
+      assert(ordered.map(_._5).max == (totalTokens - 1) / L,
+        s"$lang: sequence count != ceil(total/L)")
+    }
+  }
+
   test("c5_retention: day-0 cell equals cohort size; offsets non-negative") {
     val cells = EventOps.c5Retention(spark, sf)
       .collect()
