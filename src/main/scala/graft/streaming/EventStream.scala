@@ -293,16 +293,14 @@ object EventStream {
     * Oracle: the batch tumbling aggregation filtered to those windows.
     */
   /** Chronological two-file split of the events table, written in-query
-    * (the b8 pattern) and returned as a streaming source reading the
-    * split dir with `maxFilesPerTrigger=1` — two data micro-batches, in
-    * event-time order (file order forced via modification times), so no
-    * row is ever late. Shared by the incremental streaming checks.
-    */
-  /** Memoized split layouts per (sfDir, cut): writing the two-file split
-    * is one-time scaffolding (the b8 layout-idempotence posture), so
-    * bench reruns of the *_incr queries re-measure the streaming
-    * operator, not a repeated coalesce(1) write. Process-local; temp
-    * dirs are reclaimed on JVM exit.
+    * (the b8 pattern); read back with `maxFilesPerTrigger=1` it yields
+    * two data micro-batches in event-time order (file order forced via
+    * modification times), so no row is ever late. Shared by the
+    * incremental streaming checks. Layouts are MEMOIZED per
+    * (sfDir, cut): the write is one-time scaffolding (the b8
+    * layout-idempotence posture), so bench reruns of the *_incr queries
+    * re-measure the streaming operator, not a repeated coalesce(1)
+    * write. Process-local; temp dirs are reclaimed on JVM exit.
     */
   private val splitCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Option[Long]),
