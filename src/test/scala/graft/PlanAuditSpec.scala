@@ -123,7 +123,7 @@ class PlanAuditSpec extends SparkSuite {
     // bounded by the range partitioner. String checks, not
     // TreeNode.collect (AdaptiveSparkPlanExec hides its input until
     // execution).
-    for (name <- Seq("c7_token_budget", "c7_pack_sequences")) {
+    for (name <- Seq("c7_token_budget", "c7_pack_sequences", "c7_pipeline")) {
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert("windowspecdefinition\\(lang#".r.findFirstIn(plan).isEmpty,
         s"$name: window partitioned by lang alone:\n$plan")
