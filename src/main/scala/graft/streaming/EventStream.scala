@@ -583,6 +583,105 @@ object EventStream {
     res.orderBy("user_id", "event_type", "value")
   }
 
+  /** Run a streaming frame to the exactly-once PARQUET file sink with a
+    * DURABLE checkpoint, AvailableNow, asserting exactly `wantBatches`
+    * data micro-batches — the building block of the restart/recovery
+    * check (the memory sink explicitly does NOT support checkpoint
+    * recovery; the file sink's `_spark_metadata` commit log is the
+    * production recovery surface).
+    */
+  private def runCheckpointedToParquet(df: DataFrame, ckpt: String, out: String,
+      wantBatches: Int)(implicit spark: SparkSession): Unit = {
+    val q = df.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    if (!q.awaitTermination(300000L)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming query to $out did not terminate within 300s")
+    }
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (dataBatches != wantBatches)
+      throw new IllegalStateException(
+        s"streaming query to $out ran $dataBatches data micro-batches, " +
+          s"expected exactly $wantBatches")
+  }
+
+  /** c5_stream_restart: windowed-aggregation state recovered from a
+    * DURABLE CHECKPOINT across a full query STOP and RESTART — the
+    * failure-recovery dimension the *_incr twins (one continuous query,
+    * several micro-batches) never exercise. The two-file chronological
+    * split is consumed by TWO separate query lifecycles sharing one
+    * checkpoint directory: query A sees only the early file (the late
+    * file is parked outside the source dir), emits the windows its
+    * watermark finalizes, and terminates; the late file is restored and
+    * query B — a fresh query object, as after a driver crash — resumes
+    * from A's checkpoint: committed offsets (the early file is NOT
+    * reprocessed — exactly 1 data batch is asserted per lifecycle),
+    * the advanced watermark, and the open-window partial counts all
+    * come back from disk. The union of the two Append sinks must equal
+    * the c5_stream_tumbling_incr result: a window spanning the restart
+    * reaches the sink with its FULL count only if the recovered state
+    * still held the pre-restart partial count (a reset state would
+    * emit the second half alone and break the hash); the query asserts
+    * the cut-spanning window is emitted by the restarted lifecycle.
+    */
+  def c5StreamRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import java.nio.file.{Files => JFiles}
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val bounds = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx")).head()
+    val cutUs = Math.floorDiv(bounds.getLong(0) + bounds.getLong(1), 2L)
+    val (dir, schema) = twoBatchSplitDir(spark, sfDir)
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val ckpt = JFiles.createTempDirectory("graft_restart_ckpt")
+    val out = JFiles.createTempDirectory("graft_restart_out")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt.toFile)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out.toFile)
+    val late = new java.io.File(dir, "01_late.parquet")
+    val parked = new java.io.File(s"$dir.parked_01_late.parquet")
+    val mtime = late.lastModified()
+    // lifecycle A: only the early file is visible
+    if (!late.renameTo(parked))
+      sys.error(s"could not park $late for the restart check")
+    try {
+      runCheckpointedToParquet(tumblingCounts(src), ckpt.toString, out.toString, 1)
+    } finally {
+      if (!parked.renameTo(late))
+        sys.error(s"could not restore $late; split dir is now incomplete")
+      // rename preserves mtime on the same filesystem, but file ORDER is
+      // this harness's correctness edge — re-assert it.
+      if (late.lastModified() != mtime && !late.setLastModified(mtime))
+        sys.error(s"could not restore mtime of $late")
+    }
+    // the window containing the cut spans the restart: it must be ABSENT
+    // from lifecycle A's committed output (still open in state) ...
+    val cutWindowStartUs = Math.floorDiv(cutUs, 3600000000L) * 3600000000L
+    def cutWindowRows() = spark.read.parquet(out.toString)
+      .filter(unix_micros(col("window_start")) === cutWindowStartUs)
+      .limit(1).count()
+    if (cutWindowRows() != 0)
+      throw new IllegalStateException(
+        "the cut-spanning window was already finalized before the restart; " +
+          "the recovery check would be vacuous")
+    // lifecycle B: fresh query object, same checkpoint — crash-restart.
+    // Committed offsets, the advanced watermark, and the open-window
+    // partial counts all come back from disk.
+    runCheckpointedToParquet(tumblingCounts(src), ckpt.toString, out.toString, 1)
+    // ... and emitted by the RESTARTED lifecycle, with its full count
+    // guaranteed by the oracle hash only if the recovered state held
+    // the pre-restart half.
+    if (cutWindowRows() == 0)
+      throw new IllegalStateException(
+        "the cut-spanning window was not emitted after restart: " +
+          "checkpointed window state did not survive the stop/restart")
+    spark.read.parquet(out.toString).orderBy("window_start", "event_type")
+  }
+
   /** c5_stream_tumbling: the streaming tumbling aggregation, driver-
     * checked against the same oracle shape as the batch twin.
     */
@@ -695,6 +794,18 @@ object EventStream {
     // Incremental twin: only windows finalized by the final watermark
     // (max ts − 2h) are in the Append-mode sink; arrival is in-order by
     // construction so finalized windows carry their full batch counts.
+    // Restart twin: identical oracle to c5_stream_tumbling_incr — the
+    // union of the two query lifecycles' Append sinks must hold exactly
+    // the finalized windows with FULL counts, which requires the
+    // pre-restart partial counts to come back from the checkpoint.
+    "c5_stream_restart" ->
+      ("WITH agg AS (SELECT date_trunc('hour', ts) AS window_start, " +
+        "event_type, count(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2), " +
+        "wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM events) " +
+        "SELECT window_start, event_type, n_events, sum_value FROM agg, wm " +
+        "WHERE window_start + INTERVAL '1 hour' <= w ORDER BY 1, 2"),
     "c5_stream_tumbling_incr" ->
       ("WITH agg AS (SELECT date_trunc('hour', ts) AS window_start, " +
         "event_type, count(*) AS n_events, " +
@@ -799,6 +910,7 @@ object EventStream {
     "c5_stream_sessionize_state" -> (c5StreamSessionizeState _),
     "c5_stream_join" -> (c5StreamJoin _),
     "c5_stream_join_incr" -> (c5StreamJoinIncr _),
-    "c5_stream_dedup_incr" -> (c5StreamDedupIncr _)
+    "c5_stream_dedup_incr" -> (c5StreamDedupIncr _),
+    "c5_stream_restart" -> (c5StreamRestart _)
   )
 }

@@ -280,6 +280,19 @@ class EventStreamSpec extends SparkSuite {
       ev.select("user_id", "event_type", "value").distinct().count())
   }
 
+  test("checkpointed restart recovers windowed state across query lifecycles") {
+    // c5StreamRestart asserts internally that the cut-spanning window
+    // is absent before the restart and emitted after it; here we also
+    // pin that the two-lifecycle union equals the single-lifecycle
+    // incremental result — recovery must be invisible in the output
+    val got = EventStream.c5StreamRestart(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = EventStream.c5StreamTumblingIncr(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("batch sessionization query is internally consistent on testdata") {
     val s = EventOps.c5Sessionize(spark, sf).collect()
     assert(s.nonEmpty)
