@@ -682,6 +682,70 @@ object EventStream {
     spark.read.parquet(out.toString).orderBy("window_start", "event_type")
   }
 
+  /** c5_stream_restart_state: CUSTOM state (flatMapGroupsWithState with
+    * a user-defined case-class state) recovered from a durable
+    * checkpoint across a query restart — a different state-store
+    * serialization surface than [[c5StreamRestart]]'s built-in window
+    * state: the OpenSession encoder round-trips through the checkpoint.
+    * Same two-lifecycle harness; the cut (sessionCutUs) sits INSIDE a
+    * session, so that session is open in custom state when lifecycle A
+    * stops and must be EXTENDED (not restarted) by lifecycle B's rows —
+    * it reaches the sink with its full event count only if the state
+    * object came back from disk intact. Emission here is data-driven
+    * (a session is emitted when a later event closes it), not
+    * watermark-driven, so the two sinks' union is exactly the
+    * single-lifecycle c5_stream_sessionize_state result.
+    */
+  def c5StreamRestartState(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import java.nio.file.{Files => JFiles}
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val cutUs = sessionCutUs(ev)
+    val (dir, schema) = twoBatchSplitDir(spark, sfDir, Some(cutUs))
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val ckpt = JFiles.createTempDirectory("graft_restart_state_ckpt")
+    val out = JFiles.createTempDirectory("graft_restart_state_out")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt.toFile)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out.toFile)
+    val late = new java.io.File(dir, "01_late.parquet")
+    val parked = new java.io.File(s"$dir.parked_01_late.parquet")
+    val mtime = late.lastModified()
+    if (!late.renameTo(parked))
+      sys.error(s"could not park $late for the restart check")
+    try {
+      runCheckpointedToParquet(
+        sessionizeWithState(spark, src).toDF()
+          .select("user_id", "session_start", "session_end", "n_events"),
+        ckpt.toString, out.toString, 1)
+    } finally {
+      if (!parked.renameTo(late))
+        sys.error(s"could not restore $late; split dir is now incomplete")
+      if (late.lastModified() != mtime && !late.setLastModified(mtime))
+        sys.error(s"could not restore mtime of $late")
+    }
+    runCheckpointedToParquet(
+      sessionizeWithState(spark, src).toDF()
+        .select("user_id", "session_start", "session_end", "n_events"),
+      ckpt.toString, out.toString, 1)
+    // the cut-spanning session must appear in the union CLOSED with a
+    // start before the cut and its LAST EVENT after it (session_end
+    // here is the last event time — the flatMapGroupsWithState shape,
+    // no gap added) — it was open in custom state at the restart and
+    // can only close (and emit) from lifecycle B, so its presence
+    // proves the OpenSession object survived
+    val spanning = spark.read.parquet(out.toString)
+      .filter(unix_micros(col("session_start")) <= cutUs &&
+        unix_micros(col("session_end")) > cutUs)
+      .limit(1).count()
+    if (spanning == 0)
+      throw new IllegalStateException(
+        "no cut-spanning session in the sink: custom flatMapGroupsWithState " +
+          "state did not survive the stop/restart")
+    spark.read.parquet(out.toString)
+      .orderBy("user_id", "session_start")
+  }
+
   /** c5_stream_tumbling: the streaming tumbling aggregation, driver-
     * checked against the same oracle shape as the batch twin.
     */
@@ -878,6 +942,27 @@ object EventStream {
         "ON p.user_id = c.user_id " +
         "AND c.ts >= p.ts - INTERVAL '6 hours' AND c.ts <= p.ts " +
         "ORDER BY p_id, c_id"),
+    // Restart twin of the custom-state sessionizer: identical oracle —
+    // the two lifecycles' sinks must union to exactly the closed
+    // sessions with FULL counts, which requires the OpenSession state
+    // object to survive the checkpoint round-trip.
+    "c5_stream_restart_state" ->
+      ("WITH flagged AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END " +
+        "AS new_session FROM events WINDOW w AS " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT user_id, ts, SUM(new_session) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx " +
+        "FROM flagged), " +
+        "agg AS (SELECT user_id, session_idx, min(ts) AS session_start, " +
+        "max(ts) AS session_end, count(*) AS n_events " +
+        "FROM sess GROUP BY user_id, session_idx), " +
+        "agg2 AS (SELECT *, max(session_idx) OVER (PARTITION BY user_id) " +
+        "AS last_idx FROM agg) " +
+        "SELECT user_id, session_start, session_end, n_events FROM agg2 " +
+        "WHERE session_idx < last_idx ORDER BY user_id, session_start"),
     "c5_stream_sessionize_state" ->
       ("WITH flagged AS (SELECT user_id, ts, event_id, " +
         "CASE WHEN lag(ts) OVER w IS NULL OR " +
@@ -911,6 +996,7 @@ object EventStream {
     "c5_stream_join" -> (c5StreamJoin _),
     "c5_stream_join_incr" -> (c5StreamJoinIncr _),
     "c5_stream_dedup_incr" -> (c5StreamDedupIncr _),
-    "c5_stream_restart" -> (c5StreamRestart _)
+    "c5_stream_restart" -> (c5StreamRestart _),
+    "c5_stream_restart_state" -> (c5StreamRestartState _)
   )
 }

@@ -293,6 +293,19 @@ class EventStreamSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("checkpointed restart recovers CUSTOM flatMapGroupsWithState state") {
+    // the query asserts internally that a session open at the restart
+    // closes afterwards with a pre-cut start; here we also pin that the
+    // two-lifecycle union equals the single-lifecycle result — custom
+    // state recovery must be invisible in the output
+    val got = EventStream.c5StreamRestartState(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val want = EventStream.c5StreamSessionizeState(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("batch sessionization query is internally consistent on testdata") {
     val s = EventOps.c5Sessionize(spark, sf).collect()
     assert(s.nonEmpty)
