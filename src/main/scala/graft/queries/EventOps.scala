@@ -169,7 +169,42 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** C5i: gap-filled daily resample — per event_type daily counts with
+    * MISSING days emitted as explicit zero rows over the corpus's full
+    * date span (the resample/fill operator every monitoring or
+    * feature-engineering pipeline needs; a plain groupBy silently skips
+    * empty days and downstream averages/charts lie). The date spine is
+    * one `sequence()` explode off the global min/max day cross-joined
+    * with the distinct types — O(days × types) rows, trivially
+    * broadcast — left-joined against the real daily aggregate, which
+    * remains the only corpus-sized shuffle.
+    */
+  def c5Gapfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(to_date(col("ts")).as("day"), col("event_type"))
+    val daily = e.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = e.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+      .crossJoin(e.select(col("event_type")).distinct())
+    spine.join(daily, Seq("day", "event_type"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .orderBy("day", "event_type")
+  }
+
   val oracle: Map[String, String] = Map(
+    "c5_gapfill" ->
+      ("WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events), " +
+        "daily AS (SELECT day, event_type, count(*) AS n_events " +
+        "FROM e GROUP BY day, event_type), " +
+        "b AS (SELECT min(day) AS mn, max(day) AS mx FROM e), " +
+        "spine AS (SELECT CAST(gs.d AS DATE) AS day, t.event_type " +
+        "FROM b, LATERAL (SELECT unnest(generate_series(b.mn, b.mx, " +
+        "INTERVAL 1 DAY)) AS d) gs " +
+        "CROSS JOIN (SELECT DISTINCT event_type FROM e) t) " +
+        "SELECT spine.day, spine.event_type, " +
+        "COALESCE(daily.n_events, 0) AS n_events " +
+        "FROM spine LEFT JOIN daily USING (day, event_type) " +
+        "ORDER BY day, event_type"),
     "c5_retention" ->
       ("WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
         "c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id) " +
@@ -240,6 +275,7 @@ object EventOps {
     "c5_user_seq" -> (c5UserSeq _),
     "c5_asof_join" -> (c5AsofJoin _),
     "c5_funnel" -> (c5Funnel _),
-    "c5_retention" -> (c5Retention _)
+    "c5_retention" -> (c5Retention _),
+    "c5_gapfill" -> (c5Gapfill _)
   )
 }

@@ -232,6 +232,33 @@ object Relational {
       .dropDuplicates()
       .orderBy("o_orderstatus", "o_orderpriority")
 
+  /** B5d: correlated subqueries — customers above their nation's average
+    * balance (a correlated SCALAR subquery) in nations that have at
+    * least one negative balance (a correlated EXISTS). Expressed in SQL
+    * because the surface under test is Catalyst's DECORRELATION: the
+    * optimizer must rewrite both subqueries into aggregate + join plans
+    * (no per-row subquery execution exists in Spark's engine at all —
+    * a plan that fails to decorrelate fails to compile). The average is
+    * compared as `balance · count > sum` in exact decimals, so no float
+    * fold order enters the predicate and the oracle matches bitwise.
+    */
+  def b5SubqueryCorr(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("graft_b5_customer")
+    spark.sql(
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM graft_b5_customer o
+        |WHERE CAST(c_acctbal AS DECIMAL(18,6)) *
+        |        (SELECT COUNT(*) FROM graft_b5_customer i
+        |         WHERE i.c_nationkey = o.c_nationkey)
+        |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+        |         FROM graft_b5_customer i2
+        |         WHERE i2.c_nationkey = o.c_nationkey)
+        |  AND EXISTS (SELECT 1 FROM graft_b5_customer e
+        |              WHERE e.c_nationkey = o.c_nationkey
+        |                AND e.c_acctbal < 0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** B6: ROLLUP — revenue by (nation, order-year) with subtotals and a
     * grand total; NULL grouping slots made explicit for the oracle.
     */
@@ -634,6 +661,16 @@ object Relational {
     "b5_distinct" ->
       ("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders " +
         "ORDER BY o_orderstatus, o_orderpriority"),
+    "b5_subquery_corr" ->
+      ("SELECT c_custkey, c_nationkey, c_acctbal FROM customer o " +
+        "WHERE CAST(c_acctbal AS DECIMAL(18,6)) * " +
+        "(SELECT COUNT(*) FROM customer i " +
+        "WHERE i.c_nationkey = o.c_nationkey) " +
+        "> (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) FROM customer i2 " +
+        "WHERE i2.c_nationkey = o.c_nationkey) " +
+        "AND EXISTS (SELECT 1 FROM customer e " +
+        "WHERE e.c_nationkey = o.c_nationkey AND e.c_acctbal < 0) " +
+        "ORDER BY c_custkey"),
     "b6_rollup" ->
       (s"SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(yr, -1) AS yr, " +
         "total_price, n_orders FROM (" +
@@ -751,6 +788,7 @@ object Relational {
     "b5_topk" -> (b5TopK _),
     "b5_setops" -> (b5SetOps _),
     "b5_distinct" -> (b5Distinct _),
+    "b5_subquery_corr" -> (b5SubqueryCorr _),
     "b6_rollup" -> (b6Rollup _),
     "b6_cube" -> (b6Cube _),
     "b6_grouping_sets" -> (b6GroupingSets _),

@@ -78,4 +78,16 @@ class RelationalSpec extends SparkSuite {
       .orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
     assert(salted === plain)
   }
+
+  test("correlated subqueries decorrelate into joins (no per-row subquery)") {
+    // Catalyst must rewrite the correlated scalar subquery into an
+    // aggregate + join and the correlated EXISTS into a semi join — the
+    // plan shape that scales (a per-row subquery re-execution does not
+    // exist in the engine, but a LEFTOVER subquery expression in the
+    // physical plan would mean the rewrite silently failed).
+    val plan = Relational.b5SubqueryCorr(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS should plan as a semi join:\n${plan.take(1200)}")
+    assert(!plan.toLowerCase.contains("scalar-subquery"),
+      s"correlated scalar subquery not decorrelated:\n${plan.take(1200)}")
+  }
 }
