@@ -20,7 +20,10 @@ class PlanAuditSpec extends SparkSuite {
     "c2_ngram_jaccard",  // distinct-set bitmask path: broadcast distinct sets
     "c3_cosine_topk",    // broadcast query subset, q_id <> b_id theta join
     "c3_ann_recall",     // composes c3_cosine_topk: same intentional BNLJ
-    "c3_ann_ivf_recall"  // composes c3_cosine_topk: same intentional BNLJ
+    "c3_ann_ivf_recall", // composes c3_cosine_topk: same intentional BNLJ
+    "c5_gapfill"         // date-spine x distinct-types cross product:
+                         // both sides bounded by construction
+                         // (O(days), O(types)), never corpus-sized
   )
 
   test("no CartesianProduct anywhere; BNLJ only on the allowlist") {
