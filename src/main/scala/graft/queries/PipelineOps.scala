@@ -334,7 +334,45 @@ object PipelineOps {
       .orderBy("lang", "doc_id")
   }
 
+  /** C7i: exact-QUOTA stratified sampling — exactly min(k, |lang|) docs
+    * per language, chosen as the k SMALLEST portable hash buckets (the
+    * same Knuth bucket as c7_sample_strat, so the quota sample is
+    * deterministic, engine- and partitioning-independent, and composes
+    * with the other C7 carve-outs). Bernoulli bucket sampling gives a
+    * RATE; evaluation sets need exact counts per stratum. Physical
+    * shape: the bounded-heap [[graft.functions.TopKAggregator]] keyed
+    * by lang — O(langs · k) aggregation state with map-side combine,
+    * never a window over a language's full mass (the c7 prefix-sum
+    * lesson applied to sampling). The sort key is the NEGATED bucket
+    * (the aggregator keeps largest keys; the sample wants smallest
+    * buckets); bucket < 2^32 is exact in a double.
+    */
+  def c7SampleTopk(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import spark.implicits._
+    val topk = new graft.functions.TopKAggregator[(Double, Long)](k, _._1, _._2)
+      .toColumn.name("topk")
+    docs(spark, dir)
+      .selectExpr("lang", s"CAST(-($bucketSql) AS DOUBLE) AS negb", "doc_id")
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk)
+      .toDF("lang", "topk")
+      .select(col("lang"), posexplode(col("topk")))
+      .select(col("lang"),
+        col("col._2").as("doc_id"),
+        (-col("col._1")).cast("long").as("bucket"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("lang", "rn")
+  }
+
   val oracle: Map[String, String] = Map(
+    "c7_sample_topk" ->
+      (s"SELECT lang, doc_id, bucket, rn FROM (" +
+        s"SELECT lang, doc_id, $bucketSql AS bucket, " +
+        "CAST(row_number() OVER (PARTITION BY lang " +
+        s"ORDER BY $bucketSql, doc_id) AS INT) AS rn " +
+        "FROM documents) WHERE rn <= 50 ORDER BY lang, rn"),
     // The full composed pipeline: MinHash first-copy (the c2_minhash_lsh
     // replay), lang-id agreement (the c4_langid CTEs), length gate,
     // train bucket, then the pack window over the SURVIVING set — every
@@ -434,6 +472,7 @@ object PipelineOps {
     "c7_decontaminate_bloom" -> ((s: SparkSession, d: String) => c7DecontaminateBloom(s, d)),
     "c7_curate" -> ((s: SparkSession, d: String) => c7Curate(s, d)),
     "c7_pack_sequences" -> ((s: SparkSession, d: String) => c7PackSequences(s, d)),
-    "c7_pipeline" -> ((s: SparkSession, d: String) => c7Pipeline(s, d))
+    "c7_pipeline" -> ((s: SparkSession, d: String) => c7Pipeline(s, d)),
+    "c7_sample_topk" -> ((s: SparkSession, d: String) => c7SampleTopk(s, d))
   )
 }
