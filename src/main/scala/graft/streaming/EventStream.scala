@@ -651,8 +651,13 @@ object EventStream {
     try {
       runCheckpointedToParquet(tumblingCounts(src), ckpt.toString, out.toString, 1)
     } finally {
-      if (!parked.renameTo(late))
+      if (!parked.renameTo(late)) {
+        // the memoized layout is now missing a file — poison-proof the
+        // cache so later queries rebuild rather than silently running
+        // on half the events
+        splitCache.clear()
         sys.error(s"could not restore $late; split dir is now incomplete")
+      }
       // rename preserves mtime on the same filesystem, but file ORDER is
       // this harness's correctness edge — re-assert it.
       if (late.lastModified() != mtime && !late.setLastModified(mtime))
@@ -719,8 +724,13 @@ object EventStream {
           .select("user_id", "session_start", "session_end", "n_events"),
         ckpt.toString, out.toString, 1)
     } finally {
-      if (!parked.renameTo(late))
+      if (!parked.renameTo(late)) {
+        // the memoized layout is now missing a file — poison-proof the
+        // cache so later queries rebuild rather than silently running
+        // on half the events
+        splitCache.clear()
         sys.error(s"could not restore $late; split dir is now incomplete")
+      }
       if (late.lastModified() != mtime && !late.setLastModified(mtime))
         sys.error(s"could not restore mtime of $late")
     }
