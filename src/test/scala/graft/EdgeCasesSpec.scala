@@ -53,6 +53,36 @@ class EdgeCasesSpec extends SparkSuite {
     assert(out.getDouble(1) === 0.0)
   }
 
+  test("mega-duplicate skew: 50k copies of one text collapse through the partial-agg path") {
+    // The adversarial shape the bucket-min groupBy+join design exists
+    // for: one text duplicated 50k times means ONE (band, bucket) holds
+    // 50k memberships. A window over raw memberships would funnel them
+    // into a single task; the partial aggregate collapses them map-side.
+    // Assert the semantics hold at this skew: every copy maps to the
+    // min doc_id, exactly one survivor, and the handful of unique docs
+    // stay their own clusters — and the CC closure agrees.
+    import spark.implicits._
+    val copies = (1L to 50000L).map(i => (i, "the same boilerplate text repeated everywhere"))
+    // fully token-disjoint singletons (shared filler words would be a
+    // legitimately high Jaccard and the LSH would rightly merge them)
+    val unique = (100001L to 100005L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    val corpus = (copies ++ unique).toDF("doc_id", "text")
+    val asg = MinHash.dedupAssignments(corpus, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(asg.size == 50005)
+    (1L to 50000L).foreach { i =>
+      assert(asg(i) == (1L, i == 1L), s"copy $i: ${asg(i)}")
+    }
+    (100001L to 100005L).foreach { i =>
+      assert(asg(i) == (i, true), s"unique $i merged wrongly: ${asg(i)}")
+    }
+    val cc = MinHash.dedupAssignmentsCC(corpus, col("doc_id"), col("text"))
+      .filter(col("cluster_rep") =!= col("doc_id")).count()
+    assert(cc == 49999L, "CC closure must collapse exactly the 49,999 non-first copies")
+    spark.catalog.clearCache()
+  }
+
   test("MRJob runs a one-record job") {
     val out = graft.mr.MRJob.runLocal(spark, Seq(("k", "v")),
       (k, _) => Seq((k, "1")),
