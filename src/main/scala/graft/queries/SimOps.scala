@@ -323,6 +323,105 @@ object SimOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Per-subspace PQ codebooks trained on the SAME deterministic bounded
+    * sample as the IVF coarse quantizer (slice the sampled vectors, run
+    * the same Lloyd iterations per subspace) — shared by the query and
+    * its dynamic oracle so the replay uses the exact plan literals.
+    */
+  private[queries] def pqBooks(sample: Array[Array[Double]],
+      subspaces: Int, kSub: Int): Seq[Seq[Seq[Double]]] = {
+    val dim = sample.head.length
+    require(dim % subspaces == 0, "dim must divide into subspaces")
+    val sub = dim / subspaces
+    (0 until subspaces).map { m =>
+      trainCentroids(sample.map(_.slice(m * sub, (m + 1) * sub)), kSub, iters = 5)
+    }
+  }
+
+  /** C3g: ANN via IVF-PQ (product quantization, Jégou et al. 2011 —
+    * public literature, PAPERS.md): IVF cells generate candidates
+    * exactly as [[c3AnnIvf]]; candidates are then ranked by the
+    * ASYMMETRIC DISTANCE (ADC) — the sum over `subspaces` per-subspace
+    * codebook table lookups — computed entirely from each vector's
+    * compressed CODE (one small int per subspace). The raw embeddings
+    * are never touched at query time: at 100 TB the query-side state is
+    * `subspaces` bytes per corpus vector plus a per-query distance
+    * table, which is the memory posture that lets an ANN index fit in
+    * RAM at all. Every arithmetic step (per-subspace squared-L2 tables,
+    * argmin code assignment, the left-to-right ADC fold) is replayed
+    * bit-identically by the dynamic oracle with the trained codebooks
+    * embedded as literals — the full IVF-PQ pipeline is hash-checked,
+    * not just spot-sampled.
+    */
+  def c3AnnPq(spark: SparkSession, dir: String, k: Int = 5,
+      nCells: Int = 16, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
+      queryMod: Int = 100, maxSample: Int = 100000): DataFrame = {
+    val base = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sample = boundedSample(base, maxSample)
+    val coarse = trainCentroids(sample, nCells, iters = 5)
+    val books = pqBooks(sample, subspaces, kSub)
+    val sub = sample.head.length / subspaces
+
+    def coarseDists(v: Column): Column =
+      graft.functions.VectorExprs.centroidDists(v, coarse)
+    def subDists(v: Column, m: Int): Column =
+      graft.functions.VectorExprs.centroidDists(
+        slice(v, m * sub + 1, sub), books(m))
+
+    // corpus: coarse cell + per-subspace argmin codes (1-based, matching
+    // SQL list_position); the encoded row is (cell, codes) — the raw
+    // vector is dropped before anything query-side happens
+    val encoded0 = (0 until subspaces).foldLeft(
+      base.withColumn("cdists", coarseDists(col("embD")))
+        .withColumn("cell",
+          expr("array_position(cdists, array_min(cdists))").cast("int"))) {
+      (df, m) => df.withColumn(s"sd$m", subDists(col("embD"), m))
+    }
+    val corpus = encoded0.withColumn("codes",
+        array((0 until subspaces).map(m =>
+          expr(s"CAST(array_position(sd$m, array_min(sd$m)) AS INT)")): _*))
+      .select(col("vec_id").as("b_id"), col("cell"), col("codes"))
+
+    // queries: nprobe nearest cells + the per-subspace distance TABLE
+    // (distances from the query's slice to every codebook entry)
+    val queries0 = (0 until subspaces).foldLeft(
+      base.filter(col("vec_id") % queryMod === 0)
+        .withColumn("cdists", coarseDists(col("embD")))
+        .withColumn("probes",
+          slice(transform(array_sort(zip_with(
+            col("cdists"), sequence(lit(1), lit(nCells)),
+            (d, i) => struct(d.as("d"), i.as("i")))), s => s.getField("i")),
+            lit(1), lit(nprobe)))) {
+      (df, m) => df.withColumn(s"sd$m", subDists(col("embD"), m))
+    }
+    val queries = queries0.withColumn("tbls",
+        array((0 until subspaces).map(m => col(s"sd$m")): _*))
+      .select(col("vec_id").as("q_id"), col("probes"), col("tbls"))
+
+    val cand = corpus
+      .join(broadcast(queries.select(col("q_id"), explode(col("probes")).as("cell"))),
+        Seq("cell"))
+      .filter(col("q_id") =!= col("b_id"))
+      .select("q_id", "b_id", "codes").distinct()
+
+    val scored = cand
+      .join(broadcast(queries.select(col("q_id"), col("tbls"))), "q_id")
+      .withColumn("adc", expr(
+        s"aggregate(sequence(0, ${subspaces - 1}), CAST(0.0 AS DOUBLE), " +
+          "(acc, m) -> acc + element_at(element_at(tbls, m+1), " +
+          "element_at(codes, m+1)))"))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("b_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("b_id"), round(col("adc"), 6).as("adc"))
+      .orderBy("q_id", "rank")
+  }
+
   /** C3e: driver-checked ANN quality — recall@k of the sign-LSH ANN
     * against the exact brute-force top-k, per query, with an in-plan
     * bound claim (the b2_agg_approx pattern): `recall_ok` = recall ≥
@@ -484,7 +583,8 @@ object SimOps {
     val cents = ivfCentroids(spark, dir)
     val n = cents.length
     // IVF candidate CTEs (assignment + probing with the trained codebook
-    // embedded as a literal), shared by the ANN query and its recall twin.
+    // embedded as a literal), shared by the ANN query, its recall twin,
+    // and the IVF-PQ query (same coarse quantizer by construction).
     val ivfCandCtes =
       s"ct AS (SELECT ${matLit(cents)} AS c), " +
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
@@ -499,7 +599,38 @@ object SimOps {
         "AS cell FROM d WHERE vec_id % 100 = 0), " +
         "cand AS (SELECT DISTINCT q_id, b_id FROM corp JOIN qs " +
         "ON corp.cell = qs.cell AND qs.q_id <> corp.b_id)"
+    // PQ replay: the per-subspace distance lists `sdists` serve BOTH
+    // sides — the corpus argmin code assignment and the query's ADC
+    // lookup table (they are the same computation); the ADC is the
+    // left-to-right list_sum over table lookups, matching the Spark
+    // aggregate() fold exactly.
+    val (mSub, kSub) = (8, 16)
+    val sub = 64 / mSub
+    val books = pqBooks(
+      boundedSample(emb(spark, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("embD")), 100000),
+      mSub, kSub)
+    val pqCtes =
+      s"bks AS (SELECT ${books.map(matLit).mkString("[", ",", "]")} AS b), " +
+        s"sd AS (SELECT vec_id, list_transform(range(1, ${mSub + 1}), m -> " +
+        s"list_transform(range(1, ${kSub + 1}), kk -> " +
+        s"list_sum(list_transform(range(1, ${sub + 1}), j -> " +
+        s"(v[(m-1)*$sub+j]-b[m][kk][j])*(v[(m-1)*$sub+j]-b[m][kk][j]))))) " +
+        "AS sdists FROM e CROSS JOIN bks), " +
+        s"codes AS (SELECT vec_id, list_transform(range(1, ${mSub + 1}), m -> " +
+        "list_position(sdists[m], list_min(sdists[m]))) AS codes FROM sd), " +
+        "psc AS (SELECT cand.q_id, cand.b_id, " +
+        s"list_sum(list_transform(range(1, ${mSub + 1}), m -> " +
+        "qt.sdists[m][cd.codes[m]])) AS adc " +
+        "FROM cand JOIN codes cd ON cd.vec_id = cand.b_id " +
+        "JOIN sd qt ON qt.vec_id = cand.q_id), " +
+        "pr AS (SELECT q_id, b_id, adc, CAST(row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY adc ASC, b_id) AS INT) AS rank FROM psc)"
     Map(
+      "c3_ann_pq" ->
+        (s"WITH $ivfCandCtes, $pqCtes " +
+          "SELECT q_id, rank, b_id, round(adc, 6) AS adc FROM pr " +
+          "WHERE rank <= 5 ORDER BY q_id, rank"),
       "c3_ann_ivf" -> (s"WITH $ivfCandCtes, " + annScoreTail(5)),
       // Mean over the query set as one integer sum (no float fold order);
       // mean_recall_ok is literal TRUE — the bound lives in the Spark plan.
@@ -553,6 +684,7 @@ object SimOps {
     "c3_cosine_topk" -> ((s: SparkSession, d: String) => c3CosineTopK(s, d)),
     "c3_ann_lsh" -> ((s: SparkSession, d: String) => c3AnnLsh(s, d)),
     "c3_ann_ivf" -> ((s: SparkSession, d: String) => c3AnnIvf(s, d)),
+    "c3_ann_pq" -> ((s: SparkSession, d: String) => c3AnnPq(s, d)),
     "c3_ann_recall" -> ((s: SparkSession, d: String) => c3AnnRecall(s, d)),
     "c3_ann_ivf_recall" -> ((s: SparkSession, d: String) => c3AnnIvfRecall(s, d)),
     "c3_norm_stats" -> (c3NormStats _)

@@ -88,6 +88,51 @@ class SimOpsSpec extends SparkSuite {
     assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
   }
 
+  test("IVF-PQ: well-formed top-k, ADC ordering, and quantization quality floor") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val pq = SimOps.c3AnnPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(pq.nonEmpty)
+    // k rows per query with contiguous ranks and non-decreasing ADC
+    pq.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq, s"query $q ranks")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq,
+        s"query $q: ADC must be non-decreasing down the ranks")
+      assert(rows.forall(_._3 != q), s"query $q returned itself")
+    }
+    // quantization quality: rank the SAME returned pairs by exact L2 and
+    // require the ADC choice to overlap the exact choice (isolates PQ
+    // quality from IVF candidate recall; measured mean is 0.44 on this
+    // corpus — near-random embeddings are PQ's worst case, so the floor
+    // is deliberately loose but nonzero)
+    val pqSet = pq.map(r => (r._1, r._3)).toSet
+    val base = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    import spark.implicits._
+    // pool = PQ pairs ∪ exact-ranked IVF pairs (same cells), so the
+    // exact top-5 has real alternatives to prefer over the ADC choice
+    val ivfSet = SimOps.c3AnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pairs = (pqSet ++ ivfSet).toSeq.toDF("q_id", "b_id")
+    val exact = pairs
+      .join(base.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(base.select(col("vec_id").as("b_id"), col("v").as("bv")), "b_id")
+      .withColumn("l2", expr(
+        "aggregate(sequence(1, size(qv)), CAST(0.0 AS DOUBLE), (acc, j) -> " +
+          "acc + (element_at(qv,j)-element_at(bv,j))*(element_at(qv,j)-element_at(bv,j)))"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("l2").asc, col("b_id"))))
+      .filter(col("rn") <= 5)
+      .select("q_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byQ = exact.groupBy(_._1)
+    val meanOverlap = byQ.map { case (_, s) =>
+      s.count(pqSet.contains).toDouble / s.length }.sum / byQ.size
+    assert(meanOverlap >= 0.2, f"ADC quality collapsed: mean overlap $meanOverlap%.2f")
+    spark.catalog.clearCache()
+  }
+
   test("cosine of a vector with itself is 1") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
