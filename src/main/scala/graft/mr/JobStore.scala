@@ -90,7 +90,8 @@ final class JobStore(
       fns: JobTypeRegistry.MapReduceFn): Unit =
     try {
       val out = MRJob
-        .run(spark, input, fns.mapFn, fns.reduceFn, spec.mappers, spec.reducers)
+        .run(spark, input, fns.mapFn, fns.reduceFn, spec.mappers,
+          spec.reducers, fns.combineFn)
         .collect()
       jobs.put(id, JobState(spec, Finished, Some(out), Some(clock())))
     } catch {

@@ -8,13 +8,26 @@ package graft.mr
   * build time (SURVEY.md §2.1 O16/O17).
   */
 object JobTypeRegistry {
-  final case class MapReduceFn(mapFn: MRJob.MapFn, reduceFn: MRJob.ReduceFn)
+  /** A registered job type. `combineFn`, when declared, asserts the reduce
+    * is a commutative monoid over its values (see [[MRJob.CombineFn]]) and
+    * lets MRJob insert map-side partial aggregation — the registry is where
+    * a user states that algebraic fact about their UDF pair, exactly like
+    * declaring a Combiner class alongside a Reducer in classic MapReduce.
+    */
+  final case class MapReduceFn(
+      mapFn: MRJob.MapFn,
+      reduceFn: MRJob.ReduceFn,
+      combineFn: Option[MRJob.CombineFn] = None)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, MapReduceFn]()
 
-  def register(jobType: String, mapFn: MRJob.MapFn, reduceFn: MRJob.ReduceFn): Unit =
-    registry.put(jobType, MapReduceFn(mapFn, reduceFn))
+  def register(
+      jobType: String,
+      mapFn: MRJob.MapFn,
+      reduceFn: MRJob.ReduceFn,
+      combineFn: Option[MRJob.CombineFn] = None): Unit =
+    registry.put(jobType, MapReduceFn(mapFn, reduceFn, combineFn))
 
   def lookup(jobType: String): Option[MapReduceFn] =
     Option(registry.get(jobType))
@@ -61,12 +74,25 @@ object JobTypeRegistry {
   val exampleReduce: MRJob.ReduceFn = (k, values) =>
     Iterator(k, values.iterator.map(_.toLong).sum.toString)
 
-  register("charcount", charCountMap, sumReduce)
-  register("wordcount", wordCountMap, sumReduce)
-  register("distinct", wordCountMap, distinctReduce)
+  /** Integer-sum combiner: the monoid behind [[sumReduce]] /
+    * [[exampleReduce]]. sum(partial sums) == sum(all values), so the reduce
+    * output is unchanged by partial aggregation.
+    */
+  val sumCombine: MRJob.CombineFn = (a, b) => (a.toLong + b.toLong).toString
+
+  /** Value-ignoring combiner for reduces that never read their values
+    * (DISTINCT): any fold is valid; keep the left value.
+    */
+  val anyCombine: MRJob.CombineFn = (a, _) => a
+
+  register("charcount", charCountMap, sumReduce, Some(sumCombine))
+  register("wordcount", wordCountMap, sumReduce, Some(sumCombine))
+  register("distinct", wordCountMap, distinctReduce, Some(anyCombine))
+  // identity's reduce emits one row PER VALUE — not a fold of the values,
+  // so it must not declare a combiner (reduce needs every raw pair).
   register("identity", identityMap, (k, vs) => vs.map(v => s"$k\t$v"))
   // The reference example registers this UDF pair under the .so basename
   // "wordcount" even though it counts characters (word_count.cc:5-22);
   // graft names it for what it does.
-  register("charcount_example", charCountMap, exampleReduce)
+  register("charcount_example", charCountMap, exampleReduce, Some(sumCombine))
 }

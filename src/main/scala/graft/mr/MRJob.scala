@@ -38,10 +38,25 @@ object MRJob {
   type MapFn = (String, String) => IterableOnce[(String, String)]
   /** Per-group UDTF: emit 0..n output strings for one (key, values) group. */
   type ReduceFn = (String, Seq[String]) => IterableOnce[String]
+  /** Optional map-side combiner: a commutative, associative fold over the
+    * VALUE strings of one key. Declaring one asserts the algebraic contract
+    *   reduceFn(k, Seq(values.reduce(combineFn))) == reduceFn(k, values.sorted)
+    * for every value multiset — i.e. the reduce only depends on the
+    * combiner's fold of the values (sums, mins, maxes, value-ignoring
+    * reduces like DISTINCT). The reference has no combiner (its master-side
+    * merge ships every raw pair, `job.cc:45-66`); this is the scale fix for
+    * that design: with a combiner the shuffle carries at most
+    * keys × partitions rows instead of one row per map emission.
+    */
+  type CombineFn = (String, String) => String
 
   /** Run one job. Output rows are in ascending key order, and within a key
     * in reduce-emission order (range-partitioned: collecting or writing the
     * dataset preserves the global order across partitions).
+    *
+    * @param combineFn map-side partial aggregation for reduces declared
+    *        commutative (see [[CombineFn]]); None = the reference's
+    *        ship-every-pair behavior, reduce sees all values sorted.
     */
   def run(
       spark: SparkSession,
@@ -49,7 +64,8 @@ object MRJob {
       mapFn: MapFn,
       reduceFn: ReduceFn,
       mappers: Int = 2,
-      reducers: Int = 2): Dataset[String] = {
+      reducers: Int = 2,
+      combineFn: Option[CombineFn] = None): Dataset[String] = {
     require(mappers > 0, "mapper_num must be > 0")   // master.cc:530-532
     require(reducers > 0, "reducer_num must be > 0")
     import spark.implicits._
@@ -68,15 +84,32 @@ object MRJob {
       .repartition(mappers)
       .flatMap { case (k, v) => mapFn(k, v) } // O5 user map
 
-    mapped
-      .groupByKey(_._1) // O6 shuffle replaces the master-side merge
-      .flatMapGroups { (k, it) =>
-        val values = it.map(_._2).toArray
-        java.util.Arrays.sort(values.asInstanceOf[Array[AnyRef]])
-        // Keep (key, emissionIndex) so the final order is fully defined.
-        reduceFn(k, scala.collection.immutable.ArraySeq.unsafeWrapArray(values))
-          .iterator.zipWithIndex.map { case (out, i) => (k, i, out) }
-      }
+    val reduced = combineFn match {
+      case Some(c) =>
+        // Declared-commutative path: reduceGroups is a typed Aggregator, so
+        // Catalyst plans it as partial aggregation (map-side combine before
+        // the exchange) — the shuffle carries one row per (key, partition).
+        mapped
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .reduceGroups(c)
+          .flatMap { case (k, v) =>
+            reduceFn(k, Seq(v))
+              .iterator.zipWithIndex.map { case (out, i) => (k, i, out) }
+          }
+      case None =>
+        mapped
+          .groupByKey(_._1) // O6 shuffle replaces the master-side merge
+          .flatMapGroups { (k, it) =>
+            val values = it.map(_._2).toArray
+            java.util.Arrays.sort(values.asInstanceOf[Array[AnyRef]])
+            // Keep (key, emissionIndex) so the final order is fully defined.
+            reduceFn(k, scala.collection.immutable.ArraySeq.unsafeWrapArray(values))
+              .iterator.zipWithIndex.map { case (out, i) => (k, i, out) }
+          }
+    }
+
+    reduced
       // O4 reduce-side contiguous split + O8 key-ordered concatenation:
       // range partitions are globally ordered, so sorting within partitions
       // yields a total order without an extra global sort pass.
@@ -95,10 +128,11 @@ object MRJob {
       mapFn: MapFn,
       reduceFn: ReduceFn,
       mappers: Int = 2,
-      reducers: Int = 2): Seq[String] = {
+      reducers: Int = 2,
+      combineFn: Option[CombineFn] = None): Seq[String] = {
     require(input.nonEmpty, "input kvs must be non-empty") // master.cc:533-535
     import spark.implicits._
-    run(spark, input.toDS(), mapFn, reduceFn, mappers, reducers)
+    run(spark, input.toDS(), mapFn, reduceFn, mappers, reducers, combineFn)
       .collect().toSeq
   }
 }

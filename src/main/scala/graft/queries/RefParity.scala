@@ -38,19 +38,26 @@ object RefParity {
   private val tabbedSum: MRJob.ReduceFn = (k, values) =>
     Iterator.single(s"$k\t${values.iterator.map(_.toLong).sum}")
 
-  /** A1: word count over documents.text via the MR kernel. */
+  /** A1: word count over documents.text via the MR kernel. The sum reduce
+    * is a declared commutative monoid, so the kernel map-side combines —
+    * the shuffle carries one row per (word, partition), not per occurrence.
+    */
   def mrWordCount(spark: SparkSession, sfDir: String): DataFrame = {
     val out = MRJob.run(spark, docsAsKv(spark, sfDir),
-      JobTypeRegistry.wordCountMap, tabbedSum, mappers = 32, reducers = 32)
+      JobTypeRegistry.wordCountMap, tabbedSum, mappers = 32, reducers = 32,
+      combineFn = Some(JobTypeRegistry.sumCombine))
     parseCounts(spark, out, "word").orderBy("word")
   }
 
   /** A2: per-character count (exact word_count.cc:5-22 semantics:
-    * lowercase letters + digits only).
+    * lowercase letters + digits only). Without the combiner this shuffles
+    * one row PER INPUT CHARACTER — the round-8 bench outlier; with it the
+    * shuffle is ≤ 36 keys × partitions rows.
     */
   def mrCharCount(spark: SparkSession, sfDir: String): DataFrame = {
     val out = MRJob.run(spark, docsAsKv(spark, sfDir),
-      JobTypeRegistry.charCountMap, tabbedSum, mappers = 32, reducers = 32)
+      JobTypeRegistry.charCountMap, tabbedSum, mappers = 32, reducers = 32,
+      combineFn = Some(JobTypeRegistry.sumCombine))
     parseCounts(spark, out, "c").orderBy("c")
   }
 
@@ -59,7 +66,8 @@ object RefParity {
     import spark.implicits._
     val out = MRJob.run(spark, docsAsKv(spark, sfDir),
       JobTypeRegistry.wordCountMap, JobTypeRegistry.distinctReduce,
-      mappers = 32, reducers = 32)
+      mappers = 32, reducers = 32,
+      combineFn = Some(JobTypeRegistry.anyCombine))
     out.toDF("word").orderBy("word")
   }
 
