@@ -16,12 +16,22 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // The driver-generated events.ts is parquet TIMESTAMP(NANOS), which
-      // Spark's vectorized reader rejects; read it as raw nanos and convert
-      // (integer division — no double round-trip) to a real TimestampType.
+      // The driver has shipped events.ts under two physical types across
+      // corpus generations: parquet TIMESTAMP(NANOS) (which Spark's
+      // vectorized reader rejects — read as raw nanos via the legacy flag
+      // and convert with integer division, no double round-trip) and plain
+      // TIMESTAMP(MICROS) (which Spark reads as TIMESTAMP_NTZ). Normalize
+      // both to TimestampType; the session is pinned to UTC everywhere, so
+      // the NTZ cast is exact and matches DuckDB's naive-timestamp reading.
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampType => raw
+        case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view (for spark.sql-style access). */

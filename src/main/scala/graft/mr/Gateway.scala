@@ -46,6 +46,7 @@ final class Gateway(spark: SparkSession, store: JobStore, port: Int = 2335,
       respond(ex, 200, "Hello world.", "text/plain"))
     server.createContext("/launch", handleLaunch _)
     server.createContext("/getresult", handleGetResult _)
+    server.createContext("/cancel", handleCancel _)
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
       threads, r => { val t = new Thread(r, "graft-gateway"); t.setDaemon(true); t }))
     server.start()
@@ -99,6 +100,34 @@ final class Gateway(spark: SparkSession, store: JobStore, port: Int = 2335,
               respond(ex, 200,
                 results.map(jstr).mkString(
                   """{"ok":true,"message":"","result":[""", ",", "]}"))
+            case Left(msg) =>
+              respond(ex, 500, s"""{"ok":false,"message":${jstr(msg)}}""")
+          }
+        case _ => respond(ex, 400, "", "text/plain")
+      }
+    }
+
+  /** `POST /cancel?job_id=N&token=T` — the user-facing form of the
+    * reference's internal subjob cancel RPC (`master.cc:571-583`; the
+    * reference requeues a subjob on worker loss, Spark's scheduler owns
+    * that, so the surfaced capability is terminal job cancellation).
+    * 200 `{"ok":true,"message":""}` when the running job was cancelled;
+    * 500 `{"ok":false,"message":…}` for missing job / wrong token /
+    * already-terminal (same guard order as getresult); 400 on missing
+    * params, 405 on non-POST.
+    */
+  private def handleCancel(ex: HttpExchange): Unit =
+    if (ex.getRequestMethod != "POST") respond(ex, 405, "", "text/plain")
+    else {
+      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").iterator.map(_.split("=", 2))
+        .collect { case Array(k, v) =>
+          k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+        }.toMap
+      (params.get("job_id").flatMap(_.toLongOption), params.get("token")) match {
+        case (Some(id), Some(token)) =>
+          store.cancel(spark, id, token) match {
+            case Right(()) => respond(ex, 200, """{"ok":true,"message":""}""")
             case Left(msg) =>
               respond(ex, 500, s"""{"ok":false,"message":${jstr(msg)}}""")
           }

@@ -89,14 +89,56 @@ final class JobStore(
       input: Dataset[(String, String)],
       fns: JobTypeRegistry.MapReduceFn): Unit =
     try {
+      // Tag every Spark job this MR job spawns with a per-id group so
+      // cancel() can kill the in-flight stages (the analog of the
+      // reference unassigning a subjob from its worker, master.cc:571-583
+      // — except Spark's cancellation is terminal, not a requeue).
+      spark.sparkContext.setJobGroup(jobGroup(id),
+        s"graft job $id: ${spec.name}", interruptOnCancel = true)
       val out = MRJob
         .run(spark, input, fns.mapFn, fns.reduceFn, spec.mappers,
           spec.reducers, fns.combineFn)
         .collect()
-      jobs.put(id, JobState(spec, Finished, Some(out), Some(clock())))
+      finishIfRunning(id, _.copy(status = Finished, result = Some(out),
+        finishedAt = Some(clock())))
     } catch {
       case e: Exception =>
-        jobs.put(id, JobState(spec, Failed(e.getMessage), None, Some(clock())))
+        // A cancelled job's collect() dies with a SparkException here;
+        // finishIfRunning leaves the Cancelled state in place — only a
+        // still-Running job transitions to Failed.
+        finishIfRunning(id, _.copy(status = Failed(e.getMessage),
+          finishedAt = Some(clock())))
+    } finally spark.sparkContext.clearJobGroup()
+
+  /** Terminal-state transition guard: Running is the only non-terminal
+    * status, so Finished/Failed/Cancelled can never clobber each other
+    * regardless of how the executor thread and cancel() interleave.
+    */
+  private def finishIfRunning(id: Long, f: JobState => JobState): Unit =
+    jobs.computeIfPresent(id, (_, st) => if (st.status == Running) f(st) else st)
+
+  /** Cancel a running job: token-authenticated like getResult, kills the
+    * in-flight Spark stages via the job group, and lands the job in the
+    * terminal Cancelled state (TTL-evicted like any finished job). A job
+    * already in a terminal state is not cancellable — mirrors the
+    * reference's guard that only an unfinished subjob can be cancelled
+    * (`master.cc:571-583`).
+    */
+  def cancel(spark: SparkSession, id: Long, token: String): Either[String, Unit] =
+    Option(jobs.get(id)) match {
+      case None => Left(s"no such job: $id")
+      case Some(st) if st.spec.token != token => Left("wrong token")
+      case _ =>
+        var transitioned = false
+        jobs.computeIfPresent(id, (_, st) =>
+          if (st.status == Running) {
+            transitioned = true
+            st.copy(status = Cancelled, result = None, finishedAt = Some(clock()))
+          } else st)
+        if (transitioned) {
+          spark.sparkContext.cancelJobGroup(jobGroup(id))
+          Right(())
+        } else Left("job not running")
     }
 
   /** Token-authenticated result fetch; mirrors handle_get_result guards
@@ -109,6 +151,9 @@ final class JobStore(
       case Some(st) if st.spec.token != token => Left("wrong token")
       case Some(JobState(_, Finished, Some(res), _)) => Right(res.toSeq)
       case Some(JobState(_, Failed(msg), _, _)) => Left(s"job failed: $msg")
+      // Cancelled and Running both answer with the reference's
+      // not-finished error shape (master.cc:694-696): a cancelled job
+      // simply never finishes.
       case Some(_) => Left("job not finished")
     }
   }
@@ -133,6 +178,9 @@ final class JobStore(
 object JobStore {
   val DefaultTtlMillis: Long = 3600L * 1000L // JOB_RESULT_TIMEOUT_SECOND, master.h:27
 
+  /** Spark job-group tag for one MR job's stages. */
+  def jobGroup(id: Long): String = s"graft-job-$id"
+
   final case class JobSpec(
       name: String,
       jobType: String,
@@ -143,6 +191,7 @@ object JobStore {
   sealed trait JobStatus
   case object Running extends JobStatus
   case object Finished extends JobStatus
+  case object Cancelled extends JobStatus
   final case class Failed(message: String) extends JobStatus
 
   private final case class JobState(

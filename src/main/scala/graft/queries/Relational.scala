@@ -426,11 +426,40 @@ object Relational {
   private def sourceFingerprint(paths: String*): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
-    val fs = paths.flatMap(p => walk(new java.io.File(p)))
-    val size = fs.map(_.length).sum
-    val mtime = if (fs.isEmpty) 0L else fs.map(_.lastModified).max
-    (((paths.mkString(",").hashCode.toLong * 31 + size) * 31 + mtime)
-      & 0x7fffffffffffffffL).toHexString
+    // Digest the FULL per-file (path, size, mtime) list, sorted for
+    // determinism — a regenerated corpus whose total bytes happen to match
+    // within mtime granularity still changes some file's entry, so the key
+    // changes. (A 31-multiplier fold over the totals could collide there.)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    paths.flatMap(p => walk(new java.io.File(p)))
+      .map(f => s"${f.getPath}|${f.length}|${f.lastModified}")
+      .sorted
+      .foreach(line => md.update((line + "\n").getBytes("UTF-8")))
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Drop layouts (catalog tables / warehouse dirs) built for an earlier
+    * fingerprint of the same source. Superseded layouts are dead weight —
+    * the key that named them can never be derived again — so letting them
+    * accumulate across corpus regenerations leaks a full table copy each
+    * time. Called whenever a layout is (re)created.
+    */
+  private def dropStaleLayouts(
+      spark: SparkSession, prefix: String, keepSuffix: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    spark.catalog.listTables().collect()
+      .map(_.name)
+      .filter(n => n.startsWith(prefix) && !n.endsWith(keepSuffix))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Option(wh.listFiles()).toSeq.flatten
+      .filter(d => d.getName.startsWith(prefix) && !d.getName.endsWith(keepSuffix))
+      .foreach { d =>
+        java.nio.file.Files.walk(d.toPath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
   }
 
   def b8BucketedJoin(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
@@ -442,6 +471,10 @@ object Relational {
     // path — never alias a stale layout.
     val suffix = sourceFingerprint(s"$dir/lineitem.parquet", s"$dir/orders.parquet")
     val (ltab, otab) = (s"graft_b8_lineitem_$suffix", s"graft_b8_orders_$suffix")
+    if (!spark.catalog.tableExists(ltab) || !spark.catalog.tableExists(otab)) {
+      dropStaleLayouts(spark, "graft_b8_lineitem_", suffix)
+      dropStaleLayouts(spark, "graft_b8_orders_", suffix)
+    }
     if (!spark.catalog.tableExists(ltab))
       graft.sources.Storage.writeBucketed(
         t(spark, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
@@ -476,12 +509,15 @@ object Relational {
     val out = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:") +
       s"/graft_b8_events_bydate_${sourceFingerprint(s"$dir/events.parquet")}"
-    if (!new java.io.File(out, "_SUCCESS").exists())
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      dropStaleLayouts(spark, "graft_b8_events_bydate_",
+        out.substring(out.lastIndexOf('_') + 1))
       graft.sources.Storage.writePartitioned(
         t(spark, dir, "events")
           .select(col("ts"), col("event_type"), col("value"),
             to_date(col("ts")).as("event_date")),
         out, Seq("event_date"))
+    }
     spark.read.parquet(out)
       .filter(col("event_date").between("2024-01-05", "2024-01-09"))
       .groupBy(col("event_date"), col("event_type"))

@@ -406,19 +406,24 @@ object SimOps {
       .filter(col("q_id") =!= col("b_id"))
       .select("q_id", "b_id", "codes").distinct()
 
+    // adc is rounded to 6dp BEFORE the rank window (the annScoreTail
+    // posture): ranking on the raw double would make the hash depend on
+    // DuckDB's list_sum reproducing Spark's left-to-right fold
+    // bit-for-bit — a sub-1e-6 near-tie from a different summation order
+    // would flip ranks.
     val scored = cand
       .join(broadcast(queries.select(col("q_id"), col("tbls"))), "q_id")
-      .withColumn("adc", expr(
+      .withColumn("adc", round(expr(
         s"aggregate(sequence(0, ${subspaces - 1}), CAST(0.0 AS DOUBLE), " +
           "(acc, m) -> acc + element_at(element_at(tbls, m+1), " +
-          "element_at(codes, m+1)))"))
+          "element_at(codes, m+1)))"), 6))
 
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").asc, col("b_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("b_id"), round(col("adc"), 6).as("adc"))
+      .select(col("q_id"), col("rank"), col("b_id"), col("adc"))
       .orderBy("q_id", "rank")
   }
 
@@ -619,9 +624,12 @@ object SimOps {
         "AS sdists FROM e CROSS JOIN bks), " +
         s"codes AS (SELECT vec_id, list_transform(range(1, ${mSub + 1}), m -> " +
         "list_position(sdists[m], list_min(sdists[m]))) AS codes FROM sd), " +
+        // round-6 BEFORE the rank window, matching the Spark side — the
+        // rank must not depend on sub-1e-6 fold-order drift between
+        // DuckDB's list_sum and Spark's aggregate().
         "psc AS (SELECT cand.q_id, cand.b_id, " +
-        s"list_sum(list_transform(range(1, ${mSub + 1}), m -> " +
-        "qt.sdists[m][cd.codes[m]])) AS adc " +
+        s"round(list_sum(list_transform(range(1, ${mSub + 1}), m -> " +
+        "qt.sdists[m][cd.codes[m]])), 6) AS adc " +
         "FROM cand JOIN codes cd ON cd.vec_id = cand.b_id " +
         "JOIN sd qt ON qt.vec_id = cand.q_id), " +
         "pr AS (SELECT q_id, b_id, adc, CAST(row_number() OVER " +
@@ -629,7 +637,7 @@ object SimOps {
     Map(
       "c3_ann_pq" ->
         (s"WITH $ivfCandCtes, $pqCtes " +
-          "SELECT q_id, rank, b_id, round(adc, 6) AS adc FROM pr " +
+          "SELECT q_id, rank, b_id, adc FROM pr " +
           "WHERE rank <= 5 ORDER BY q_id, rank"),
       "c3_ann_ivf" -> (s"WITH $ivfCandCtes, " + annScoreTail(5)),
       // Mean over the query set as one integer sum (no float fold order);

@@ -210,14 +210,20 @@ object EventStream {
     * TIMESTAMP(NANOS) handling as graft.Tables.load.
     */
   def readEventsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // The sf tables are single parquet FILES; the file stream source
     // needs a directory, so stream the sf dir filtered to the events file.
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   private def runAvailableNow(df: DataFrame, mode: OutputMode)
@@ -309,7 +315,13 @@ object EventStream {
   private def twoBatchSplitDir(spark: SparkSession, sfDir: String,
       cutUsOpt: Option[Long] = None): (String, org.apache.spark.sql.types.StructType) = {
     val cached = splitCache.get((sfDir, cutUsOpt))
-    if (cached != null && new java.io.File(cached._1).isDirectory) return cached
+    // A cache hit must re-verify BOTH part files, not just the dir: a
+    // temp-dir pruner (tmpwatch) or partial cleanup between queries would
+    // otherwise replay the *_incr/restart checks over half the corpus and
+    // fail downstream with a confusing oracle mismatch. Rebuild instead.
+    if (cached != null &&
+        new java.io.File(cached._1, "00_early.parquet").isFile &&
+        new java.io.File(cached._1, "01_late.parquet").isFile) return cached
     val fresh = writeTwoBatchSplitDir(spark, sfDir, cutUsOpt)
     splitCache.put((sfDir, cutUsOpt), fresh)
     fresh
@@ -504,6 +516,13 @@ object EventStream {
     */
   private val DedupHorizonUs: Long = 24L * 3600L * 1000000L
 
+  /** The same horizon as a Spark interval string, DERIVED from the
+    * constant so the cut selection (dedupCutUs) and the operator's
+    * watermark can never drift apart under a single-sided edit.
+    */
+  private val DedupHorizonInterval: String =
+    s"${DedupHorizonUs / 3600000000L} hours"
+
   /** Cut point for the incremental dedup check: the midpoint of a
     * same-payload (user_id, event_type, value) occurrence pair closer
     * together than TWICE the dedup horizon — so after batch 1 the first
@@ -566,7 +585,7 @@ object EventStream {
     val pairOpt = dedupCutUs(graft.Tables.load(spark, sfDir, "events"))
     val stream = twoBatchEventStream(spark, sfDir, pairOpt.map(_._1))
     val sink = runIncremental(
-      dedupWithinWatermark(stream, "24 hours")
+      dedupWithinWatermark(stream, DedupHorizonInterval)
         .select(col("user_id"), col("event_type"), col("value")),
       OutputMode.Append(), minBatches = 2)
     val res = sink.groupBy(col("user_id"), col("event_type"), col("value"))

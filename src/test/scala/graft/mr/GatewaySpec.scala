@@ -159,6 +159,38 @@ class GatewaySpec extends SparkSuite {
     } finally gw.stop()
   }
 
+  test("cancel over HTTP: running job → 200 + CANCELLED; guards mirror getresult") {
+    JobTypeRegistry.register("slow_identity_gw",
+      (k, v) => { Thread.sleep(5000); Iterator.single((k, v)) },
+      (k, vs) => vs.map(v => s"$k\t$v"))
+    val store = new JobStore()
+    val gw = new Gateway(spark, store, port = 0)
+    val port = gw.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      val launch = post(s"$base/launch", launchBody("slow_identity_gw"))
+      assert(launch.statusCode() == 200, launch.body())
+      val id = """"job_id":(\d+)""".r.findFirstMatchIn(launch.body()).get.group(1)
+      Thread.sleep(500) // let the executor thread set its job group
+      // guards: non-POST 405, missing params 400, wrong token 500
+      assert(get(s"$base/cancel?job_id=$id&token=ztorchan").statusCode() == 405)
+      assert(post(s"$base/cancel", "").statusCode() == 400)
+      val wrongTok = post(s"$base/cancel?job_id=$id&token=nope", "")
+      assert(wrongTok.statusCode() == 500 && wrongTok.body().contains("wrong token"))
+      // the cancel itself
+      val ok = post(s"$base/cancel?job_id=$id&token=ztorchan", "")
+      assert(ok.statusCode() == 200 && ok.body().contains(""""ok":true"""), ok.body())
+      assert(store.status(id.toLong) == Some(JobStore.Cancelled))
+      // result fetch answers with the reference's not-finished shape
+      val res = get(s"$base/getresult?job_id=$id&token=ztorchan")
+      assert(res.statusCode() == 500 && res.body().contains("job not finished"),
+        res.body())
+      // double-cancel: already terminal
+      val again = post(s"$base/cancel?job_id=$id&token=ztorchan", "")
+      assert(again.statusCode() == 500 && again.body().contains("job not running"))
+    } finally gw.stop()
+  }
+
   test("getresult guards: missing params 400; bad job/token 500 in reference order") {
     withGateway { base =>
       assert(get(s"$base/getresult").statusCode() == 400)

@@ -44,6 +44,36 @@ class JobStoreSpec extends SparkSuite {
     assert(store.getResult(42L, "t") == Left("no such job: 42"))
   }
 
+  test("cancel: running job lands CANCELLED; terminal jobs are not cancellable") {
+    // A deliberately slow job type so the cancel races a genuinely
+    // in-flight Spark stage (interruptOnCancel kills the sleeping tasks).
+    JobTypeRegistry.register("slow_identity_spec",
+      (k, v) => { Thread.sleep(5000); Iterator.single((k, v)) },
+      (k, vs) => vs.map(v => s"$k\t$v"))
+    val store = new JobStore(clock = () => 0L)
+    val Right(id) = store.launchAsync(spark,
+      JobSpec("slow", "slow_identity_spec", "tok"), kv(("a", "1"), ("b", "2")))
+    Thread.sleep(500) // let the executor thread set its job group
+    assert(store.status(id) == Some(JobStore.Running))
+    // guard order mirrors getResult: exists → token → running
+    assert(store.cancel(spark, 99L, "tok") == Left("no such job: 99"))
+    assert(store.cancel(spark, id, "nope") == Left("wrong token"))
+    assert(store.cancel(spark, id, "tok") == Right(()))
+    assert(store.status(id) == Some(JobStore.Cancelled))
+    // the reference's not-finished error shape (master.cc:694-696)
+    assert(store.getResult(id, "tok") == Left("job not finished"))
+    // already terminal → not cancellable (master.cc:571-583 guard)
+    assert(store.cancel(spark, id, "tok") == Left("job not running"))
+    // a finished job is likewise not cancellable
+    val Right(fin) = store.launch(spark,
+      JobSpec("wc", "wordcount", "t"), kv(("d", "x")))
+    assert(store.cancel(spark, fin, "t") == Left("job not running"))
+    // the cancelled state is terminal even after the killed stage's
+    // exception lands in the executor thread
+    Thread.sleep(1500)
+    assert(store.status(id) == Some(JobStore.Cancelled))
+  }
+
   test("async launch returns immediately; result appears on poll") {
     val store = new JobStore(clock = () => 0L)
     val Right(id) = store.launchAsync(spark,

@@ -83,6 +83,46 @@ class MRJobSpec extends SparkSuite {
     assert(got == Seq("1", "1", "1", "3", "1", "1"))
   }
 
+  test("declared-combiner path equals the uncombined path (ScalaCheck)") {
+    // The combiner contract (MRJob.CombineFn): for a reduce that only
+    // depends on the commutative-monoid fold of its values,
+    //   run(..., combineFn = Some(c)) == run(..., combineFn = None)
+    // for EVERY value multiset and every mapper/reducer split. Pin it for
+    // the three monoid families the registry ships (sum, max, value-ignore)
+    // over random inputs — this is what licenses MRJob's map-side partial
+    // aggregation replacing the reference's ship-every-pair shuffle.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sum: MRJob.ReduceFn =
+      (k, vs) => Iterator.single(s"$k=${vs.iterator.map(_.toLong).sum}")
+    val max: MRJob.ReduceFn =
+      (k, vs) => Iterator.single(s"$k=${vs.iterator.map(_.toLong).max}")
+    val monoids: Seq[(MRJob.CombineFn, MRJob.ReduceFn)] = Seq(
+      (JobTypeRegistry.sumCombine, sum),
+      ((a, b) => if (a.toLong >= b.toLong) a else b, max),
+      (JobTypeRegistry.anyCombine, JobTypeRegistry.distinctReduce))
+    val kvGen = for {
+      k <- Gen.oneOf("a", "b", "cc", "d e", "", "z9")
+      v <- Gen.chooseNum(-50L, 50L)
+    } yield (k, v.toString)
+    val dataGen = for {
+      kvs <- Gen.nonEmptyListOf(kvGen)
+      m <- Gen.chooseNum(1, 5)
+      r <- Gen.chooseNum(1, 5)
+    } yield (kvs, m, r)
+    val prop = Prop.forAll(dataGen) { case (kvs, m, r) =>
+      monoids.forall { case (c, reduceFn) =>
+        val plain = MRJob.runLocal(spark, kvs, JobTypeRegistry.identityMap,
+          reduceFn, m, r)
+        val combined = MRJob.runLocal(spark, kvs, JobTypeRegistry.identityMap,
+          reduceFn, m, r, combineFn = Some(c))
+        combined == plain
+      }
+    }
+    val res =
+      SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("invalid parallelism is rejected (master.cc:530-532)") {
     intercept[IllegalArgumentException] {
       MRJob.runLocal(spark, Seq(("a", "b")), JobTypeRegistry.identityMap,
