@@ -45,19 +45,26 @@ object ConnectedComponents {
     // Persisted: the membership table (signature = one MD5 per token)
     // feeds three consumers — the doc universe, the bucket-min aggregate,
     // and the join probe of the edge generation — compute it once. The
-    // cache must outlive the returned (lazy) frame, so it cannot be
-    // unpersisted here; callers that run many operators per session
-    // should `spark.catalog.clearCache()` between materializations
-    // (Bench and Verify both do).
+    // star-contraction rounds hit the cache during construction (their
+    // actions run inside starRoots, whose first round checkpoints the
+    // edge set off the memberships); the doc universe reads it at
+    // materialization, after which CacheScope releases it.
+    // Persist BEFORE starRoots: its first-round checkpoint action reads
+    // the membership table twice (probe + bucket-min), and the cache must
+    // already be registered for that single action to compute it once.
+    // (Re-persisting in releaseAfterMaterialize is a same-level no-op.)
     val mem = memberships
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docs = mem.select(col("doc_id")).distinct()
-    val roots = starRoots(edgesFromMemberships(mem))
-    docs
-      .join(roots, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
-      .withColumn("is_kept", col("doc_id") === col("cluster_rep"))
+    val result = {
+      val roots = starRoots(edgesFromMemberships(mem))
+      docs
+        .join(roots, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+        .withColumn("is_kept", col("doc_id") === col("cluster_rep"))
+    }
+    graft.util.CacheScope.releaseAfterMaterialize(result, Seq(mem))
   }
 
   /** Star edges for a bipartite membership table: doc -> min doc of each
@@ -180,21 +187,28 @@ object ConnectedComponents {
     *      edge, there is nothing left to drop.
     */
   def invariantViolations(memberships: DataFrame, assignments: DataFrame): Long = {
+    // Fully eager (five counts), so the caches are scoped to this call:
+    // released in the finally, nothing outlives the return.
     val mem = memberships
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val asg = assignments.select(col("doc_id"), col("cluster_rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docs = mem.select(col("doc_id")).distinct()
-    val unlabelled = docs.join(asg, Seq("doc_id"), "left_anti").count()
-    val invented = asg.join(docs, Seq("doc_id"), "left_anti").count()
-    val relabelled = asg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).count()
-    val badMin = asg.groupBy(col("cluster_rep")).agg(min(col("doc_id")).as("mn"))
-      .filter(col("mn") =!= col("cluster_rep")).count()
-    val crossEdges = edgesFromMemberships(mem)
-      .join(asg.select(col("doc_id").as("u"), col("cluster_rep").as("rep_u")), "u")
-      .join(asg.select(col("doc_id").as("v"), col("cluster_rep").as("rep_v")), "v")
-      .filter(col("rep_u") =!= col("rep_v")).count()
-    unlabelled + invented + relabelled + badMin + crossEdges
+    try {
+      val docs = mem.select(col("doc_id")).distinct()
+      val unlabelled = docs.join(asg, Seq("doc_id"), "left_anti").count()
+      val invented = asg.join(docs, Seq("doc_id"), "left_anti").count()
+      val relabelled = asg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).count()
+      val badMin = asg.groupBy(col("cluster_rep")).agg(min(col("doc_id")).as("mn"))
+        .filter(col("mn") =!= col("cluster_rep")).count()
+      val crossEdges = edgesFromMemberships(mem)
+        .join(asg.select(col("doc_id").as("u"), col("cluster_rep").as("rep_u")), "u")
+        .join(asg.select(col("doc_id").as("v"), col("cluster_rep").as("rep_v")), "v")
+        .filter(col("rep_u") =!= col("rep_v")).count()
+      unlabelled + invented + relabelled + badMin + crossEdges
+    } finally {
+      mem.unpersist(blocking = false)
+      asg.unpersist(blocking = false)
+    }
   }
 }

@@ -120,15 +120,16 @@ object MinHash {
     // and the membership table feeds two consumers (the bucket-min
     // aggregate and the join probe) — compute it once, spill if large.
     // The cache must outlive the returned lazy frame (it is read when the
-    // caller materializes), so it is not unpersisted here; session-style
-    // callers should clearCache() between operators (Bench/Verify do).
+    // caller materializes), so CacheScope releases it right after the
+    // first action that materializes the assignment.
     val banded = membershipsFromSets(df, id, tokens, numHashes, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded
-      .join(bucketMins(banded, "band", "bucket"), Seq("band", "bucket"))
-      .groupBy("doc_id")
-      .agg(min(col("bucket_min")).as("cluster_rep"))
-      .withColumn("is_kept", col("doc_id") === col("cluster_rep"))
+    graft.util.CacheScope.releaseAfterMaterialize(
+      banded
+        .join(bucketMins(banded, "band", "bucket"), Seq("band", "bucket"))
+        .groupBy("doc_id")
+        .agg(min(col("bucket_min")).as("cluster_rep"))
+        .withColumn("is_kept", col("doc_id") === col("cluster_rep")),
+      Seq(banded))
   }
 
   /** `(keyCols..., bucket_min)` — smallest doc_id per bucket, as a partial

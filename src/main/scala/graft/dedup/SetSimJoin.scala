@@ -109,6 +109,10 @@ object SetSimJoin {
       .withColumn("n", size(col("ids")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nSets = sets.count() // distinct-set-count action (also fills the cache)
+    // The count above materialized `sets`, so the dictionary stages feeding
+    // it are spent — release them now instead of leaking them past return.
+    ranged.unpersist(blocking = false)
+    dict.unpersist(blocking = false)
 
     // 2. Exact distinct-set pairs (x_set < y_set) with common/jaccard.
     val setPairs: DataFrame =
@@ -167,6 +171,9 @@ object SetSimJoin {
       .select(col("n"), col("a_id"), explode(slice(col("docs"), col("i") + 2, size(col("docs")))).as("b_id"))
       .select(col("a_id"), col("b_id"), col("n").cast("long").as("common"), lit(1.0).as("jaccard"))
 
-    inter.unionByName(intraPairs)
+    // `sets` is read by both the pair stage and the intra-set expansion at
+    // materialization time; CacheScope releases it after that action.
+    graft.util.CacheScope.releaseAfterMaterialize(
+      inter.unionByName(intraPairs), Seq(sets))
   }
 }

@@ -78,7 +78,6 @@ object DedupOps {
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
       .withColumn("buckets", SimOps.lshBuckets(col("embD"), tables, bits))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = base.select(col("vec_id").as("a_id"), col("embD").as("a_emb"),
       SimOps.explodeBuckets(col("buckets"), bits, probe = true))
       .withColumnRenamed("pos", "tbl")
@@ -97,17 +96,19 @@ object DedupOps {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     val vecs = base.select(col("vec_id"), col("embD"))
-    pairs
-      .join(vecs.select(col("vec_id").as("a_id"), col("embD").as("a_emb"))
-        .hint("shuffle_hash"), "a_id")
-      .join(vecs.select(col("vec_id").as("b_id"), col("embD").as("b_emb"))
-        .hint("shuffle_hash"), "b_id")
-      .withColumn("cosine",
-        round(SimOps.dotD(col("a_emb"), col("b_emb")) /
-          (SimOps.normD(col("a_emb")) * SimOps.normD(col("b_emb"))), 6))
-      .filter(col("cosine") >= threshold)
-      .select("a_id", "b_id", "cosine")
-      .orderBy("a_id", "b_id")
+    graft.util.CacheScope.releaseAfterMaterialize(
+      pairs
+        .join(vecs.select(col("vec_id").as("a_id"), col("embD").as("a_emb"))
+          .hint("shuffle_hash"), "a_id")
+        .join(vecs.select(col("vec_id").as("b_id"), col("embD").as("b_emb"))
+          .hint("shuffle_hash"), "b_id")
+        .withColumn("cosine",
+          round(SimOps.dotD(col("a_emb"), col("b_emb")) /
+            (SimOps.normD(col("a_emb")) * SimOps.normD(col("b_emb"))), 6))
+        .filter(col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+        .orderBy("a_id", "b_id"),
+      Seq(base))
   }
 
   /** DuckDB replay of the portable MinHash pipeline (same family as

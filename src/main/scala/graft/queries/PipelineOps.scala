@@ -203,10 +203,10 @@ object PipelineOps {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graft.ColumnBridge
     val (train, test0) = shingleSides(spark, dir, k)
-    // The test side now feeds three consumers (count, bloom build, exact
-    // confirm join) — persist it for the operator's lifetime; Bench and
-    // Verify clearCache() between queries (the assignmentsFromMemberships
-    // posture).
+    // The test side feeds three consumers (count, bloom build, exact
+    // confirm join). The first two are construction-time actions — hence
+    // the explicit persist BEFORE them; CacheScope releases the cache
+    // after the returned frame's confirm join materializes.
     val test = test0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Size the bloom from the data, not a constant: with a hardcoded
     // expectation, a test split much larger than it degrades the FPP
@@ -227,7 +227,8 @@ object PipelineOps {
       BloomFilterMightContain(
         Literal.create(bloomBin, org.apache.spark.sql.types.BinaryType),
         ColumnBridge.expression(xxhash64(col("sh"))))))
-    decontamTail(prefiltered.join(test, "sh"))
+    graft.util.CacheScope.releaseAfterMaterialize(
+      decontamTail(prefiltered.join(test, "sh")), Seq(test))
   }
 
   /** C7e: end-to-end corpus curation — the composition a training

@@ -147,12 +147,12 @@ object SimOps {
     */
   def c3AnnLsh(spark: SparkSession, dir: String, k: Int = 5,
       tables: Int = 16, bits: Int = 8, queryMod: Int = 100): DataFrame = {
-    // Persisted: the sketch is consumed by the corpus side, the query side,
-    // and the score re-attach joins (see DedupOps.c2EmbedNearDup).
+    // Persisted (scoped): the sketch is consumed by the corpus side, the
+    // query side, and the score re-attach joins (see DedupOps
+    // .c2EmbedNearDup); CacheScope releases it after materialization.
     val base = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
       .withColumn("buckets", lshBuckets(col("embD"), tables, bits))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Bucket-membership rows carry ids only — embeddings re-attach after
     // the candidate dedup, so the bucket join/distinct shuffles 16-byte
@@ -189,11 +189,13 @@ object SimOps {
 
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("b_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("b_id"), col("cosine"))
-      .orderBy("q_id", "rank")
+    graft.util.CacheScope.releaseAfterMaterialize(
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("b_id"), col("cosine"))
+        .orderBy("q_id", "rank"),
+      Seq(base))
   }
 
   /** Lloyd iterations on a driver-side sample — the standard IVF training
@@ -270,8 +272,10 @@ object SimOps {
   def c3AnnIvf(spark: SparkSession, dir: String, k: Int = 5,
       nCells: Int = 16, nprobe: Int = 4, queryMod: Int = 100,
       maxSample: Int = 100000): DataFrame = {
-    // Persisted: read once, consumed by the sample collect, corpus/query
-    // cell assignment, and the score re-attach joins.
+    // Persisted: read once, consumed by the sample collect (a
+    // construction-time action — hence the explicit persist BEFORE it),
+    // corpus/query cell assignment, and the score re-attach joins;
+    // CacheScope releases it after the result materializes.
     val base = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -316,11 +320,13 @@ object SimOps {
 
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("b_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("b_id"), col("cosine"))
-      .orderBy("q_id", "rank")
+    graft.util.CacheScope.releaseAfterMaterialize(
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("b_id"), col("cosine"))
+        .orderBy("q_id", "rank"),
+      Seq(base))
   }
 
   /** Per-subspace PQ codebooks trained on the SAME deterministic bounded
@@ -338,30 +344,74 @@ object SimOps {
     }
   }
 
-  /** C3g: ANN via IVF-PQ (product quantization, Jégou et al. 2011 —
-    * public literature, PAPERS.md): IVF cells generate candidates
+  /** Nearest coarse cell of each sample vector, with the SAME first-min
+    * tie-break as the in-plan `array_position(dists, array_min(dists))`.
+    */
+  private def nearestCell(v: Array[Double], cents: Seq[Seq[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      val ct = cents(c); var d = 0.0; var j = 0
+      while (j < v.length) { val t = v(j) - ct(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The IVFADC training pair (coarse quantizer + per-subspace residual
+    * codebooks), deterministically derived from the bounded sample — the
+    * dynamic oracle retrains it identically so the replay embeds the
+    * exact plan literals. Jégou et al. 2011 §III: the PQ codebooks are
+    * trained on RESIDUALS `v − coarseCentroid(cell(v))`, not raw vectors
+    * — residual energy is what the sub-quantizers must spend their bits
+    * on, which measurably improves recall at the same code size.
+    */
+  private[queries] def pqModel(sample: Array[Array[Double]],
+      nCells: Int, subspaces: Int, kSub: Int)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val coarse = trainCentroids(sample, nCells, iters = 5)
+    val residuals = sample.map { v =>
+      val ct = coarse(nearestCell(v, coarse))
+      Array.tabulate(v.length)(j => v(j) - ct(j))
+    }
+    (coarse, pqBooks(residuals, subspaces, kSub))
+  }
+
+  /** C3g: ANN via IVF-PQ with residual encoding (IVFADC, Jégou et al.
+    * 2011 — public literature, PAPERS.md): IVF cells generate candidates
     * exactly as [[c3AnnIvf]]; candidates are then ranked by the
     * ASYMMETRIC DISTANCE (ADC) — the sum over `subspaces` per-subspace
     * codebook table lookups — computed entirely from each vector's
-    * compressed CODE (one small int per subspace). The raw embeddings
-    * are never touched at query time: at 100 TB the query-side state is
-    * `subspaces` bytes per corpus vector plus a per-query distance
-    * table, which is the memory posture that lets an ANN index fit in
-    * RAM at all. Every arithmetic step (per-subspace squared-L2 tables,
-    * argmin code assignment, the left-to-right ADC fold) is replayed
-    * bit-identically by the dynamic oracle with the trained codebooks
-    * embedded as literals — the full IVF-PQ pipeline is hash-checked,
-    * not just spot-sampled.
+    * compressed CODE (one small int per subspace). Both sides quantize
+    * the RESIDUAL against the coarse centroid of the vector's cell
+    * (queries: of each probed cell), so the codebooks only have to span
+    * the within-cell displacement — the published method, and measurably
+    * better recall than raw-vector PQ at the same 8-byte code
+    * (spec-asserted in SimOpsSpec). The raw embeddings are never touched
+    * at query time: at 100 TB the query-side state is `subspaces` bytes
+    * per corpus vector plus a per-(query, probe) distance table, the
+    * memory posture that lets an ANN index fit in RAM at all. Every
+    * arithmetic step (residual subtraction, per-subspace squared-L2
+    * tables, argmin code assignment, the left-to-right ADC fold) is
+    * replayed bit-identically by the dynamic oracle with the trained
+    * codebooks embedded as literals — the full IVF-PQ pipeline is
+    * hash-checked, not just spot-sampled.
+    *
+    * @param residual false = quantize raw vectors (pre-IVFADC form); kept
+    *        for the recall A/B in SimOpsSpec, not declared as a query.
     */
   def c3AnnPq(spark: SparkSession, dir: String, k: Int = 5,
       nCells: Int = 16, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
-      queryMod: Int = 100, maxSample: Int = 100000): DataFrame = {
+      queryMod: Int = 100, maxSample: Int = 100000,
+      residual: Boolean = true): DataFrame = {
     val base = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sample = boundedSample(base, maxSample)
-    val coarse = trainCentroids(sample, nCells, iters = 5)
-    val books = pqBooks(sample, subspaces, kSub)
+    val (coarse, books) =
+      if (residual) pqModel(sample, nCells, subspaces, kSub)
+      else (trainCentroids(sample, nCells, iters = 5),
+        pqBooks(sample, subspaces, kSub))
     val sub = sample.head.length / subspaces
 
     def coarseDists(v: Column): Column =
@@ -369,42 +419,54 @@ object SimOps {
     def subDists(v: Column, m: Int): Column =
       graft.functions.VectorExprs.centroidDists(
         slice(v, m * sub + 1, sub), books(m))
+    // residual against a (1-based) cell id, as one fused zip_with
+    val coarseLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
+    def enc(v: Column, cell: Column): Column =
+      if (residual) zip_with(v, element_at(coarseLit, cell), (a, b) => a - b)
+      else v
 
-    // corpus: coarse cell + per-subspace argmin codes (1-based, matching
-    // SQL list_position); the encoded row is (cell, codes) — the raw
-    // vector is dropped before anything query-side happens
-    val encoded0 = (0 until subspaces).foldLeft(
-      base.withColumn("cdists", coarseDists(col("embD")))
-        .withColumn("cell",
-          expr("array_position(cdists, array_min(cdists))").cast("int"))) {
-      (df, m) => df.withColumn(s"sd$m", subDists(col("embD"), m))
+    // corpus: coarse cell + per-subspace argmin codes of the cell
+    // residual (1-based, matching SQL list_position); the encoded row is
+    // (cell, codes) — the raw vector is dropped before anything
+    // query-side happens
+    val assigned = base.withColumn("cdists", coarseDists(col("embD")))
+      .withColumn("cell",
+        expr("array_position(cdists, array_min(cdists))").cast("int"))
+      .withColumn("enc", enc(col("embD"), col("cell")))
+    val encoded0 = (0 until subspaces).foldLeft(assigned) {
+      (df, m) => df.withColumn(s"sd$m", subDists(col("enc"), m))
     }
     val corpus = encoded0.withColumn("codes",
         array((0 until subspaces).map(m =>
           expr(s"CAST(array_position(sd$m, array_min(sd$m)) AS INT)")): _*))
       .select(col("vec_id").as("b_id"), col("cell"), col("codes"))
 
-    // queries: nprobe nearest cells + the per-subspace distance TABLE
-    // (distances from the query's slice to every codebook entry)
-    val queries0 = (0 until subspaces).foldLeft(
-      base.filter(col("vec_id") % queryMod === 0)
-        .withColumn("cdists", coarseDists(col("embD")))
-        .withColumn("probes",
-          slice(transform(array_sort(zip_with(
-            col("cdists"), sequence(lit(1), lit(nCells)),
-            (d, i) => struct(d.as("d"), i.as("i")))), s => s.getField("i")),
-            lit(1), lit(nprobe)))) {
-      (df, m) => df.withColumn(s"sd$m", subDists(col("embD"), m))
-    }
-    val queries = queries0.withColumn("tbls",
-        array((0 until subspaces).map(m => col(s"sd$m")): _*))
-      .select(col("vec_id").as("q_id"), col("probes"), col("tbls"))
+    // queries: one row per probed cell, carrying the per-subspace
+    // distance TABLE of the query's residual AGAINST THAT CELL (with
+    // residual encoding the table depends on the probe — IVFADC's
+    // per-probe lookup tables)
+    val probed = base.filter(col("vec_id") % queryMod === 0)
+      .withColumn("cdists", coarseDists(col("embD")))
+      .withColumn("probes",
+        slice(transform(array_sort(zip_with(
+          col("cdists"), sequence(lit(1), lit(nCells)),
+          (d, i) => struct(d.as("d"), i.as("i")))), s => s.getField("i")),
+          lit(1), lit(nprobe)))
+      .select(col("vec_id").as("q_id"), col("embD"),
+        explode(col("probes")).as("cell"))
+      .withColumn("enc", enc(col("embD"), col("cell")))
+    val queries = (0 until subspaces).foldLeft(probed) {
+        (df, m) => df.withColumn(s"sd$m", subDists(col("enc"), m))
+      }
+      .withColumn("tbls", array((0 until subspaces).map(m => col(s"sd$m")): _*))
+      .select(col("q_id"), col("cell"), col("tbls"))
 
+    // Each corpus vector lives in exactly one cell and probes are
+    // distinct, so (q_id, b_id) pairs are already unique — the ADC joins
+    // back on (q_id, cell) to pick the matching per-probe table.
     val cand = corpus
-      .join(broadcast(queries.select(col("q_id"), explode(col("probes")).as("cell"))),
-        Seq("cell"))
+      .join(broadcast(queries.select(col("q_id"), col("cell"))), Seq("cell"))
       .filter(col("q_id") =!= col("b_id"))
-      .select("q_id", "b_id", "codes").distinct()
 
     // adc is rounded to 6dp BEFORE the rank window (the annScoreTail
     // posture): ranking on the raw double would make the hash depend on
@@ -412,7 +474,7 @@ object SimOps {
     // bit-for-bit — a sub-1e-6 near-tie from a different summation order
     // would flip ranks.
     val scored = cand
-      .join(broadcast(queries.select(col("q_id"), col("tbls"))), "q_id")
+      .join(broadcast(queries), Seq("q_id", "cell"))
       .withColumn("adc", round(expr(
         s"aggregate(sequence(0, ${subspaces - 1}), CAST(0.0 AS DOUBLE), " +
           "(acc, m) -> acc + element_at(element_at(tbls, m+1), " +
@@ -420,11 +482,13 @@ object SimOps {
 
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").asc, col("b_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("b_id"), col("adc"))
-      .orderBy("q_id", "rank")
+    graft.util.CacheScope.releaseAfterMaterialize(
+      scored
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("b_id"), col("adc"))
+        .orderBy("q_id", "rank"),
+      Seq(base))
   }
 
   /** C3e: driver-checked ANN quality — recall@k of the sign-LSH ANN
@@ -604,34 +668,50 @@ object SimOps {
         "AS cell FROM d WHERE vec_id % 100 = 0), " +
         "cand AS (SELECT DISTINCT q_id, b_id FROM corp JOIN qs " +
         "ON corp.cell = qs.cell AND qs.q_id <> corp.b_id)"
-    // PQ replay: the per-subspace distance lists `sdists` serve BOTH
-    // sides — the corpus argmin code assignment and the query's ADC
-    // lookup table (they are the same computation); the ADC is the
-    // left-to-right list_sum over table lookups, matching the Spark
-    // aggregate() fold exactly.
+    // IVFADC replay (residual PQ): corpus residuals are taken against the
+    // vector's own cell, query residuals against EACH probed cell (one
+    // lookup table per (query, probe)); codebooks are retrained on sample
+    // residuals exactly as pqModel does, so the embedded literals match
+    // the Spark plan's. The ADC is the left-to-right list_sum over table
+    // lookups, matching the Spark aggregate() fold exactly.
     val (mSub, kSub) = (8, 16)
     val sub = 64 / mSub
-    val books = pqBooks(
+    val (coarsePq, books) = pqModel(
       boundedSample(emb(spark, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("embD")), 100000),
-      mSub, kSub)
-    val pqCtes =
-      s"bks AS (SELECT ${books.map(matLit).mkString("[", ",", "]")} AS b), " +
-        s"sd AS (SELECT vec_id, list_transform(range(1, ${mSub + 1}), m -> " +
+      16, mSub, kSub)
+    require(coarsePq == cents,
+      "PQ coarse quantizer diverged from the IVF centroids — the shared " +
+        "ivfCandCtes would replay the wrong cells")
+    val sdistsOf = (r: String) =>
+      s"list_transform(range(1, ${mSub + 1}), m -> " +
         s"list_transform(range(1, ${kSub + 1}), kk -> " +
         s"list_sum(list_transform(range(1, ${sub + 1}), j -> " +
-        s"(v[(m-1)*$sub+j]-b[m][kk][j])*(v[(m-1)*$sub+j]-b[m][kk][j]))))) " +
-        "AS sdists FROM e CROSS JOIN bks), " +
-        s"codes AS (SELECT vec_id, list_transform(range(1, ${mSub + 1}), m -> " +
-        "list_position(sdists[m], list_min(sdists[m]))) AS codes FROM sd), " +
+        s"($r[(m-1)*$sub+j]-b[m][kk][j])*($r[(m-1)*$sub+j]-b[m][kk][j])))))"
+    val pqCtes =
+      s"bks AS (SELECT ${books.map(matLit).mkString("[", ",", "]")} AS b), " +
+        // corpus residual v − c[cell] and its argmin codes
+        "rc AS (SELECT corp.b_id AS vec_id, corp.cell, " +
+        "list_transform(range(1, 65), j -> d.v[j] - c[corp.cell][j]) AS r " +
+        "FROM corp JOIN d ON d.vec_id = corp.b_id CROSS JOIN ct), " +
+        s"rsd AS (SELECT vec_id, cell, ${sdistsOf("r")} AS sdists " +
+        "FROM rc CROSS JOIN bks), " +
+        s"rcd AS (SELECT vec_id, cell, list_transform(range(1, ${mSub + 1}), m -> " +
+        "list_position(sdists[m], list_min(sdists[m]))) AS codes FROM rsd), " +
+        // query residual per PROBED cell and its lookup table
+        "qr AS (SELECT qs.q_id, qs.cell, " +
+        "list_transform(range(1, 65), j -> d.v[j] - c[qs.cell][j]) AS r " +
+        "FROM qs JOIN d ON d.vec_id = qs.q_id CROSS JOIN ct), " +
+        s"qsd AS (SELECT q_id, cell, ${sdistsOf("r")} AS sdists " +
+        "FROM qr CROSS JOIN bks), " +
         // round-6 BEFORE the rank window, matching the Spark side — the
         // rank must not depend on sub-1e-6 fold-order drift between
         // DuckDB's list_sum and Spark's aggregate().
         "psc AS (SELECT cand.q_id, cand.b_id, " +
         s"round(list_sum(list_transform(range(1, ${mSub + 1}), m -> " +
-        "qt.sdists[m][cd.codes[m]])), 6) AS adc " +
-        "FROM cand JOIN codes cd ON cd.vec_id = cand.b_id " +
-        "JOIN sd qt ON qt.vec_id = cand.q_id), " +
+        "qsd.sdists[m][rcd.codes[m]])), 6) AS adc " +
+        "FROM cand JOIN rcd ON rcd.vec_id = cand.b_id " +
+        "JOIN qsd ON qsd.q_id = cand.q_id AND qsd.cell = rcd.cell), " +
         "pr AS (SELECT q_id, b_id, adc, CAST(row_number() OVER " +
         "(PARTITION BY q_id ORDER BY adc ASC, b_id) AS INT) AS rank FROM psc)"
     Map(

@@ -146,6 +146,76 @@ object EventStream {
       }
   }
 
+  /** Streaming daily gap-fill state for one event_type: `nextDay` = the
+    * first epoch-day not yet emitted (−1 before any data), `open` = counts
+    * of days seen but not yet watermark-finalized. State is O(open days
+    * per type) — bounded by the watermark horizon, never by stream length.
+    */
+  final case class GapfillState(nextDay: Long, open: Map[Long, Long])
+  final case class GapfillOut(event_type: String, day_idx: Long, n_events: Long)
+
+  private val DayUs = 86400000000L
+
+  /** Streaming gap-filled daily resample — the streaming twin of the
+    * batch c5_gapfill: per event_type daily counts with MISSING days
+    * emitted as explicit zero rows, under watermark semantics. A
+    * groupBy(window) cannot emit a row for a window that received no
+    * input, so this is flatMapGroupsWithState with an EVENT-TIME TIMEOUT:
+    * each type's state holds its open day counts; every invocation (data
+    * or timeout — the timeout is what lets a type with NO new rows still
+    * close its finished days) flushes, in day order, every day the
+    * current watermark has finalized — emitting its accumulated count, or
+    * an explicit 0 for a day with no events — and re-arms the timeout for
+    * the next unfinalized day. Day d is finalized iff (d+1)·86400s ≤
+    * watermark, in exact integer microseconds off the engine's
+    * millisecond watermark — replayed identically by the oracle.
+    */
+  def gapfillDaily(spark: SparkSession, events: DataFrame)
+      : org.apache.spark.sql.Dataset[GapfillOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .selectExpr("event_type", "ts")
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GapfillState, GapfillOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (etype, rows, state: GroupState[GapfillState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(GapfillState(-1L, Map.empty))
+          var open = prev.open
+          var nextDay = prev.nextDay
+          rows.foreach { case (_, ts) =>
+            val day = Math.floorDiv(tsMicros(ts), DayUs)
+            if (nextDay >= 0L && day < nextDay)
+              // In-order arrival + the 2h watermark make this unreachable
+              // (an emitted day is final); a silent drop would diverge
+              // from the batch oracle, so fail loudly instead.
+              throw new IllegalStateException(
+                s"event for already-emitted day $day (next=$nextDay, $etype)")
+            open += day -> (open.getOrElse(day, 0L) + 1L)
+          }
+          if (nextDay < 0L && open.nonEmpty) nextDay = open.keys.min
+          // flush every finalized day in order: d final iff (d+1)·day ≤ wm
+          val lastFinal = Math.floorDiv(wmUs, DayUs) - 1L
+          val out = List.newBuilder[GapfillOut]
+          if (nextDay >= 0L) {
+            while (nextDay <= lastFinal) {
+              out += GapfillOut(etype, nextDay, open.getOrElse(nextDay, 0L))
+              open -= nextDay
+              nextDay += 1L
+            }
+          }
+          state.update(GapfillState(nextDay, open))
+          // re-arm: fire as soon as the next pending day can finalize
+          // ((nextDay+1)·day > wm by construction, as setTimeoutTimestamp
+          // requires)
+          if (nextDay >= 0L)
+            state.setTimeoutTimestamp((nextDay + 1L) * (DayUs / 1000L))
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream inner join — purchases joined to the same user's
     * clicks within the preceding `windowHours` hours, both sides
     * streaming. The time-range condition + watermarks bound the join
@@ -602,6 +672,27 @@ object EventStream {
     res.orderBy("user_id", "event_type", "value")
   }
 
+  /** c5_stream_gapfill: the streaming gap-fill ([[gapfillDaily]]) under
+    * REAL incremental arrival — a day whose events straddle the file cut
+    * reaches the sink with its full count only if the per-type open-day
+    * counts survived the micro-batch boundary, and days with no events
+    * reach the sink as explicit zero rows via the event-time-timeout
+    * path. Oracle: per-type zero-filled daily counts for each type's
+    * days from its first event day through the last watermark-finalized
+    * day (exact ms-truncated watermark arithmetic, replayed in SQL).
+    */
+  def c5StreamGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val stream = twoBatchEventStream(spark, sfDir, None)
+    runIncremental(
+      gapfillDaily(spark, stream).toDF()
+        .select(col("event_type"),
+          expr("date_add(DATE '1970-01-01', CAST(day_idx AS INT))").as("day"),
+          col("n_events")),
+      OutputMode.Append(), minBatches = 2)
+      .orderBy("event_type", "day")
+  }
+
   /** Run a streaming frame to the exactly-once PARQUET file sink with a
     * DURABLE checkpoint, AvailableNow, asserting exactly `wantBatches`
     * data micro-batches — the building block of the restart/recovery
@@ -626,6 +717,90 @@ object EventStream {
       throw new IllegalStateException(
         s"streaming query to $out ran $dataBatches data micro-batches, " +
           s"expected exactly $wantBatches")
+  }
+
+  /** Park the split's late file so a restart lifecycle sees only the
+    * early half; restore it (and its order-bearing mtime) afterwards,
+    * poison-proofing the memoized split layout if the restore fails.
+    */
+  private def withParkedLate[T](dir: String)(body: => T): T = {
+    val late = new java.io.File(dir, "01_late.parquet")
+    val parked = new java.io.File(s"$dir.parked_01_late.parquet")
+    val mtime = late.lastModified()
+    if (!late.renameTo(parked))
+      sys.error(s"could not park $late for the restart check")
+    try body
+    finally {
+      if (!parked.renameTo(late)) {
+        // the memoized layout is now missing a file — poison-proof the
+        // cache so later queries rebuild rather than silently running
+        // on half the events
+        splitCache.clear()
+        sys.error(s"could not restore $late; split dir is now incomplete")
+      }
+      // rename preserves mtime on the same filesystem, but file ORDER is
+      // this harness's correctness edge — re-assert it.
+      if (late.lastModified() != mtime && !late.setLastModified(mtime))
+        sys.error(s"could not restore mtime of $late")
+    }
+  }
+
+  /** c5_stream_restart_join: stream-stream JOIN BUFFERS recovered from a
+    * durable checkpoint across a full query stop and restart — the state
+    * family c5_stream_join_incr verifies across micro-batches but never
+    * across query LIFECYCLES (the remaining gap after c5_stream_restart
+    * covered window state and c5_stream_restart_state custom state). The
+    * cut (see [[joinCutUs]]) places a matched click/purchase pair across
+    * the file boundary: lifecycle A sees only the early file, buffers
+    * the click into join state, and stops; lifecycle B — a fresh query
+    * object on the same checkpoint, as after a driver crash — sees only
+    * the late file, and the pair reaches the sink ONLY if the buffered
+    * click came back from disk (asserted: absent after A, present after
+    * B). Oracle: the full batch interval join, identical to
+    * c5_stream_join — the union of the two Append sinks must be the
+    * complete join, which in-order arrival plus recovered buffers
+    * guarantee (the c5_stream_join_incr eviction-soundness argument
+    * applies unchanged across the restart: the recovered watermark can
+    * only evict clicks already outside any batch-2 purchase's window).
+    */
+  def c5StreamRestartJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import java.nio.file.{Files => JFiles}
+    val cutOpt = joinCutUs(graft.Tables.load(spark, sfDir, "events"))
+    val (dir, schema) = twoBatchSplitDir(spark, sfDir, cutOpt)
+    def src: DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val sinkSchema = purchaseClickJoin(src, src).schema
+    val ckpt = JFiles.createTempDirectory("graft_restart_join_ckpt")
+    val out = JFiles.createTempDirectory("graft_restart_join_out")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt.toFile)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out.toFile)
+    // explicit sink schema: lifecycle A's sink may legitimately hold zero
+    // rows (no early-only pair), which schema inference cannot read
+    def sink = spark.read.schema(sinkSchema).parquet(out.toString)
+    def straddles(cut: Long): Long = sink
+      .filter(unix_micros(col("c_ts")) <= cut && unix_micros(col("p_ts")) > cut)
+      .limit(1).count()
+    withParkedLate(dir) {
+      runCheckpointedToParquet(
+        purchaseClickJoin(src, src), ckpt.toString, out.toString, 1)
+    }
+    cutOpt.foreach { cut =>
+      if (straddles(cut) != 0)
+        throw new IllegalStateException(
+          "the cut-straddling pair was emitted before the restart; " +
+            "the recovery check would be vacuous")
+    }
+    // lifecycle B: fresh query object, same checkpoint — crash-restart.
+    runCheckpointedToParquet(
+      purchaseClickJoin(src, src), ckpt.toString, out.toString, 1)
+    cutOpt.foreach { cut =>
+      if (straddles(cut) == 0)
+        throw new IllegalStateException(
+          "no cut-straddling pair after restart: stream-stream join " +
+            "buffers did not survive the stop/restart")
+    }
+    sink.orderBy("p_id", "c_id")
   }
 
   /** c5_stream_restart: windowed-aggregation state recovered from a
@@ -661,26 +836,9 @@ object EventStream {
     val out = JFiles.createTempDirectory("graft_restart_out")
     org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt.toFile)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(out.toFile)
-    val late = new java.io.File(dir, "01_late.parquet")
-    val parked = new java.io.File(s"$dir.parked_01_late.parquet")
-    val mtime = late.lastModified()
     // lifecycle A: only the early file is visible
-    if (!late.renameTo(parked))
-      sys.error(s"could not park $late for the restart check")
-    try {
+    withParkedLate(dir) {
       runCheckpointedToParquet(tumblingCounts(src), ckpt.toString, out.toString, 1)
-    } finally {
-      if (!parked.renameTo(late)) {
-        // the memoized layout is now missing a file — poison-proof the
-        // cache so later queries rebuild rather than silently running
-        // on half the events
-        splitCache.clear()
-        sys.error(s"could not restore $late; split dir is now incomplete")
-      }
-      // rename preserves mtime on the same filesystem, but file ORDER is
-      // this harness's correctness edge — re-assert it.
-      if (late.lastModified() != mtime && !late.setLastModified(mtime))
-        sys.error(s"could not restore mtime of $late")
     }
     // the window containing the cut spans the restart: it must be ABSENT
     // from lifecycle A's committed output (still open in state) ...
@@ -732,26 +890,11 @@ object EventStream {
     val out = JFiles.createTempDirectory("graft_restart_state_out")
     org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt.toFile)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(out.toFile)
-    val late = new java.io.File(dir, "01_late.parquet")
-    val parked = new java.io.File(s"$dir.parked_01_late.parquet")
-    val mtime = late.lastModified()
-    if (!late.renameTo(parked))
-      sys.error(s"could not park $late for the restart check")
-    try {
+    withParkedLate(dir) {
       runCheckpointedToParquet(
         sessionizeWithState(spark, src).toDF()
           .select("user_id", "session_start", "session_end", "n_events"),
         ckpt.toString, out.toString, 1)
-    } finally {
-      if (!parked.renameTo(late)) {
-        // the memoized layout is now missing a file — poison-proof the
-        // cache so later queries rebuild rather than silently running
-        // on half the events
-        splitCache.clear()
-        sys.error(s"could not restore $late; split dir is now incomplete")
-      }
-      if (late.lastModified() != mtime && !late.setLastModified(mtime))
-        sys.error(s"could not restore mtime of $late")
     }
     runCheckpointedToParquet(
       sessionizeWithState(spark, src).toDF()
@@ -971,6 +1114,40 @@ object EventStream {
         "ON p.user_id = c.user_id " +
         "AND c.ts >= p.ts - INTERVAL '6 hours' AND c.ts <= p.ts " +
         "ORDER BY p_id, c_id"),
+    // Restart twin of the stream-stream join: identical oracle — the two
+    // lifecycles' Append sinks must union to the complete batch join,
+    // which requires the buffered early-side rows to come back from the
+    // checkpoint (a reset buffer silently drops every cross-restart pair
+    // and breaks the hash).
+    "c5_stream_restart_join" ->
+      ("SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts, " +
+        "c.event_id AS c_id, c.ts AS c_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id " +
+        "AND c.ts >= p.ts - INTERVAL '6 hours' AND c.ts <= p.ts " +
+        "ORDER BY p_id, c_id"),
+    // Streaming gap-fill: per-type zero-filled daily counts, restricted
+    // to watermark-finalized days (day d final iff (d+1)·86400s ≤ wm; wm
+    // is the engine's ms-truncated max-event-time − 2h, replayed exactly
+    // in integer arithmetic). Each type's spine runs from ITS first
+    // event day — per-key custom state cannot know about days before the
+    // key existed.
+    "c5_stream_gapfill" ->
+      ("WITH u AS (SELECT event_type, epoch_us(ts) AS us FROM events), " +
+        "wm AS (SELECT (CAST(floor(max(us) / 1000.0) AS BIGINT) - 7200000) " +
+        "* 1000 AS wmus FROM u), " +
+        "lf AS (SELECT CAST(floor(wmus / 86400000000.0) AS BIGINT) - 1 " +
+        "AS lastday FROM wm), " +
+        "daily AS (SELECT event_type, CAST(floor(us / 86400000000.0) AS BIGINT) " +
+        "AS day_idx, count(*) AS n FROM u GROUP BY 1, 2), " +
+        "t0 AS (SELECT event_type, min(day_idx) AS d0 FROM daily GROUP BY event_type), " +
+        "spine AS (SELECT event_type, unnest(range(d0, lastday + 1)) AS day_idx " +
+        "FROM t0, lf WHERE d0 <= lastday) " +
+        "SELECT spine.event_type, DATE '1970-01-01' + CAST(spine.day_idx AS INT) " +
+        "AS day, COALESCE(daily.n, 0) AS n_events " +
+        "FROM spine LEFT JOIN daily USING (event_type, day_idx) " +
+        "ORDER BY event_type, day"),
     // Restart twin of the custom-state sessionizer: identical oracle —
     // the two lifecycles' sinks must union to exactly the closed
     // sessions with FULL counts, which requires the OpenSession state
@@ -1026,6 +1203,8 @@ object EventStream {
     "c5_stream_join_incr" -> (c5StreamJoinIncr _),
     "c5_stream_dedup_incr" -> (c5StreamDedupIncr _),
     "c5_stream_restart" -> (c5StreamRestart _),
-    "c5_stream_restart_state" -> (c5StreamRestartState _)
+    "c5_stream_restart_state" -> (c5StreamRestartState _),
+    "c5_stream_restart_join" -> (c5StreamRestartJoin _),
+    "c5_stream_gapfill" -> (c5StreamGapfill _)
   )
 }

@@ -306,6 +306,57 @@ class EventStreamSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("checkpointed restart recovers stream-stream JOIN buffers") {
+    // the query asserts internally that the cut-straddling pair is
+    // absent before the restart and present after it; here we also pin
+    // that the two-lifecycle union equals the full batch join — buffer
+    // recovery must be invisible in the output
+    val ev = Tables.load(spark, sf, "events")
+    assert(EventStream.joinCutUs(ev).isDefined,
+      "fixture must contain a click strictly before its purchase")
+    val got = EventStream.c5StreamRestartJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val want = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 6 HOURS") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming gap-fill emits zero rows for empty days and full counts across the cut") {
+    val DayUs = 86400000000L
+    val ev = Tables.load(spark, sf, "events")
+    val rows = ev.select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // replicate the operator's exact watermark arithmetic (ms-truncated)
+    val wmUs = (Math.floorDiv(rows.map(_._2).max, 1000L) - 7200000L) * 1000L
+    val lastDay = Math.floorDiv(wmUs, DayUs) - 1L
+    val daily = rows.groupBy { case (t, us) => (t, Math.floorDiv(us, DayUs)) }
+      .view.mapValues(_.length.toLong).toMap
+    val want = daily.keys.groupBy(_._1).flatMap { case (t, keys) =>
+      val d0 = keys.map(_._2).min
+      (d0 to lastDay).map(d => (t, d, daily.getOrElse((t, d), 0L)))
+    }.toSet
+    val got = EventStream.c5StreamGapfill(spark, sf).collect()
+      .map(r => (r.getString(0),
+        r.getDate(1).toLocalDate.toEpochDay, r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // per-type spines are contiguous and end at the watermark boundary
+    got.groupBy(_._1).foreach { case (t, s) =>
+      val days = s.map(_._2).toSeq.sorted
+      assert(days == (days.min to lastDay), s"$t spine not contiguous")
+    }
+  }
+
   test("batch sessionization query is internally consistent on testdata") {
     val s = EventOps.c5Sessionize(spark, sf).collect()
     assert(s.nonEmpty)

@@ -1,0 +1,52 @@
+package graft.util
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Release-after-use discipline: operators that persist intermediates must
+  * not accumulate storage across a long-lived session. Five cache-using
+  * operators are materialized back-to-back; after each action the session
+  * must return to its baseline cached-RDD count (CC's localCheckpoint
+  * blocks are excluded — they are lineage-truncation state, bounded by the
+  * final edge set and reclaimed by the ContextCleaner on GC).
+  */
+class CacheScopeSpec extends SparkSuite {
+
+  private def cachedCount: Int =
+    spark.sparkContext.getPersistentRDDs.values
+      .count(r => !org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed(r))
+
+  /** The release listener runs on the async listener bus — poll briefly. */
+  private def awaitBaseline(baseline: Int, tag: String): Unit = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (cachedCount > baseline && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    val now = cachedCount
+    assert(now <= baseline,
+      s"$tag left ${now - baseline} cached RDD(s) behind: " +
+        spark.sparkContext.getPersistentRDDs.values
+          .filterNot(org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed(_))
+          .map(_.name).mkString("; "))
+  }
+
+  test("five cache-using operators back-to-back leave no net new cached blocks") {
+    // One from each caching family: MinHash banding, SimHash banding,
+    // CC closure (+ construction-time actions), LSH ANN sketch
+    // (+ score re-attach), prefix-filtered set-sim join (3 staged caches).
+    val names = Seq("c2_minhash_lsh", "c2_simhash", "c2_minhash_cc",
+      "c3_ann_lsh", "c2_ngram_jaccard")
+    val baseline = cachedCount
+    names.foreach { n =>
+      SparkEntry.queries(n)(spark, sf)
+        .write.format("noop").mode("overwrite").save()
+      awaitBaseline(baseline, n)
+    }
+  }
+
+  test("an unmaterialized operator holds no storage, only bookkeeping") {
+    val baseline = cachedCount
+    // Build but never materialize: persist() alone computes nothing, so
+    // no blocks are stored and the pending entry is inert.
+    SparkEntry.queries("c2_simhash")(spark, sf)
+    assert(cachedCount == baseline)
+  }
+}
