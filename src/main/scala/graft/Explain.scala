@@ -41,8 +41,15 @@ object Explain {
       }
       for (r <- 1 to reps) {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        println(f"[explain] $name rep$r ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        if (args.contains("-c")) {
+          // -c: count the result instead of the noop write — for sizing
+          // an operator's OUTPUT (e.g. pair growth across scale factors)
+          val n = fn(spark, sfDir).count()
+          println(f"[explain] $name rep$r ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+        } else {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          println(f"[explain] $name rep$r ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        }
       }
     }
     spark.stop()
