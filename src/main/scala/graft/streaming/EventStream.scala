@@ -672,6 +672,53 @@ object EventStream {
     res.orderBy("user_id", "event_type", "value")
   }
 
+  /** c5_stream_restart_dedup: DEDUP-KEY state recovered from a durable
+    * checkpoint across a query stop/restart — completing the restart
+    * matrix (window state: c5_stream_restart; custom state:
+    * c5_stream_restart_state; join buffers: c5_stream_restart_join;
+    * dedup keys: here). The cut (see [[dedupCutUs]]) places a duplicate
+    * payload pair across the file boundary with the first copy inside
+    * the 24 h horizon: lifecycle A emits the first copy and stores its
+    * key; lifecycle B (fresh query object, same checkpoint) sees only
+    * the late file and must DROP the second copy — it can only know the
+    * key if the dedup state came back from disk, which the query asserts
+    * (the straddling key must appear exactly once in the union sink).
+    * Oracle: every distinct key exactly once with n_emitted = 1, the
+    * c5_stream_dedup_incr shape — a reset state store would re-emit
+    * every early/late duplicate as n_emitted = 2 and break the hash.
+    */
+  def c5StreamRestartDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import java.nio.file.{Files => JFiles}
+    val pairOpt = dedupCutUs(graft.Tables.load(spark, sfDir, "events"))
+    val (dir, schema) = twoBatchSplitDir(spark, sfDir, pairOpt.map(_._1))
+    def src: DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    def dedup = dedupWithinWatermark(src, DedupHorizonInterval)
+      .select(col("user_id"), col("event_type"), col("value"))
+    val ckpt = JFiles.createTempDirectory("graft_restart_dedup_ckpt")
+    val out = JFiles.createTempDirectory("graft_restart_dedup_out")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt.toFile)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out.toFile)
+    withParkedLate(dir) {
+      runCheckpointedToParquet(dedup, ckpt.toString, out.toString, 1)
+    }
+    runCheckpointedToParquet(dedup, ckpt.toString, out.toString, 1)
+    val res = spark.read.parquet(out.toString)
+      .groupBy(col("user_id"), col("event_type"), col("value"))
+      .agg(count(lit(1)).as("n_emitted"))
+    pairOpt.foreach { case (_, uid, etype, v) =>
+      val emitted = res.filter(col("user_id") === uid &&
+        col("event_type") === etype && col("value") === v)
+        .head().getLong(3)
+      if (emitted != 1L)
+        throw new IllegalStateException(
+          s"straddling duplicate emitted $emitted times: dedup-key state " +
+            "did not survive the stop/restart")
+    }
+    res.orderBy("user_id", "event_type", "value")
+  }
+
   /** c5_stream_gapfill: the streaming gap-fill ([[gapfillDaily]]) under
     * REAL incremental arrival — a day whose events straddle the file cut
     * reaches the sink with its full count only if the per-type open-day
@@ -1081,6 +1128,12 @@ object EventStream {
     "c5_stream_dedup_incr" ->
       ("SELECT user_id, event_type, value, CAST(1 AS BIGINT) AS n_emitted " +
         "FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    // Restart twin of the dedup-key state family: identical oracle — a
+    // state store that lost its keys at the restart would re-emit every
+    // early/late duplicate as n_emitted = 2 and break the hash.
+    "c5_stream_restart_dedup" ->
+      ("SELECT user_id, event_type, value, CAST(1 AS BIGINT) AS n_emitted " +
+        "FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     "c5_stream_sliding" ->
       ("SELECT window_start, count(*) AS n_events FROM (" +
         "SELECT unnest([time_bucket(INTERVAL '30 minutes', ts), " +
@@ -1205,6 +1258,7 @@ object EventStream {
     "c5_stream_restart" -> (c5StreamRestart _),
     "c5_stream_restart_state" -> (c5StreamRestartState _),
     "c5_stream_restart_join" -> (c5StreamRestartJoin _),
+    "c5_stream_restart_dedup" -> (c5StreamRestartDedup _),
     "c5_stream_gapfill" -> (c5StreamGapfill _)
   )
 }

@@ -46,10 +46,23 @@ object CacheScope {
     * action that computes `result` (or any plan containing it).
     * Returns `result` for chaining.
     */
+  /** Registration cap: entries for results that are never materialized
+    * (a plan audit builds a query just to explain it) would otherwise
+    * accumulate forever in a long session. Evicting the OLDEST entry and
+    * unpersisting its caches is always safe — an unmaterialized cache
+    * holds no blocks, and a still-wanted cache merely recomputes.
+    */
+  private val MaxPending = 128
+
   def releaseAfterMaterialize(result: DataFrame, caches: Seq[DataFrame]): DataFrame = {
     install(result.sparkSession)
     caches.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     pending.add(Entry(result.queryExecution.analyzed, caches))
+    while (pending.size() > MaxPending) {
+      val oldest = try pending.remove(0)
+        catch { case _: IndexOutOfBoundsException => null } // raced empty
+      if (oldest != null) oldest.caches.foreach(_.unpersist(blocking = false))
+    }
     result
   }
 

@@ -331,6 +331,21 @@ class EventStreamSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("checkpointed restart recovers dedup-key state (no re-emission)") {
+    // needs sf0.01 — the smallest fixture with a duplicate pair that can
+    // straddle the cut inside the dedup horizon (the query itself throws
+    // if the straddling duplicate is emitted twice after the restart)
+    val sf01 = "/root/testdata/sf0.01"
+    val ev = Tables.load(spark, sf01, "events")
+    assert(EventStream.dedupCutUs(ev).isDefined,
+      "sf0.01 fixture must contain a duplicate pair within twice the horizon")
+    val got = EventStream.c5StreamRestartDedup(spark, sf01).collect()
+    assert(got.forall(_.getLong(3) == 1L),
+      "a restarted dedup must never re-emit a key")
+    assert(got.length ==
+      ev.select("user_id", "event_type", "value").distinct().count())
+  }
+
   test("streaming gap-fill emits zero rows for empty days and full counts across the cut") {
     val DayUs = 86400000000L
     val ev = Tables.load(spark, sf, "events")

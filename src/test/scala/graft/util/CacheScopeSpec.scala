@@ -49,4 +49,13 @@ class CacheScopeSpec extends SparkSuite {
     SparkEntry.queries("c2_simhash")(spark, sf)
     assert(cachedCount == baseline)
   }
+
+  test("never-materialized registrations are bounded (oldest evicted)") {
+    // A session that only ever builds plans (a plan-audit loop) must not
+    // grow CacheScope bookkeeping without bound.
+    val before = CacheScope.pendingCount
+    (1 to 200).foreach(_ => SparkEntry.queries("c2_simhash")(spark, sf))
+    assert(CacheScope.pendingCount <= 128,
+      s"pending grew to ${CacheScope.pendingCount} (was $before)")
+  }
 }
