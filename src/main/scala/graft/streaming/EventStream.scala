@@ -297,7 +297,7 @@ object EventStream {
   }
 
   private def runAvailableNow(df: DataFrame, mode: OutputMode)
-      (implicit spark: SparkSession): DataFrame = {
+      (implicit spark: SparkSession): DataFrame = withStatePartitions(spark) {
     val name = s"graft_stream_q${runSeq.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -326,13 +326,36 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Run `body` (which STARTS a stateful streaming query) with the
+    * shuffle-partition count a stateful stream should actually use:
+    * every stateful operator creates one state-store instance PER
+    * SHUFFLE PARTITION per micro-batch, each with its own commit files —
+    * so the right number tracks stateful-KEY cardinality and state
+    * volume, not CPU count. The CPU-count default (sized for the batch
+    * surface's corpus shuffles) makes every micro-batch pay 32 state
+    * commits per operator for kilobytes of state. Tunable via
+    * `spark.graft.stream.statePartitions` (a cluster run with hot keyed
+    * state raises it); the partition count is baked into a checkpoint at
+    * first start, so restart lifecycles keep whatever they began with.
+    * The conf is restored after `body` returns — the runners await
+    * termination inside it, so no batch query of this session plans
+    * under the reduced setting.
+    */
+  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      spark.conf.get("spark.graft.stream.statePartitions", "8"))
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Like [[runAvailableNow]] but for deliberately MULTI-batch execution:
     * asserts at least `minBatches` data micro-batches actually ran (a
     * single-batch run would not exercise watermark advancement between
     * batches, which is the property the caller is verifying).
     */
   private def runIncremental(df: DataFrame, mode: OutputMode, minBatches: Int)
-      (implicit spark: SparkSession): DataFrame = {
+      (implicit spark: SparkSession): DataFrame = withStatePartitions(spark) {
     val name = s"graft_stream_q${runSeq.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -748,7 +771,8 @@ object EventStream {
     * production recovery surface).
     */
   private def runCheckpointedToParquet(df: DataFrame, ckpt: String, out: String,
-      wantBatches: Int)(implicit spark: SparkSession): Unit = {
+      wantBatches: Int)(implicit spark: SparkSession): Unit =
+    withStatePartitions(spark) {
     val q = df.writeStream.format("parquet")
       .option("path", out)
       .option("checkpointLocation", ckpt)
