@@ -283,11 +283,20 @@ object EventStream {
     import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // The sf tables are single parquet FILES; the file stream source
-    // needs a directory, so stream the sf dir filtered to the events file.
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    // The driver's sf tables are single parquet FILES (the file stream
+    // source needs a directory, so stream the sf dir filtered to the
+    // events file); a production-shaped table — `events.parquet/` as a
+    // DIRECTORY of part files (e.g. the ScaleGen-derived corpus) — is
+    // streamed directly. A name glob against a directory's part files
+    // would match nothing and silently yield zero data batches.
+    val evPath = new java.io.File(s"$sfDir/events.parquet")
+    val raw =
+      if (evPath.isDirectory)
+        spark.readStream.schema(schema).parquet(evPath.toString)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir)
     schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
