@@ -53,9 +53,13 @@ object ScaleGen {
     val copies = spark.range(mult).toDF("copy")
 
     def offsetBy(df: DataFrame, idCols: Seq[String]): DataFrame = {
-      // id' = id + copy · (max+1) per id column — collision-free, stable
-      val offsets = idCols.map(c =>
-        c -> (df.agg(max(col(c))).head().getLong(0) + 1L)).toMap
+      // id' = id + copy · (max+1) per id column — collision-free, stable.
+      // All maxes in ONE aggregate action: a per-column agg would scan
+      // the full source once per id column.
+      val maxRow = df.agg(max(col(idCols.head)),
+        idCols.tail.map(c => max(col(c))): _*).head()
+      val offsets = idCols.zipWithIndex
+        .map { case (c, i) => c -> (maxRow.getLong(i) + 1L) }.toMap
       idCols.foldLeft(df.crossJoin(copies)) { (d, c) =>
         d.withColumn(c, col(c) + col("copy") * offsets(c))
       }
@@ -78,9 +82,12 @@ object ScaleGen {
     offsetBy(emb, Seq("vec_id"))
       .withColumn("embedding",
         when(col("copy") === 0, col("embedding")).otherwise(
-          // deterministic per-(vec, dim) jitter in [-0.005, 0.005)
+          // deterministic per-(vec, dim) jitter in [-0.005, 0.005); the
+          // jitter array is sized FROM the embedding (a hardcoded width
+          // would null-pad zip_with and silently corrupt a corpus
+          // generation with a different dimension)
           zip_with(col("embedding"),
-            transform(sequence(lit(1), lit(64)),
+            transform(sequence(lit(1), size(col("embedding"))),
               j => (pmod(xxhash64(col("vec_id"), j), lit(1000L))
                 .cast("double") / 100000.0 - 0.005).cast("float")),
             (v, e) => v + e)))

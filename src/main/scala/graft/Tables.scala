@@ -14,24 +14,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize an events frame's `ts` to TimestampType. The driver has
+    * shipped it under two physical types across corpus generations:
+    * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * callers set the legacy nanosAsLong flag, so it arrives as raw-nanos
+    * LongType and is converted with integer division, no double
+    * round-trip) and plain TIMESTAMP(MICROS) (which Spark reads as
+    * TIMESTAMP_NTZ). The session is pinned to UTC everywhere, so the NTZ
+    * cast is exact and matches DuckDB's naive-timestamp reading. ONE
+    * shared implementation for the batch loader and the streaming reader
+    * — a new generation's encoding gets handled (or rejected) in one
+    * place, never half-fixed.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // The driver has shipped events.ts under two physical types across
-      // corpus generations: parquet TIMESTAMP(NANOS) (which Spark's
-      // vectorized reader rejects — read as raw nanos via the legacy flag
-      // and convert with integer division, no double round-trip) and plain
-      // TIMESTAMP(MICROS) (which Spark reads as TIMESTAMP_NTZ). Normalize
-      // both to TimestampType; the session is pinned to UTC everywhere, so
-      // the NTZ cast is exact and matches DuckDB's naive-timestamp reading.
-      import org.apache.spark.sql.functions.{col, expr}
-      import org.apache.spark.sql.types.{LongType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      raw.schema("ts").dataType match {
-        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case TimestampType => raw
-        case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
-      }
+      normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view (for spark.sql-style access). */

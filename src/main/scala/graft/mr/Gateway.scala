@@ -85,14 +85,21 @@ final class Gateway(spark: SparkSession, store: JobStore, port: Int = 2335,
       }
     }
 
+  /** Decoded query parameters (last occurrence wins, like the reference's
+    * brpc accessor); shared by every parameterized endpoint so parsing
+    * can never diverge between them.
+    */
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split("&").iterator.map(_.split("=", 2))
+      .collect { case Array(k, v) =>
+        k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }.toMap
+
   private def handleGetResult(ex: HttpExchange): Unit =
     if (ex.getRequestMethod != "GET") respond(ex, 405, "", "text/plain")
     else {
-      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-        .split("&").iterator.map(_.split("=", 2))
-        .collect { case Array(k, v) =>
-          k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
-        }.toMap
+      val params = queryParams(ex)
       (params.get("job_id").flatMap(_.toLongOption), params.get("token")) match {
         case (Some(id), Some(token)) =>
           store.getResult(id, token) match {
@@ -119,11 +126,7 @@ final class Gateway(spark: SparkSession, store: JobStore, port: Int = 2335,
   private def handleCancel(ex: HttpExchange): Unit =
     if (ex.getRequestMethod != "POST") respond(ex, 405, "", "text/plain")
     else {
-      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-        .split("&").iterator.map(_.split("=", 2))
-        .collect { case Array(k, v) =>
-          k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
-        }.toMap
+      val params = queryParams(ex)
       (params.get("job_id").flatMap(_.toLongOption), params.get("token")) match {
         case (Some(id), Some(token)) =>
           store.cancel(spark, id, token) match {

@@ -28,6 +28,11 @@ final class JobStore(
 
   private val nextId = new AtomicLong(0L)
   private val jobs = new ConcurrentHashMap[Long, JobState]()
+  // Executor threads by job id, for cancel(): the job-group kill only
+  // reaches stages already submitted, so cancel() also interrupts the
+  // executor thread — covering the window before the thread has set its
+  // job group (or submitted its first Spark job).
+  private val threads = new ConcurrentHashMap[Long, Thread]()
 
   /** Validate + run a job of a registered type; returns the job id once
     * the job has completed (synchronous form).
@@ -59,6 +64,7 @@ final class JobStore(
       val t = new Thread(() => execute(spark, id, spec, input, fns),
         s"graft-job-$id")
       t.setDaemon(true)
+      threads.put(id, t)
       t.start()
       id
     }
@@ -95,6 +101,11 @@ final class JobStore(
       // — except Spark's cancellation is terminal, not a requeue).
       spark.sparkContext.setJobGroup(jobGroup(id),
         s"graft job $id: ${spec.name}", interruptOnCancel = true)
+      // A cancel that landed before this thread got here transitioned the
+      // state already — do not run work for a terminal job. (A cancel
+      // landing AFTER this check is covered by the group kill for
+      // submitted stages and the thread interrupt for the gap between.)
+      if (Option(jobs.get(id)).exists(_.status != Running)) return
       val out = MRJob
         .run(spark, input, fns.mapFn, fns.reduceFn, spec.mappers,
           spec.reducers, fns.combineFn)
@@ -103,12 +114,16 @@ final class JobStore(
         finishedAt = Some(clock())))
     } catch {
       case e: Exception =>
-        // A cancelled job's collect() dies with a SparkException here;
-        // finishIfRunning leaves the Cancelled state in place — only a
-        // still-Running job transitions to Failed.
+        // A cancelled job's collect() dies with a SparkException (or the
+        // interrupt) here; finishIfRunning leaves the Cancelled state in
+        // place — only a still-Running job transitions to Failed.
         finishIfRunning(id, _.copy(status = Failed(e.getMessage),
           finishedAt = Some(clock())))
-    } finally spark.sparkContext.clearJobGroup()
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      threads.remove(id)
+      Thread.interrupted() // clear a late interrupt; the thread is done
+    }
 
   /** Terminal-state transition guard: Running is the only non-terminal
     * status, so Finished/Failed/Cancelled can never clobber each other
@@ -124,7 +139,8 @@ final class JobStore(
     * reference's guard that only an unfinished subjob can be cancelled
     * (`master.cc:571-583`).
     */
-  def cancel(spark: SparkSession, id: Long, token: String): Either[String, Unit] =
+  def cancel(spark: SparkSession, id: Long, token: String): Either[String, Unit] = {
+    evictExpired() // same sweep as getResult: a TTL-expired job is GONE
     Option(jobs.get(id)) match {
       case None => Left(s"no such job: $id")
       case Some(st) if st.spec.token != token => Left("wrong token")
@@ -136,10 +152,15 @@ final class JobStore(
             st.copy(status = Cancelled, result = None, finishedAt = Some(clock()))
           } else st)
         if (transitioned) {
+          // Kill already-submitted stages via the group, and interrupt
+          // the executor thread for the pre-submission window (a group
+          // cancel only reaches jobs that exist when it fires).
           spark.sparkContext.cancelJobGroup(jobGroup(id))
+          Option(threads.get(id)).foreach(_.interrupt())
           Right(())
         } else Left("job not running")
     }
+  }
 
   /** Token-authenticated result fetch; mirrors handle_get_result guards
     * in order: exists → token → finished (`master.cc:685-699`).

@@ -456,9 +456,12 @@ object Relational {
     Option(wh.listFiles()).toSeq.flatten
       .filter(d => d.getName.startsWith(prefix) && !d.getName.endsWith(keepSuffix))
       .foreach { d =>
-        java.nio.file.Files.walk(d.toPath).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        // Files.walk holds directory handles until closed — scope it.
+        scala.util.Using.resource(java.nio.file.Files.walk(d.toPath)) { s =>
+          s.iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       }
   }
 

@@ -280,7 +280,6 @@ object EventStream {
     * TIMESTAMP(NANOS) handling as graft.Tables.load.
     */
   def readEventsTable(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // The driver's sf tables are single parquet FILES (the file stream
@@ -297,12 +296,10 @@ object EventStream {
         spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(sfDir)
-    schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampType => raw
-      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
-    }
+    // ts physical-type normalization is SHARED with the batch loader
+    // (graft.Tables.normalizeTs) so a new corpus generation's encoding
+    // is handled in exactly one place.
+    graft.Tables.normalizeTs(raw)
   }
 
   private def runAvailableNow(df: DataFrame, mode: OutputMode)

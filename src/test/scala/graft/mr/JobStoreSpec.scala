@@ -74,6 +74,26 @@ class JobStoreSpec extends SparkSuite {
     assert(store.status(id) == Some(JobStore.Cancelled))
   }
 
+  test("cancel immediately after async launch: the job never completes") {
+    // The race the thread-interrupt + pre-run status check close: a
+    // cancel landing before the executor thread sets its job group (or
+    // submits its first Spark job) must still prevent the work from
+    // running to completion — not just flip the reported status.
+    JobTypeRegistry.register("slow_identity_race",
+      (k, v) => { Thread.sleep(3000); Iterator.single((k, v)) },
+      (k, vs) => vs.map(v => s"$k\t$v"))
+    val store = new JobStore(clock = () => 0L)
+    val Right(id) = store.launchAsync(spark,
+      JobSpec("slow", "slow_identity_race", "tok"), kv(("a", "1")))
+    assert(store.cancel(spark, id, "tok") == Right(())) // no sleep first
+    assert(store.status(id) == Some(JobStore.Cancelled))
+    // longer than the map's sleep: a leaked run would have FINISHED by now
+    Thread.sleep(4500)
+    assert(store.status(id) == Some(JobStore.Cancelled),
+      "a cancelled job ran to completion behind the CANCELLED status")
+    assert(store.getResult(id, "tok") == Left("job not finished"))
+  }
+
   test("async launch returns immediately; result appears on poll") {
     val store = new JobStore(clock = () => 0L)
     val Right(id) = store.launchAsync(spark,
