@@ -701,20 +701,38 @@ object EventStream {
     res.orderBy("user_id", "event_type", "value")
   }
 
+  /** Horizon for the restart-dedup check: LONGER THAN THE CORPUS SPAN
+    * (90 days vs the corpus's ~1 month), so no dedup key ever expires.
+    * The 24 h horizon is deliberately NOT reusable here: terminating
+    * lifecycle A runs a no-data batch that advances the watermark and
+    * EVICTS every key older than the horizon — lifecycle B then
+    * legitimately re-admits those keys' late duplicates, which is
+    * correct operator behavior but makes "every key exactly once" the
+    * wrong oracle (it failed exactly this way at sf0.1, where duplicate
+    * gaps are dense; sf0.01's sparse duplicates masked it). This check
+    * exists to prove state SURVIVES the restart — eviction semantics
+    * within a lifecycle are c5_stream_dedup_incr's job — so the horizon
+    * is chosen to make eviction impossible and the oracle exact at any
+    * SF: with state never expiring, a second emission of any key can
+    * ONLY mean the store lost it across the stop/restart.
+    */
+  private val RestartDedupHorizonInterval: String = s"${90 * 24} hours"
+
   /** c5_stream_restart_dedup: DEDUP-KEY state recovered from a durable
     * checkpoint across a query stop/restart — completing the restart
     * matrix (window state: c5_stream_restart; custom state:
     * c5_stream_restart_state; join buffers: c5_stream_restart_join;
     * dedup keys: here). The cut (see [[dedupCutUs]]) places a duplicate
-    * payload pair across the file boundary with the first copy inside
-    * the 24 h horizon: lifecycle A emits the first copy and stores its
-    * key; lifecycle B (fresh query object, same checkpoint) sees only
-    * the late file and must DROP the second copy — it can only know the
-    * key if the dedup state came back from disk, which the query asserts
-    * (the straddling key must appear exactly once in the union sink).
-    * Oracle: every distinct key exactly once with n_emitted = 1, the
-    * c5_stream_dedup_incr shape — a reset state store would re-emit
-    * every early/late duplicate as n_emitted = 2 and break the hash.
+    * payload pair across the file boundary: lifecycle A emits the first
+    * copy and stores its key; lifecycle B (fresh query object, same
+    * checkpoint) sees only the late file and must DROP the second copy —
+    * it can only know the key if the dedup state came back from disk,
+    * which the query asserts (the straddling key must appear exactly
+    * once in the union sink). The horizon outlives the corpus (see
+    * [[RestartDedupHorizonInterval]]), so the oracle is exact at any
+    * SF: every distinct key exactly once with n_emitted = 1 — a reset
+    * state store would re-emit every early/late duplicate as
+    * n_emitted = 2 and break the hash.
     */
   def c5StreamRestartDedup(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -723,7 +741,7 @@ object EventStream {
     val (dir, schema) = twoBatchSplitDir(spark, sfDir, pairOpt.map(_._1))
     def src: DataFrame = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
-    def dedup = dedupWithinWatermark(src, DedupHorizonInterval)
+    def dedup = dedupWithinWatermark(src, RestartDedupHorizonInterval)
       .select(col("user_id"), col("event_type"), col("value"))
     val ckpt = JFiles.createTempDirectory("graft_restart_dedup_ckpt")
     val out = JFiles.createTempDirectory("graft_restart_dedup_out")
