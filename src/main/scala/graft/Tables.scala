@@ -28,11 +28,29 @@ object Tables {
     */
   def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case LongType =>
+        // A raw-int64 ts is only legitimately the legacy nanosAsLong read
+        // of parquet TIMESTAMP(NANOS); a corpus shipping plain int64
+        // micros (or seconds) under the same physical type would be
+        // silently converted 1000× off. Nanoseconds for any date after
+        // ~1973 exceed 1e17, while micros/seconds magnitudes sit orders
+        // of magnitude below it — so reject implausible values loudly
+        // (per row, inside the scan, no extra pass) instead of guessing.
+        df.withColumn("ts", expr(
+          "CASE WHEN ts >= 100000000000000000L " +
+            "THEN timestamp_micros(ts div 1000) " +
+            "ELSE CAST(raise_error(concat('normalizeTs: int64 ts value ', " +
+            "CAST(ts AS STRING), ' is too small to be nanoseconds — " +
+            "unrecognized encoding, convert ts explicitly')) AS TIMESTAMP) END"))
       case TimestampType => df
-      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+      // Plain TIMESTAMP(MICROS) without isAdjustedToUTC arrives as NTZ;
+      // the session is pinned UTC so the cast is exact.
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"normalizeTs: unrecognized ts encoding $other — refusing to guess " +
+          "a conversion; normalize the corpus or extend normalizeTs deliberately")
     }
   }
 

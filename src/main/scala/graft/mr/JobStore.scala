@@ -120,6 +120,14 @@ final class JobStore(
         finishIfRunning(id, _.copy(status = Failed(e.getMessage),
           finishedAt = Some(clock())))
     } finally {
+      // Close the cancel gap: cancel()'s group kill only reaches Spark
+      // jobs already submitted when it fires, so a job this thread
+      // submitted AFTER the kill (but before observing the interrupt)
+      // escapes it and would run to completion holding executor slots.
+      // Re-issue the group cancel while the group tag is still set — the
+      // status check is race-free because Cancelled is terminal.
+      if (Option(jobs.get(id)).exists(_.status == Cancelled))
+        spark.sparkContext.cancelJobGroup(jobGroup(id))
       spark.sparkContext.clearJobGroup()
       threads.remove(id)
       Thread.interrupted() // clear a late interrupt; the thread is done

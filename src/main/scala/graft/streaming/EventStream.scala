@@ -347,12 +347,27 @@ object EventStream {
     * termination inside it, so no batch query of this session plans
     * under the reduced setting.
     */
+  /** Serializes the conf swap: nested/concurrent invocations would
+    * otherwise race the save/restore and could reinstate a stale value
+    * (and two streaming checks never benefit from overlapping anyway —
+    * they contend for the same state-store and sink machinery). Batch
+    * queries PLANNED on the same session while a check holds the lock
+    * still see the reduced setting — a documented limitation of a
+    * session-scoped conf; the graft runners themselves always await
+    * termination inside the lock, so none of the library's own batch
+    * work plans under it.
+    */
+  private val statePartitionsLock = new java.util.concurrent.locks.ReentrantLock()
+
   private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key,
-      spark.conf.get("spark.graft.stream.statePartitions", "8"))
-    try body finally spark.conf.set(key, prev)
+    statePartitionsLock.lock()
+    try {
+      val prev = spark.conf.get(key)
+      spark.conf.set(key,
+        spark.conf.get("spark.graft.stream.statePartitions", "8"))
+      try body finally spark.conf.set(key, prev)
+    } finally statePartitionsLock.unlock()
   }
 
   /** Like [[runAvailableNow]] but for deliberately MULTI-batch execution:
@@ -690,9 +705,12 @@ object EventStream {
     val res = sink.groupBy(col("user_id"), col("event_type"), col("value"))
       .agg(count(lit(1)).as("n_emitted"))
     pairOpt.foreach { case (_, uid, etype, v) =>
+      // headOption: an entirely-absent key (empty sink, key dropped) is
+      // the same diagnosis as a re-emission — state/emission went wrong —
+      // not a bare NoSuchElementException.
       val emitted = res.filter(col("user_id") === uid &&
         col("event_type") === etype && col("value") === v)
-        .head().getLong(3)
+        .collect().headOption.map(_.getLong(3)).getOrElse(0L)
       if (emitted != 1L)
         throw new IllegalStateException(
           s"straddling duplicate emitted $emitted times: dedup state was " +
@@ -755,9 +773,11 @@ object EventStream {
       .groupBy(col("user_id"), col("event_type"), col("value"))
       .agg(count(lit(1)).as("n_emitted"))
     pairOpt.foreach { case (_, uid, etype, v) =>
+      // headOption, as in c5StreamDedupIncr: 0 emissions is also a state
+      // failure and deserves the diagnostic, not a NoSuchElementException.
       val emitted = res.filter(col("user_id") === uid &&
         col("event_type") === etype && col("value") === v)
-        .head().getLong(3)
+        .collect().headOption.map(_.getLong(3)).getOrElse(0L)
       if (emitted != 1L)
         throw new IllegalStateException(
           s"straddling duplicate emitted $emitted times: dedup-key state " +

@@ -25,11 +25,15 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * real operator tree, and construction-time actions (centroid training,
   * set counting) hit the cache without triggering the release.
   *
-  * A result that is never materialized leaves only bookkeeping behind: its
-  * caches were never computed, so no storage is held. A result
-  * materialized twice recomputes the intermediates on the second action —
-  * the price of bounded storage, and the same contract `clearCache()`
-  * between operators imposed before.
+  * A result that is never materialized USUALLY leaves only bookkeeping
+  * behind: its caches were never computed, so no storage is held. The
+  * exception is operators with construction-time actions (ConnectedComponents
+  * materializes its persisted membership table while BUILDING the plan):
+  * their caches are populated at registration, so an explain-only loop can
+  * hold up to [[MaxPending]] live caches until eviction — which is why the
+  * cap is small. A result materialized twice recomputes the intermediates
+  * on the second action — the price of bounded storage, and the same
+  * contract `clearCache()` between operators imposed before.
   */
 object CacheScope {
 
@@ -50,9 +54,11 @@ object CacheScope {
     * (a plan audit builds a query just to explain it) would otherwise
     * accumulate forever in a long session. Evicting the OLDEST entry and
     * unpersisting its caches is always safe — an unmaterialized cache
-    * holds no blocks, and a still-wanted cache merely recomputes.
+    * holds no blocks, and a still-wanted cache merely recomputes. Kept
+    * small because construction-time-populated caches (see class doc) DO
+    * hold computed blocks while pending — the cap bounds that storage.
     */
-  private val MaxPending = 128
+  private val MaxPending = 32
 
   def releaseAfterMaterialize(result: DataFrame, caches: Seq[DataFrame]): DataFrame = {
     install(result.sparkSession)

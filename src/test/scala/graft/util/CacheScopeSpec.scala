@@ -55,7 +55,7 @@ class CacheScopeSpec extends SparkSuite {
     // grow CacheScope bookkeeping without bound.
     val before = CacheScope.pendingCount
     (1 to 200).foreach(_ => SparkEntry.queries("c2_simhash")(spark, sf))
-    assert(CacheScope.pendingCount <= 128,
+    assert(CacheScope.pendingCount <= 32,
       s"pending grew to ${CacheScope.pendingCount} (was $before)")
   }
 }
