@@ -44,4 +44,54 @@ object Storage {
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Cheap fingerprint of a source table's files (full per-file path,
+    * size, mtime list — NO data scan). Layout names (bucketed join
+    * tables, partitioned scans, the ANN index) are keyed by it so a
+    * corpus regenerated at the same path changes the key and a stale
+    * layout is never silently served (dir.hashCode alone could not see
+    * regeneration).
+    *
+    * The MD5 digests the FULL sorted per-file list — a regenerated corpus
+    * whose total bytes happen to match within mtime granularity still
+    * changes some file's entry, so the key changes. (A 31-multiplier fold
+    * over the totals could collide there.)
+    */
+  def sourceFingerprint(paths: String*): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    paths.flatMap(p => walk(new java.io.File(p)))
+      .map(f => s"${f.getPath}|${f.length}|${f.lastModified}")
+      .sorted
+      .foreach(line => md.update((line + "\n").getBytes("UTF-8")))
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Drop layouts (catalog tables / warehouse dirs) built for an earlier
+    * fingerprint of the same source. Superseded layouts are dead weight —
+    * the key that named them can never be derived again — so letting them
+    * accumulate across corpus regenerations leaks a full table copy each
+    * time. Called whenever a layout is (re)created.
+    */
+  def dropStaleLayouts(
+      spark: SparkSession, prefix: String, keepSuffix: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    spark.catalog.listTables().collect()
+      .map(_.name)
+      .filter(n => n.startsWith(prefix) && !n.endsWith(keepSuffix))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Option(wh.listFiles()).toSeq.flatten
+      .filter(d => d.getName.startsWith(prefix) && !d.getName.endsWith(keepSuffix))
+      .foreach { d =>
+        // Files.walk holds directory handles until closed — scope it.
+        scala.util.Using.resource(java.nio.file.Files.walk(d.toPath)) { s =>
+          s.iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+  }
 }
