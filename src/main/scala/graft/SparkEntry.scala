@@ -45,7 +45,8 @@ object SparkEntry {
     * at ingest, queries run against them).
     */
   def warmups: Seq[(String, (SparkSession, String) => Unit)] = Seq(
-    "b8_layouts" -> ((s: SparkSession, d: String) => Relational.warmLayouts(s, d)))
+    "b8_layouts" -> ((s: SparkSession, d: String) => Relational.warmLayouts(s, d)),
+    "ann_index" -> ((s: SparkSession, d: String) => { SimOps.ensureAnnIndex(s, d); () }))
 
   /** Oracle SQL whose text depends on data-trained plan literals (e.g.
     * the IVF codebook): generated against the verify-time tables, merged

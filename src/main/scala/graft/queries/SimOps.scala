@@ -400,6 +400,108 @@ object SimOps {
     * @param residual false = quantize raw vectors (pre-IVFADC form); kept
     *        for the recall A/B in SimOpsSpec, not declared as a query.
     */
+  /** Corpus-side IVFADC encoding of `base` (vec_id, embD): nearest
+    * coarse cell + per-subspace argmin codes of the cell residual
+    * (1-based, matching SQL list_position). The encoded row is
+    * (b_id, cell, codes) — the raw vector is dropped before anything
+    * query-side happens. Shared by the in-plan query (c3_ann_pq) and the
+    * persisted index builder ([[ensureAnnIndex]]), so the stored layout
+    * is bit-identical to what the in-plan query computes.
+    */
+  private def pqEncodeCorpus(base: DataFrame, coarse: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]], subspaces: Int,
+      residual: Boolean): DataFrame = {
+    val sub = coarse.head.length / subspaces
+    def subDists(v: Column, m: Int): Column =
+      graft.functions.VectorExprs.centroidDists(
+        slice(v, m * sub + 1, sub), books(m))
+    // residual against a (1-based) cell id, as one fused zip_with
+    val coarseLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
+    def enc(v: Column, cell: Column): Column =
+      if (residual) zip_with(v, element_at(coarseLit, cell), (a, b) => a - b)
+      else v
+    val assigned = base
+      .withColumn("cdists",
+        graft.functions.VectorExprs.centroidDists(col("embD"), coarse))
+      .withColumn("cell",
+        expr("array_position(cdists, array_min(cdists))").cast("int"))
+      .withColumn("enc", enc(col("embD"), col("cell")))
+    val encoded0 = (0 until subspaces).foldLeft(assigned) {
+      (df, m) => df.withColumn(s"sd$m", subDists(col("enc"), m))
+    }
+    encoded0.withColumn("codes",
+        array((0 until subspaces).map(m =>
+          expr(s"CAST(array_position(sd$m, array_min(sd$m)) AS INT)")): _*))
+      .select(col("vec_id").as("b_id"), col("cell"), col("codes"))
+  }
+
+  /** Query-side IVFADC state: one row per (query, probed cell), carrying
+    * the per-subspace distance TABLE of the query's residual AGAINST THAT
+    * CELL (with residual encoding the table depends on the probe —
+    * IVFADC's per-probe lookup tables). Bounded by the query set × nprobe,
+    * never corpus-sized.
+    */
+  private def pqQueryTables(base: DataFrame, coarse: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]], subspaces: Int, nCells: Int, nprobe: Int,
+      queryMod: Int, residual: Boolean): DataFrame = {
+    val sub = coarse.head.length / subspaces
+    def subDists(v: Column, m: Int): Column =
+      graft.functions.VectorExprs.centroidDists(
+        slice(v, m * sub + 1, sub), books(m))
+    val coarseLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
+    def enc(v: Column, cell: Column): Column =
+      if (residual) zip_with(v, element_at(coarseLit, cell), (a, b) => a - b)
+      else v
+    val probed = base.filter(col("vec_id") % queryMod === 0)
+      .withColumn("cdists",
+        graft.functions.VectorExprs.centroidDists(col("embD"), coarse))
+      .withColumn("probes",
+        slice(transform(array_sort(zip_with(
+          col("cdists"), sequence(lit(1), lit(nCells)),
+          (d, i) => struct(d.as("d"), i.as("i")))), s => s.getField("i")),
+          lit(1), lit(nprobe)))
+      .select(col("vec_id").as("q_id"), col("embD"),
+        explode(col("probes")).as("cell"))
+      .withColumn("enc", enc(col("embD"), col("cell")))
+    (0 until subspaces).foldLeft(probed) {
+        (df, m) => df.withColumn(s"sd$m", subDists(col("enc"), m))
+      }
+      .withColumn("tbls", array((0 until subspaces).map(m => col(s"sd$m")): _*))
+      .select(col("q_id"), col("cell").cast("int").as("cell"), col("tbls"))
+  }
+
+  /** The ADC ranking tail shared by the in-plan and indexed PQ queries:
+    * candidates from the cell join, asymmetric distances from the
+    * per-probe lookup tables, per-query top-k.
+    *
+    * Each corpus vector lives in exactly one cell and probes are
+    * distinct, so (q_id, b_id) pairs are already unique — the ADC joins
+    * back on (q_id, cell) to pick the matching per-probe table. `adc` is
+    * rounded to 6dp BEFORE the rank window (the annScoreTail posture):
+    * ranking on the raw double would make the hash depend on DuckDB's
+    * list_sum reproducing Spark's left-to-right fold bit-for-bit — a
+    * sub-1e-6 near-tie from a different summation order would flip ranks.
+    */
+  private def adcTopK(corpus: DataFrame, queries: DataFrame,
+      k: Int, subspaces: Int): DataFrame = {
+    val cand = corpus
+      .join(broadcast(queries.select(col("q_id"), col("cell"))), Seq("cell"))
+      .filter(col("q_id") =!= col("b_id"))
+    val scored = cand
+      .join(broadcast(queries), Seq("q_id", "cell"))
+      .withColumn("adc", round(expr(
+        s"aggregate(sequence(0, ${subspaces - 1}), CAST(0.0 AS DOUBLE), " +
+          "(acc, m) -> acc + element_at(element_at(tbls, m+1), " +
+          "element_at(codes, m+1)))"), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("b_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("b_id"), col("adc"))
+      .orderBy("q_id", "rank")
+  }
+
   def c3AnnPq(spark: SparkSession, dir: String, k: Int = 5,
       nCells: Int = 16, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
       queryMod: Int = 100, maxSample: Int = 100000,
@@ -412,83 +514,89 @@ object SimOps {
       if (residual) pqModel(sample, nCells, subspaces, kSub)
       else (trainCentroids(sample, nCells, iters = 5),
         pqBooks(sample, subspaces, kSub))
-    val sub = sample.head.length / subspaces
-
-    def coarseDists(v: Column): Column =
-      graft.functions.VectorExprs.centroidDists(v, coarse)
-    def subDists(v: Column, m: Int): Column =
-      graft.functions.VectorExprs.centroidDists(
-        slice(v, m * sub + 1, sub), books(m))
-    // residual against a (1-based) cell id, as one fused zip_with
-    val coarseLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
-    def enc(v: Column, cell: Column): Column =
-      if (residual) zip_with(v, element_at(coarseLit, cell), (a, b) => a - b)
-      else v
-
-    // corpus: coarse cell + per-subspace argmin codes of the cell
-    // residual (1-based, matching SQL list_position); the encoded row is
-    // (cell, codes) — the raw vector is dropped before anything
-    // query-side happens
-    val assigned = base.withColumn("cdists", coarseDists(col("embD")))
-      .withColumn("cell",
-        expr("array_position(cdists, array_min(cdists))").cast("int"))
-      .withColumn("enc", enc(col("embD"), col("cell")))
-    val encoded0 = (0 until subspaces).foldLeft(assigned) {
-      (df, m) => df.withColumn(s"sd$m", subDists(col("enc"), m))
-    }
-    val corpus = encoded0.withColumn("codes",
-        array((0 until subspaces).map(m =>
-          expr(s"CAST(array_position(sd$m, array_min(sd$m)) AS INT)")): _*))
-      .select(col("vec_id").as("b_id"), col("cell"), col("codes"))
-
-    // queries: one row per probed cell, carrying the per-subspace
-    // distance TABLE of the query's residual AGAINST THAT CELL (with
-    // residual encoding the table depends on the probe — IVFADC's
-    // per-probe lookup tables)
-    val probed = base.filter(col("vec_id") % queryMod === 0)
-      .withColumn("cdists", coarseDists(col("embD")))
-      .withColumn("probes",
-        slice(transform(array_sort(zip_with(
-          col("cdists"), sequence(lit(1), lit(nCells)),
-          (d, i) => struct(d.as("d"), i.as("i")))), s => s.getField("i")),
-          lit(1), lit(nprobe)))
-      .select(col("vec_id").as("q_id"), col("embD"),
-        explode(col("probes")).as("cell"))
-      .withColumn("enc", enc(col("embD"), col("cell")))
-    val queries = (0 until subspaces).foldLeft(probed) {
-        (df, m) => df.withColumn(s"sd$m", subDists(col("enc"), m))
-      }
-      .withColumn("tbls", array((0 until subspaces).map(m => col(s"sd$m")): _*))
-      .select(col("q_id"), col("cell"), col("tbls"))
-
-    // Each corpus vector lives in exactly one cell and probes are
-    // distinct, so (q_id, b_id) pairs are already unique — the ADC joins
-    // back on (q_id, cell) to pick the matching per-probe table.
-    val cand = corpus
-      .join(broadcast(queries.select(col("q_id"), col("cell"))), Seq("cell"))
-      .filter(col("q_id") =!= col("b_id"))
-
-    // adc is rounded to 6dp BEFORE the rank window (the annScoreTail
-    // posture): ranking on the raw double would make the hash depend on
-    // DuckDB's list_sum reproducing Spark's left-to-right fold
-    // bit-for-bit — a sub-1e-6 near-tie from a different summation order
-    // would flip ranks.
-    val scored = cand
-      .join(broadcast(queries), Seq("q_id", "cell"))
-      .withColumn("adc", round(expr(
-        s"aggregate(sequence(0, ${subspaces - 1}), CAST(0.0 AS DOUBLE), " +
-          "(acc, m) -> acc + element_at(element_at(tbls, m+1), " +
-          "element_at(codes, m+1)))"), 6))
-
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc").asc, col("b_id"))
+    val corpus = pqEncodeCorpus(base, coarse, books, subspaces, residual)
+    val queries = pqQueryTables(
+      base, coarse, books, subspaces, nCells, nprobe, queryMod, residual)
     graft.util.CacheScope.releaseAfterMaterialize(
-      scored
-        .withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= k)
-        .select(col("q_id"), col("rank"), col("b_id"), col("adc"))
-        .orderBy("q_id", "rank"),
-      Seq(base))
+      adcTopK(corpus, queries, k, subspaces), Seq(base))
+  }
+
+  /** Ensure the PERSISTED IVFADC index layout for `dir`'s embeddings
+    * table; returns (codes table, model table) catalog names.
+    *
+    * This is the b8 posture applied to ANN: at 100 TB the index is a
+    * one-time LAYOUT, not something a query retrains — the codes table
+    * holds `subspaces` small ints per corpus vector, PARTITIONED BY CELL
+    * (the on-disk inverted file: each probe touches only its cell's
+    * directory), and the model table holds the trained coarse centroids
+    * plus per-subspace residual codebooks (nCells + subspaces·kSub tiny
+    * rows — constant in corpus size). Names are keyed by the source
+    * fingerprint (sources.Storage.sourceFingerprint) so a regenerated
+    * corpus gets a fresh index and stale layouts are swept, exactly like
+    * the b8 bucketed tables. Building is idempotent per corpus; Bench
+    * warms it untimed via SparkEntry.warmups.
+    */
+  private[graft] def ensureAnnIndex(spark: SparkSession, dir: String,
+      nCells: Int = 16, subspaces: Int = 8, kSub: Int = 16,
+      maxSample: Int = 100000): (String, String) = {
+    import graft.sources.Storage.{dropStaleLayouts, sourceFingerprint}
+    val suffix = sourceFingerprint(s"$dir/embeddings.parquet")
+    val (codesTab, modelTab) =
+      (s"graft_ann_codes_$suffix", s"graft_ann_model_$suffix")
+    if (spark.catalog.tableExists(codesTab) && spark.catalog.tableExists(modelTab))
+      return (codesTab, modelTab)
+    dropStaleLayouts(spark, "graft_ann_codes_", suffix)
+    dropStaleLayouts(spark, "graft_ann_model_", suffix)
+    val base = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sample = boundedSample(base, maxSample)
+      val (coarse, books) = pqModel(sample, nCells, subspaces, kSub)
+      val session = spark
+      import session.implicits._
+      // Model first: a crash between the writes leaves at most a model
+      // with no codes table, which the existence check above rebuilds.
+      (coarse.zipWithIndex.map { case (v, i) => ("coarse", 0, i + 1, v) } ++
+        books.zipWithIndex.flatMap { case (bk, m) =>
+          bk.zipWithIndex.map { case (v, j) => ("book", m, j + 1, v) } })
+        .toDF("kind", "m", "idx", "vec")
+        .write.mode("overwrite").format("parquet").saveAsTable(modelTab)
+      pqEncodeCorpus(base, coarse, books, subspaces, residual = true)
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("cell").saveAsTable(codesTab)
+      (codesTab, modelTab)
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** C3h: [[c3AnnPq]] answered from the PERSISTED index — the query path
+    * reads the (cell, codes) table and the model table with ZERO train or
+    * encode stages over the corpus (pinned in PlanAuditSpec): the only
+    * corpus-sized input is the codes scan, and the only embeddings scan
+    * is the query subset (its `vec_id % queryMod` filter reaches the
+    * parquet reader). Results are identical to c3_ann_pq by construction
+    * — training is deterministic and the stored codes come from the same
+    * encode expressions — so it shares c3_ann_pq's dynamic oracle SQL.
+    * The model read collects nCells + subspaces·kSub tiny rows (constant
+    * in corpus size), the same driver-side bound as training's sample.
+    */
+  def c3AnnPqIndexed(spark: SparkSession, dir: String, k: Int = 5,
+      nCells: Int = 16, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
+      queryMod: Int = 100): DataFrame = {
+    val (codesTab, modelTab) =
+      ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
+    val model = spark.table(modelTab).collect()
+    def vecsOf(kind: String, m: Int): Seq[Seq[Double]] =
+      model.filter(r => r.getString(0) == kind && r.getInt(1) == m)
+        .sortBy(_.getInt(2)).map(_.getSeq[Double](3).toSeq).toSeq
+    val coarse = vecsOf("coarse", 0)
+    val books = (0 until subspaces).map(m => vecsOf("book", m))
+    val queries = pqQueryTables(
+      emb(spark, dir).select(col("vec_id"), asDouble(col("embedding")).as("embD")),
+      coarse, books, subspaces, nCells, nprobe, queryMod, residual = true)
+    val corpus = spark.table(codesTab)
+      .select(col("b_id"), col("cell").cast("int").as("cell"), col("codes"))
+    adcTopK(corpus, queries, k, subspaces)
   }
 
   /** C3e: driver-checked ANN quality — recall@k of the sign-LSH ANN
@@ -714,11 +822,16 @@ object SimOps {
         "JOIN qsd ON qsd.q_id = cand.q_id AND qsd.cell = rcd.cell), " +
         "pr AS (SELECT q_id, b_id, adc, CAST(row_number() OVER " +
         "(PARTITION BY q_id ORDER BY adc ASC, b_id) AS INT) AS rank FROM psc)"
+    val pqSql = s"WITH $ivfCandCtes, $pqCtes " +
+      "SELECT q_id, rank, b_id, adc FROM pr " +
+      "WHERE rank <= 5 ORDER BY q_id, rank"
     Map(
-      "c3_ann_pq" ->
-        (s"WITH $ivfCandCtes, $pqCtes " +
-          "SELECT q_id, rank, b_id, adc FROM pr " +
-          "WHERE rank <= 5 ORDER BY q_id, rank"),
+      "c3_ann_pq" -> pqSql,
+      // The indexed variant is result-identical by construction (same
+      // deterministic training, same encode expressions persisted), so it
+      // is held to the SAME full replay — a drifted or stale index breaks
+      // the hash.
+      "c3_ann_pq_indexed" -> pqSql,
       "c3_ann_ivf" -> (s"WITH $ivfCandCtes, " + annScoreTail(5)),
       // Mean over the query set as one integer sum (no float fold order);
       // mean_recall_ok is literal TRUE — the bound lives in the Spark plan.
@@ -773,6 +886,7 @@ object SimOps {
     "c3_ann_lsh" -> ((s: SparkSession, d: String) => c3AnnLsh(s, d)),
     "c3_ann_ivf" -> ((s: SparkSession, d: String) => c3AnnIvf(s, d)),
     "c3_ann_pq" -> ((s: SparkSession, d: String) => c3AnnPq(s, d)),
+    "c3_ann_pq_indexed" -> ((s: SparkSession, d: String) => c3AnnPqIndexed(s, d)),
     "c3_ann_recall" -> ((s: SparkSession, d: String) => c3AnnRecall(s, d)),
     "c3_ann_ivf_recall" -> ((s: SparkSession, d: String) => c3AnnIvfRecall(s, d)),
     "c3_norm_stats" -> (c3NormStats _)

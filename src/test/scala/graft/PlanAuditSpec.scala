@@ -175,6 +175,22 @@ class PlanAuditSpec extends SparkSuite {
       s"date predicate not pushed to partition pruning:\n$plan")
   }
 
+  test("indexed PQ query path reads the persisted index, never re-encodes the corpus") {
+    // c3_ann_pq_indexed's contract: the only corpus-sized input is the
+    // (cell, codes) table scan — training and encoding happened at layout
+    // build time. The embeddings table may appear exactly once, for the
+    // bounded query subset; a second embeddings scan means the corpus is
+    // being re-encoded in-plan and the index bought nothing.
+    val plan = SparkEntry.queries("c3_ann_pq_indexed")(spark, sf)
+      .queryExecution.executedPlan
+    val leaves = plan.collectLeaves().map(_.toString)
+    assert(leaves.exists(_.contains("graft_ann_codes_")),
+      s"no persisted codes-table scan in the plan:\n$plan")
+    val embScans = leaves.count(_.contains("embeddings.parquet"))
+    assert(embScans == 1,
+      s"expected exactly 1 embeddings scan (the query subset), got $embScans:\n$plan")
+  }
+
   test("set-sim join never broadcasts the token dictionary (vocab-sized)") {
     // Allowed broadcasts in c2_ngram_jaccard: the driver-built per-partition
     // offset table (pid/offset) and — on the bitmask path — the capped

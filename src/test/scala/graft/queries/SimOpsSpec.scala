@@ -136,6 +136,25 @@ class SimOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("indexed PQ answers from the persisted layout with identical results") {
+    // The persisted index must be invisible in the RESULT: same trained
+    // model (deterministic), same encode expressions, so row-for-row
+    // equality with the in-plan query — which is what lets the indexed
+    // variant share c3_ann_pq's dynamic oracle.
+    val inPlan = SimOps.c3AnnPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val indexed = SimOps.c3AnnPqIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(indexed == inPlan,
+      s"indexed PQ diverged from in-plan PQ: " +
+        s"${indexed.diff(inPlan).take(3)} vs ${inPlan.diff(indexed).take(3)}")
+    // Idempotence: a second call must reuse the layout (same results,
+    // no rebuild) — the b8 one-time-write contract.
+    val again = SimOps.c3AnnPqIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(again == inPlan)
+  }
+
   test("residual encoding (IVFADC) does not lose to raw-vector PQ at the same code size") {
     // sf0.01: 60 queries — the 5-query sf0.001 set quantizes both metrics
     // too coarsely to order the variants (measured flips either way).
