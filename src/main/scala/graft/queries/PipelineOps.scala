@@ -135,12 +135,26 @@ object PipelineOps {
     * benchmark-decontamination pass). Both splits come from the same
     * portable bucket as c7_split_assign, so the operator composes with
     * the split it protects. Shape: narrow shingling on both sides, one
-    * shuffle join keyed by the shingle (at 100 TB you key by a hash of
-    * the shingle — same plan, smaller shuffle rows), tiny aggregate out.
+    * shuffle join KEYED BY xxhash64 OF THE SHINGLE — the shuffle moves
+    * 8-byte hashes, not full k-gram strings (~40 bytes each), which at
+    * 100 TB is the difference between shuffling the corpus text again
+    * and shuffling a fifth of it — tiny aggregate out.
+    *
+    * Collision note: two different shingles colliding on the 64-bit hash
+    * ACROSS the train/test boundary would add a spurious hit (and the
+    * per-doc distinct count collapses colliding shingles). The
+    * probability is ~n_train·n_test/2^64 per doc — ~1e-11 at sf0.01 and
+    * still <1e-3 for a billion-shingle test split — and a false "contains
+    * benchmark text" flag only ever REMOVES a training doc, so the
+    * decontamination guarantee (no test contamination survives) is
+    * unconditional; the string-exact DuckDB oracle holds whenever no
+    * collision occurs.
     */
-  /** Train-side `(doc_id, sh)` shingle rows and the distinct held-out
-    * test shingles — shared by the exact and bloom-prefiltered
-    * decontamination variants.
+  /** Train-side `(doc_id, h)` hashed-shingle rows and the distinct
+    * held-out test shingle hashes — shared by the exact and
+    * bloom-prefiltered decontamination variants. Hashing happens BEFORE
+    * the exchange on both sides, so nothing shingle-string-sized ever
+    * shuffles.
     */
   private def shingleSides(spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
     val toks = split(col("text"), " ")
@@ -151,22 +165,23 @@ object PipelineOps {
     val base = docs(spark, dir)
       .withColumn("bucket", expr(bucketSql))
       .select(col("doc_id"), col("bucket"), explode(shingles).as("sh"))
+      .select(col("doc_id"), col("bucket"), xxhash64(col("sh")).as("h"))
     val train = base.filter(col("bucket") < (0.8 * 4294967296L).toLong)
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col("h"))
     val test = base.filter(col("bucket") >= (0.9 * 4294967296L).toLong)
-      .select(col("sh")).distinct()
+      .select(col("h")).distinct()
     (train, test)
   }
 
   private def decontamTail(hits: DataFrame): DataFrame =
     hits.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"),
-        countDistinct(col("sh")).as("n_shingles_hit"))
+        countDistinct(col("h")).as("n_shingles_hit"))
       .orderBy("doc_id")
 
   def c7Decontaminate(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
     val (train, test) = shingleSides(spark, dir, k)
-    decontamTail(train.join(test, "sh"))
+    decontamTail(train.join(test, "h"))
   }
 
   /** C7g: bloom-prefiltered decontamination — the 100 TB posture for
@@ -184,15 +199,19 @@ object PipelineOps {
     * see through the distinct-aggregate build side here).
     */
   /** Bloom binary over the distinct test shingles, sized for
-    * `expectedItems` (Spark's default FPP target, 3%). Factored out so
+    * `expectedItems` (Spark's default FPP target, 3%). Accepts any frame
+    * with a string `sh` column OR pre-hashed long `h` column — keys are
+    * always the xxhash64 values, matching the join key. Factored out so
     * the sizing behavior is testable without the full operator.
     */
   private[queries] def testShingleBloom(test: DataFrame, expectedItems: Long): Array[Byte] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
+    val key =
+      if (test.columns.contains("h")) col("h") else xxhash64(col("sh"))
     test.select(ColumnBridge.column(
         new BloomFilterAggregate(
-          ColumnBridge.expression(xxhash64(col("sh"))),
+          ColumnBridge.expression(key),
           math.max(expectedItems, 1L))
           .toAggregateExpression()))
       .head().getAs[Array[Byte]](0)
@@ -223,12 +242,15 @@ object PipelineOps {
     System.err.println(
       f"[graft] c7_decontaminate_bloom: test_shingles=$expected%d " +
         f"bloom_bits=${bf.bitSize()}%d expected_fpp=${bf.expectedFpp()}%.4f")
+    // The train side already carries the 64-bit hash the join is keyed
+    // by — might_contain probes it directly (no re-hash) BEFORE the
+    // exchange, so only might-contain hashes reach the shuffle.
     val prefiltered = train.filter(ColumnBridge.column(
       BloomFilterMightContain(
         Literal.create(bloomBin, org.apache.spark.sql.types.BinaryType),
-        ColumnBridge.expression(xxhash64(col("sh"))))))
+        ColumnBridge.expression(col("h")))))
     graft.util.CacheScope.releaseAfterMaterialize(
-      decontamTail(prefiltered.join(test, "sh")), Seq(test))
+      decontamTail(prefiltered.join(test, "h")), Seq(test))
   }
 
   /** C7e: end-to-end corpus curation — the composition a training
