@@ -40,6 +40,13 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
+  /** The shared set-level core: the persisted distinct-set table and the
+    * qualified (Jaccard >= threshold) DISTINCT-SET pairs, pre-expansion.
+    * `sets` stays persisted — the caller must route it through
+    * CacheScope.releaseAfterMaterialize on whatever frame it returns.
+    */
+  private final case class SetStage(sets: DataFrame, qualified: DataFrame)
+
   /** All pairs `(a_id, b_id, common, jaccard)` with token-set Jaccard >=
     * `threshold`. `tokens` must be duplicate-free per row (e.g.
     * `array_distinct(split(...))`).
@@ -50,6 +57,37 @@ object SetSimJoin {
       tokens: Column,
       threshold: Double,
       maxBroadcastSets: Long = 20000L): DataFrame = {
+    val stage = buildSetStage(df, id, tokens, threshold, maxBroadcastSets)
+    val sets = stage.sets
+    val qualified = stage.qualified
+
+    // 3. Expansion. Inter-set: x_docs × y_docs (sets distinct => each doc
+    // pair appears exactly once; normalize order). Intra-set: ordered
+    // member pairs of each duplicated set at jaccard 1.0.
+    val inter = qualified
+      .select(explode(col("x_docs")).as("da"), col("y_docs"), col("common"), col("jaccard"))
+      .select(col("da"), explode(col("y_docs")).as("db"), col("common"), col("jaccard"))
+      .select(least(col("da"), col("db")).as("a_id"),
+        greatest(col("da"), col("db")).as("b_id"), col("common"), col("jaccard"))
+
+    val intraPairs = sets.filter(size(col("docs")) >= 2)
+      .select(col("n"), col("docs"), posexplode(col("docs")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "a_id")
+      .select(col("n"), col("a_id"), explode(slice(col("docs"), col("i") + 2, size(col("docs")))).as("b_id"))
+      .select(col("a_id"), col("b_id"), col("n").cast("long").as("common"), lit(1.0).as("jaccard"))
+
+    // `sets` is read by both the pair stage and the intra-set expansion at
+    // materialization time; CacheScope releases it after that action.
+    graft.util.CacheScope.releaseAfterMaterialize(
+      inter.unionByName(intraPairs), Seq(sets))
+  }
+
+  private def buildSetStage(
+      df: DataFrame,
+      id: Column,
+      tokens: Column,
+      threshold: Double,
+      maxBroadcastSets: Long): SetStage = {
     val base = df.select(id.as("doc_id"), tokens.as("toks"))
 
     // 1. Dictionary: token -> dense int id, rarest first. Global dense
@@ -153,27 +191,101 @@ object SetSimJoin {
         col("common").cast("double") /
           (col("x_n") + col("y_n") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("x_docs"), col("y_docs"), col("common"),
-        round(col("jaccard"), 6).as("jaccard"))
+      .select(col("x_set"), col("y_set"), col("x_docs"), col("y_docs"),
+        col("common"), round(col("jaccard"), 6).as("jaccard"))
 
-    // 3. Expansion. Inter-set: x_docs × y_docs (sets distinct => each doc
-    // pair appears exactly once; normalize order). Intra-set: ordered
-    // member pairs of each duplicated set at jaccard 1.0.
-    val inter = qualified
-      .select(explode(col("x_docs")).as("da"), col("y_docs"), col("common"), col("jaccard"))
-      .select(col("da"), explode(col("y_docs")).as("db"), col("common"), col("jaccard"))
-      .select(least(col("da"), col("db")).as("a_id"),
-        greatest(col("da"), col("db")).as("b_id"), col("common"), col("jaccard"))
+    SetStage(sets, qualified)
+  }
 
-    val intraPairs = sets.filter(size(col("docs")) >= 2)
-      .select(col("n"), col("docs"), posexplode(col("docs")))
-      .withColumnRenamed("pos", "i").withColumnRenamed("col", "a_id")
-      .select(col("n"), col("a_id"), explode(slice(col("docs"), col("i") + 2, size(col("docs")))).as("b_id"))
-      .select(col("a_id"), col("b_id"), col("n").cast("long").as("common"), lit(1.0).as("jaccard"))
+  /** Per-doc top-`m` nearest neighbors `(doc_id, nbr_id, common, jaccard,
+    * rk)` among pairs with Jaccard >= `threshold` — the bounded-output
+    * companion to [[jaccardSelfJoin]]: the full pair list is Ω(output)
+    * and on a self-similar corpus output is quadratic in the duplication
+    * density (197 M pairs at sf1), while a curation caller almost always
+    * wants "each doc's closest m neighbors". Output here is <= m rows per
+    * doc at ANY duplication density. Ordering is total and deterministic:
+    * jaccard descending, then neighbor id ascending.
+    *
+    * Scale shape — nothing materializes a per-doc (or per-set) full
+    * neighbor list:
+    *  - set-level candidates go through [[graft.functions.TopKAggregator]]
+    *    (bounded heap, map-side combine): the shuffle after partial
+    *    aggregation is O(sets · m), not O(set pairs);
+    *  - keeping the top-m neighbor SETS per set (jaccard desc, then
+    *    min-member asc) is lossless for doc-level top-m: at any tie the
+    *    m kept sets' minimum members each precede every member of any
+    *    dropped set in the (jaccard desc, id asc) order, so >= m
+    *    candidates dominate everything dropped. Within a kept set only
+    *    its m smallest members can ever rank, so neighbor docs are
+    *    sliced to m;
+    *  - every doc then ranks <= m + m² local candidates (its own set's
+    *    first m duplicates at jaccard 1.0 plus m sets × m docs), so the
+    *    final window sorts a BOUNDED per-doc list — never the corpus.
+    */
+  def jaccardTopM(
+      df: DataFrame,
+      id: Column,
+      tokens: Column,
+      threshold: Double,
+      m: Int,
+      maxBroadcastSets: Long = 20000L): DataFrame = {
+    val stage = buildSetStage(df, id, tokens, threshold, maxBroadcastSets)
+    val sets = stage.sets
+    val session = df.sparkSession
+    import session.implicits._
 
-    // `sets` is read by both the pair stage and the intra-set expansion at
-    // materialization time; CacheScope releases it after that action.
-    graft.util.CacheScope.releaseAfterMaterialize(
-      inter.unionByName(intraPairs), Seq(sets))
+    // Symmetric set-level candidate stream (ids + jaccard only — an
+    // 8-byte-keyed row, never the member lists), folded to top-m neighbor
+    // sets per set by the bounded-heap Aggregator. Ties at equal jaccard
+    // break on the neighbor's set id = its minimum member id.
+    val q = stage.qualified.select(col("x_set"), col("y_set"), col("jaccard"))
+    val sym = q.select(col("x_set").as("set_id"), col("jaccard"), col("y_set").as("nbr_set"))
+      .unionByName(
+        q.select(col("y_set").as("set_id"), col("jaccard"), col("x_set").as("nbr_set")))
+    val topAgg = new graft.functions.TopKAggregator[(Long, Double, Long)](
+      m, _._2, _._3)
+    val topSets = sym.as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(topAgg.toColumn.name("top"))
+      .toDF("set_id", "top")
+      .select(col("set_id"), explode(col("top")).as("e"))
+      .select(col("set_id"), col("e._1").as("jaccard"), col("e._2").as("nbr_set"))
+
+    // Re-attach member lists for the selected O(sets·m) pairs and expand:
+    // every member of the set sees the neighbor set's first m members.
+    // Shuffle-hash joins on set id — `sets` is corpus-sized, never
+    // broadcast; `common` is recomputed from the two int arrays (cheap on
+    // the bounded selection; avoids shuffling it through the heap).
+    val nbrSide = sets.select(col("set_id").as("nbr_set"),
+      col("ids").as("nbr_ids"), slice(col("docs"), 1, m).as("nbr_docs"))
+    val ownSide = sets.select(col("set_id"), col("ids"), col("docs"))
+    val interDocs = topSets
+      .join(nbrSide.hint("shuffle_hash"), "nbr_set")
+      .join(ownSide.hint("shuffle_hash"), "set_id")
+      .withColumn("common", size(array_intersect(col("ids"), col("nbr_ids"))).cast("long"))
+      .select(explode(col("docs")).as("doc_id"), col("nbr_docs"),
+        col("common"), col("jaccard"))
+      .select(col("doc_id"), explode(col("nbr_docs")).as("nbr_id"),
+        col("common"), col("jaccard"))
+
+    // Intra-set duplicates: each member's jaccard-1.0 neighbors are its
+    // set's OTHER members, id ascending — only the first m+1 members can
+    // ever rank, so a mega-duplicate set contributes m+1 candidate rows
+    // per member, not |set|.
+    val intraDocs = sets.filter(size(col("docs")) >= 2)
+      .select(col("n"), slice(col("docs"), 1, m + 1).as("cand"),
+        explode(col("docs")).as("doc_id"))
+      .select(col("doc_id"), explode(col("cand")).as("nbr_id"),
+        col("n").cast("long").as("common"), lit(1.0).as("jaccard"))
+      .filter(col("nbr_id") =!= col("doc_id"))
+
+    // Final per-doc rank over the BOUNDED (<= m + m²) local candidates.
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("nbr_id").asc)
+    val ranked = intraDocs.unionByName(interDocs)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= m)
+      .select("doc_id", "nbr_id", "common", "jaccard", "rk")
+    graft.util.CacheScope.releaseAfterMaterialize(ranked, Seq(sets))
   }
 }

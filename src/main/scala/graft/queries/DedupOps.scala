@@ -32,6 +32,19 @@ object DedupOps {
       array_distinct(split(col("text"), " ")), threshold = 0.8)
       .orderBy("a_id", "b_id")
 
+  /** C2a': per-doc top-m nearest neighbors at Jaccard >= 0.8 — the
+    * bounded-output form of c2_ngram_jaccard (<= m rows per doc at any
+    * duplication density; the full pair list is Ω(output) and goes
+    * quadratic on a self-similar corpus). Candidate generation is the
+    * same prefix-filtered machinery; selection is a bounded-heap
+    * Aggregator, so no stage is O(total pairs) in memory or output.
+    */
+  def c2NgramJaccardTopM(spark: SparkSession, dir: String): DataFrame =
+    SetSimJoin.jaccardTopM(
+      docs(spark, dir), col("doc_id"),
+      array_distinct(split(col("text"), " ")), threshold = 0.8, m = 5)
+      .orderBy("doc_id", "rk")
+
   /** C2b: MinHash + LSH banding, surfaced as per-doc dedup assignments
     * (O(n) output — the pair list is inherently O(n²) on a self-similar
     * corpus). Rows-only driver check; pair-level exactness of the same
@@ -182,6 +195,24 @@ object DedupOps {
         "GROUP BY a.doc_id, b.doc_id, a.n, b.n " +
         "HAVING CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) >= 0.8 " +
         "ORDER BY a_id, b_id"),
+    // Top-m twin: symmetrize the exact pair list, rank per doc by
+    // (jaccard desc, neighbor asc) — the deterministic total order the
+    // engine's bounded-heap selection implements — and keep rk <= 5.
+    "c2_ngram_jaccard_topm" ->
+      ("WITH base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
+        "FROM documents), " +
+        "ex AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM base), " +
+        "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common, " +
+        "round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 6) AS jaccard " +
+        "FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id, a.n, b.n " +
+        "HAVING CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) >= 0.8), " +
+        "sym AS (SELECT a_id AS doc_id, b_id AS nbr_id, common, jaccard FROM pairs " +
+        "UNION ALL SELECT b_id, a_id, common, jaccard FROM pairs), " +
+        "rk AS (SELECT doc_id, nbr_id, common, jaccard, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY jaccard DESC, nbr_id) AS rk FROM sym) " +
+        "SELECT doc_id, nbr_id, common, jaccard, rk FROM rk WHERE rk <= 5 " +
+        "ORDER BY doc_id, rk"),
     "c2_minhash_lsh" ->
       (s"WITH $mhBase, " +
         "mm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) " +
@@ -220,6 +251,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c2_ngram_jaccard" -> (c2NgramJaccard _),
+    "c2_ngram_jaccard_topm" -> (c2NgramJaccardTopM _),
     "c2_minhash_lsh" -> (c2MinHashLsh _),
     "c2_minhash_cc" -> (c2MinHashCc _),
     "c2_simhash" -> (c2SimHash _),

@@ -1033,6 +1033,70 @@ object EventStream {
       .orderBy("user_id", "session_start")
   }
 
+  /** c5_stream_restart_session: NATIVE session_window state recovered
+    * from a durable checkpoint across a query stop/restart — a FIFTH
+    * state-store surface beyond the restart matrix's four (tumbling
+    * window state, flatMapGroupsWithState custom state, join buffers,
+    * dedup keys): the built-in merging-session store keeps per-key LISTS
+    * of open sessions and MERGES adjacent ones on arrival, a checkpoint
+    * format none of the other four exercise (previously verified only
+    * across micro-batches of one lifecycle, c5_stream_sessionize_incr).
+    * The cut (see [[sessionCutUs]]) sits INSIDE a session: lifecycle A
+    * sees only the early file, holds that session OPEN in the session
+    * store, and stops — structurally, A's sink cannot contain any
+    * session reaching past the cut (everything A finalized ended before
+    * its watermark, max(early ts) − 2h < cut), which the query asserts.
+    * Lifecycle B — a fresh query object on the same checkpoint — sees
+    * only the late file and must EXTEND the recovered open session, not
+    * restart it: the sink must gain a session STARTING at or before the
+    * cut and ENDING after it (a reset store would emit a session starting
+    * after the cut and break both the assertion and the oracle hash,
+    * since the full-count row would be missing). Oracle: identical to
+    * c5_stream_sessionize_incr — the union of the two Append sinks is
+    * exactly the sessions finalized by the final watermark, with full
+    * counts (in-order arrival; A's finalized sessions end > gap before
+    * any batch-2 event, so no finalized session is ever re-opened).
+    */
+  def c5StreamRestartSession(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import java.nio.file.{Files => JFiles}
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val cutUs = sessionCutUs(ev)
+    val (dir, schema) = twoBatchSplitDir(spark, sfDir, Some(cutUs))
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val sinkSchema = sessionCounts(src).schema
+    val ckpt = JFiles.createTempDirectory("graft_restart_session_ckpt")
+    val out = JFiles.createTempDirectory("graft_restart_session_out")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt.toFile)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out.toFile)
+    // explicit sink schema: lifecycle A's sink may hold zero finalized
+    // sessions (a short early half), which schema inference cannot read
+    def sink = spark.read.schema(sinkSchema).parquet(out.toString)
+    // session_end is last event + gap, so "reaches past the cut" is
+    // start ≤ cut < end; A's watermark bound makes this impossible pre-
+    // restart and the recovered-and-extended session satisfies it after.
+    def spanning(): Long = sink
+      .filter(unix_micros(col("session_start")) <= cutUs &&
+        unix_micros(col("session_end")) > cutUs)
+      .limit(1).count()
+    withParkedLate(dir) {
+      runCheckpointedToParquet(sessionCounts(src), ckpt.toString, out.toString, 1)
+    }
+    if (spanning() != 0)
+      throw new IllegalStateException(
+        "a cut-spanning session was finalized before the restart; " +
+          "the session-store recovery check would be vacuous")
+    // lifecycle B: fresh query object, same checkpoint — crash-restart.
+    runCheckpointedToParquet(sessionCounts(src), ckpt.toString, out.toString, 1)
+    if (spanning() == 0)
+      throw new IllegalStateException(
+        "no cut-spanning session after restart: native session_window " +
+          "state did not survive the stop/restart (or was restarted, " +
+          "not extended)")
+    sink.orderBy("user_id", "session_start")
+  }
+
   /** c5_stream_tumbling: the streaming tumbling aggregation, driver-
     * checked against the same oracle shape as the batch twin.
     */
@@ -1169,6 +1233,28 @@ object EventStream {
     // gap) the final watermark has passed are in the Append-mode sink;
     // counts are full (in-order two-batch arrival, nothing late).
     "c5_stream_sessionize_incr" ->
+      ("WITH flagged AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END " +
+        "AS new_session FROM events WINDOW w AS " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT user_id, ts, SUM(new_session) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx " +
+        "FROM flagged), " +
+        "agg AS (SELECT min(ts) AS session_start, " +
+        "max(ts) + INTERVAL '30 minutes' AS session_end, " +
+        "user_id, count(*) AS n_events " +
+        "FROM sess GROUP BY user_id, session_idx), " +
+        "wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM events) " +
+        "SELECT session_start, session_end, user_id, n_events FROM agg, wm " +
+        "WHERE session_end <= w ORDER BY user_id, session_start"),
+    // Restart twin of the NATIVE session store: identical oracle to
+    // c5_stream_sessionize_incr — the two lifecycles' Append sinks must
+    // union to exactly the watermark-finalized sessions with FULL
+    // counts, which requires the open-session list (with its pre-restart
+    // partial count) to come back from the checkpoint.
+    "c5_stream_restart_session" ->
       ("WITH flagged AS (SELECT user_id, ts, event_id, " +
         "CASE WHEN lag(ts) OVER w IS NULL OR " +
         "epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END " +
@@ -1327,6 +1413,7 @@ object EventStream {
     "c5_stream_restart_state" -> (c5StreamRestartState _),
     "c5_stream_restart_join" -> (c5StreamRestartJoin _),
     "c5_stream_restart_dedup" -> (c5StreamRestartDedup _),
+    "c5_stream_restart_session" -> (c5StreamRestartSession _),
     "c5_stream_gapfill" -> (c5StreamGapfill _)
   )
 }

@@ -18,6 +18,7 @@ class PlanAuditSpec extends SparkSuite {
   private val bnljAllowed = Set(
     "b3_join_range",     // broadcast interval table
     "c2_ngram_jaccard",  // distinct-set bitmask path: broadcast distinct sets
+    "c2_ngram_jaccard_topm", // same bitmask path (bounded by maxBroadcastSets)
     "c3_cosine_topk",    // broadcast query subset, q_id <> b_id theta join
     "c3_ann_recall",     // composes c3_cosine_topk: same intentional BNLJ
     "c3_ann_ivf_recall", // composes c3_cosine_topk: same intentional BNLJ

@@ -117,6 +117,65 @@ class DedupSpec extends SparkSuite {
     assert(bitmask.nonEmpty)
   }
 
+  /** Per-doc top-m ground truth derived from the (already verified) full
+    * pair list: symmetrize, sort by (jaccard desc, nbr asc), take m.
+    */
+  private def bruteTopM(pairs: Array[(Long, Long, Long, Double)], m: Int)
+      : Set[(Long, Long, Long, Double, Long)] =
+    pairs.flatMap { case (a, b, c, j) => Seq((a, b, c, j), (b, a, c, j)) }
+      .groupBy(_._1).iterator.flatMap { case (doc, ns) =>
+        ns.sortBy(n => (-n._4, n._2)).take(m).zipWithIndex
+          .map { case ((_, nbr, c, j), i) => (doc, nbr, c, j, i + 1L) }
+      }.toSet
+
+  test("jaccardTopM == per-doc truncation of the full pair list (real corpus)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val full = SetSimJoin.jaccardSelfJoin(
+      docs, col("doc_id"), MinHash.tokenSet(col("text")), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    for (m <- Seq(1, 3)) {
+      val got = SetSimJoin.jaccardTopM(
+        docs, col("doc_id"), MinHash.tokenSet(col("text")), 0.8, m)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .toSet
+      assert(got == bruteTopM(full, m), s"m=$m")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("jaccardTopM output is bounded at any duplication density") {
+    import spark.implicits._
+    // One mega-duplicate set (12 identical docs — far more than m), one
+    // near-dup pair attached to it, one isolated doc: per-doc output must
+    // cap at m with intra neighbors = the m smallest OTHER member ids.
+    val base = (0 until 20).map(i => s"t$i").mkString(" ")
+    val near = (0 until 19).map(i => s"t$i").mkString(" ") // J = 19/20 = 0.95
+    val docs = ((1L to 12L).map(i => (i, base)) ++
+      Seq((50L, near), (99L, "isolated vocabulary island document")))
+      .toDF("doc_id", "text")
+    val m = 3
+    val got = SetSimJoin.jaccardTopM(
+      docs, col("doc_id"), MinHash.tokenSet(col("text")), 0.8, m)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val perDoc = got.groupBy(_._1)
+    assert(perDoc.values.forall(_.length <= m), "a doc exceeded m neighbors")
+    assert(!perDoc.contains(99L), "isolated doc must have no neighbors")
+    // doc 5's top-3: duplicates 1,2,3 at jaccard 1.0 (ids ascending)
+    assert(perDoc(5L).sortBy(_._5).map(x => (x._2, x._4)).toSeq ==
+      Seq((1L, 1.0), (2L, 1.0), (3L, 1.0)))
+    // doc 50's top-3: jaccard-0.95 links into the mega set, smallest ids
+    assert(perDoc(50L).sortBy(_._5).map(_._2).toSeq == Seq(1L, 2L, 3L))
+    assert(perDoc(50L).forall(_._4 == 0.95))
+    // the engine agrees with the brute-force truncation here too
+    val full = SetSimJoin.jaccardSelfJoin(
+      docs, col("doc_id"), MinHash.tokenSet(col("text")), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet == bruteTopM(full, m))
+  }
+
   test("MinHash dedupAssignments: exact duplicates collapse to one kept doc") {
     val asg = MinHash.dedupAssignments(corpus, col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

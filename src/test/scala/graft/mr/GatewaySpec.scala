@@ -191,6 +191,36 @@ class GatewaySpec extends SparkSuite {
     } finally gw.stop()
   }
 
+  test("combiner is invisible at the wire: declared-combinable type matches its uncombined twin") {
+    // The combiner contract is property-tested at the MRJob level
+    // (MRJobSpec); this closes the loop at the reference's own surface:
+    // the same UDF pair registered WITH and WITHOUT its declared combiner
+    // must serve byte-identical /getresult bodies — a user of the
+    // reference observing the wire cannot tell map-side partial
+    // aggregation happened (master.cc:685-699 result shape).
+    JobTypeRegistry.register("charcount_example_nocombine",
+      JobTypeRegistry.charCountMap, JobTypeRegistry.exampleReduce)
+    withGateway { base =>
+      def runToResult(jobType: String): String = {
+        val launch = post(s"$base/launch", launchBody(jobType))
+        assert(launch.statusCode() == 200, launch.body())
+        val id = """"job_id":(\d+)""".r.findFirstMatchIn(launch.body()).get.group(1)
+        var resp = get(s"$base/getresult?job_id=$id&token=ztorchan")
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (resp.statusCode() != 200 && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          resp = get(s"$base/getresult?job_id=$id&token=ztorchan")
+        }
+        assert(resp.statusCode() == 200, resp.body())
+        resp.body()
+      }
+      val combined = runToResult("charcount_example")
+      val plain = runToResult("charcount_example_nocombine")
+      assert(combined == plain,
+        s"combiner changed the wire result:\n  with:    $combined\n  without: $plain")
+    }
+  }
+
   test("getresult guards: missing params 400; bad job/token 500 in reference order") {
     withGateway { base =>
       assert(get(s"$base/getresult").statusCode() == 400)

@@ -331,6 +331,20 @@ class EventStreamSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("checkpointed restart recovers NATIVE session_window state") {
+    // c5StreamRestartSession asserts internally that no session reaches
+    // past the cut before the restart and that one does afterwards
+    // (extended, not restarted); here we also pin that the two-lifecycle
+    // union equals the single-lifecycle incremental session result —
+    // merging-session-store recovery must be invisible in the output
+    val got = EventStream.c5StreamRestartSession(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+    val want = EventStream.c5StreamSessionizeIncr(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("checkpointed restart recovers dedup-key state (no re-emission)") {
     // needs sf0.01 — the smallest fixture with a duplicate pair that can
     // straddle the cut inside the dedup horizon (the query itself throws
