@@ -237,11 +237,15 @@ object SetSimJoin {
     // Symmetric set-level candidate stream (ids + jaccard only — an
     // 8-byte-keyed row, never the member lists), folded to top-m neighbor
     // sets per set by the bounded-heap Aggregator. Ties at equal jaccard
-    // break on the neighbor's set id = its minimum member id.
-    val q = stage.qualified.select(col("x_set"), col("y_set"), col("jaccard"))
-    val sym = q.select(col("x_set").as("set_id"), col("jaccard"), col("y_set").as("nbr_set"))
-      .unionByName(
-        q.select(col("y_set").as("set_id"), col("jaccard"), col("x_set").as("nbr_set")))
+    // break on the neighbor's set id = its minimum member id. Both
+    // directions come out of ONE Generate over the pair stream — a union
+    // of two selects would re-execute the whole candidate join per branch.
+    val sym = stage.qualified
+      .select(explode(array(
+        struct(col("x_set").as("set_id"), col("jaccard"), col("y_set").as("nbr_set")),
+        struct(col("y_set").as("set_id"), col("jaccard"), col("x_set").as("nbr_set"))))
+        .as("e"))
+      .select(col("e.set_id"), col("e.jaccard"), col("e.nbr_set"))
     val topAgg = new graft.functions.TopKAggregator[(Long, Double, Long)](
       m, _._2, _._3)
     val topSets = sym.as[(Long, Double, Long)]
