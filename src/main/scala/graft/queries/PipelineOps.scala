@@ -61,6 +61,55 @@ object PipelineOps {
         countDistinct(col("lang")).as("n_langs"))
       .orderBy("split")
 
+  /** C7j: temperature-based source mixing — the standard "data mixture"
+    * operator of a multi-corpus training pipeline: allocate a total doc
+    * budget across sources with exponent-α smoothing (quota ∝ n_s^α,
+    * α = 0.5 — the exponentiated-weighting family used by the public
+    * multilingual-pretraining literature to upweight small sources), cap
+    * each rate at 1, and select deterministically via the portable Knuth
+    * bucket so the SAME docs are picked by any engine / partitioning /
+    * run (resume and backfill reproduce the mixture without a stored
+    * assignment table).
+    *
+    * Float discipline (both engines must agree bit-for-bit): sqrt is
+    * IEEE-correctly-rounded in both, rounded to 6dp, and SUMMED AS
+    * DECIMAL — a double fold over sources would be partial-aggregation-
+    * order dependent and could flip the floor() quotas between engines;
+    * the decimal sum is exact, and the remaining arithmetic is a fixed
+    * left-to-right double expression evaluated identically by both.
+    *
+    * Scale: two passes over documents (counts, then the filtered
+    * selection — inherent: rates depend on global counts), both pure
+    * narrow scans into tiny per-source aggregates; the quota table is
+    * O(sources) and broadcast. No window touches corpus rows (the
+    * normalizing total is a window over the per-source aggregate only).
+    * Output: per-source allocation audit (quota vs achieved) plus an
+    * exact selection fingerprint (sum of kept doc_ids), so the oracle
+    * hash pins WHICH docs were chosen, not just how many.
+    */
+  def c7MixSources(spark: SparkSession, dir: String, budget: Long = 300L): DataFrame = {
+    val d = docs(spark, dir)
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n_avail"))
+      .withColumn("sq", expr("CAST(round(sqrt(n_avail), 6) AS DECIMAL(18,6))"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val quotas = counts
+      .withColumn("tot", sum(col("sq")).over(w))
+      .withColumn("quota", expr(
+        s"CAST(floor($budget * CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE)) AS BIGINT)"))
+      .withColumn("keep_below", expr(
+        "CAST(floor(4294967296 * least(1.0, CAST(quota AS DOUBLE) / n_avail)) AS BIGINT)"))
+      .select("source", "n_avail", "quota", "keep_below")
+    val kept = d.join(broadcast(quotas), "source")
+      .filter(expr(bucketSql) < col("keep_below"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_idsum"))
+    quotas.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_avail"), col("quota"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_idsum"), lit(0L)).as("kept_idsum"))
+      .orderBy("source")
+  }
+
   /** Scale-safe per-language running sum of `valueCol` in ascending
     * `doc_id` order, emitted as `cumName`. A plain
     * `Window.partitionBy(lang)` would ship EVERY row of a language
@@ -474,6 +523,29 @@ object PipelineOps {
         "SELECT doc_id, count(*) AS n_hits, " +
         "CAST(count(DISTINCT sh) AS BIGINT) AS n_shingles_hit " +
         "FROM tr JOIN te USING (sh) GROUP BY doc_id ORDER BY doc_id"),
+    // Mixture math replayed verbatim: the only float steps are the
+    // 6dp-rounded sqrt (IEEE-identical in both engines), an EXACT
+    // decimal normalizing sum, and a fixed left-to-right double
+    // expression — so the floor() quotas and the Knuth-bucket selection
+    // agree bit-for-bit. kept_idsum pins the selected doc set itself.
+    "c7_mix_sources" ->
+      ("WITH c AS (SELECT source, count(*) AS n_avail FROM documents GROUP BY source), " +
+        "s AS (SELECT source, n_avail, CAST(round(sqrt(n_avail), 6) AS DECIMAL(18,6)) AS sq " +
+        "FROM c), " +
+        "t AS (SELECT source, n_avail, sq, SUM(sq) OVER () AS tot FROM s), " +
+        "q AS (SELECT source, n_avail, " +
+        "CAST(floor(300 * CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE)) AS BIGINT) AS quota " +
+        "FROM t), " +
+        "q2 AS (SELECT *, CAST(floor(4294967296 * least(1.0, " +
+        "CAST(quota AS DOUBLE) / n_avail)) AS BIGINT) AS keep_below FROM q), " +
+        "k AS (SELECT d.source, count(*) AS n_kept, " +
+        "CAST(sum(d.doc_id) AS BIGINT) AS kept_idsum " +
+        "FROM documents d JOIN q2 USING (source) " +
+        "WHERE (d.doc_id * 2654435761) % 4294967296 < keep_below " +
+        "GROUP BY d.source) " +
+        "SELECT q2.source, q2.n_avail, q2.quota, " +
+        "COALESCE(k.n_kept, 0) AS n_kept, COALESCE(k.kept_idsum, 0) AS kept_idsum " +
+        "FROM q2 LEFT JOIN k ON q2.source = k.source ORDER BY q2.source"),
     "c7_sample_strat" ->
       (s"SELECT doc_id, lang, source FROM documents " +
         s"WHERE $bucketSql < CASE WHEN lang = 'en' " +
@@ -496,6 +568,7 @@ object PipelineOps {
     "c7_curate" -> ((s: SparkSession, d: String) => c7Curate(s, d)),
     "c7_pack_sequences" -> ((s: SparkSession, d: String) => c7PackSequences(s, d)),
     "c7_pipeline" -> ((s: SparkSession, d: String) => c7Pipeline(s, d)),
-    "c7_sample_topk" -> ((s: SparkSession, d: String) => c7SampleTopk(s, d))
+    "c7_sample_topk" -> ((s: SparkSession, d: String) => c7SampleTopk(s, d)),
+    "c7_mix_sources" -> ((s: SparkSession, d: String) => c7MixSources(s, d))
   )
 }

@@ -153,6 +153,32 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("c7_mix_sources: budget respected, rates capped, small sources upweighted") {
+    val rows = PipelineOps.c7MixSources(spark, sf, budget = 30L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nAvail, quota, nKept, idsum) =>
+      assert(nKept <= nAvail, s"$src kept more than available")
+      assert(quota >= 0 && nKept >= 0)
+      if (nKept == 0) assert(idsum == 0L, s"$src: empty selection with nonzero idsum")
+    }
+    // floor() allocation never over-spends the budget
+    assert(rows.map(_._3).sum <= 30L, "quotas exceed the budget")
+    // α = 0.5 temperature: the allocated RATE (quota / n_avail) must be
+    // weakly DECREASING in source size — the whole point of smoothing is
+    // that bigger sources get proportionally less. (Ties in n_avail get
+    // identical quotas: the allocation depends on counts alone.)
+    val bySize = rows.sortBy(_._2)
+    bySize.sliding(2).foreach {
+      case Array((s1, n1, q1, _, _), (s2, n2, q2, _, _)) =>
+        if (n1 == n2) assert(q1 == q2, s"$s1/$s2: equal sizes, unequal quotas")
+        else assert(q1.toDouble / n1 >= q2.toDouble / n2 - 1e-12,
+          s"$s1 (n=$n1) got a lower rate than larger $s2 (n=$n2)")
+      case _ =>
+    }
+  }
+
   test("c5_retention: day-0 cell equals cohort size; offsets non-negative") {
     val cells = EventOps.c5Retention(spark, sf)
       .collect()
