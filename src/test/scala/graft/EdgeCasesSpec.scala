@@ -83,6 +83,44 @@ class EdgeCasesSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("mega-duplicate skew: top-m neighbors stay bounded where the pair list is quadratic") {
+    // 50k identical copies = ~1.25e9 exact-Jaccard pairs — the pair-list
+    // API is intractable on this shape BY CONSTRUCTION (Ω(output)); the
+    // top-m variant must emit exactly m neighbors per copy (each doc's m
+    // smallest OTHER ids at jaccard 1.0) and finish in seconds, because
+    // nothing in its plan is ever O(|set|²): the single distinct set
+    // contributes slice(docs, 1, m+1) candidates per member, not 50k.
+    import spark.implicits._
+    import graft.dedup.{MinHash, SetSimJoin}
+    val m = 3
+    val corpus = (1L to 50000L)
+      .map(i => (i, "the same boilerplate text repeated everywhere"))
+      .toDF("doc_id", "text")
+    val top = SetSimJoin.jaccardTopM(
+      corpus, col("doc_id"), MinHash.tokenSet(col("text")), 0.8, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = top.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("docs"),
+        max(col("rk")).as("max_rk"),
+        min(col("jaccard")).as("min_j")).head()
+      assert(stats.getLong(0) == 50000L * m, "every copy must emit exactly m rows")
+      assert(stats.getLong(1) == 50000L)
+      assert(stats.getLong(2) == m.toLong && stats.getDouble(3) == 1.0)
+      // spot-check both ends: neighbors are the m smallest other ids
+      val d1 = top.filter(col("doc_id") === 1L).orderBy("rk")
+        .collect().map(_.getLong(1)).toSeq
+      val dLast = top.filter(col("doc_id") === 50000L).orderBy("rk")
+        .collect().map(_.getLong(1)).toSeq
+      assert(d1 == Seq(2L, 3L, 4L), s"doc 1 neighbors: $d1")
+      assert(dLast == Seq(1L, 2L, 3L), s"doc 50000 neighbors: $dLast")
+    } finally {
+      top.unpersist(blocking = false)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("MRJob runs a one-record job") {
     val out = graft.mr.MRJob.runLocal(spark, Seq(("k", "v")),
       (k, _) => Seq((k, "1")),
