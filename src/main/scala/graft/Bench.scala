@@ -103,26 +103,51 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteQuietly(warmDir.toFile)
     }
 
+    val watchdog = new java.util.Timer("bench-watchdog", true)
+
+    // Optional dev filter: SPARK_GRAFT_ONLY=<regex> times a subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val selectedNames = SparkEntry.queries.keySet
+      .filter(n => only.forall(_.findFirstIn(n).isDefined))
+
     // Build one-time layouts (bucketed tables, partitioned copies, the
     // ANN index) BEFORE any timing: a fresh bench JVM would otherwise
     // charge the first b8/ann timing with a layout WRITE, conflating a
     // one-time ingest decision with the steady-state query cost the 2x
     // perf gate should see. Warmup time is reported on stderr, never in
-    // the JSON line.
-    SparkEntry.warmups.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir)
-        System.err.println(
-          f"[bench] warmup $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s (untimed)")
-      } catch { case e: Exception =>
-        // A failed warmup is not fatal: the owning query builds its own
-        // layout inline (idempotent), just inside its timing.
-        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+    // the JSON line. Only warmups some SELECTED query reads run (a
+    // filtered dev run must not pay an ANN index build it never uses),
+    // and each runs under the same per-query watchdog as a timed query —
+    // a host freeze parking on an unbounded warmup would otherwise hang
+    // the bench before the first timing exists.
+    SparkEntry.warmups
+      .filter(w => selectedNames.exists(w.appliesTo))
+      .foreach { w =>
+        val group = s"bench-warmup-${w.name}"
+        spark.sparkContext.setJobGroup(group, w.name, interruptOnCancel = true)
+        val cancel = new java.util.TimerTask {
+          def run(): Unit = {
+            System.err.println(
+              s"[bench] warmup ${w.name} exceeded ${queryTimeoutSec}s — cancelling")
+            spark.sparkContext.cancelJobGroup(group)
+          }
+        }
+        watchdog.schedule(cancel, queryTimeoutSec * 1000L)
+        val t0 = System.nanoTime()
+        try {
+          w.run(spark, sfDir)
+          System.err.println(
+            f"[bench] warmup ${w.name}%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s (untimed)")
+        } catch { case e: Exception =>
+          // A failed/cancelled warmup is not fatal: the owning query
+          // builds its own layout inline (idempotent), just inside its
+          // timing.
+          System.err.println(s"[bench] warmup ${w.name} failed: ${e.getMessage}")
+        } finally {
+          cancel.cancel()
+          spark.sparkContext.clearJobGroup()
+        }
       }
-    }
-
-    val watchdog = new java.util.Timer("bench-watchdog", true)
 
     // Some(seconds) iff the query ran to completion. A query that did
     // NOT complete (watchdog-cancelled mid-run, or crashed) returns None
@@ -169,8 +194,6 @@ object Bench {
       }
     }
 
-    // Optional dev filter: SPARK_GRAFT_ONLY=<regex> times a subset.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     // Global soft deadline: once elapsed wall time passes it, remaining
     // queries are skipped (recorded at 0 s would lie — they are simply
     // absent) so a freeze-riddled run still finishes inside the harness's
@@ -207,7 +230,7 @@ object Bench {
     // even when every run hits a bad window), then cheapest-first (a
     // deadline skip drops only the most-expensive, already-known tail).
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+      .filter { case (n, _) => selectedNames(n) }
       .sortBy { case (n, _) => history.get(n).map(t => (1, t, n)).getOrElse((0, 0.0, n)) }
     // The host shows sporadic multi-minute freezes that park on whatever
     // query is running (observed repeatedly: a 2-4 s query charged 60-400 s

@@ -38,8 +38,14 @@ object Tables {
         // ~1973 exceed 1e17, while micros/seconds magnitudes sit orders
         // of magnitude below it — so reject implausible values loudly
         // (per row, inside the scan, no extra pass) instead of guessing.
+        // NULL ts passes through as NULL timestamp (the pre-guard
+        // behavior); without the explicit arm it would fall into the
+        // ELSE branch, and concat's null propagation would hand
+        // raise_error a NULL message — a scan-wide crash that never
+        // names this function.
         df.withColumn("ts", expr(
-          "CASE WHEN ts >= 100000000000000000L " +
+          "CASE WHEN ts IS NULL THEN CAST(NULL AS TIMESTAMP) " +
+            "WHEN ts >= 100000000000000000L " +
             "THEN timestamp_micros(ts div 1000) " +
             "ELSE CAST(raise_error(concat('normalizeTs: int64 ts value ', " +
             "CAST(ts AS STRING), ' is too small to be nanoseconds — " +

@@ -87,8 +87,14 @@ object PipelineOps {
     * exact selection fingerprint (sum of kept doc_ids), so the oracle
     * hash pins WHICH docs were chosen, not just how many.
     */
-  def c7MixSources(spark: SparkSession, dir: String, budget: Long = 300L): DataFrame = {
-    val d = docs(spark, dir)
+  def c7MixSources(spark: SparkSession, dir: String, budget: Long = 300L): DataFrame =
+    mixSources(docs(spark, dir), budget)
+
+  /** [[c7MixSources]] over an explicit (doc_id, source) frame — the
+    * testable core (the sf fixtures have uniformly-sized sources, so the
+    * upweighting behavior needs a skewed synthetic corpus to show).
+    */
+  private[queries] def mixSources(d: DataFrame, budget: Long): DataFrame = {
     val counts = d.groupBy("source").agg(count(lit(1)).as("n_avail"))
       .withColumn("sq", expr("CAST(round(sqrt(n_avail), 6) AS DECIMAL(18,6))"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy()

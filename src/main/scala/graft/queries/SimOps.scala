@@ -408,26 +408,37 @@ object SimOps {
     * persisted index builder ([[ensureAnnIndex]]), so the stored layout
     * is bit-identical to what the in-plan query computes.
     */
-  private def pqEncodeCorpus(base: DataFrame, coarse: Seq[Seq[Double]],
-      books: Seq[Seq[Seq[Double]]], subspaces: Int,
-      residual: Boolean): DataFrame = {
-    val sub = coarse.head.length / subspaces
+  /** The IVFADC encode EXPRESSIONS, built once and shared by the
+    * corpus encoder and the query-table builder: the persisted-index
+    * contract (c3_ann_pq_indexed shares c3_ann_pq's oracle) requires
+    * the two sides' residual/encode arithmetic to never drift, so the
+    * expressions exist in exactly one place.
+    */
+  private final case class PqEncExprs(coarse: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]], subspaces: Int, residual: Boolean) {
+    private val sub = coarse.head.length / subspaces
+    // residual against a (1-based) cell id, as one fused zip_with
+    private val coarseLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
     def subDists(v: Column, m: Int): Column =
       graft.functions.VectorExprs.centroidDists(
         slice(v, m * sub + 1, sub), books(m))
-    // residual against a (1-based) cell id, as one fused zip_with
-    val coarseLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
     def enc(v: Column, cell: Column): Column =
       if (residual) zip_with(v, element_at(coarseLit, cell), (a, b) => a - b)
       else v
+  }
+
+  private def pqEncodeCorpus(base: DataFrame, coarse: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]], subspaces: Int,
+      residual: Boolean): DataFrame = {
+    val e = PqEncExprs(coarse, books, subspaces, residual)
     val assigned = base
       .withColumn("cdists",
         graft.functions.VectorExprs.centroidDists(col("embD"), coarse))
       .withColumn("cell",
         expr("array_position(cdists, array_min(cdists))").cast("int"))
-      .withColumn("enc", enc(col("embD"), col("cell")))
+      .withColumn("enc", e.enc(col("embD"), col("cell")))
     val encoded0 = (0 until subspaces).foldLeft(assigned) {
-      (df, m) => df.withColumn(s"sd$m", subDists(col("enc"), m))
+      (df, m) => df.withColumn(s"sd$m", e.subDists(col("enc"), m))
     }
     encoded0.withColumn("codes",
         array((0 until subspaces).map(m =>
@@ -444,14 +455,7 @@ object SimOps {
   private def pqQueryTables(base: DataFrame, coarse: Seq[Seq[Double]],
       books: Seq[Seq[Seq[Double]]], subspaces: Int, nCells: Int, nprobe: Int,
       queryMod: Int, residual: Boolean): DataFrame = {
-    val sub = coarse.head.length / subspaces
-    def subDists(v: Column, m: Int): Column =
-      graft.functions.VectorExprs.centroidDists(
-        slice(v, m * sub + 1, sub), books(m))
-    val coarseLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
-    def enc(v: Column, cell: Column): Column =
-      if (residual) zip_with(v, element_at(coarseLit, cell), (a, b) => a - b)
-      else v
+    val e = PqEncExprs(coarse, books, subspaces, residual)
     val probed = base.filter(col("vec_id") % queryMod === 0)
       .withColumn("cdists",
         graft.functions.VectorExprs.centroidDists(col("embD"), coarse))
@@ -462,9 +466,9 @@ object SimOps {
           lit(1), lit(nprobe)))
       .select(col("vec_id").as("q_id"), col("embD"),
         explode(col("probes")).as("cell"))
-      .withColumn("enc", enc(col("embD"), col("cell")))
+      .withColumn("enc", e.enc(col("embD"), col("cell")))
     (0 until subspaces).foldLeft(probed) {
-        (df, m) => df.withColumn(s"sd$m", subDists(col("enc"), m))
+        (df, m) => df.withColumn(s"sd$m", e.subDists(col("enc"), m))
       }
       .withColumn("tbls", array((0 until subspaces).map(m => col(s"sd$m")): _*))
       .select(col("q_id"), col("cell").cast("int").as("cell"), col("tbls"))
@@ -540,7 +544,15 @@ object SimOps {
       nCells: Int = 16, subspaces: Int = 8, kSub: Int = 16,
       maxSample: Int = 100000): (String, String) = {
     import graft.sources.Storage.{dropStaleLayouts, sourceFingerprint}
-    val suffix = sourceFingerprint(s"$dir/embeddings.parquet")
+    // The suffix carries BOTH the corpus fingerprint and the index
+    // hyperparameters: an index trained with different
+    // nCells/subspaces/kSub is not this index — without the params in
+    // the key, a caller asking for e.g. nCells = 32 would silently get
+    // 16-cell codes back and rank them against 32-cell query tables.
+    // Differently-parameterized layouts are swept as stale (one live
+    // configuration per corpus, the b8 posture).
+    val suffix = sourceFingerprint(s"$dir/embeddings.parquet") +
+      s"_${nCells}c${subspaces}s${kSub}k"
     val (codesTab, modelTab) =
       (s"graft_ann_codes_$suffix", s"graft_ann_model_$suffix")
     if (spark.catalog.tableExists(codesTab) && spark.catalog.tableExists(modelTab))
