@@ -48,4 +48,38 @@ class TopKAggregatorSpec extends SparkSuite {
     val r = a.merge(b1, Seq((1.0, 5L)).foldLeft(a.zero)(a.reduce))
     assert(r == Vector((1.0, 2L), (1.0, 5L), (1.0, 9L)))
   }
+
+  test("ScalaCheck: any partition split + merge order == global sort-take (partial-agg license)") {
+    // The property Spark's partial aggregation actually relies on: for
+    // ANY input multiset, ANY split into partitions, and ANY merge
+    // order, the result equals take-k of the globally sorted input
+    // under (key desc, payload asc). This is what licenses routing the
+    // c7 quota samples and the c2 top-m neighbor selection through the
+    // heap instead of a window.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      k <- Gen.choose(1, 6)
+      n <- Gen.choose(0, 60)
+      // small key/payload domains force boundary ties, the hard case
+      items <- Gen.listOfN(n, Gen.zip(
+        Gen.choose(0, 5).map(_.toDouble), Gen.choose(0L, 9L)))
+      cuts <- Gen.listOfN(4, Gen.choose(0, math.max(n, 1)))
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (k, items, cuts, seed)
+    val prop = Prop.forAll(gen) { case (k, items, cuts, seed) =>
+      val a = mk(k)
+      // duplicate (key,payload) pairs are allowed: ties collapse
+      // deterministically under the same order on both sides
+      val want = items.sortBy { case (key, p) => (-key, p) }.take(k).toVector
+      val bounds = (0 +: cuts.map(_ min items.length) :+ items.length).sorted
+      val parts = bounds.zip(bounds.tail).map { case (lo, hi) => items.slice(lo, hi) }
+      val bufs = parts.map(_.foldLeft(a.zero)(a.reduce))
+      // merge in a seed-shuffled order to exercise commutativity too
+      val shuffled = new scala.util.Random(seed).shuffle(bufs)
+      val got = shuffled.foldLeft(a.zero)(a.merge)
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
