@@ -666,6 +666,76 @@ object SimOps {
       .orderBy("q_id")
   }
 
+  /** C3i: QUANTIZATION-loss recall of the IVFADC code ranking — the ADC
+    * top-k scored against the exact squared-L2 ranking OVER THE SAME IVF
+    * CANDIDATE SET. This isolates what the 8-byte codes cost: candidate
+    * truncation is the coarse quantizer's loss and is already measured
+    * by c3_ann_ivf_recall; conflating the two (ADC vs a global brute
+    * force) would bury the code-quality signal under the shared
+    * nprobe/nCells ceiling. The exact distance is dot(q,q) + dot(b,b) −
+    * 2·dot(q,b) — three sequential-fold dot products, the formula the
+    * oracle replays with list_dot_product — rounded to 6dp BEFORE the
+    * rank window (both engines). Completes the recall matrix: LSH
+    * (c3_ann_recall), coarse IVF (c3_ann_ivf_recall), and the
+    * compressed-code path here — the number that decides whether an
+    * index that fits in RAM at 100 TB is actually usable. Portable
+    * claim: query-set mean (integer-sum construction, no float fold
+    * order) ≥ 0.1 — measured means 0.16 / 0.32 / 0.27 at sf0.001 /
+    * 0.01 / 0.1. The absolute level is the corpus, not the code: these
+    * synthetic embeddings are i.i.d.-random 64-d vectors, the
+    * known-adversarial case for product quantization (pairwise
+    * distances concentrate, so 8-byte codes can barely order them —
+    * the same distortion SimOpsSpec measures directly); the value of
+    * the query is that the quality number is ORACLE-HASHED, so any
+    * encode/codebook regression moves a driver-checked result, not
+    * just a spec.
+    */
+  def c3AnnPqRecall(spark: SparkSession, dir: String, k: Int = 5,
+      nCells: Int = 16, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
+      queryMod: Int = 100, maxSample: Int = 100000): DataFrame = {
+    val base = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (coarse, books) = pqModel(boundedSample(base, maxSample), nCells, subspaces, kSub)
+    val corpusCodes = pqEncodeCorpus(base, coarse, books, subspaces, residual = true)
+    val queries = pqQueryTables(
+      base, coarse, books, subspaces, nCells, nprobe, queryMod, residual = true)
+    val annAdc = adcTopK(corpusCodes, queries, k, subspaces)
+      .select(col("q_id"), col("b_id"))
+    // the SAME candidates the ADC ranked, re-scored with the exact L2:
+    // cells come from the persisted-code assignment, probes from the
+    // query tables — identical join keys, vectors re-attached by id
+    // (query side broadcast: bounded by queryMod; corpus side shuffled)
+    val cand = corpusCodes.select(col("b_id"), col("cell"))
+      .join(broadcast(queries.select(col("q_id"), col("cell")).distinct()), Seq("cell"))
+      .filter(col("q_id") =!= col("b_id"))
+      .select("q_id", "b_id").distinct()
+    val exact = cand
+      .join(base.select(col("vec_id").as("b_id"), col("embD").as("b_emb"))
+        .hint("shuffle_hash"), "b_id")
+      .join(broadcast(base.filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("q_id"), col("embD").as("q_emb"))), "q_id")
+      .withColumn("l2sq",
+        round(dotD(col("q_emb"), col("q_emb")) + dotD(col("b_emb"), col("b_emb"))
+          - lit(2.0) * dotD(col("q_emb"), col("b_emb")), 6))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("l2sq").asc, col("b_id"))
+    val exactTopK = exact
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("b_id"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    graft.util.CacheScope.releaseAfterMaterialize(
+      recallHits(annAdc, exactTopK)
+        .withColumn("recall_at_5", round(col("n_hits").cast("double") / k, 6))
+        .withColumn("mean_recall",
+          round(sum(col("n_hits")).over(w).cast("double") /
+            (lit(k) * count(lit(1)).over(w)), 6))
+        .withColumn("mean_recall_ok", col("mean_recall") >= 0.1)
+        .orderBy("q_id"),
+      Seq(base))
+  }
+
   /** C3c: pairwise similarity stats per label — exercises the embedding
     * column through a fully SQL-expressible aggregate (mean vector norm
     * per label), oracle-checked.
@@ -837,6 +907,30 @@ object SimOps {
     val pqSql = s"WITH $ivfCandCtes, $pqCtes " +
       "SELECT q_id, rank, b_id, adc FROM pr " +
       "WHERE rank <= 5 ORDER BY q_id, rank"
+    // PQ quantization-loss recall replay: the ADC top-k from pr, the
+    // exact squared-L2 ranking over the SAME cand set via the
+    // three-dot-product formula the Spark side computes
+    // (dot(q,q)+dot(b,b)-2·dot(q,b), round-6 before rank), the hit
+    // join, and the integer-sum mean. mean_recall_ok is literal TRUE —
+    // the bound lives in the Spark plan.
+    val pqRecallSql = s"WITH $ivfCandCtes, $pqCtes, " +
+      "ann AS (SELECT q_id, b_id FROM pr WHERE rank <= 5), " +
+      "bsc AS (SELECT cand.q_id, cand.b_id, " +
+      "round(list_dot_product(q.v, q.v) + list_dot_product(c.v, c.v) " +
+      "- 2*list_dot_product(q.v, c.v), 6) AS l2sq " +
+      "FROM cand JOIN e q ON q.vec_id = cand.q_id " +
+      "JOIN e c ON c.vec_id = cand.b_id), " +
+      "bfr AS (SELECT q_id, b_id, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY l2sq ASC, b_id) AS rank FROM bsc), " +
+      "bf AS (SELECT q_id, b_id FROM bfr WHERE rank <= 5), " +
+      "hits AS (SELECT q_id, count(*) AS n_hits FROM bf JOIN ann " +
+      "USING (q_id, b_id) GROUP BY q_id) " +
+      "SELECT q.q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+      "round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5, " +
+      "round(sum(COALESCE(h.n_hits, 0)) OVER () / (5.0 * count(*) OVER ()), 6) " +
+      "AS mean_recall, TRUE AS mean_recall_ok " +
+      "FROM (SELECT DISTINCT q_id FROM bf) q LEFT JOIN hits h USING (q_id) " +
+      "ORDER BY q_id"
     Map(
       "c3_ann_pq" -> pqSql,
       // The indexed variant is result-identical by construction (same
@@ -844,6 +938,7 @@ object SimOps {
       // is held to the SAME full replay — a drifted or stale index breaks
       // the hash.
       "c3_ann_pq_indexed" -> pqSql,
+      "c3_ann_pq_recall" -> pqRecallSql,
       "c3_ann_ivf" -> (s"WITH $ivfCandCtes, " + annScoreTail(5)),
       // Mean over the query set as one integer sum (no float fold order);
       // mean_recall_ok is literal TRUE — the bound lives in the Spark plan.
@@ -901,6 +996,7 @@ object SimOps {
     "c3_ann_pq_indexed" -> ((s: SparkSession, d: String) => c3AnnPqIndexed(s, d)),
     "c3_ann_recall" -> ((s: SparkSession, d: String) => c3AnnRecall(s, d)),
     "c3_ann_ivf_recall" -> ((s: SparkSession, d: String) => c3AnnIvfRecall(s, d)),
+    "c3_ann_pq_recall" -> ((s: SparkSession, d: String) => c3AnnPqRecall(s, d)),
     "c3_norm_stats" -> (c3NormStats _)
   )
 }
