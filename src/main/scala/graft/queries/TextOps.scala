@@ -44,6 +44,36 @@ object TextOps {
         max(col("n_chars")).as("max_chars"))
       .orderBy("lang", "source")
 
+  /** C4j: per-document LEXICAL DIVERSITY — the repetition/diversity
+    * signals a curation pipeline filters on (boilerplate and
+    * template-generated text score low): Gini–Simpson index
+    * 1 − Σ c_t²/n², top-token ratio max(c_t)/n, and type–token ratio.
+    * All three are RATIONAL in the token counts, computed as exact
+    * int64 sums and divided once per row — unlike Shannon entropy
+    * (whose per-term log2 is not guaranteed correctly-rounded across
+    * libms, so a half-million-term corpus would hash-flip at rounding
+    * boundaries), these match the DuckDB replay bit-for-bit with no
+    * float discipline needed beyond the final round. Two partial-agg
+    * shuffles — (doc, token) then doc — both narrow.
+    */
+  def c4Diversity(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sum_c2"),
+        max(col("c")).as("max_c"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(lit(1.0) - col("sum_c2").cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double"), 6).as("simpson"),
+        round(col("max_c").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("top_token_ratio"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("type_token_ratio"))
+      .orderBy("doc_id")
+
   private val stopwords = Seq("the", "a", "of", "to", "in", "and", "is")
 
   /** C4b: per-document quality scoring — token count, mean token length,
@@ -289,6 +319,16 @@ object TextOps {
     "c1_exact_dedup" ->
       ("SELECT md5(text) AS text_hash, min(doc_id) AS first_doc_id, " +
         "count(*) AS n_copies FROM documents GROUP BY text ORDER BY first_doc_id"),
+    "c4_diversity" ->
+      ("WITH tc AS (SELECT doc_id, tok, count(*) AS c FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY doc_id, tok) " +
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "count(*) AS n_types, " +
+        "round(1.0 - CAST(sum(c*c) AS DOUBLE) / (sum(c) * sum(c)), 6) AS simpson, " +
+        "round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_ratio, " +
+        "round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS type_token_ratio " +
+        "FROM tc GROUP BY doc_id ORDER BY doc_id"),
     "c4_text_stats" ->
       ("SELECT lang, source, count(*) AS n_docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
@@ -347,6 +387,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_exact_dedup" -> (c1ExactDedup _),
     "c4_text_stats" -> (c4TextStats _),
+    "c4_diversity" -> (c4Diversity _),
     "c4_quality_score" -> (c4QualityScore _),
     "c4_fingerprint" -> (c4Fingerprint _),
     "c4_token_count" -> (c4TokenCount _),
