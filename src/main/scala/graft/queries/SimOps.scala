@@ -427,7 +427,7 @@ object SimOps {
       else v
   }
 
-  private def pqEncodeCorpus(base: DataFrame, coarse: Seq[Seq[Double]],
+  private[queries] def pqEncodeCorpus(base: DataFrame, coarse: Seq[Seq[Double]],
       books: Seq[Seq[Seq[Double]]], subspaces: Int,
       residual: Boolean): DataFrame = {
     val e = PqEncExprs(coarse, books, subspaces, residual)
@@ -592,17 +592,61 @@ object SimOps {
     * The model read collects nCells + subspaces·kSub tiny rows (constant
     * in corpus size), the same driver-side bound as training's sample.
     */
+  /** Load the trained coarse centroids + residual codebooks back from a
+    * persisted model table (nCells + subspaces·kSub tiny rows — the
+    * bounded driver-side collect of the index design). Shared by the
+    * indexed query path and [[appendAnnIndex]].
+    */
+  private[queries] def loadPqModel(spark: SparkSession, modelTab: String,
+      subspaces: Int): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val model = spark.table(modelTab).collect()
+    def vecsOf(kind: String, m: Int): Seq[Seq[Double]] =
+      model.filter(r => r.getString(0) == kind && r.getInt(1) == m)
+        .sortBy(_.getInt(2)).map(_.getSeq[Double](3).toSeq).toSeq
+    (vecsOf("coarse", 0), (0 until subspaces).map(m => vecsOf("book", m)))
+  }
+
+  /** Append NEW vectors to the persisted IVFADC index — the maintenance
+    * path a growing corpus needs: at 100 TB the index is ingested
+    * incrementally (encode the day's new vectors with the STORED model,
+    * append their (cell, codes) rows to the inverted file), not
+    * retrained per batch — retraining cadence is a separate, rarer
+    * decision, exactly as in the published IVFADC deployments. The
+    * encode goes through the same [[pqEncodeCorpus]] / [[PqEncExprs]]
+    * expressions as the original build, so appended codes are
+    * bit-identical to what a from-scratch encode with this model would
+    * produce (spec-pinned in SimOpsSpec). Duplicate ids are rejected
+    * loudly — an id already in the index would silently rank twice.
+    * Returns the number of appended rows.
+    */
+  private[graft] def appendAnnIndex(spark: SparkSession, dir: String,
+      newVectors: DataFrame, nCells: Int = 16, subspaces: Int = 8,
+      kSub: Int = 16): Long = {
+    val (codesTab, modelTab) = ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
+    val (coarse, books) = loadPqModel(spark, modelTab, subspaces)
+    val base = newVectors
+      .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
+    val dup = spark.table(codesTab).select(col("b_id"))
+      .join(base.select(col("vec_id").as("b_id")), Seq("b_id"), "left_semi")
+      .limit(1).count()
+    require(dup == 0L,
+      s"appendAnnIndex: new vectors contain ids already present in $codesTab — " +
+        "an appended duplicate would rank twice; dedup upstream")
+    val enc = pqEncodeCorpus(base, coarse, books, subspaces, residual = true)
+    val n = enc.count()
+    // insertInto is positional — align to the table's physical column
+    // order (partition column lands last in a saveAsTable layout)
+    enc.select(spark.table(codesTab).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(codesTab)
+    n
+  }
+
   def c3AnnPqIndexed(spark: SparkSession, dir: String, k: Int = 5,
       nCells: Int = 16, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
       queryMod: Int = 100): DataFrame = {
     val (codesTab, modelTab) =
       ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
-    val model = spark.table(modelTab).collect()
-    def vecsOf(kind: String, m: Int): Seq[Seq[Double]] =
-      model.filter(r => r.getString(0) == kind && r.getInt(1) == m)
-        .sortBy(_.getInt(2)).map(_.getSeq[Double](3).toSeq).toSeq
-    val coarse = vecsOf("coarse", 0)
-    val books = (0 until subspaces).map(m => vecsOf("book", m))
+    val (coarse, books) = loadPqModel(spark, modelTab, subspaces)
     val queries = pqQueryTables(
       emb(spark, dir).select(col("vec_id"), asDouble(col("embedding")).as("embD")),
       coarse, books, subspaces, nCells, nprobe, queryMod, residual = true)

@@ -155,6 +155,49 @@ class SimOpsSpec extends SparkSuite {
     assert(again == inPlan)
   }
 
+  test("appendAnnIndex: incremental ingest encodes with the stored model, rejects duplicates") {
+    // Incremental-maintenance contract: vectors appended later must get
+    // BIT-IDENTICAL codes to a from-scratch encode under the same stored
+    // model (same PqEncExprs path), the inverted file must grow by
+    // exactly the appended rows, and an id already indexed is rejected
+    // loudly. Simulated by splitting the real corpus: the index is
+    // built over the even ids (a temp corpus dir), the odd ids arrive
+    // as the "new day's" vectors.
+    import org.apache.spark.sql.functions.col
+    val full = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-append").toString
+    try {
+      full.filter(col("vec_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val (codesTab, modelTab) = SimOps.ensureAnnIndex(spark, dir)
+      val before = spark.table(codesTab).count()
+      val newVecs = full.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val appended = SimOps.appendAnnIndex(spark, dir, newVecs)
+      assert(appended == newVecs.count())
+      assert(spark.table(codesTab).count() == before + appended)
+      // appended codes == from-scratch encode with the stored model
+      val (coarse, books) = SimOps.loadPqModel(spark, modelTab, subspaces = 8)
+      val expected = SimOps.pqEncodeCorpus(
+        newVecs.select(col("vec_id"), col("embedding").cast("array<double>").as("embD")),
+        coarse, books, subspaces = 8, residual = true)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+      val stored = spark.table(codesTab)
+        .filter(col("b_id") % 2 =!= 0)
+        .select(col("b_id"), col("cell").cast("int"), col("codes"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+      assert(stored == expected, "appended codes diverged from the stored-model encode")
+      // a second append of the same ids must be rejected
+      val err = intercept[IllegalArgumentException] {
+        SimOps.appendAnnIndex(spark, dir, newVecs)
+      }
+      assert(err.getMessage.contains("already present"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("residual encoding (IVFADC) does not lose to raw-vector PQ at the same code size") {
     // sf0.01: 60 queries — the 5-query sf0.001 set quantizes both metrics
     // too coarsely to order the variants (measured flips either way).
