@@ -153,7 +153,7 @@ object MinHash {
       bands: Int): DataFrame =
     membershipsFromSets(df, id, tokenSet(text), numHashes, bands)
 
-  private[dedup] def membershipsFromSets(
+  private[graft] def membershipsFromSets(
       df: DataFrame,
       id: Column,
       tokens: Column,

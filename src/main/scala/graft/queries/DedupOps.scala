@@ -124,6 +124,104 @@ object DedupOps {
       Seq(base))
   }
 
+  /** C2e: INCREMENTAL near-dup check — the production ingest shape: a new
+    * batch of documents (here the deterministic 10% slice
+    * `doc_id % 10 = 7`, the oracle-stable stand-in for today's crawl)
+    * checked against the standing corpus, each new doc resolved to
+    * is_novel or its best-matching existing doc (highest exact Jaccard,
+    * smallest id on ties). Candidates come from the SAME MinHash LSH
+    * banding as the batch dedup operators — both sides band once, the
+    * join is on (band, bucket), and only candidate pairs pay the exact
+    * confirm — so the cost is O(batch · bands) shuffle against a
+    * PRE-BANDABLE corpus side (at 100 TB the corpus memberships are a
+    * persisted layout built at ingest; recomputing here keeps the query
+    * self-contained and the oracle exact).
+    */
+  def c2IncrementalDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    // Persisted: token sets feed the banding AND both exact-confirm joins.
+    val base = docs(spark, dir)
+      .select(col("doc_id"), MinHash.tokenSet(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isNew = col("doc_id") % 10 === 7
+    val mem = MinHash.membershipsFromSets(
+      base, col("doc_id"), col("toks"), numHashes = 64, bands = 16)
+    val cand = mem.filter(isNew).withColumnRenamed("doc_id", "n_id")
+      .join(mem.filter(!isNew).withColumnRenamed("doc_id", "c_id"),
+        Seq("band", "bucket"))
+      .select("n_id", "c_id").distinct()
+    val confirmed = cand
+      .join(base.select(col("doc_id").as("n_id"), col("toks").as("n_toks")), "n_id")
+      .join(base.select(col("doc_id").as("c_id"), col("toks").as("c_toks")), "c_id")
+      .withColumn("common", size(array_intersect(col("n_toks"), col("c_toks"))))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (size(col("n_toks")) + size(col("c_toks")) - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+    // Best match per new doc as ONE partial aggregate (min over the
+    // (-jaccard, c_id) struct = highest jaccard, smallest id on ties) —
+    // no window over the candidate stream.
+    val best = confirmed.groupBy(col("n_id"))
+      .agg(min(struct((-col("jaccard")).as("nj"), col("c_id").as("cid"))).as("b"))
+      .select(col("n_id").as("doc_id"), col("b.cid").as("match_id"),
+        (-col("b.nj")).as("match_jaccard"))
+    graft.util.CacheScope.releaseAfterMaterialize(
+      base.filter(isNew).select(col("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("match_id").isNull.as("is_novel"),
+          col("match_id"), col("match_jaccard"))
+        .orderBy("doc_id"),
+      Seq(base))
+  }
+
+  /** C2f: SEMANTIC dedup (the public SemDeDup recipe): cluster the
+    * embedding space with the SAME deterministically-trained k-means
+    * codebook as the IVF ANN operators, then resolve near-duplicates only
+    * WITHIN each cluster (cosine ≥ `threshold`, keep the smallest id — one
+    * min-propagation round, the c2_minhash_lsh posture applied to
+    * embedding space). Training is the bounded driver sample
+    * (SimOps.ivfCentroids — constant cost at any corpus size); assignment
+    * is one narrow argmin per row; the pair join shuffles on the cell id
+    * only. Within-cell pair generation is O(Σ|cell|²) — the inherent
+    * SemDeDup cost; at 100 TB the cell count scales with the corpus
+    * (k ≈ √n per the public recipe) so cells stay bounded, exactly as the
+    * LSH maxBucket guard bounds the token-space analog.
+    * Output `(vec_id, cell, cluster_rep, is_kept)` — O(n), hash-checked
+    * end-to-end by a dynamic oracle embedding the trained centroids.
+    */
+  def c2SemanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = SimOps.ivfCentroids(spark, dir)
+    val assigned = base
+      .withColumn("dists",
+        graft.functions.VectorExprs.centroidDists(col("embD"), cents))
+      .withColumn("cell",
+        expr("array_position(dists, array_min(dists))").cast("int"))
+      .select(col("vec_id"), col("embD"), col("cell"))
+    val edges = assigned
+      .select(col("cell"), col("vec_id").as("a_id"), col("embD").as("a_emb"))
+      .join(assigned.select(col("cell"), col("vec_id").as("b_id"),
+        col("embD").as("b_emb")), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        round(SimOps.dotD(col("a_emb"), col("b_emb")) /
+          (SimOps.normD(col("a_emb")) * SimOps.normD(col("b_emb"))), 6))
+      .filter(col("cosine") >= threshold)
+    val reps = edges.groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("min_nbr"))
+    graft.util.CacheScope.releaseAfterMaterialize(
+      assigned.select("vec_id", "cell")
+        .join(reps, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          least(col("vec_id"), coalesce(col("min_nbr"), col("vec_id")))
+            .as("cluster_rep"))
+        .withColumn("is_kept", col("vec_id") === col("cluster_rep"))
+        .orderBy("vec_id"),
+      Seq(base))
+  }
+
   /** DuckDB replay of the portable MinHash pipeline (same family as
     * graft.functions.HashExprs: md5-prefix base hash, affine members mod
     * 2^31−1, md5-prefix band buckets — 64 hashes × 16 bands of 4 rows).
@@ -231,6 +329,29 @@ object DedupOps {
         "FROM mm GROUP BY doc_id ORDER BY doc_id"),
     "c2_simhash_cc" ->
       (s"WITH RECURSIVE $shBase, " + closureSql("block")),
+    // Incremental replay: the mhChainSql memberships split new/corpus,
+    // the (band, bucket) candidate join, the exact-Jaccard confirm on
+    // candidates only, and the (jaccard desc, c_id asc) best-match pick.
+    "c2_incremental_dedup" ->
+      (s"WITH $mhBase, " +
+        "nw AS (SELECT doc_id AS n_id, band, bucket FROM mem WHERE doc_id % 10 = 7), " +
+        "cp AS (SELECT doc_id AS c_id, band, bucket FROM mem WHERE doc_id % 10 <> 7), " +
+        "cand AS (SELECT DISTINCT n_id, c_id FROM nw JOIN cp USING (band, bucket)), " +
+        "sc AS (SELECT n_id, c_id, " +
+        "len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS common, " +
+        "len(a.toks) AS na, len(b.toks) AS nb " +
+        "FROM cand JOIN base a ON a.doc_id = cand.n_id " +
+        "JOIN base b ON b.doc_id = cand.c_id), " +
+        "cf AS (SELECT n_id, c_id, " +
+        "round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard " +
+        "FROM sc WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8), " +
+        "best AS (SELECT n_id, c_id, jaccard, row_number() OVER " +
+        "(PARTITION BY n_id ORDER BY jaccard DESC, c_id) AS rn FROM cf) " +
+        "SELECT b.doc_id, m.c_id IS NULL AS is_novel, " +
+        "m.c_id AS match_id, m.jaccard AS match_jaccard " +
+        "FROM (SELECT doc_id FROM base WHERE doc_id % 10 = 7) b " +
+        "LEFT JOIN (SELECT n_id, c_id, jaccard FROM best WHERE rn = 1) m " +
+        "ON b.doc_id = m.n_id ORDER BY doc_id"),
     "c2_embed_neardup" ->
       (s"WITH ${SimOps.sketchCte(tables = 8, bits = 12)}, " +
         "aa AS (SELECT vec_id AS a_id, rt.t AS tbl, " +
@@ -256,6 +377,8 @@ object DedupOps {
     "c2_minhash_cc" -> (c2MinHashCc _),
     "c2_simhash" -> (c2SimHash _),
     "c2_simhash_cc" -> (c2SimHashCc _),
-    "c2_embed_neardup" -> ((s: SparkSession, d: String) => c2EmbedNearDup(s, d))
+    "c2_embed_neardup" -> ((s: SparkSession, d: String) => c2EmbedNearDup(s, d)),
+    "c2_incremental_dedup" -> ((s: SparkSession, d: String) => c2IncrementalDedup(s, d)),
+    "c2_semantic_dedup" -> ((s: SparkSession, d: String) => c2SemanticDedup(s, d))
   )
 }

@@ -191,7 +191,52 @@ object EventOps {
       .orderBy("day", "event_type")
   }
 
+  /** C5j: burst / anomaly detection — per (user, hour) event counts
+    * flagged where the hour's count exceeds 2× the user's mean hourly
+    * rate (the ops-monitoring / abuse-detection shape: find the hours a
+    * user's activity spiked). The FLAG is pure integer arithmetic
+    * (`cnt · h > 2 · t` — no float threshold can hash-flip it); the
+    * reported z-score is computed with one fixed expression tree
+    * (double divisions + one IEEE sqrt, identical in the oracle) and
+    * rounded to 6dp. Two shuffles — (user, hour) then user — both
+    * partial aggregates; the stats join back is a plain equi-join on
+    * user_id (one row per user, AQE-safe at any scale).
+    */
+  def c5Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(spark, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy("user_id")
+      .agg(count(lit(1)).as("h"), sum(col("cnt")).as("t"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+    val mean = col("t").cast("double") / col("h")
+    val variance = col("s2").cast("double") / col("h") - mean * mean
+    hourly.join(stats, "user_id")
+      .filter(col("cnt") * col("h") > col("t") * 2)
+      .select(col("user_id"), col("hour"), col("cnt"),
+        round(mean, 6).as("mean_cnt"),
+        when(variance > 0,
+          round((col("cnt") - mean) / sqrt(variance), 6)).as("z"))
+      .orderBy("user_id", "hour")
+  }
+
+  private val anomalyMean = "CAST(t AS DOUBLE)/h"
+  private val anomalyVar =
+    s"CAST(s2 AS DOUBLE)/h - ($anomalyMean)*($anomalyMean)"
+
   val oracle: Map[String, String] = Map(
+    "c5_anomaly" ->
+      ("WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS hour, " +
+        "count(*) AS cnt FROM events GROUP BY 1, 2), " +
+        "st AS (SELECT user_id, count(*) AS h, " +
+        "CAST(sum(cnt) AS BIGINT) AS t, CAST(sum(cnt*cnt) AS BIGINT) AS s2 " +
+        "FROM hourly GROUP BY user_id) " +
+        "SELECT hourly.user_id, hour, cnt, " +
+        s"round($anomalyMean, 6) AS mean_cnt, " +
+        s"CASE WHEN $anomalyVar > 0 THEN " +
+        s"round((cnt - $anomalyMean)/sqrt($anomalyVar), 6) END AS z " +
+        "FROM hourly JOIN st USING (user_id) " +
+        "WHERE cnt*h > t*2 ORDER BY user_id, hour"),
     "c5_gapfill" ->
       ("WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events), " +
         "daily AS (SELECT day, event_type, count(*) AS n_events " +
@@ -276,6 +321,7 @@ object EventOps {
     "c5_asof_join" -> (c5AsofJoin _),
     "c5_funnel" -> (c5Funnel _),
     "c5_retention" -> (c5Retention _),
-    "c5_gapfill" -> (c5Gapfill _)
+    "c5_gapfill" -> (c5Gapfill _),
+    "c5_anomaly" -> (c5Anomaly _)
   )
 }

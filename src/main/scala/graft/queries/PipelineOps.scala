@@ -444,7 +444,94 @@ object PipelineOps {
       .orderBy("lang", "rn")
   }
 
+  /** C7l: Gopher-style composite quality filter — the rule-based document
+    * gate every pretraining pipeline applies before expensive stages
+    * (public Gopher/C4 heuristics adapted to the corpus): token-count
+    * bounds, mean-word-length bounds, top-token concentration cap,
+    * duplicated-bigram cap, and a minimum-stopword-diversity floor. Every
+    * rule is INTEGER arithmetic (`a·k ≤ b·m` forms — no float threshold
+    * can hash-flip a verdict), emitted per-rule so the pipeline can audit
+    * WHY a doc was dropped, plus the composite `keep`.
+    *
+    * Scale: the per-token and per-bigram concentration stats shuffle on
+    * (doc_id, token) with map-side partial aggregation (the c4_diversity
+    * posture — never a per-row O(len²) HOF, which would die on a 100k-token
+    * doc); the three per-doc tables then equi-join on doc_id.
+    */
+  def c7QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(TextOps.stopwords.map(lit): _*)
+    val base = docs(spark, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("alpha_chars"))
+    val tokStats = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("max_c"),
+        // rows are distinct (doc, token), so this counts distinct
+        // stopword TYPES present, not occurrences
+        count(when(array_contains(stopArr, col("tok")), 1)).as("n_stop_types"))
+    val toks = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val bgStats = docs(spark, dir)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("n_dup"))
+    base
+      .join(tokStats, Seq("doc_id"), "left")
+      .join(bgStats, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .select(col("doc_id"),
+        col("n_tokens").between(30L, 10000L).as("r_len"),
+        (col("alpha_chars") >= col("n_tokens") * 2 &&
+          col("alpha_chars") <= col("n_tokens") * 12).as("r_word_len"),
+        (col("max_c") * 5 <= col("n_tokens")).as("r_top_tok"),
+        (col("n_dup") * 10 <= col("n_bigrams") * 3).as("r_dup_bigram"),
+        (col("n_stop_types") >= 2).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_len") && col("r_word_len") && col("r_top_tok") &&
+          col("r_dup_bigram") && col("r_stopwords"))
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "c7_quality_filter" ->
+      ("WITH base AS (SELECT doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars " +
+        "FROM documents), " +
+        "tc AS (SELECT doc_id, tok, count(*) AS c FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY doc_id, tok), " +
+        "ts AS (SELECT doc_id, max(c) AS max_c, " +
+        "count(CASE WHEN tok IN ('the','a','of','to','in','and','is') THEN 1 END) " +
+        "AS n_stop_types FROM tc GROUP BY doc_id), " +
+        "bg AS (SELECT doc_id, bg, count(*) AS cnt FROM " +
+        "(SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))), " +
+        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg " +
+        "FROM documents) GROUP BY doc_id, bg), " +
+        "bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup " +
+        "FROM bg GROUP BY doc_id) " +
+        "SELECT base.doc_id, " +
+        "n_tokens BETWEEN 30 AND 10000 AS r_len, " +
+        "(alpha_chars >= n_tokens * 2 AND alpha_chars <= n_tokens * 12) AS r_word_len, " +
+        "max_c * 5 <= n_tokens AS r_top_tok, " +
+        "COALESCE(n_dup, 0) * 10 <= COALESCE(n_bigrams, 0) * 3 AS r_dup_bigram, " +
+        "n_stop_types >= 2 AS r_stopwords, " +
+        "(n_tokens BETWEEN 30 AND 10000 AND " +
+        "alpha_chars >= n_tokens * 2 AND alpha_chars <= n_tokens * 12 AND " +
+        "max_c * 5 <= n_tokens AND " +
+        "COALESCE(n_dup, 0) * 10 <= COALESCE(n_bigrams, 0) * 3 AND " +
+        "n_stop_types >= 2) AS keep " +
+        "FROM base LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id) " +
+        "ORDER BY doc_id"),
     "c7_sample_topk" ->
       (s"SELECT lang, doc_id, bucket, rn FROM (" +
         s"SELECT lang, doc_id, $bucketSql AS bucket, " +
@@ -575,6 +662,7 @@ object PipelineOps {
     "c7_pack_sequences" -> ((s: SparkSession, d: String) => c7PackSequences(s, d)),
     "c7_pipeline" -> ((s: SparkSession, d: String) => c7Pipeline(s, d)),
     "c7_sample_topk" -> ((s: SparkSession, d: String) => c7SampleTopk(s, d)),
-    "c7_mix_sources" -> ((s: SparkSession, d: String) => c7MixSources(s, d))
+    "c7_mix_sources" -> ((s: SparkSession, d: String) => c7MixSources(s, d)),
+    "c7_quality_filter" -> (c7QualityFilter _)
   )
 }

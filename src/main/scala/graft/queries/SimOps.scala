@@ -85,6 +85,51 @@ object SimOps {
       .orderBy("q_id", "rank")
   }
 
+  /** C3i: kNN classification — predict each query vector's label by
+    * majority vote of its k nearest corpus neighbors (exact cosine, the
+    * labeled-embedding evaluation loop every embedding pipeline runs:
+    * "do my vectors cluster by label?"). The top-k is the same
+    * deterministic ranking as c3_cosine_topk (round-6 cosine, b_id
+    * tie-break); the vote is pure integer counting and the argmax is a
+    * deterministic (votes desc, label asc) window — no float can flip
+    * the prediction. Scale: the query side broadcasts (caller-supplied
+    * and small by contract), the corpus scan is narrow, and the vote
+    * aggregate is O(queries × labels). On this synthetic corpus the
+    * labels are independent of the embedding geometry, so chance-level
+    * accuracy is the CORRECT output — the operator reports the
+    * (absence of) label-geometry alignment, and the oracle pins the
+    * full vote mechanics either way.
+    */
+  def c3KnnClassify(spark: SparkSession, dir: String, k: Int = 5,
+      queryMod: Int = 20): DataFrame = {
+    val corpus = emb(spark, dir)
+      .select(col("vec_id").as("b_id"), asDouble(col("embedding")).as("b_emb"),
+        col("label").as("b_label"))
+    val queries = emb(spark, dir)
+      .filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"),
+        col("label").as("true_label"))
+
+    val scored = corpus.join(broadcast(queries), col("q_id") =!= col("b_id"))
+      .withColumn("cosine",
+        round(dotD(col("q_emb"), col("b_emb")) /
+          (normD(col("q_emb")) * normD(col("b_emb"))), 6))
+    val topk = scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("b_id"))))
+      .filter(col("rank") <= k)
+    val votes = topk.groupBy(col("q_id"), col("true_label"), col("b_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    votes
+      .withColumn("vr", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("n_votes").desc, col("b_label"))))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"),
+        col("b_label").as("pred_label"), col("n_votes"),
+        (col("b_label") === col("true_label")).as("correct"))
+      .orderBy("q_id")
+  }
+
   /** Deterministic hyperplanes: a fixed-seed Gaussian matrix embedded in
     * the plan as one literal (the same planes on every executor, no
     * runtime randomness, no per-row hashing). Sized for 64-dim
@@ -975,7 +1020,29 @@ object SimOps {
       "AS mean_recall, TRUE AS mean_recall_ok " +
       "FROM (SELECT DISTINCT q_id FROM bf) q LEFT JOIN hits h USING (q_id) " +
       "ORDER BY q_id"
+    // SemDeDup replay (DedupOps.c2SemanticDedup): same trained centroid
+    // literal, same argmin cell assignment as the `d` CTE above, then
+    // within-cell pairs at round-6 cosine >= 0.35 (the corpus's
+    // embed-neardup threshold) and the min-neighbor propagation round.
+    val semSql =
+      s"WITH ct AS (SELECT ${matLit(cents)} AS c), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"d AS (SELECT vec_id, v, list_transform(range(1, ${n + 1}), k -> " +
+        "list_sum(list_transform(range(1, 65), j -> " +
+        "(v[j]-c[k][j])*(v[j]-c[k][j])))) AS dists FROM e CROSS JOIN ct), " +
+        "asg AS (SELECT vec_id, v, " +
+        "CAST(list_position(dists, list_min(dists)) AS INT) AS cell FROM d), " +
+        "ed AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM asg a JOIN asg b " +
+        "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        "AND round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * " +
+        "sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35), " +
+        "reps AS (SELECT b_id AS vec_id, min(a_id) AS mn FROM ed GROUP BY b_id) " +
+        "SELECT asg.vec_id, cell, " +
+        "least(asg.vec_id, COALESCE(mn, asg.vec_id)) AS cluster_rep, " +
+        "asg.vec_id = least(asg.vec_id, COALESCE(mn, asg.vec_id)) AS is_kept " +
+        "FROM asg LEFT JOIN reps USING (vec_id) ORDER BY vec_id"
     Map(
+      "c2_semantic_dedup" -> semSql,
       "c3_ann_pq" -> pqSql,
       // The indexed variant is result-identical by construction (same
       // deterministic training, same encode expressions persisted), so it
@@ -1013,6 +1080,26 @@ object SimOps {
         "round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5, TRUE AS recall_ok " +
         "FROM (SELECT DISTINCT q_id FROM bf) q LEFT JOIN hits h USING (q_id) " +
         "ORDER BY q_id"),
+    // kNN vote replay: the c3_cosine_topk ranking (labels carried
+    // through), integer vote counts, deterministic (votes desc, label
+    // asc) argmax.
+    "c3_knn_classify" ->
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb, " +
+        "label AS true_label FROM embeddings WHERE vec_id % 20 = 0), " +
+        "c AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS b_emb, " +
+        "label AS b_label FROM embeddings), " +
+        "s AS (SELECT q_id, true_label, b_id, b_label, " +
+        "round(list_dot_product(q_emb, b_emb) / " +
+        "(sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(b_emb, b_emb))), 6) AS cosine " +
+        "FROM q JOIN c ON q_id <> b_id), " +
+        "r AS (SELECT q_id, true_label, b_label, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cosine DESC, b_id) AS rank FROM s), " +
+        "v AS (SELECT q_id, true_label, b_label, count(*) AS n_votes " +
+        "FROM r WHERE rank <= 5 GROUP BY q_id, true_label, b_label), " +
+        "p AS (SELECT q_id, true_label, b_label, n_votes, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY n_votes DESC, b_label) AS vr FROM v) " +
+        "SELECT q_id, true_label, b_label AS pred_label, n_votes, " +
+        "b_label = true_label AS correct FROM p WHERE vr = 1 ORDER BY q_id"),
     "c3_cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb " +
         "FROM embeddings WHERE vec_id % 100 = 0), " +
@@ -1034,6 +1121,7 @@ object SimOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c3_cosine_topk" -> ((s: SparkSession, d: String) => c3CosineTopK(s, d)),
+    "c3_knn_classify" -> ((s: SparkSession, d: String) => c3KnnClassify(s, d)),
     "c3_ann_lsh" -> ((s: SparkSession, d: String) => c3AnnLsh(s, d)),
     "c3_ann_ivf" -> ((s: SparkSession, d: String) => c3AnnIvf(s, d)),
     "c3_ann_pq" -> ((s: SparkSession, d: String) => c3AnnPq(s, d)),

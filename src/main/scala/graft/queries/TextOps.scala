@@ -74,7 +74,7 @@ object TextOps {
           .as("type_token_ratio"))
       .orderBy("doc_id")
 
-  private val stopwords = Seq("the", "a", "of", "to", "in", "and", "is")
+  private[queries] val stopwords = Seq("the", "a", "of", "to", "in", "and", "is")
 
   /** C4b: per-document quality scoring — token count, mean token length,
     * stopword ratio, and a quality flag. All ratios are exact integer

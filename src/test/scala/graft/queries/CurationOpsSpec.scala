@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-10 curation operators (incremental
+  * dedup, SemDeDup, kNN classify, quality filter, burst detection) —
+  * properties beyond the cross-engine oracle equality: each test
+  * recomputes the ground truth independently (brute force, no LSH/
+  * clustering shortcuts) and checks the operator's claims against it.
+  */
+class CurationOpsSpec extends SparkSuite {
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    (a & b).size.toDouble / (a | b).size
+
+  test("c2_incremental_dedup: matches are real, best, and complete vs brute force") {
+    val rows = DedupOps.c2IncrementalDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    val newIds = docs.keySet.filter(_ % 10 == 7)
+    val corpusIds = docs.keySet.filter(_ % 10 != 7)
+    // output covers exactly the new slice
+    assert(rows.map(_.getLong(0)).toSet == newIds)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (!r.getBoolean(1)) {
+        val m = r.getLong(2)
+        // the claimed match is a real >= 0.8 corpus neighbor...
+        assert(corpusIds.contains(m))
+        val j = jaccard(docs(id), docs(m))
+        assert(j >= 0.8, s"doc $id matched $m at true jaccard $j")
+        // ...and it is THE best one (highest jaccard, lowest id on ties)
+        val best = corpusIds.map(c => (c, jaccard(docs(id), docs(c))))
+          .filter(_._2 >= 0.8)
+          .minBy { case (c, j2) => (-j2, c) }
+        assert(m == best._1, s"doc $id: matched $m but brute-force best is $best")
+      } else {
+        // novelty claims are checked at full strength: LSH with 16 bands
+        // of 4 rows misses a >= 0.8 pair with prob < 1e-3, and the tiny
+        // suite corpus has no borderline pairs — no strong match may exist
+        val strong = corpusIds.filter(c => jaccard(docs(id), docs(c)) >= 0.85)
+        assert(strong.isEmpty, s"doc $id declared novel but matches $strong")
+      }
+    }
+  }
+
+  test("c2_semantic_dedup: drops are justified, keeps are maximal within cells") {
+    val out = DedupOps.c2SemanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    out.foreach { case (id, cell, rep, kept) =>
+      assert(kept == (rep == id))
+      assert(rep <= id)
+      if (!kept) {
+        // the rep is a genuinely-similar smaller-id vector in the SAME cell
+        assert(cellOf(rep) == cell, s"vec $id: rep $rep is in another cell")
+        assert(cos(vecs(id), vecs(rep)) >= 0.35,
+          s"vec $id dropped for rep $rep below the threshold")
+      } else {
+        // no smaller-id within-cell neighbor above the threshold exists
+        val violator = out.filter(o => o._2 == cell && o._1 < id)
+          .find(o => cos(vecs(id), vecs(o._1)) >= 0.35)
+        assert(violator.isEmpty, s"vec $id kept despite neighbor $violator")
+      }
+    }
+  }
+
+  test("c3_knn_classify: prediction is the plurality label of the exact top-5") {
+    val preds = SimOps.c3KnnClassify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
+    assert(preds.nonEmpty)
+    val labels = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // ground-truth neighbor ranking from the already-verified exact top-k
+    val topk = SimOps.c3CosineTopK(spark, sf, k = 5, queryMod = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    preds.foreach { case (q, trueLabel, pred, votes, correct) =>
+      assert(labels(q) == trueLabel)
+      assert(correct == (pred == trueLabel))
+      val voteCount = topk(q).groupBy(labels).view.mapValues(_.size).toMap
+      val expected = voteCount.toSeq.minBy { case (l, n) => (-n, l) }
+      assert((pred, votes) == (expected._1, expected._2.toLong),
+        s"query $q: got ($pred, $votes), brute force says $expected")
+    }
+  }
+
+  test("c7_quality_filter: keep is the exact conjunction; rules match a recompute") {
+    val out = PipelineOps.c7QualityFilter(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stop = TextOps.stopwords.toSet
+    out.foreach { r =>
+      val (id, rLen, rWl, rTop, rDup, rStop, keep) =
+        (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))
+      assert(keep == (rLen && rWl && rTop && rDup && rStop))
+      val toks = docs(id).split(" ", -1).toSeq
+      val n = toks.size.toLong
+      val alpha = docs(id).count(c => c >= 'a' && c <= 'z').toLong
+      val counts = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      val bigrams = toks.zip(toks.drop(1)).map { case (a, b) => s"$a $b" }
+      val bgCounts = bigrams.groupBy(identity).view.mapValues(_.size.toLong)
+      val nBg = bigrams.size.toLong
+      val nDup = bgCounts.values.filter(_ > 1).sum
+      assert(rLen == (n >= 30 && n <= 10000), s"doc $id r_len")
+      assert(rWl == (alpha >= 2 * n && alpha <= 12 * n), s"doc $id r_word_len")
+      assert(rTop == (counts.values.max * 5 <= n), s"doc $id r_top_tok")
+      assert(rDup == (nDup * 10 <= nBg * 3), s"doc $id r_dup_bigram")
+      assert(rStop == (toks.toSet.count(stop) >= 2), s"doc $id r_stopwords")
+    }
+  }
+
+  test("c5_anomaly: flagged hours are exactly the >2x-mean hours; z is right") {
+    // sf0.01: the sf0.001 slice is too sparse to contain any burst hour,
+    // which would make this test vacuous (10k events here, still fast).
+    val dir = "/root/testdata/sf0.01"
+    val out = EventOps.c5Anomaly(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getTimestamp(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val hourly = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val byUser = hourly.groupBy(_._1)
+    // exact flag set: cnt * h > 2 * t, nothing more, nothing less
+    val expect = hourly.filter { case (u, _, cnt) =>
+      val rows = byUser(u)
+      cnt * rows.length > 2 * rows.map(_._3).sum
+    }.map { case (u, h, _) => (u, h) }.toSet
+    assert(out.keySet == expect)
+    out.foreach { case ((u, h), (cnt, meanCnt)) =>
+      val rows = byUser(u)
+      val t = rows.map(_._3).sum.toDouble
+      assert(math.abs(meanCnt - t / rows.length) < 1e-6)
+      assert(rows.find(_._2 == h).get._3 == cnt)
+    }
+  }
+}
