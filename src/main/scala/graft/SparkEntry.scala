@@ -54,7 +54,9 @@ object SparkEntry {
     Warmup("b8_layouts", _.startsWith("b8"),
       (s, d) => Relational.warmLayouts(s, d)),
     Warmup("ann_index", _ == "c3_ann_pq_indexed",
-      (s, d) => { SimOps.ensureAnnIndex(s, d); () }))
+      (s, d) => { SimOps.ensureAnnIndex(s, d); () }),
+    Warmup("dedup_index", _ == "c2_incremental_dedup_indexed",
+      (s, d) => { DedupOps.ensureDedupIndex(s, d); () }))
 
   /** Oracle SQL whose text depends on data-trained plan literals (e.g.
     * the IVF codebook): generated against the verify-time tables, merged

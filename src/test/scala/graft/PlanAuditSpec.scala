@@ -20,6 +20,7 @@ class PlanAuditSpec extends SparkSuite {
     "c2_ngram_jaccard",  // distinct-set bitmask path: broadcast distinct sets
     "c2_ngram_jaccard_topm", // same bitmask path (bounded by maxBroadcastSets)
     "c3_cosine_topk",    // broadcast query subset, q_id <> b_id theta join
+    "c3_knn_classify",   // same broadcast-query theta join as c3_cosine_topk
     "c3_ann_recall",     // composes c3_cosine_topk: same intentional BNLJ
     "c3_ann_ivf_recall", // composes c3_cosine_topk: same intentional BNLJ
     "c5_gapfill"         // date-spine x distinct-types cross product:
@@ -190,6 +191,41 @@ class PlanAuditSpec extends SparkSuite {
     val embScans = leaves.count(_.contains("embeddings.parquet"))
     assert(embScans == 1,
       s"expected exactly 1 embeddings scan (the query subset), got $embScans:\n$plan")
+  }
+
+  test("indexed incremental dedup reads the persisted memberships, never re-bands the corpus") {
+    // c2_incremental_dedup_indexed's contract: the corpus side of the
+    // candidate join is the persisted (doc_id, band, bucket) layout —
+    // banding happened at ingest. The MinHash signature expression may
+    // appear only on the batch side; a signature computed over a
+    // corpus-slice scan means the index bought nothing. The batch side
+    // is cached (InMemoryTableScan), so the only allowed documents
+    // scans are the cached base's build and the confirm-side token
+    // re-attach.
+    // sparkPlan, not executedPlan: the AQE root is a leaf node wrapping
+    // the real tree, so collect() would see nothing below it.
+    val plan = graft.SparkEntry.queries("c2_incremental_dedup_indexed")(spark, sf)
+      .queryExecution.sparkPlan
+    val leaves = plan.collectLeaves().map(_.toString)
+    assert(leaves.exists(_.contains("graft_mh_mem_")),
+      s"no persisted membership-table scan in the plan:\n$plan")
+    // every subtree that computes a MinHash signature must sit over the
+    // batch-slice cache, never over a raw documents scan
+    val sigNodes = plan.collect {
+      case n if n.expressions.exists(_.find(
+        _.isInstanceOf[graft.functions.MinHashSig]).isDefined) => n
+    }
+    assert(sigNodes.nonEmpty, s"no batch-side signature found:\n$plan")
+    sigNodes.foreach { n =>
+      // A cached batch slice (InMemoryTableScan) is the allowed input —
+      // its printed lineage legitimately mentions the documents file it
+      // was built from. Only a DIRECT file scan under a signature node
+      // means the corpus is being re-banded in-plan.
+      val subLeaves = n.collectLeaves().map(_.toString)
+      assert(!subLeaves.exists(l =>
+          l.startsWith("FileScan") && l.contains("documents")),
+        s"signature computed over a raw documents scan (corpus re-banding):\n$n")
+    }
   }
 
   test("set-sim join never broadcasts the token dictionary (vocab-sized)") {

@@ -47,6 +47,15 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("c2_incremental_dedup_indexed is row-identical to the in-plan variant") {
+    // The persisted-layout path must change WHERE the corpus memberships
+    // come from, never WHAT they are — same hash family, same banding.
+    val direct = DedupOps.c2IncrementalDedup(spark, sf).collect().toSeq
+    val indexed = DedupOps.c2IncrementalDedupIndexed(spark, sf).collect().toSeq
+    assert(indexed == direct)
+    assert(indexed.nonEmpty)
+  }
+
   test("c2_semantic_dedup: drops are justified, keeps are maximal within cells") {
     val out = DedupOps.c2SemanticDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
