@@ -270,11 +270,14 @@ object DedupOps {
     * Output `(vec_id, cell, cluster_rep, is_kept)` — O(n), hash-checked
     * end-to-end by a dynamic oracle embedding the trained centroids.
     */
-  def c2SemanticDedup(spark: SparkSession, dir: String,
-      threshold: Double = 0.35): DataFrame = {
+  /** Shared SemDeDup construction: the cell-assigned corpus (persisted —
+    * released by the caller) and the within-cell cosine-threshold edge
+    * list `(a_id < b_id)`.
+    */
+  private def semanticParts(spark: SparkSession, dir: String,
+      threshold: Double): (DataFrame, DataFrame) = {
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = SimOps.ivfCentroids(spark, dir)
     val assigned = base
       .withColumn("dists",
@@ -282,6 +285,7 @@ object DedupOps {
       .withColumn("cell",
         expr("array_position(dists, array_min(dists))").cast("int"))
       .select(col("vec_id"), col("embD"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = assigned
       .select(col("cell"), col("vec_id").as("a_id"), col("embD").as("a_emb"))
       .join(assigned.select(col("cell"), col("vec_id").as("b_id"),
@@ -291,6 +295,13 @@ object DedupOps {
         round(SimOps.dotD(col("a_emb"), col("b_emb")) /
           (SimOps.normD(col("a_emb")) * SimOps.normD(col("b_emb"))), 6))
       .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id")
+    (assigned, edges)
+  }
+
+  def c2SemanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    val (assigned, edges) = semanticParts(spark, dir, threshold)
     val reps = edges.groupBy(col("b_id").as("vec_id"))
       .agg(min(col("a_id")).as("min_nbr"))
     graft.util.CacheScope.releaseAfterMaterialize(
@@ -301,7 +312,56 @@ object DedupOps {
             .as("cluster_rep"))
         .withColumn("is_kept", col("vec_id") === col("cluster_rep"))
         .orderBy("vec_id"),
-      Seq(base))
+      Seq(assigned))
+  }
+
+  /** C2f': [[c2SemanticDedup]] with full transitive closure — semantic
+    * duplicate CHAINS (A ~ B ~ C inside one cell with A, C not directly
+    * similar) collapse into one cluster via the same distributed
+    * large-star/small-star contraction as the token-space CC operators
+    * (O(log n) rounds over the within-cell edge list). Dynamic oracle:
+    * recursive-CTE min-label closure over the replayed edges.
+    */
+  def c2SemanticDedupCc(spark: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    val (assigned, edges) = semanticParts(spark, dir, threshold)
+    val roots = graft.dedup.ConnectedComponents.starRoots(
+      edges.select(col("a_id").as("u"), col("b_id").as("v")))
+    graft.util.CacheScope.releaseAfterMaterialize(
+      assigned.select("vec_id", "cell")
+        .join(roots.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("rep"), col("vec_id")).as("cluster_rep"))
+        .withColumn("is_kept", col("vec_id") === col("cluster_rep"))
+        .orderBy("vec_id"),
+      Seq(assigned))
+  }
+
+  /** Append NEW documents' memberships to the persisted dedup index —
+    * the maintenance path a growing corpus needs (the
+    * [[graft.queries.SimOps.appendAnnIndex]] posture applied to the LSH
+    * layout): band the day's batch with the SAME hash family and
+    * banding, append its `(doc_id, band, bucket)` rows. Duplicate ids
+    * are rejected loudly (an id banded twice would self-match).
+    * Returns the number of appended membership rows (docs × bands).
+    */
+  private[graft] def appendDedupIndex(spark: SparkSession, dir: String,
+      newDocs: DataFrame, numHashes: Int = 128, bands: Int = 16): Long = {
+    val tab = ensureDedupIndex(spark, dir, numHashes, bands)
+    val base = newDocs
+      .select(col("doc_id"), MinHash.tokenSet(col("text")).as("toks"))
+    val dup = spark.table(tab).select(col("doc_id"))
+      .join(base.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(dup == 0L,
+      s"appendDedupIndex: new docs contain ids already present in $tab — " +
+        "an appended duplicate would match itself; dedup upstream")
+    val mem = MinHash.membershipsFromSets(
+      base, col("doc_id"), col("toks"), numHashes, bands)
+    val n = mem.count()
+    mem.select(spark.table(tab).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(tab)
+    n
   }
 
   /** DuckDB replay of the portable MinHash pipeline (same family as
@@ -473,6 +533,7 @@ object DedupOps {
     "c2_embed_neardup" -> ((s: SparkSession, d: String) => c2EmbedNearDup(s, d)),
     "c2_incremental_dedup" -> ((s: SparkSession, d: String) => c2IncrementalDedup(s, d)),
     "c2_incremental_dedup_indexed" -> ((s: SparkSession, d: String) => c2IncrementalDedupIndexed(s, d)),
-    "c2_semantic_dedup" -> ((s: SparkSession, d: String) => c2SemanticDedup(s, d))
+    "c2_semantic_dedup" -> ((s: SparkSession, d: String) => c2SemanticDedup(s, d)),
+    "c2_semantic_dedup_cc" -> ((s: SparkSession, d: String) => c2SemanticDedupCc(s, d))
   )
 }

@@ -1024,8 +1024,8 @@ object SimOps {
     // literal, same argmin cell assignment as the `d` CTE above, then
     // within-cell pairs at round-6 cosine >= 0.35 (the corpus's
     // embed-neardup threshold) and the min-neighbor propagation round.
-    val semSql =
-      s"WITH ct AS (SELECT ${matLit(cents)} AS c), " +
+    val semCtes =
+      s"ct AS (SELECT ${matLit(cents)} AS c), " +
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         s"d AS (SELECT vec_id, v, list_transform(range(1, ${n + 1}), k -> " +
         "list_sum(list_transform(range(1, 65), j -> " +
@@ -1035,14 +1035,31 @@ object SimOps {
         "ed AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM asg a JOIN asg b " +
         "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
         "AND round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * " +
-        "sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35), " +
+        "sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35)"
+    val semSql =
+      s"WITH $semCtes, " +
         "reps AS (SELECT b_id AS vec_id, min(a_id) AS mn FROM ed GROUP BY b_id) " +
         "SELECT asg.vec_id, cell, " +
         "least(asg.vec_id, COALESCE(mn, asg.vec_id)) AS cluster_rep, " +
         "asg.vec_id = least(asg.vec_id, COALESCE(mn, asg.vec_id)) AS is_kept " +
         "FROM asg LEFT JOIN reps USING (vec_id) ORDER BY vec_id"
+    // CC twin: min-label transitive closure over the SYMMETRIZED
+    // semantic edges as a recursive CTE — the oracle twin of the
+    // large-star/small-star contraction (the closureSql pattern of the
+    // token-space CC oracles, over cosine edges instead of co-buckets).
+    val semCcSql =
+      s"WITH RECURSIVE $semCtes, " +
+        "sed AS (SELECT a_id AS src, b_id AS dst FROM ed " +
+        "UNION ALL SELECT b_id, a_id FROM ed), " +
+        "reach AS (SELECT vec_id AS id, vec_id AS r FROM asg " +
+        "UNION SELECT sed.dst, reach.r FROM reach JOIN sed ON reach.id = sed.src), " +
+        "cl AS (SELECT id AS vec_id, min(r) AS cluster_rep FROM reach GROUP BY id) " +
+        "SELECT asg.vec_id, cell, cl.cluster_rep, " +
+        "asg.vec_id = cl.cluster_rep AS is_kept " +
+        "FROM asg JOIN cl USING (vec_id) ORDER BY vec_id"
     Map(
       "c2_semantic_dedup" -> semSql,
+      "c2_semantic_dedup_cc" -> semCcSql,
       "c3_ann_pq" -> pqSql,
       // The indexed variant is result-identical by construction (same
       // deterministic training, same encode expressions persisted), so it

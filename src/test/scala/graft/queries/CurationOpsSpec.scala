@@ -87,6 +87,67 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("c2_semantic_dedup_cc equals a brute-force union-find over the same edges") {
+    val out = DedupOps.c2SemanticDedupCc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    // independent ground truth: same cells (from the one-round variant,
+    // already brute-force-verified above), exact cosine edges, union-find
+    val oneRound = DedupOps.c2SemanticDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val parent = scala.collection.mutable.Map(vecs.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- vecs.keys; b <- vecs.keys
+         if a < b && oneRound(a) == oneRound(b) && cos(vecs(a), vecs(b)) >= 0.35) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    out.foreach { case (id, rep, kept) =>
+      assert(rep == find(id), s"vec $id: engine rep $rep, union-find ${find(id)}")
+      assert(kept == (rep == id))
+    }
+    // the closure must collapse at least as much as one round
+    val oneRoundDrops = DedupOps.c2SemanticDedup(spark, sf).collect()
+      .count(!_.getBoolean(3))
+    assert(out.count(!_._3) >= oneRoundDrops)
+  }
+
+  test("appendDedupIndex: appended memberships match a fresh banding; duplicates rejected") {
+    import spark.implicits._
+    val tab = DedupOps.ensureDedupIndex(spark, sf)
+    val before = spark.table(tab).count()
+    // synthetic new docs with ids far outside the corpus
+    val newDocs = Seq(
+      (9000001L, "alpha beta gamma delta epsilon"),
+      (9000002L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val n = DedupOps.appendDedupIndex(spark, sf, newDocs)
+    assert(n == 2L * 16)
+    assert(spark.table(tab).count() == before + n)
+    // the appended rows are bit-identical to banding the docs directly
+    val stored = spark.table(tab).filter(col("doc_id") >= 9000000L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fresh = graft.dedup.MinHash.membershipsFromSets(
+      newDocs.select(col("doc_id"),
+        graft.dedup.MinHash.tokenSet(col("text")).as("toks")),
+      col("doc_id"), col("toks"), 128, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(stored == fresh)
+    // duplicate append is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.appendDedupIndex(spark, sf, newDocs)
+    }
+    assert(e.getMessage.contains("already present"))
+  }
+
   test("c3_knn_classify: prediction is the plurality label of the exact top-5") {
     val preds = SimOps.c3KnnClassify(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
