@@ -143,6 +143,43 @@ object DedupOps {
     * side (see [[c2IncrementalDedupIndexed]] for the persisted-layout
     * form).
     */
+  /** Banding of the incremental-dedup family, shared by the in-plan
+    * variant, the persisted layout, its append path, and (via
+    * `mhChainSql(IncBands, IncRows)`) the oracle — tuned to the 0.8
+    * confirm threshold; retuning HERE retunes every consumer at once
+    * (drifting one of them would silently empty the candidate join).
+    */
+  private[queries] val IncBands = 16
+  private[queries] val IncRows = 8
+  private[queries] val IncHashes = IncBands * IncRows
+
+  /** Shared tail of both incremental variants: exact-Jaccard confirm of
+    * the candidate pairs (token sets re-attached by id for candidate
+    * rows only), best match per new doc as ONE partial aggregate (min
+    * over the (-jaccard, c_id) struct = highest jaccard, smallest id on
+    * ties — no window over the candidate stream), left-joined back to
+    * the batch.
+    */
+  private def resolveBatch(cand: DataFrame, newToks: DataFrame,
+      corpToks: DataFrame, threshold: Double): DataFrame = {
+    val confirmed = cand
+      .join(newToks.select(col("doc_id").as("n_id"), col("toks").as("n_toks")), "n_id")
+      .join(corpToks.select(col("doc_id").as("c_id"), col("toks").as("c_toks")), "c_id")
+      .withColumn("common", size(array_intersect(col("n_toks"), col("c_toks"))))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (size(col("n_toks")) + size(col("c_toks")) - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+    val best = confirmed.groupBy(col("n_id"))
+      .agg(min(struct((-col("jaccard")).as("nj"), col("c_id").as("cid"))).as("b"))
+      .select(col("n_id").as("doc_id"), col("b.cid").as("match_id"),
+        (-col("b.nj")).as("match_jaccard"))
+    newToks.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("match_id").isNull.as("is_novel"),
+        col("match_id"), col("match_jaccard"))
+      .orderBy("doc_id")
+  }
+
   def c2IncrementalDedup(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
     // Persisted: token sets feed the banding AND both exact-confirm joins.
@@ -152,106 +189,85 @@ object DedupOps {
     val isNew = col("doc_id") % 10 === 7
     // Persisted too: both filter sides of the candidate join scan the
     // SAME membership table — without the cache each side recomputes the
-    // 64-hash signature pass (the dominant per-row cost) from scratch.
+    // 128-hash signature pass (the dominant per-row cost) from scratch.
     val mem = MinHash.membershipsFromSets(
-      base, col("doc_id"), col("toks"), numHashes = 128, bands = 16)
+      base, col("doc_id"), col("toks"), IncHashes, IncBands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = mem.filter(isNew).withColumnRenamed("doc_id", "n_id")
       .join(mem.filter(!isNew).withColumnRenamed("doc_id", "c_id"),
         Seq("band", "bucket"))
       .select("n_id", "c_id").distinct()
-    val confirmed = cand
-      .join(base.select(col("doc_id").as("n_id"), col("toks").as("n_toks")), "n_id")
-      .join(base.select(col("doc_id").as("c_id"), col("toks").as("c_toks")), "c_id")
-      .withColumn("common", size(array_intersect(col("n_toks"), col("c_toks"))))
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (size(col("n_toks")) + size(col("c_toks")) - col("common")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-    // Best match per new doc as ONE partial aggregate (min over the
-    // (-jaccard, c_id) struct = highest jaccard, smallest id on ties) —
-    // no window over the candidate stream.
-    val best = confirmed.groupBy(col("n_id"))
-      .agg(min(struct((-col("jaccard")).as("nj"), col("c_id").as("cid"))).as("b"))
-      .select(col("n_id").as("doc_id"), col("b.cid").as("match_id"),
-        (-col("b.nj")).as("match_jaccard"))
     graft.util.CacheScope.releaseAfterMaterialize(
-      base.filter(isNew).select(col("doc_id"))
-        .join(best, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("match_id").isNull.as("is_novel"),
-          col("match_id"), col("match_jaccard"))
-        .orderBy("doc_id"),
+      resolveBatch(cand, base.filter(isNew), base.filter(!isNew), threshold),
       Seq(base, mem))
   }
 
-  /** One-time LSH-membership LAYOUT of the standing corpus — the ingest
-    * posture incremental dedup has at 100 TB: the corpus is banded ONCE
-    * when documents arrive (the b8/ANN-index posture applied to the
+  /** One-time LSH LAYOUT of the standing corpus — the ingest posture
+    * incremental dedup has at 100 TB: the corpus is banded and tokenized
+    * ONCE when documents arrive (the b8/ANN-index posture applied to the
     * dedup index), and every subsequent batch check reads the persisted
-    * `(doc_id, band, bucket)` table instead of re-hashing petabytes.
-    * Keyed by corpus fingerprint + banding params (a layout banded
-    * differently is not this layout); stale/differently-parameterized
-    * layouts are swept. Idempotent; returns the table name.
+    * membership table `(doc_id, band, bucket)` AND token-set table
+    * `(doc_id, toks)` — the layout is self-contained, so the query path
+    * never re-scans or re-tokenizes the raw corpus, and documents
+    * appended later via [[appendDedupIndex]] (arrivals not present in
+    * the parquet corpus) are first-class match candidates. Keyed by
+    * corpus fingerprint + banding params (a layout banded differently is
+    * not this layout); stale/differently-parameterized layouts are
+    * swept. Idempotent; returns (membershipTable, tokenTable).
     */
   private[graft] def ensureDedupIndex(spark: SparkSession, dir: String,
-      numHashes: Int = 128, bands: Int = 16): String = {
+      numHashes: Int = IncHashes, bands: Int = IncBands): (String, String) = {
     import graft.sources.Storage.{dropStaleLayouts, sourceFingerprint}
     val suffix = sourceFingerprint(s"$dir/documents.parquet") +
       s"_${numHashes}h${bands}b"
-    val tab = s"graft_mh_mem_$suffix"
-    if (spark.catalog.tableExists(tab)) return tab
+    val (memTab, toksTab) = (s"graft_mh_mem_$suffix", s"graft_mh_toks_$suffix")
+    if (spark.catalog.tableExists(memTab) && spark.catalog.tableExists(toksTab))
+      return (memTab, toksTab)
     dropStaleLayouts(spark, "graft_mh_mem_", suffix)
+    dropStaleLayouts(spark, "graft_mh_toks_", suffix)
     val corpus = docs(spark, dir).filter(col("doc_id") % 10 =!= 7)
       .select(col("doc_id"), MinHash.tokenSet(col("text")).as("toks"))
-    MinHash.membershipsFromSets(
-      corpus, col("doc_id"), col("toks"), numHashes, bands)
-      .write.mode("overwrite").format("parquet").saveAsTable(tab)
-    tab
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Token sets first: a crash between the writes leaves at most a
+      // toks table with no membership table, which the existence check
+      // above rebuilds.
+      corpus.write.mode("overwrite").format("parquet").saveAsTable(toksTab)
+      MinHash.membershipsFromSets(
+        corpus, col("doc_id"), col("toks"), numHashes, bands)
+        .write.mode("overwrite").format("parquet").saveAsTable(memTab)
+      (memTab, toksTab)
+    } finally corpus.unpersist(blocking = false)
   }
 
   /** C2e': [[c2IncrementalDedup]] answered from the PERSISTED corpus
-    * index — the batch side is banded in-plan (O(batch) signatures), the
-    * corpus side is a plain scan of the layout built by
-    * [[ensureDedupIndex]]: the plan computes NO corpus-side signature
-    * (pinned in PlanAuditSpec). The exact-Jaccard confirm still reads
-    * corpus token sets, but only for candidate ids (a shuffle equi-join
-    * on id — never a second full banding pass). Result-identical to
+    * index — the batch side is banded in-plan (O(batch) signatures);
+    * the corpus side is entirely the layout built by
+    * [[ensureDedupIndex]]: memberships for the candidate join, stored
+    * token sets for the exact confirm (re-attached by id for candidate
+    * rows only). The plan touches the raw documents table ONLY for the
+    * batch slice — no corpus-side scan, tokenization, or signature at
+    * query time (pinned in PlanAuditSpec). Result-identical to
     * c2_incremental_dedup by construction (same hash family, same
     * banding), so it SHARES its oracle SQL — a drifted or stale layout
     * breaks the hash.
     */
   def c2IncrementalDedupIndexed(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
-    val tab = ensureDedupIndex(spark, dir)
+    val (memTab, toksTab) = ensureDedupIndex(spark, dir)
     val isNew = col("doc_id") % 10 === 7
     // Persisted: the batch token sets feed the banding and the confirm.
     val newBase = docs(spark, dir).filter(isNew)
       .select(col("doc_id"), MinHash.tokenSet(col("text")).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newMem = MinHash.membershipsFromSets(
-      newBase, col("doc_id"), col("toks"), numHashes = 128, bands = 16)
+      newBase, col("doc_id"), col("toks"), IncHashes, IncBands)
     val cand = newMem.withColumnRenamed("doc_id", "n_id")
-      .join(spark.table(tab).withColumnRenamed("doc_id", "c_id"),
+      .join(spark.table(memTab).withColumnRenamed("doc_id", "c_id"),
         Seq("band", "bucket"))
       .select("n_id", "c_id").distinct()
-    val corpToks = docs(spark, dir).filter(!isNew)
-      .select(col("doc_id").as("c_id"), MinHash.tokenSet(col("text")).as("c_toks"))
-    val confirmed = cand
-      .join(newBase.select(col("doc_id").as("n_id"), col("toks").as("n_toks")), "n_id")
-      .join(corpToks, "c_id")
-      .withColumn("common", size(array_intersect(col("n_toks"), col("c_toks"))))
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (size(col("n_toks")) + size(col("c_toks")) - col("common")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-    val best = confirmed.groupBy(col("n_id"))
-      .agg(min(struct((-col("jaccard")).as("nj"), col("c_id").as("cid"))).as("b"))
-      .select(col("n_id").as("doc_id"), col("b.cid").as("match_id"),
-        (-col("b.nj")).as("match_jaccard"))
     graft.util.CacheScope.releaseAfterMaterialize(
-      newBase.select(col("doc_id"))
-        .join(best, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("match_id").isNull.as("is_novel"),
-          col("match_id"), col("match_jaccard"))
-        .orderBy("doc_id"),
+      resolveBatch(cand, newBase, spark.table(toksTab), threshold),
       Seq(newBase))
   }
 
@@ -337,31 +353,47 @@ object DedupOps {
       Seq(assigned))
   }
 
-  /** Append NEW documents' memberships to the persisted dedup index —
-    * the maintenance path a growing corpus needs (the
+  /** Append NEW documents to the persisted dedup index — the
+    * maintenance path a growing corpus needs (the
     * [[graft.queries.SimOps.appendAnnIndex]] posture applied to the LSH
     * layout): band the day's batch with the SAME hash family and
-    * banding, append its `(doc_id, band, bucket)` rows. Duplicate ids
-    * are rejected loudly (an id banded twice would self-match).
-    * Returns the number of appended membership rows (docs × bands).
+    * banding, append its `(doc_id, band, bucket)` memberships AND its
+    * `(doc_id, toks)` token sets, so appended docs are full match
+    * candidates for every later batch check (candidate join and exact
+    * confirm both read the layout). Duplicate ids — against the index
+    * OR within the batch itself — are rejected loudly (an id banded
+    * twice would self-match). Returns the number of appended membership
+    * rows (docs × bands).
     */
   private[graft] def appendDedupIndex(spark: SparkSession, dir: String,
-      newDocs: DataFrame, numHashes: Int = 128, bands: Int = 16): Long = {
-    val tab = ensureDedupIndex(spark, dir, numHashes, bands)
+      newDocs: DataFrame, numHashes: Int = IncHashes,
+      bands: Int = IncBands): Long = {
+    val (memTab, toksTab) = ensureDedupIndex(spark, dir, numHashes, bands)
+    // Persisted: the token sets feed the dup checks, the toks append,
+    // and the signature pass — one tokenization, not three.
     val base = newDocs
       .select(col("doc_id"), MinHash.tokenSet(col("text")).as("toks"))
-    val dup = spark.table(tab).select(col("doc_id"))
-      .join(base.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .limit(1).count()
-    require(dup == 0L,
-      s"appendDedupIndex: new docs contain ids already present in $tab — " +
-        "an appended duplicate would match itself; dedup upstream")
-    val mem = MinHash.membershipsFromSets(
-      base, col("doc_id"), col("toks"), numHashes, bands)
-    val n = mem.count()
-    mem.select(spark.table(tab).columns.map(col).toIndexedSeq: _*)
-      .write.mode("append").insertInto(tab)
-    n
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = base.count()
+      val distinctIds = base.select(col("doc_id")).distinct()
+      require(distinctIds.count() == nDocs,
+        "appendDedupIndex: the batch itself contains duplicate doc_ids — " +
+          "an appended duplicate would match itself; dedup upstream")
+      val dup = spark.table(toksTab).select(col("doc_id"))
+        .join(distinctIds, Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(dup == 0L,
+        s"appendDedupIndex: new docs contain ids already present in $memTab — " +
+          "an appended duplicate would match itself; dedup upstream")
+      base.select(spark.table(toksTab).columns.map(col).toIndexedSeq: _*)
+        .write.mode("append").insertInto(toksTab)
+      MinHash.membershipsFromSets(
+        base, col("doc_id"), col("toks"), numHashes, bands)
+        .select(spark.table(memTab).columns.map(col).toIndexedSeq: _*)
+        .write.mode("append").insertInto(memTab)
+      nDocs * bands
+    } finally base.unpersist(blocking = false)
   }
 
   /** DuckDB replay of the portable MinHash pipeline (same family as

@@ -209,6 +209,16 @@ class PlanAuditSpec extends SparkSuite {
     val leaves = plan.collectLeaves().map(_.toString)
     assert(leaves.exists(_.contains("graft_mh_mem_")),
       s"no persisted membership-table scan in the plan:\n$plan")
+    // the exact confirm reads the layout's token-set table, not a raw
+    // corpus re-scan — the layout is self-contained
+    assert(leaves.exists(_.contains("graft_mh_toks_")),
+      s"no persisted token-set scan in the plan:\n$plan")
+    // the only direct documents read is the batch slice (under the
+    // cached batch base); no corpus-sized documents FileScan anywhere
+    val docScans = leaves.filter(l =>
+      l.startsWith("FileScan") && l.contains("documents"))
+    assert(docScans.isEmpty,
+      s"raw documents FileScan in the indexed plan:\n${docScans.mkString("\n")}")
     // every subtree that computes a MinHash signature must sit over the
     // batch-slice cache, never over a raw documents scan
     val sigNodes = plan.collect {

@@ -38,10 +38,12 @@ class CurationOpsSpec extends SparkSuite {
           .minBy { case (c, j2) => (-j2, c) }
         assert(m == best._1, s"doc $id: matched $m but brute-force best is $best")
       } else {
-        // novelty claims are checked at full strength: LSH with 16 bands
-        // of 4 rows misses a >= 0.8 pair with prob < 1e-3, and the tiny
-        // suite corpus has no borderline pairs — no strong match may exist
-        val strong = corpusIds.filter(c => jaccard(docs(id), docs(c)) >= 0.85)
+        // Novelty claims: with 16 bands of 8 rows, LSH misses a true
+        // pair with prob (1-j^8)^16 — ~5% at j = 0.8, ~0.6% at 0.85,
+        // ~1e-4 at 0.9. Assert at 0.9 where a miss is effectively
+        // impossible for the fixed hash family (and would reproduce
+        // deterministically if the corpus regenerates with such a pair).
+        val strong = corpusIds.filter(c => jaccard(docs(id), docs(c)) >= 0.9)
         assert(strong.isEmpty, s"doc $id declared novel but matches $strong")
       }
     }
@@ -123,17 +125,21 @@ class CurationOpsSpec extends SparkSuite {
 
   test("appendDedupIndex: appended memberships match a fresh banding; duplicates rejected") {
     import spark.implicits._
-    val tab = DedupOps.ensureDedupIndex(spark, sf)
-    val before = spark.table(tab).count()
+    val (memTab, toksTab) = DedupOps.ensureDedupIndex(spark, sf)
+    val before = spark.table(memTab).count()
+    val toksBefore = spark.table(toksTab).count()
     // synthetic new docs with ids far outside the corpus
     val newDocs = Seq(
       (9000001L, "alpha beta gamma delta epsilon"),
       (9000002L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
     val n = DedupOps.appendDedupIndex(spark, sf, newDocs)
     assert(n == 2L * 16)
-    assert(spark.table(tab).count() == before + n)
+    assert(spark.table(memTab).count() == before + n)
+    // the token sets landed too — appended docs are full match
+    // candidates (candidate join AND exact confirm read the layout)
+    assert(spark.table(toksTab).count() == toksBefore + 2)
     // the appended rows are bit-identical to banding the docs directly
-    val stored = spark.table(tab).filter(col("doc_id") >= 9000000L)
+    val stored = spark.table(memTab).filter(col("doc_id") >= 9000000L)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val fresh = graft.dedup.MinHash.membershipsFromSets(
       newDocs.select(col("doc_id"),
@@ -141,11 +147,17 @@ class CurationOpsSpec extends SparkSuite {
       col("doc_id"), col("toks"), 128, 16)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(stored == fresh)
-    // duplicate append is rejected loudly
+    // duplicate append is rejected loudly — against the index...
     val e = intercept[IllegalArgumentException] {
       DedupOps.appendDedupIndex(spark, sf, newDocs)
     }
     assert(e.getMessage.contains("already present"))
+    // ...and within the batch itself
+    val e2 = intercept[IllegalArgumentException] {
+      DedupOps.appendDedupIndex(spark, sf, Seq(
+        (9000003L, "eta theta"), (9000003L, "iota kappa")).toDF("doc_id", "text"))
+    }
+    assert(e2.getMessage.contains("duplicate doc_ids"))
   }
 
   test("c3_knn_classify: prediction is the plurality label of the exact top-5") {
