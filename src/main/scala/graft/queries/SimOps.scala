@@ -249,7 +249,13 @@ object SimOps {
     * first-k init, fixed iteration count.
     */
   private def trainCentroids(
-      sample: Array[Array[Double]], cells: Int, iters: Int): Seq[Seq[Double]] = {
+      sample: Array[Array[Double]], wantCells: Int, iters: Int): Seq[Seq[Double]] = {
+    require(sample.nonEmpty,
+      "trainCentroids: cannot train a codebook on an empty corpus")
+    // A corpus smaller than the requested cell count trains one cell per
+    // vector (first-k init can't seed more cells than vectors; tabulating
+    // the full count would index past the seeded array).
+    val cells = math.min(wantCells, sample.length)
     val dim = sample.head.length
     var cents = sample.take(cells).map(_.clone())
     for (_ <- 1 to iters) {

@@ -127,4 +127,60 @@ class EdgeCasesSpec extends SparkSuite {
       (k, vs) => Seq(s"$k\t${vs.size}"))
     assert(out === Seq("k\t1"))
   }
+
+  /** Write a minimal documents corpus to a fresh dir the (spark, dir)
+    * query surface can load.
+    */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs").toString
+    rows.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("incremental dedup with an EMPTY batch slice returns empty, both variants") {
+    // no doc_id % 10 == 7 → the day's crawl is empty; neither variant
+    // may crash, and the (empty) layout build must succeed too
+    val dir = docsDir(Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z")))
+    assert(graft.queries.DedupOps.c2IncrementalDedup(spark, dir).count() === 0)
+    assert(graft.queries.DedupOps.c2IncrementalDedupIndexed(spark, dir).count() === 0)
+  }
+
+  test("incremental dedup resolves an exact duplicate at jaccard 1") {
+    val dir = docsDir(Seq(
+      (1L, "alpha beta gamma delta"),
+      (7L, "alpha beta gamma delta"),  // the batch doc, identical to 1
+      (17L, "p q r s t u v w")))       // batch doc with no match
+    val out = graft.queries.DedupOps.c2IncrementalDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq === Seq((7L, false, Some(1L)), (17L, true, None)))
+  }
+
+  test("quality filter tolerates empty and one-token docs") {
+    val dir = docsDir(Seq((1L, ""), (2L, "word"), (3L, ("the a of to in is and " * 10).trim)))
+    val out = graft.queries.PipelineOps.c7QualityFilter(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(!out(1L) && !out(2L)) // too short on every length rule
+  }
+
+  test("semantic dedup machinery survives a corpus smaller than the cell count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_emb").toString
+    // 3 vectors (< the 16 requested cells), two of them identical
+    val v1 = Array.fill(64)(0.5f); val v2 = v1.clone()
+    val v3 = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    Seq((0L, v1.toSeq, 0), (1L, v2.toSeq, 0), (2L, v3.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.queries.DedupOps.c2SemanticDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(out.length === 3)
+    // the identical pair collapses; the orthogonal vector survives
+    assert(out.toSeq.contains((1L, 0L, false)))
+    assert(out.count(_._3) === 2)
+  }
 }
