@@ -216,6 +216,77 @@ object EventStream {
       }
   }
 
+  /** Per-user online burst-detection state: `open` = counts of hours not
+    * yet watermark-finalized, `nPrev`/`sumPrev` = count and total of the
+    * user's FINALIZED hours so far (the running baseline), `maxEmitted`
+    * = last finalized hour (in-order guard). State is O(open hours per
+    * user) — bounded by the watermark horizon, never by stream length.
+    */
+  final case class AnomState(open: Map[Long, Long], nPrev: Long,
+      sumPrev: Long, maxEmitted: Long)
+  final case class AnomOut(user_id: Long, hour_idx: Long, cnt: Long,
+      is_burst: Boolean)
+
+  private val HourUs = 3600000000L
+
+  /** Streaming ONLINE burst detection — the streaming twin of the batch
+    * c5_anomaly, with the causally-correct semantics a live detector has:
+    * each watermark-finalized (user, hour) is judged against the user's
+    * hours finalized BEFORE it (`cnt · nPrev > 2 · sumPrev`, pure integer
+    * arithmetic — the batch twin judges against the whole history, which
+    * a streaming operator cannot know yet). flatMapGroupsWithState with
+    * an EVENT-TIME TIMEOUT: each invocation folds new rows into the open
+    * hour counts, then flushes every hour the watermark has finalized in
+    * hour order — updating the running baseline as it goes — and re-arms
+    * the timeout for the next open hour (the timeout is what finalizes a
+    * user's last hours when no new data arrives for them). Hour h is
+    * final iff (h+1)·3600 s ≤ watermark, in exact integer microseconds
+    * off the engine's millisecond watermark — replayed identically by
+    * the oracle's running-window SQL.
+    */
+  def onlineAnomaly(spark: SparkSession, events: DataFrame)
+      : org.apache.spark.sql.Dataset[AnomOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .selectExpr("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomState, AnomOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[AnomState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(AnomState(Map.empty, 0L, 0L, -1L))
+          var open = prev.open
+          rows.foreach { case (_, ts) =>
+            val h = Math.floorDiv(tsMicros(ts), HourUs)
+            if (prev.maxEmitted >= 0L && h <= prev.maxEmitted)
+              // In-order arrival + the 2h watermark make this unreachable
+              // (a finalized hour's baseline contribution is immutable);
+              // a silent drop would diverge from the oracle, so fail loudly.
+              throw new IllegalStateException(
+                s"event for already-finalized hour $h (max=${prev.maxEmitted}, user $uid)")
+            open += h -> (open.getOrElse(h, 0L) + 1L)
+          }
+          val lastFinal = Math.floorDiv(wmUs, HourUs) - 1L
+          var nPrev = prev.nPrev
+          var sumPrev = prev.sumPrev
+          var maxEmitted = prev.maxEmitted
+          val out = List.newBuilder[AnomOut]
+          open.keys.toSeq.sorted.takeWhile(_ <= lastFinal).foreach { h =>
+            val cnt = open(h)
+            out += AnomOut(uid, h, cnt, cnt * nPrev > 2L * sumPrev)
+            nPrev += 1L; sumPrev += cnt; maxEmitted = h; open -= h
+          }
+          state.update(AnomState(open, nPrev, sumPrev, maxEmitted))
+          // re-arm: fire as soon as the oldest open hour can finalize
+          // ((minOpen+1)·hour > wm by construction, as required)
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp((open.keys.min + 1L) * (HourUs / 1000L))
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream inner join — purchases joined to the same user's
     * clicks within the preceding `windowHours` hours, both sides
     * streaming. The time-range condition + watermarks bound the join
@@ -807,6 +878,39 @@ object EventStream {
       .orderBy("event_type", "day")
   }
 
+  private def anomalyOut(ds: org.apache.spark.sql.Dataset[AnomOut]): DataFrame =
+    ds.toDF().select(col("user_id"),
+      timestamp_seconds(col("hour_idx") * 3600L).as("hour"),
+      col("cnt"), col("is_burst"))
+
+  /** c5_stream_anomaly: the online burst detector through the real
+    * streaming path (every watermark-finalized (user, hour) judged
+    * against the user's prior finalized hours).
+    */
+  def c5StreamAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    runAvailableNow(
+      anomalyOut(onlineAnomaly(spark, readEventsTable(spark, sfDir))),
+      OutputMode.Append())
+      .orderBy("user_id", "hour")
+  }
+
+  /** c5_stream_anomaly_incr: the online detector under REAL incremental
+    * arrival (the chronological two-file split). The running
+    * (nPrev, sumPrev) baseline must CARRY across the micro-batch
+    * boundary: hours finalized in batch 2 are judged against a baseline
+    * that includes batch-1 hours — a restarted state would judge them
+    * against the second half alone and flip flags. Oracle identical to
+    * the single-batch twin (in-order arrival, nothing late).
+    */
+  def c5StreamAnomalyIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    runIncremental(
+      anomalyOut(onlineAnomaly(spark, twoBatchEventStream(spark, sfDir))),
+      OutputMode.Append(), minBatches = 2)
+      .orderBy("user_id", "hour")
+  }
+
   /** Run a streaming frame to the exactly-once PARQUET file sink with a
     * DURABLE checkpoint, AvailableNow, asserting exactly `wantBatches`
     * data micro-batches — the building block of the restart/recovery
@@ -1186,6 +1290,24 @@ object EventStream {
   /** Oracles for the driver-checkable streaming queries (same tables,
     * DuckDB SQL).
     */
+  private val anomalySql: String =
+    "WITH u AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
+      "wm AS (SELECT (CAST(floor(max(us) / 1000.0) AS BIGINT) - 7200000) " +
+      "* 1000 AS wmus FROM u), " +
+      "lh AS (SELECT CAST(floor(wmus / 3600000000.0) AS BIGINT) - 1 " +
+      "AS lasth FROM wm), " +
+      "hourly AS (SELECT user_id, CAST(floor(us / 3600000000.0) AS BIGINT) " +
+      "AS h, count(*) AS cnt FROM u GROUP BY 1, 2), " +
+      "fin AS (SELECT user_id, h, cnt FROM hourly, lh WHERE h <= lasth), " +
+      "st AS (SELECT user_id, h, cnt, " +
+      "CAST(row_number() OVER w - 1 AS BIGINT) AS n_prev, " +
+      "CAST(COALESCE(sum(cnt) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING " +
+      "AND 1 PRECEDING), 0) AS BIGINT) AS sum_prev " +
+      "FROM fin WINDOW w AS (PARTITION BY user_id ORDER BY h)) " +
+      "SELECT user_id, TIMESTAMP '1970-01-01' + h * INTERVAL 1 HOUR AS hour, " +
+      "cnt, cnt * n_prev > 2 * sum_prev AS is_burst " +
+      "FROM st ORDER BY user_id, hour"
+
   val oracle: Map[String, String] = Map(
     "c5_stream_tumbling" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
@@ -1340,6 +1462,13 @@ object EventStream {
     // in integer arithmetic). Each type's spine runs from ITS first
     // event day — per-key custom state cannot know about days before the
     // key existed.
+    // Online-anomaly replay: finalized hours are those ≤ the engine's
+    // final watermark (ms-truncated max ts − 2 h, exact integer µs);
+    // the running baseline is a per-user window over PRIOR finalized
+    // hours — row_number−1 and the preceding-rows sum — and the flag is
+    // the same integer comparison the operator evaluates.
+    "c5_stream_anomaly" -> anomalySql,
+    "c5_stream_anomaly_incr" -> anomalySql,
     "c5_stream_gapfill" ->
       ("WITH u AS (SELECT event_type, epoch_us(ts) AS us FROM events), " +
         "wm AS (SELECT (CAST(floor(max(us) / 1000.0) AS BIGINT) - 7200000) " +
@@ -1414,6 +1543,8 @@ object EventStream {
     "c5_stream_restart_join" -> (c5StreamRestartJoin _),
     "c5_stream_restart_dedup" -> (c5StreamRestartDedup _),
     "c5_stream_restart_session" -> (c5StreamRestartSession _),
-    "c5_stream_gapfill" -> (c5StreamGapfill _)
+    "c5_stream_gapfill" -> (c5StreamGapfill _),
+    "c5_stream_anomaly" -> (c5StreamAnomaly _),
+    "c5_stream_anomaly_incr" -> (c5StreamAnomalyIncr _)
   )
 }

@@ -386,6 +386,35 @@ class EventStreamSpec extends SparkSuite {
     }
   }
 
+  test("online anomaly judges each hour against prior hours; baseline carries across batches") {
+    val HourUs = 3600000000L
+    val ev = Tables.load(spark, sf, "events")
+    val rows = ev.select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // replicate the operator's exact watermark arithmetic (ms-truncated)
+    val wmUs = (Math.floorDiv(rows.map(_._2).max, 1000L) - 7200000L) * 1000L
+    val lastH = Math.floorDiv(wmUs, HourUs) - 1L
+    val hourly = rows.groupBy { case (u, us) => (u, Math.floorDiv(us, HourUs)) }
+      .view.mapValues(_.length.toLong).toMap
+    val want = hourly.keys.groupBy(_._1).flatMap { case (u, keys) =>
+      val hs = keys.map(_._2).filter(_ <= lastH).toSeq.sorted
+      hs.zipWithIndex.map { case (h, i) =>
+        val prior = hs.take(i).map(h2 => hourly((u, h2)))
+        val cnt = hourly((u, h))
+        (u, h, cnt, cnt * prior.length > 2L * prior.sum)
+      }
+    }.toSet
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 3600000L,
+        r.getLong(2), r.getBoolean(3))).toSet
+    val single = run(EventStream.c5StreamAnomaly(spark, sf))
+    assert(single == want)
+    assert(single.nonEmpty)
+    // the incremental run must agree exactly — hours finalized in batch 2
+    // judged against a baseline that includes batch-1 hours
+    assert(run(EventStream.c5StreamAnomalyIncr(spark, sf)) == single)
+  }
+
   test("batch sessionization query is internally consistent on testdata") {
     val s = EventOps.c5Sessionize(spark, sf).collect()
     assert(s.nonEmpty)
