@@ -51,6 +51,31 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** B2g: variance / standard deviation with EXACT-sum discipline — the
+    * dispersion statistics `stddev()`/`var_pop()` built-ins cannot
+    * oracle-check (their internal double fold is partial-aggregation-
+    * order dependent): accumulate n, Σx, Σx² as exact decimals (order-
+    * independent), then derive mean / population variance / stddev with
+    * ONE fixed IEEE expression per row rounded to 6dp — both engines
+    * evaluate the identical tree, so the hash matches bitwise (the
+    * c5_anomaly float discipline applied to the B2 surface).
+    */
+  def b2AggVar(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,6)")
+    val agg = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"),
+        sum((x * x).cast("decimal(28,6)")).as("sx2"))
+    val mean = col("sx").cast("double") / col("n")
+    val variance = col("sx2").cast("double") / col("n") - mean * mean
+    agg.select(col("l_returnflag"), col("n"),
+      round(mean, 6).as("mean_qty"),
+      round(variance, 6).as("var_qty"),
+      round(sqrt(variance), 6).as("stddev_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** B2b: exact + distinct aggregation. */
   def b2AggDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -138,6 +163,25 @@ object Relational {
         sum(col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double"))
       .select("o_custkey", "o_orderkey", "running_spend")
       .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** B4f: time-RANGE window frame — per event, how many events the same
+    * user produced in the PRECEDING HOUR (RANGE BETWEEN, the value-based
+    * frame `rowsBetween` cannot express: the frame is bounded by the
+    * ORDER-BY VALUE, not a row count — the rate-limiting / rolling-rate
+    * shape). Ordered by exact integer microseconds so the frame bounds
+    * are integer comparisons in both engines; `count` keeps the
+    * aggregate integer-exact. One shuffle on user_id.
+    */
+  def b4WindowRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .select("event_id", "user_id", "n_last_hour")
+      .orderBy("event_id")
   }
 
   /** B4c: lag/lead — days since each customer's previous order. */
@@ -611,6 +655,20 @@ object Relational {
         "COUNT(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-01' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    // n/Σx/Σx² as exact decimals, then ONE fixed double expression per
+    // row (cast, divide, multiply, subtract, sqrt — identical IEEE tree
+    // in both engines) rounded to 6dp.
+    "b2_agg_var" ->
+      ("WITH a AS (SELECT l_returnflag, count(*) AS n, " +
+        "SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx, " +
+        "SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6)) " +
+        "AS DECIMAL(28,6))) AS sx2 " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, " +
+        "round(CAST(sx AS DOUBLE)/n, 6) AS mean_qty, " +
+        "round(CAST(sx2 AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n), 6) AS var_qty, " +
+        "round(sqrt(CAST(sx2 AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n)), 6) AS stddev_qty " +
+        "FROM a ORDER BY l_returnflag"),
     "b2_agg_distinct" ->
       ("SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts, " +
         "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supps, COUNT(*) AS n_rows " +
@@ -658,6 +716,13 @@ object Relational {
         "lag(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
         "o_orderdate) AS INT) AS days_since_prev " +
         "FROM orders ORDER BY o_custkey, o_orderkey"),
+    // RANGE frame over exact integer microseconds; ties (equal us) are
+    // frame PEERS in both engines, so no tie-break is needed.
+    "b4_window_range" ->
+      ("SELECT event_id, user_id, count(*) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour " +
+        "FROM events ORDER BY event_id"),
     "b4_window_ranks" ->
       ("SELECT o_orderpriority, o_orderkey, " +
         "CAST(rank() OVER w AS INT) AS rnk, " +
@@ -805,6 +870,8 @@ object Relational {
     "b4_window_topn_agg" -> ((s: SparkSession, d: String) => b4WindowTopNAgg(s, d)),
     "b4_window_running" -> (b4WindowRunning _),
     "b4_window_lag" -> (b4WindowLag _),
+    "b4_window_range" -> (b4WindowRange _),
+    "b2_agg_var" -> (b2AggVar _),
     "b4_window_ranks" -> (b4WindowRanks _),
     "b5_topk" -> (b5TopK _),
     "b5_setops" -> (b5SetOps _),
