@@ -375,18 +375,29 @@ object DedupOps {
       .select(col("doc_id"), MinHash.tokenSet(col("text")).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nDocs = base.count()
-      val distinctIds = base.select(col("doc_id")).distinct()
-      require(distinctIds.count() == nDocs,
+      // one aggregate covers both the row count and the within-batch
+      // duplicate check
+      val stats = base.agg(count(lit(1)), countDistinct(col("doc_id"))).head()
+      val nDocs = stats.getLong(0)
+      require(stats.getLong(1) == nDocs,
         "appendDedupIndex: the batch itself contains duplicate doc_ids — " +
           "an appended duplicate would match itself; dedup upstream")
-      val dup = spark.table(toksTab).select(col("doc_id"))
-        .join(distinctIds, Seq("doc_id"), "left_semi")
+      // Crash-safety ordering: the duplicate check reads the MEMBERSHIP
+      // table (the one candidates come from), and the toks append is
+      // idempotent (anti-join skips ids a previously-crashed attempt
+      // already wrote) — so a failure between the two writes is repaired
+      // by simply re-running the same append: the retry passes the
+      // memTab check, skips the surviving toks rows, and lands the
+      // memberships.
+      val dup = spark.table(memTab).select(col("doc_id"))
+        .join(base.select(col("doc_id")), Seq("doc_id"), "left_semi")
         .limit(1).count()
       require(dup == 0L,
         s"appendDedupIndex: new docs contain ids already present in $memTab — " +
           "an appended duplicate would match itself; dedup upstream")
-      base.select(spark.table(toksTab).columns.map(col).toIndexedSeq: _*)
+      base.join(spark.table(toksTab).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .select(spark.table(toksTab).columns.map(col).toIndexedSeq: _*)
         .write.mode("append").insertInto(toksTab)
       MinHash.membershipsFromSets(
         base, col("doc_id"), col("toks"), numHashes, bands)
@@ -535,7 +546,8 @@ object DedupOps {
   // high-baseline-similarity corpus, at >=95% recall for j >= 0.8.
   private lazy val incrementalSql: String =
       ("WITH base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) " +
-        "AS toks FROM documents), " + mhChainSql(bands = 16, rows = 8) + ", " +
+        "AS toks FROM documents), " +
+        mhChainSql(bands = IncBands, rows = IncRows) + ", " +
         "nw AS (SELECT doc_id AS n_id, band, bucket FROM mem WHERE doc_id % 10 = 7), " +
         "cp AS (SELECT doc_id AS c_id, band, bucket FROM mem WHERE doc_id % 10 <> 7), " +
         "cand AS (SELECT DISTINCT n_id, c_id FROM nw JOIN cp USING (band, bucket)), " +

@@ -68,7 +68,12 @@ object Relational {
         sum(x).as("sx"),
         sum((x * x).cast("decimal(28,6)")).as("sx2"))
     val mean = col("sx").cast("double") / col("n")
-    val variance = col("sx2").cast("double") / col("n") - mean * mean
+    // clamp at 0: E[x²]−mean² goes epsilon-NEGATIVE for a constant-valued
+    // group (catastrophic cancellation), where Spark's sqrt would yield
+    // NaN while DuckDB's ERRORS — greatest() in both trees keeps the
+    // degenerate-but-valid input oracle-checkable
+    val variance = greatest(
+      col("sx2").cast("double") / col("n") - mean * mean, lit(0.0))
     agg.select(col("l_returnflag"), col("n"),
       round(mean, 6).as("mean_qty"),
       round(variance, 6).as("var_qty"),
@@ -666,8 +671,8 @@ object Relational {
         "FROM lineitem GROUP BY l_returnflag) " +
         "SELECT l_returnflag, n, " +
         "round(CAST(sx AS DOUBLE)/n, 6) AS mean_qty, " +
-        "round(CAST(sx2 AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n), 6) AS var_qty, " +
-        "round(sqrt(CAST(sx2 AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n)), 6) AS stddev_qty " +
+        "round(greatest(CAST(sx2 AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n), 0), 6) AS var_qty, " +
+        "round(sqrt(greatest(CAST(sx2 AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n), 0)), 6) AS stddev_qty " +
         "FROM a ORDER BY l_returnflag"),
     "b2_agg_distinct" ->
       ("SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts, " +

@@ -343,14 +343,20 @@ object SimOps {
       .withColumn("cell", expr("array_position(dists, array_min(dists))").cast("int"))
       .select(col("vec_id").as("b_id"), col("embD").as("b_emb"), col("cell"))
 
-    // queries probe the nprobe nearest cells: sort (dist, idx) structs
+    // queries probe the nprobe nearest cells: sort (dist, idx) structs.
+    // Indices run over centroids.length, NOT the requested nCells — on a
+    // corpus smaller than nCells the trained codebook is shorter (one
+    // cell per vector), and a zip against the longer literal would
+    // null-pad: the null-distance structs sort FIRST and every probe
+    // would be a phantom cell (silently empty results).
+    val nTrained = centroids.length
     val queries = base.filter(col("vec_id") % queryMod === 0)
       .withColumn("dists", dists(col("embD")))
       .withColumn("probes",
         slice(transform(array_sort(zip_with(
-          col("dists"), sequence(lit(1), lit(nCells)),
+          col("dists"), sequence(lit(1), lit(nTrained)),
           (d, i) => struct(d.as("d"), i.as("i")))), s => s.getField("i")),
-          lit(1), lit(nprobe)))
+          lit(1), lit(math.min(nprobe, nTrained))))
       .select(col("vec_id").as("q_id"), col("embD").as("q_emb"),
         explode(col("probes")).as("cell"))
 
@@ -420,6 +426,11 @@ object SimOps {
   private[queries] def pqModel(sample: Array[Array[Double]],
       nCells: Int, subspaces: Int, kSub: Int)
       : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    // The PQ code byte-width and the ADC table shapes are sized by kSub;
+    // a clamped sub-codebook would silently shrink them, so PQ requires
+    // a sample at least kSub wide (tiny corpora use brute force or IVF).
+    require(sample.length >= kSub,
+      s"pqModel: sample of ${sample.length} vectors cannot train $kSub-entry codebooks")
     val coarse = trainCentroids(sample, nCells, iters = 5)
     val residuals = sample.map { v =>
       val ct = coarse(nearestCell(v, coarse))
@@ -507,14 +518,17 @@ object SimOps {
       books: Seq[Seq[Seq[Double]]], subspaces: Int, nCells: Int, nprobe: Int,
       queryMod: Int, residual: Boolean): DataFrame = {
     val e = PqEncExprs(coarse, books, subspaces, residual)
+    // probe indices run over coarse.length, not the requested nCells —
+    // see c3AnnIvf's nTrained comment (null-padded zip = phantom probes)
+    val nTrained = coarse.length
     val probed = base.filter(col("vec_id") % queryMod === 0)
       .withColumn("cdists",
         graft.functions.VectorExprs.centroidDists(col("embD"), coarse))
       .withColumn("probes",
         slice(transform(array_sort(zip_with(
-          col("cdists"), sequence(lit(1), lit(nCells)),
+          col("cdists"), sequence(lit(1), lit(nTrained)),
           (d, i) => struct(d.as("d"), i.as("i")))), s => s.getField("i")),
-          lit(1), lit(nprobe)))
+          lit(1), lit(math.min(nprobe, nTrained))))
       .select(col("vec_id").as("q_id"), col("embD"),
         explode(col("probes")).as("cell"))
       .withColumn("enc", e.enc(col("embD"), col("cell")))

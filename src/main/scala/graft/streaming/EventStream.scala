@@ -196,8 +196,15 @@ object EventStream {
             open += day -> (open.getOrElse(day, 0L) + 1L)
           }
           if (nextDay < 0L && open.nonEmpty) nextDay = open.keys.min
-          // flush every finalized day in order: d final iff (d+1)·day ≤ wm
-          val lastFinal = Math.floorDiv(wmUs, DayUs) - 1L
+          // flush every finalized day in order: d final iff (d+1)·day < wm
+          // — STRICT, matching Spark's event-time timeout (which fires
+          // only when timeoutTimestamp < watermark): with the inclusive
+          // rule, a watermark landing exactly on a day boundary would
+          // finalize the day by arithmetic but the armed timeout at that
+          // exact timestamp would never fire, and the day's row would be
+          // lost. floorDiv(wm−1, day)−1 is the strict form for both the
+          // aligned and unaligned cases.
+          val lastFinal = Math.floorDiv(wmUs - 1L, DayUs) - 1L
           val out = List.newBuilder[GapfillOut]
           if (nextDay >= 0L) {
             while (nextDay <= lastFinal) {
@@ -240,7 +247,8 @@ object EventStream {
     * hour order — updating the running baseline as it goes — and re-arms
     * the timeout for the next open hour (the timeout is what finalizes a
     * user's last hours when no new data arrives for them). Hour h is
-    * final iff (h+1)·3600 s ≤ watermark, in exact integer microseconds
+    * final iff (h+1)·3600 s < watermark (strict — the rule Spark's
+    * event-time timeout can actually fire), in exact integer microseconds
     * off the engine's millisecond watermark — replayed identically by
     * the oracle's running-window SQL.
     */
@@ -268,7 +276,9 @@ object EventStream {
                 s"event for already-finalized hour $h (max=${prev.maxEmitted}, user $uid)")
             open += h -> (open.getOrElse(h, 0L) + 1L)
           }
-          val lastFinal = Math.floorDiv(wmUs, HourUs) - 1L
+          // strict finalization ((h+1)·hour < wm), matching the strict
+          // timeout-firing rule — see the gapfill flush comment
+          val lastFinal = Math.floorDiv(wmUs - 1L, HourUs) - 1L
           var nPrev = prev.nPrev
           var sumPrev = prev.sumPrev
           var maxEmitted = prev.maxEmitted
@@ -1294,7 +1304,7 @@ object EventStream {
     "WITH u AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
       "wm AS (SELECT (CAST(floor(max(us) / 1000.0) AS BIGINT) - 7200000) " +
       "* 1000 AS wmus FROM u), " +
-      "lh AS (SELECT CAST(floor(wmus / 3600000000.0) AS BIGINT) - 1 " +
+      "lh AS (SELECT CAST(floor((wmus - 1) / 3600000000.0) AS BIGINT) - 1 " +
       "AS lasth FROM wm), " +
       "hourly AS (SELECT user_id, CAST(floor(us / 3600000000.0) AS BIGINT) " +
       "AS h, count(*) AS cnt FROM u GROUP BY 1, 2), " +
@@ -1473,7 +1483,7 @@ object EventStream {
       ("WITH u AS (SELECT event_type, epoch_us(ts) AS us FROM events), " +
         "wm AS (SELECT (CAST(floor(max(us) / 1000.0) AS BIGINT) - 7200000) " +
         "* 1000 AS wmus FROM u), " +
-        "lf AS (SELECT CAST(floor(wmus / 86400000000.0) AS BIGINT) - 1 " +
+        "lf AS (SELECT CAST(floor((wmus - 1) / 86400000000.0) AS BIGINT) - 1 " +
         "AS lastday FROM wm), " +
         "daily AS (SELECT event_type, CAST(floor(us / 86400000000.0) AS BIGINT) " +
         "AS day_idx, count(*) AS n FROM u GROUP BY 1, 2), " +

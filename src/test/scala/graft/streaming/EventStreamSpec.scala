@@ -367,7 +367,7 @@ class EventStreamSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     // replicate the operator's exact watermark arithmetic (ms-truncated)
     val wmUs = (Math.floorDiv(rows.map(_._2).max, 1000L) - 7200000L) * 1000L
-    val lastDay = Math.floorDiv(wmUs, DayUs) - 1L
+    val lastDay = Math.floorDiv(wmUs - 1L, DayUs) - 1L
     val daily = rows.groupBy { case (t, us) => (t, Math.floorDiv(us, DayUs)) }
       .view.mapValues(_.length.toLong).toMap
     val want = daily.keys.groupBy(_._1).flatMap { case (t, keys) =>
@@ -393,7 +393,7 @@ class EventStreamSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // replicate the operator's exact watermark arithmetic (ms-truncated)
     val wmUs = (Math.floorDiv(rows.map(_._2).max, 1000L) - 7200000L) * 1000L
-    val lastH = Math.floorDiv(wmUs, HourUs) - 1L
+    val lastH = Math.floorDiv(wmUs - 1L, HourUs) - 1L
     val hourly = rows.groupBy { case (u, us) => (u, Math.floorDiv(us, HourUs)) }
       .view.mapValues(_.length.toLong).toMap
     val want = hourly.keys.groupBy(_._1).flatMap { case (u, keys) =>
