@@ -124,30 +124,17 @@ object DedupOps {
       Seq(base))
   }
 
-  /** C2e: INCREMENTAL near-dup check — the production ingest shape: a new
-    * batch of documents (here the deterministic 10% slice
-    * `doc_id % 10 = 7`, the oracle-stable stand-in for today's crawl)
-    * checked against the standing corpus, each new doc resolved to
-    * is_novel or its best-matching existing doc (highest exact Jaccard,
-    * smallest id on ties). Candidates come from the same MinHash LSH
-    * machinery as the batch dedup operators, with the banding TUNED to
-    * the 0.8 confirm threshold: 16 bands × 8 rows (128 hashes), so
-    * P(candidate) ≈ 1−(1−j⁸)¹⁶ — ≥95% recall at j = 0.8 but ~6% admit
-    * rate at j = 0.5, an order of magnitude fewer candidate pairs than
-    * the 4-row assignment banding on a corpus whose BASELINE pairwise
-    * similarity is high (word-salad docs share ~half their vocabulary;
-    * with 4-row bands nearly every cross pair co-bucketed and the
-    * confirm join dominated the query). Both sides band once, the join
-    * is on (band, bucket), and only candidate pairs pay the exact
-    * confirm — O(batch · bands) shuffle against a PRE-BANDABLE corpus
-    * side (see [[c2IncrementalDedupIndexed]] for the persisted-layout
-    * form).
-    */
   /** Banding of the incremental-dedup family, shared by the in-plan
     * variant, the persisted layout, its append path, and (via
-    * `mhChainSql(IncBands, IncRows)`) the oracle — tuned to the 0.8
-    * confirm threshold; retuning HERE retunes every consumer at once
-    * (drifting one of them would silently empty the candidate join).
+    * `mhChainSql(IncBands, IncRows)`) the oracle — retuning HERE retunes
+    * every consumer at once (drifting one of them would silently empty
+    * the candidate join). TUNED to the 0.8 confirm threshold: 16 bands
+    * × 8 rows (128 hashes), so P(candidate) ≈ 1−(1−j⁸)¹⁶ — ≥95% recall
+    * at j = 0.8 but ~6% admit rate at j = 0.5, an order of magnitude
+    * fewer candidate pairs than the 4-row assignment banding on a
+    * corpus whose BASELINE pairwise similarity is high (word-salad docs
+    * share ~half their vocabulary; with 4-row bands nearly every cross
+    * pair co-bucketed and the confirm join dominated the query).
     */
   private[queries] val IncBands = 16
   private[queries] val IncRows = 8
@@ -180,6 +167,17 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** C2e: INCREMENTAL near-dup check — the production ingest shape: a
+    * new batch of documents (here the deterministic 10% slice
+    * `doc_id % 10 = 7`, the oracle-stable stand-in for today's crawl)
+    * checked against the standing corpus, each new doc resolved to
+    * is_novel or its best-matching existing doc (highest exact Jaccard,
+    * smallest id on ties). Both sides band once ([[IncBands]] banding),
+    * the join is on (band, bucket), and only candidate pairs pay the
+    * exact confirm — O(batch · bands) shuffle against a PRE-BANDABLE
+    * corpus side (see [[c2IncrementalDedupIndexed]] for the
+    * persisted-layout form).
+    */
   def c2IncrementalDedup(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
     // Persisted: token sets feed the banding AND both exact-confirm joins.
@@ -540,10 +538,8 @@ object DedupOps {
         "ORDER BY a_id, b_id")
   )
 
-  // 16 bands x 8 rows (128 hashes): the banding tuned for the 0.8
-  // confirm threshold — P(candidate) ~ j^8 per band keeps the
-  // candidate set ~10x smaller than the 4-row assignment banding on a
-  // high-baseline-similarity corpus, at >=95% recall for j >= 0.8.
+  // Banded from the shared IncBands/IncRows constants (rationale on
+  // their declaration) so the replay can never drift from the engine.
   private lazy val incrementalSql: String =
       ("WITH base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) " +
         "AS toks FROM documents), " +

@@ -63,6 +63,22 @@ object SimOps {
     * production the query side is whatever small DataFrame the caller
     * passes; only its smallness matters (it is the broadcast side).
     */
+  /** Exact-cosine top-k join shared by the brute-force and kNN-vote
+    * queries: broadcast the (small-by-contract) query side, theta-join
+    * on q_id <> b_id, score at round-6, rank per query by (cosine desc,
+    * b_id). Keeps every column of both inputs plus (cosine, rank) so
+    * callers can carry labels through.
+    */
+  private def exactCosineTopK(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame =
+    corpus.join(broadcast(queries), col("q_id") =!= col("b_id"))
+      .withColumn("cosine",
+        round(dotD(col("q_emb"), col("b_emb")) /
+          (normD(col("q_emb")) * normD(col("b_emb"))), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("b_id"))))
+      .filter(col("rank") <= k)
+
   def c3CosineTopK(spark: SparkSession, dir: String, k: Int = 5,
       queryMod: Int = 100): DataFrame = {
     val corpus = emb(spark, dir)
@@ -70,17 +86,7 @@ object SimOps {
     val queries = emb(spark, dir)
       .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
-
-    val scored = corpus.join(broadcast(queries), col("q_id") =!= col("b_id"))
-      .withColumn("cosine",
-        round(dotD(col("q_emb"), col("b_emb")) /
-          (normD(col("q_emb")) * normD(col("b_emb"))), 6))
-
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("b_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    exactCosineTopK(corpus, queries, k)
       .select(col("q_id"), col("rank"), col("b_id"), col("cosine"))
       .orderBy("q_id", "rank")
   }
@@ -110,15 +116,8 @@ object SimOps {
       .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"),
         col("label").as("true_label"))
 
-    val scored = corpus.join(broadcast(queries), col("q_id") =!= col("b_id"))
-      .withColumn("cosine",
-        round(dotD(col("q_emb"), col("b_emb")) /
-          (normD(col("q_emb")) * normD(col("b_emb"))), 6))
-    val topk = scored
-      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("b_id"))))
-      .filter(col("rank") <= k)
-    val votes = topk.groupBy(col("q_id"), col("true_label"), col("b_label"))
+    val votes = exactCosineTopK(corpus, queries, k)
+      .groupBy(col("q_id"), col("true_label"), col("b_label"))
       .agg(count(lit(1)).as("n_votes"))
     votes
       .withColumn("vr", row_number().over(Window.partitionBy(col("q_id"))
