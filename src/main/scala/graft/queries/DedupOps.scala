@@ -200,6 +200,57 @@ object DedupOps {
       Seq(base, mem))
   }
 
+  /** C2e'': BOUNDED-CONFIRM incremental dedup — the duplicate-saturated-
+    * corpus scale path: [[c2IncrementalDedup]]'s exact confirm is
+    * Ω(candidates), and on a corpus sitting just under the threshold the
+    * candidate set goes quadratic (measured: 86.5 M pairs at sf1 — the
+    * confirm join is ~90% of the 89 s cost). This variant RERANKS: per
+    * new doc, keep only the top `c` candidates by LSH band-agreement
+    * count (more shared bands ⇒ higher estimated Jaccard; deterministic
+    * (agreement desc, c_id asc) order) through the bounded-heap
+    * [[graft.functions.TopKAggregator]] — O(batch · c) exact confirms at
+    * ANY duplication density, the c2_ngram_jaccard_topm contract applied
+    * to the ingest check. Explicitly approximate: a true match ranked
+    * below the c-th candidate is missed (at the default c = 64 that
+    * needs 64 better-agreeing candidates — on corpora where duplicates
+    * are rare, candidates per doc rarely reach c and the result equals
+    * the full variant exactly, which the spec pins at sf0.001). The
+    * oracle replays the band-agreement rank verbatim, so the
+    * approximation itself is hash-checked.
+    */
+  def c2IncrementalDedupTopC(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, c: Int = 64): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir)
+      .select(col("doc_id"), MinHash.tokenSet(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isNew = col("doc_id") % 10 === 7
+    val mem = MinHash.membershipsFromSets(
+      base, col("doc_id"), col("toks"), IncHashes, IncBands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band-agreement count per candidate pair: the same join as the full
+    // variant's candidate generation, with the distinct replaced by a
+    // partial-aggregating count (identical shuffle shape)
+    val agree = mem.filter(isNew).withColumnRenamed("doc_id", "n_id")
+      .join(mem.filter(!isNew).withColumnRenamed("doc_id", "c_id"),
+        Seq("band", "bucket"))
+      .groupBy("n_id", "c_id").agg(count(lit(1)).as("bandsc"))
+    val topk = new graft.functions.TopKAggregator[(Double, Long)](c, _._1, _._2)
+      .toColumn.name("topc")
+    val cand = agree
+      .select(col("n_id"), col("bandsc").cast("double"), col("c_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk)
+      .toDF("n_id", "topc")
+      .select(col("n_id"), explode(col("topc")).as("p"))
+      .select(col("n_id"), col("p._2").as("c_id"))
+    graft.util.CacheScope.releaseAfterMaterialize(
+      resolveBatch(cand, base.filter(isNew), base.filter(!isNew), threshold),
+      Seq(base, mem))
+  }
+
   /** One-time LSH LAYOUT of the standing corpus — the ingest posture
     * incremental dedup has at 100 TB: the corpus is banded and tokenized
     * ONCE when documents arrive (the b8/ANN-index posture applied to the
@@ -516,6 +567,7 @@ object DedupOps {
     // the (band, bucket) candidate join, the exact-Jaccard confirm on
     // candidates only, and the (jaccard desc, c_id asc) best-match pick.
     "c2_incremental_dedup" -> incrementalSql,
+    "c2_incremental_dedup_topc" -> incrementalTopCSql,
     // The indexed variant is result-identical by construction (same hash
     // family, same banding, corpus side persisted at ingest), so it is
     // held to the SAME full replay — a stale layout breaks the hash.
@@ -540,13 +592,15 @@ object DedupOps {
 
   // Banded from the shared IncBands/IncRows constants (rationale on
   // their declaration) so the replay can never drift from the engine.
-  private lazy val incrementalSql: String =
+  // Parameterized on the candidate CTE so the full-candidate and
+  // bounded-top-C replays share every other stage verbatim.
+  private def incrementalSqlWith(candCte: String): String =
       ("WITH base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) " +
         "AS toks FROM documents), " +
         mhChainSql(bands = IncBands, rows = IncRows) + ", " +
         "nw AS (SELECT doc_id AS n_id, band, bucket FROM mem WHERE doc_id % 10 = 7), " +
         "cp AS (SELECT doc_id AS c_id, band, bucket FROM mem WHERE doc_id % 10 <> 7), " +
-        "cand AS (SELECT DISTINCT n_id, c_id FROM nw JOIN cp USING (band, bucket)), " +
+        candCte + ", " +
         "sc AS (SELECT n_id, c_id, " +
         "len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS common, " +
         "len(a.toks) AS na, len(b.toks) AS nb " +
@@ -563,6 +617,19 @@ object DedupOps {
         "LEFT JOIN (SELECT n_id, c_id, jaccard FROM best WHERE rn = 1) m " +
         "ON b.doc_id = m.n_id ORDER BY doc_id")
 
+  private lazy val incrementalSql: String = incrementalSqlWith(
+    "cand AS (SELECT DISTINCT n_id, c_id FROM nw JOIN cp USING (band, bucket))")
+
+  // Top-C replay: band-agreement counts, then the (agreement desc, c_id
+  // asc) rank — the exact total order the bounded-heap TopKAggregator
+  // implements.
+  private lazy val incrementalTopCSql: String = incrementalSqlWith(
+    "ag AS (SELECT n_id, c_id, count(*) AS bandsc FROM nw JOIN cp " +
+      "USING (band, bucket) GROUP BY n_id, c_id), " +
+      "cand AS (SELECT n_id, c_id FROM (SELECT n_id, c_id, row_number() " +
+      "OVER (PARTITION BY n_id ORDER BY bandsc DESC, c_id) AS rn FROM ag) " +
+      "WHERE rn <= 64)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c2_ngram_jaccard" -> (c2NgramJaccard _),
     "c2_ngram_jaccard_topm" -> (c2NgramJaccardTopM _),
@@ -573,6 +640,7 @@ object DedupOps {
     "c2_embed_neardup" -> ((s: SparkSession, d: String) => c2EmbedNearDup(s, d)),
     "c2_incremental_dedup" -> ((s: SparkSession, d: String) => c2IncrementalDedup(s, d)),
     "c2_incremental_dedup_indexed" -> ((s: SparkSession, d: String) => c2IncrementalDedupIndexed(s, d)),
+    "c2_incremental_dedup_topc" -> ((s: SparkSession, d: String) => c2IncrementalDedupTopC(s, d)),
     "c2_semantic_dedup" -> ((s: SparkSession, d: String) => c2SemanticDedup(s, d)),
     "c2_semantic_dedup_cc" -> ((s: SparkSession, d: String) => c2SemanticDedupCc(s, d))
   )

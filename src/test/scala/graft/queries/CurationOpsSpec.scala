@@ -49,6 +49,16 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("c2_incremental_dedup_topc equals the full variant when candidates fit the bound") {
+    // At sf0.001 every new doc has at most |corpus| = 45 candidates — under
+    // the c = 64 bound — so the bounded rerank must reproduce the full
+    // variant EXACTLY (the approximation only begins past the bound).
+    val full = DedupOps.c2IncrementalDedup(spark, sf).collect().toSeq
+    val topc = DedupOps.c2IncrementalDedupTopC(spark, sf).collect().toSeq
+    assert(topc == full)
+    assert(topc.nonEmpty)
+  }
+
   test("c2_incremental_dedup_indexed is row-identical to the in-plan variant") {
     // The persisted-layout path must change WHERE the corpus memberships
     // come from, never WHAT they are — same hash family, same banding.
