@@ -267,6 +267,101 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** C4k: per-document top-k TF-IDF terms — the keyword-extraction shape
+    * every curation/indexing pipeline runs (salient-term mining, topic
+    * tagging, boilerplate-term suppression). Uses the raw-idf variant
+    * `tfidf = (tf · N) / (df · n_tok)` — RATIONAL in four exact int64
+    * counts, so one double division matches the DuckDB replay bitwise
+    * (the usual `ln(N/df)` idf is rank-equivalent per term but
+    * transcendental; see c4_diversity's note on libm reproducibility).
+    *
+    * Scale shape: term counts and document frequencies are two
+    * partial-agg shuffles; the df table joins back on `tok` as a SHUFFLE
+    * join (pinned — at 100 TB the vocabulary is 10⁹+ terms and must
+    * never broadcast); the doc count is a 1-row broadcast; the top-k is
+    * a per-doc window bounded by per-doc vocabulary, pruned to k rows
+    * per partition by WindowGroupLimit before the shuffle.
+    */
+  def c4Tfidf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val tc = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val perDoc = tc.groupBy("doc_id").agg(sum(col("tf")).as("n_tok"))
+    val dft = tc.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tc
+      .join(perDoc, "doc_id")
+      .join(dft.hint("shuffle_hash"), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(
+        (col("tf") * col("n_docs")).cast("double") /
+          (col("df") * col("n_tok")).cast("double"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("doc_id", "rk", "tok", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** C4l: collocation mining — corpus-wide top-k co-occurring token
+    * pairs within a ±`window` position window, ranked by the PMI lift
+    * `(c_ab/P) / ((c_a/n)(c_b/n))` (PMI = ln(lift); ranking by lift is
+    * rank-equivalent and keeps the score rational — same libm argument
+    * as [[c4Tfidf]]). Pairs are canonically ordered (least, greatest) so
+    * both directions merge.
+    *
+    * Scale shape: pair generation is a NARROW per-row zip of the token
+    * array with its own k-shifted tails (no positional self-join — the
+    * join-based formulation shuffles O(window · tokens) rows; this
+    * shuffles only the aggregated pair counts). Unigram counts re-attach
+    * by shuffle join (vocabulary never broadcasts); the two grand
+    * totals are 1-row broadcasts. The global top-k is WindowGroupLimit-
+    * pruned to k per partition before the single final sort.
+    */
+  def c4Pmi(spark: SparkSession, dir: String, window: Int = 3,
+      minCount: Int = 5, k: Int = 50): DataFrame = {
+    val toks = split(col("text"), " ")
+    val pairCols = (1 to window).map { off =>
+      zip_with(
+        slice(toks, lit(1), greatest(size(toks) - off, lit(0))),
+        slice(toks, lit(off + 1), greatest(size(toks) - off, lit(0))),
+        (a, b) => concat(least(a, b), lit(" "), greatest(a, b)))
+    }
+    val pc = docs(spark, dir)
+      .select(explode(concat(pairCols: _*)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c_ab"))
+    val uc = docs(spark, dir)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c_tok"))
+    val nTok = broadcast(uc.agg(sum(col("c_tok")).as("n")))
+    val nPair = broadcast(pc.agg(sum(col("c_ab")).as("p")))
+    val scored = pc
+      .filter(col("c_ab") >= minCount)
+      .select(
+        element_at(split(col("pair"), " "), 1).as("w1"),
+        element_at(split(col("pair"), " "), 2).as("w2"),
+        col("c_ab"))
+      .join(uc.select(col("tok").as("w1"), col("c_tok").as("c_w1"))
+        .hint("shuffle_hash"), "w1")
+      .join(uc.select(col("tok").as("w2"), col("c_tok").as("c_w2"))
+        .hint("shuffle_hash"), "w2")
+      .crossJoin(nTok).crossJoin(nPair)
+      // association order mirrored verbatim in the oracle: the int64
+      // counts are exact, so identical double op order => identical bits
+      .withColumn("lift", round(
+        col("c_ab").cast("double") * col("n") * col("n") /
+          (col("p").cast("double") * col("c_w1") * col("c_w2")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("rk", "w1", "w2", "c_ab", "c_w1", "c_w2", "lift")
+      .orderBy("rk")
+  }
+
   /** C4d: heuristic language ID via stopword/character n-gram scoring —
     * argmax over per-language evidence. Oracle-checked: the scoring table
     * (LangId.functionWords) is embedded in the generated DuckDB SQL, which
@@ -377,6 +472,42 @@ object TextOps {
         "r AS (SELECT lang, bigram, cnt, CAST(row_number() OVER " +
         "(PARTITION BY lang ORDER BY cnt DESC, bigram) AS INT) AS rank FROM c) " +
         "SELECT lang, rank, bigram, cnt FROM r WHERE rank <= 5 ORDER BY lang, rank"),
+    "c4_tfidf" ->
+      ("WITH tc AS (SELECT doc_id, tok, count(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY doc_id, tok), " +
+        "pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok FROM tc GROUP BY doc_id), " +
+        "dft AS (SELECT tok, count(*) AS df FROM tc GROUP BY tok), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "sc AS (SELECT tc.doc_id, tc.tok, tf, df, " +
+        "round(CAST(tf * n_docs AS DOUBLE) / CAST(df * n_tok AS DOUBLE), 6) AS tfidf " +
+        "FROM tc JOIN pd USING (doc_id) JOIN dft USING (tok) CROSS JOIN n), " +
+        "rk AS (SELECT doc_id, tok, tf, df, tfidf, CAST(row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INT) AS rk FROM sc) " +
+        "SELECT doc_id, rk, tok, tf, df, tfidf FROM rk WHERE rk <= 5 " +
+        "ORDER BY doc_id, rk"),
+    "c4_pmi" ->
+      ("WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents), " +
+        "pr AS (SELECT unnest(flatten(list_transform([1, 2, 3], o -> " +
+        "list_transform(range(1, len(toks) - o + 1), i -> " +
+        "least(toks[i], toks[i + o]) || ' ' || greatest(toks[i], toks[i + o])" +
+        ")))) AS pair FROM t), " +
+        "pc AS (SELECT pair, count(*) AS c_ab FROM pr GROUP BY pair), " +
+        "uc AS (SELECT tok, count(*) AS c_tok FROM (" +
+        "SELECT unnest(toks) AS tok FROM t) GROUP BY tok), " +
+        "tot AS (SELECT CAST(sum(c_tok) AS BIGINT) AS n FROM uc), " +
+        "ptot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS p FROM pc), " +
+        "sp AS (SELECT string_split(pair, ' ')[1] AS w1, " +
+        "string_split(pair, ' ')[2] AS w2, c_ab FROM pc WHERE c_ab >= 5), " +
+        "sc AS (SELECT w1, w2, c_ab, u1.c_tok AS c_w1, u2.c_tok AS c_w2, " +
+        "round(CAST(c_ab AS DOUBLE) * n * n / " +
+        "(CAST(p AS DOUBLE) * u1.c_tok * u2.c_tok), 6) AS lift " +
+        "FROM sp JOIN uc u1 ON u1.tok = sp.w1 JOIN uc u2 ON u2.tok = sp.w2 " +
+        "CROSS JOIN tot CROSS JOIN ptot), " +
+        "rk AS (SELECT w1, w2, c_ab, c_w1, c_w2, lift, CAST(row_number() OVER " +
+        "(ORDER BY lift DESC, w1, w2) AS INT) AS rk FROM sc) " +
+        "SELECT rk, w1, w2, c_ab, c_w1, c_w2, lift FROM rk WHERE rk <= 50 " +
+        "ORDER BY rk"),
     "c4_rolling_hash" ->
       ("SELECT doc_id, list_reduce(" +
         "list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))), " +
@@ -395,6 +526,8 @@ object TextOps {
     "c4_langid" -> (c4LangId _),
     "c4_ngram_top" -> ((s: SparkSession, d: String) => c4NgramTop(s, d)),
     "c4_heavy_hitters" -> ((s: SparkSession, d: String) => c4HeavyHitters(s, d)),
-    "c4_dup_ngrams" -> (c4DupNgrams _)
+    "c4_dup_ngrams" -> (c4DupNgrams _),
+    "c4_tfidf" -> ((s: SparkSession, d: String) => c4Tfidf(s, d)),
+    "c4_pmi" -> ((s: SparkSession, d: String) => c4Pmi(s, d))
   )
 }

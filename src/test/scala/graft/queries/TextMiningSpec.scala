@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the text-mining operators (TF-IDF keywords, PMI
+  * collocations) beyond the cross-engine oracle: each test recomputes
+  * the ground truth with a plain in-memory brute force (no Spark, no
+  * SQL) and compares the operator's full output against it.
+  */
+class TextMiningSpec extends SparkSuite {
+
+  private lazy val corpus: Map[Long, Array[String]] =
+    graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("c4_tfidf matches an in-memory brute force") {
+    val got = TextOps.c4Tfidf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    val nDocs = corpus.size.toLong
+    val df = corpus.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val want = corpus.toSeq.flatMap { case (id, toks) =>
+      val nTok = toks.length.toLong
+      val tf = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      tf.toSeq
+        .map { case (t, c) =>
+          (t, c, df(t), round6(c.toDouble * nDocs / (df(t) * nTok).toDouble))
+        }
+        .sortBy { case (t, _, _, s) => (-s, t) }
+        .take(5).zipWithIndex
+        .map { case ((t, c, d, s), i) => (id, i + 1, t, c, d, s) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want)
+  }
+
+  test("c4_pmi matches an in-memory brute force") {
+    val got = TextOps.c4Pmi(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.nonEmpty)
+    val pairs = corpus.values.toSeq.flatMap { toks =>
+      for {
+        off <- 1 to 3
+        i <- 0 until math.max(toks.length - off, 0)
+      } yield {
+        val (a, b) = (toks(i), toks(i + off))
+        if (a <= b) (a, b) else (b, a)
+      }
+    }
+    val cab = pairs.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val uni = corpus.values.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val n = uni.values.sum
+    val p = cab.values.sum
+    val want = cab.toSeq
+      .filter(_._2 >= 5)
+      .map { case ((w1, w2), c) =>
+        // mirror the engine/oracle association order exactly
+        val lift = round6(c.toDouble * n * n / (p.toDouble * uni(w1) * uni(w2)))
+        (w1, w2, c, uni(w1), uni(w2), lift)
+      }
+      .sortBy { case (w1, w2, _, _, _, l) => (-l, w1, w2) }
+      .take(50).zipWithIndex
+      .map { case ((w1, w2, c, c1, c2, l), i) => (i + 1, w1, w2, c, c1, c2, l) }
+    assert(got.toSeq == want)
+  }
+}
