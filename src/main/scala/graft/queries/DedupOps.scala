@@ -478,7 +478,7 @@ object DedupOps {
       s"array_to_string(list_slice(sig, b*$rows+1, b*$rows+$rows), ':')),1,15))::BIGINT AS bucket " +
       s"FROM sig CROSS JOIN range(0, $bands) rt(b))"
 
-  private val mhBase: String =
+  private[queries] val mhBase: String =
     "base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
       "FROM documents), " + mhChainSql()
 
@@ -507,12 +507,15 @@ object DedupOps {
     * ENGINE side contracts stars in O(E log n); plain SQL has no
     * comparably scalable closure, which is why the operator exists.
     */
-  private def closureSql(bandCol: String): String =
+  private[queries] def closureChainSql(bandCol: String): String =
     "edges AS (SELECT DISTINCT m1.doc_id AS s, m2.doc_id AS d FROM mem m1 " +
       s"JOIN mem m2 ON m1.$bandCol = m2.$bandCol AND m1.bucket = m2.bucket " +
       "AND m1.doc_id <> m2.doc_id), " +
       "reach AS (SELECT doc_id AS id, doc_id AS r FROM base " +
-      "UNION SELECT e.d, reach.r FROM reach JOIN edges e ON reach.id = e.s) " +
+      "UNION SELECT e.d, reach.r FROM reach JOIN edges e ON reach.id = e.s)"
+
+  private def closureSql(bandCol: String): String =
+    closureChainSql(bandCol) + " " +
       "SELECT id AS doc_id, min(r) AS cluster_rep, id = min(r) AS is_kept " +
       "FROM reach GROUP BY id ORDER BY doc_id"
 

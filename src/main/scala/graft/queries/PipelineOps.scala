@@ -500,7 +500,53 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** C7m: canonical-document selection — near-dup clusters (the
+    * c2_minhash_cc transitive closure) resolved by a QUALITY policy
+    * instead of min-id: within each cluster keep the doc with the most
+    * tokens (ties to the smallest id). This is the form real curation
+    * takes — min-id keeps an arbitrary copy; a policy keeps the best
+    * one (longest text stands in for the quality signal; swapping in
+    * any per-doc score is a one-column change).
+    *
+    * Scale: the closure is the distributed large-star/small-star
+    * contraction (O(log n) rounds); the argmax is ONE partial aggregate
+    * `max(struct(n_tokens, -doc_id))` per cluster — no window over a
+    * possibly mega-sized cluster — then a shuffle join back on the
+    * cluster rep.
+    */
+  def c7DedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val cc = graft.dedup.MinHash.dedupAssignmentsCC(
+      docs(spark, dir), col("doc_id"), col("text"), numHashes = 64, bands = 16)
+      .select("doc_id", "cluster_rep")
+    val stats = docs(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+    val joined = cc.join(stats, "doc_id")
+    val best = joined.groupBy("cluster_rep")
+      .agg(max(struct(col("n_tokens"), (-col("doc_id")).as("negid"))).as("b"))
+      .select(col("cluster_rep"), (-col("b.negid")).as("keep_id"))
+    joined.join(best, "cluster_rep")
+      .select(col("doc_id"), col("cluster_rep"), col("n_tokens"),
+        col("keep_id"), (col("doc_id") === col("keep_id")).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    // Recursive-CTE closure over the replayed MinHash memberships (the
+    // c2_minhash_cc oracle), then the (n_tokens desc, doc_id asc)
+    // keep-best pick per cluster.
+    "c7_dedup_keep_best" ->
+      ("WITH RECURSIVE " + DedupOps.mhBase + ", " +
+        DedupOps.closureChainSql("band") + ", " +
+        "cl AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id), " +
+        "st AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) " +
+        "AS n_tokens FROM documents), " +
+        "j AS (SELECT cl.doc_id, cluster_rep, n_tokens FROM cl JOIN st USING (doc_id)), " +
+        "best AS (SELECT cluster_rep, doc_id AS keep_id, row_number() OVER " +
+        "(PARTITION BY cluster_rep ORDER BY n_tokens DESC, doc_id) AS rn FROM j) " +
+        "SELECT j.doc_id, j.cluster_rep, j.n_tokens, b.keep_id, " +
+        "j.doc_id = b.keep_id AS is_kept " +
+        "FROM j JOIN (SELECT cluster_rep, keep_id FROM best WHERE rn = 1) b " +
+        "USING (cluster_rep) ORDER BY doc_id"),
     "c7_quality_filter" ->
       ("WITH base AS (SELECT doc_id, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
@@ -663,6 +709,7 @@ object PipelineOps {
     "c7_pipeline" -> ((s: SparkSession, d: String) => c7Pipeline(s, d)),
     "c7_sample_topk" -> ((s: SparkSession, d: String) => c7SampleTopk(s, d)),
     "c7_mix_sources" -> ((s: SparkSession, d: String) => c7MixSources(s, d)),
-    "c7_quality_filter" -> (c7QualityFilter _)
+    "c7_quality_filter" -> (c7QualityFilter _),
+    "c7_dedup_keep_best" -> (c7DedupKeepBest _)
   )
 }

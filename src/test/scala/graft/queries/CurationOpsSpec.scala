@@ -245,4 +245,36 @@ class CurationOpsSpec extends SparkSuite {
       assert(rows.find(_._2 == h).get._3 == cnt)
     }
   }
+
+  test("c7_dedup_keep_best: same clusters as c2_minhash_cc, keep is argmax quality") {
+    val out = PipelineOps.c7DedupKeepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.nonEmpty)
+    // clustering must be EXACTLY the c2_minhash_cc closure (the policy
+    // changes which member survives, never the clusters themselves)
+    val ccReps = DedupOps.c2MinHashCc(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r._1 -> r._2).toMap == ccReps)
+    val nTok = corpusTokens
+    out.foreach { case (id, _, n, _, _) => assert(n == nTok(id)) }
+    out.groupBy(_._2).foreach { case (rep, members) =>
+      // exactly one keeper per cluster; it is a member; it is the
+      // (n_tokens desc, doc_id asc) argmax; all members agree on it
+      val keepIds = members.map(_._4).distinct
+      assert(keepIds.length == 1)
+      val keep = keepIds.head
+      assert(members.exists(_._1 == keep))
+      val want = members.minBy { case (id, _, n, _, _) => (-n, id) }._1
+      assert(keep == want, s"cluster $rep kept $keep, want $want")
+      members.foreach { case (id, _, _, k, isKept) =>
+        assert(isKept == (id == k))
+      }
+    }
+  }
+
+  private def corpusTokens: Map[Long, Int] =
+    graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length).toMap
 }
