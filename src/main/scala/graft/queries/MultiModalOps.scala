@@ -203,6 +203,50 @@ object MultiModalOps {
       .orderBy("asset_id")
   }
 
+  /** C6g: scene-change segmentation — the video shot-boundary shape: each
+    * video's ordered frame stream is cut where the frame signature jumps,
+    * and frames between cuts share a scene id (what a training pipeline
+    * samples per-scene from, instead of uniformly). The stub signature is
+    * the frame's byte SUM (where a real pipeline puts a perceptual
+    * embedding); a cut fires when consecutive mean bytes differ by more
+    * than `threshold` — compared CROSS-MULTIPLIED in int64
+    * (|s·l' − s'·l| > t·l·l'), so the whole query is exact integer
+    * arithmetic end to end: no float ever, nothing can hash-flip.
+    *
+    * Scale: frame explode is narrow per asset; the lag + running-cut-sum
+    * windows partition by asset_id (bounded by one video's frame count);
+    * only (asset_id, frame_idx, two int64 sig fields) rows shuffle.
+    */
+  def c6SceneCut(spark: SparkSession, dir: String, threshold: Int = 3): DataFrame = {
+    val fb = StubCodec.FrameBytes
+    val frames = assets(spark, dir).toDF()
+      .filter(col("modality") === "video")
+      .withColumn("n_frames",
+        ceil(length(col("content")).cast("double") / fb).cast("int"))
+      .select(col("asset_id"),
+        posexplode(transform(
+          sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(1)),
+          f => substring(decode(col("content"), "UTF-8"), f * fb + 1, lit(fb)))))
+      .select(col("asset_id"), col("pos").as("frame_idx"),
+        aggregate(
+          transform(split(col("col"), ""), c => ascii(c).cast("long")),
+          lit(0L), (acc, c) => acc + c).as("sig_sum"),
+        length(col("col")).as("frame_bytes"))
+    val byFrame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("ps", lag(col("sig_sum"), 1).over(byFrame))
+      .withColumn("pl", lag(col("frame_bytes"), 1).over(byFrame))
+      .withColumn("is_cut",
+        when(col("frame_idx") === 0, lit(true))
+          .otherwise(abs(col("sig_sum") * col("pl") - col("ps") * col("frame_bytes"))
+            > lit(threshold) * col("frame_bytes") * col("pl")))
+      .withColumn("scene_id",
+        sum(when(col("is_cut"), 1L).otherwise(0L)).over(byFrame))
+      .select("asset_id", "frame_idx", "sig_sum", "frame_bytes", "is_cut", "scene_id")
+      .orderBy("asset_id", "frame_idx")
+  }
+
   /** C6c: metadata summary per modality — fully SQL-expressible (the
     * metadata/typed-columns side of the multimodal schema), oracle-checked.
     */
@@ -296,6 +340,30 @@ object MultiModalOps {
         "SELECT doc_id AS asset_id, min(bucket_min) AS cluster_rep, " +
         "doc_id = min(bucket_min) AS is_kept " +
         "FROM mm GROUP BY doc_id ORDER BY asset_id"),
+    // Scene-cut replay over the same VARCHAR-slice bridge: frame byte
+    // sums, lag, the int64 cross-multiplied cut test, running cut count.
+    "c6_scene_cut" ->
+      ("WITH a AS (SELECT doc_id AS asset_id, text, " +
+        "CAST(ceil(length(text) / 256.0) AS INT) AS nf FROM documents " +
+        "WHERE doc_id % 3 = 2), " +
+        "fr AS (SELECT asset_id, CAST(gs.i AS INT) AS frame_idx, " +
+        "substring(text, 1 + CAST(gs.i AS INT)*256, 256) AS fs " +
+        "FROM a, LATERAL (SELECT unnest(range(0, greatest(nf, 1))) AS i) gs), " +
+        "sig AS (SELECT asset_id, frame_idx, " +
+        "CAST(coalesce(list_sum(list_transform(string_split(fs, ''), " +
+        "c -> ascii(c))), 0) AS BIGINT) AS sig_sum, " +
+        "CAST(length(fs) AS INT) AS frame_bytes FROM fr), " +
+        "lg AS (SELECT asset_id, frame_idx, sig_sum, frame_bytes, " +
+        "lag(sig_sum) OVER w AS ps, lag(frame_bytes) OVER w AS pl FROM sig " +
+        "WINDOW w AS (PARTITION BY asset_id ORDER BY frame_idx)), " +
+        "ct AS (SELECT asset_id, frame_idx, sig_sum, frame_bytes, " +
+        "CASE WHEN frame_idx = 0 THEN TRUE ELSE " +
+        "abs(sig_sum * pl - ps * frame_bytes) > 3 * frame_bytes * pl END AS is_cut " +
+        "FROM lg) " +
+        "SELECT asset_id, frame_idx, sig_sum, frame_bytes, is_cut, " +
+        "CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER " +
+        "(PARTITION BY asset_id ORDER BY frame_idx) AS BIGINT) AS scene_id " +
+        "FROM ct ORDER BY asset_id, frame_idx"),
     "c6_meta_stats" ->
       (s"SELECT $modalitySql AS modality, count(*) AS n_assets, " +
         "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, " +
@@ -311,6 +379,7 @@ object MultiModalOps {
     "c6_frame_neardup" -> (c6FrameNearDup _),
     "c6_frame_neardup_minhash" ->
       ((s: SparkSession, d: String) => c6FrameNearDupMinhash(s, d)),
-    "c6_meta_stats" -> (c6MetaStats _)
+    "c6_meta_stats" -> (c6MetaStats _),
+    "c6_scene_cut" -> ((s: SparkSession, d: String) => c6SceneCut(s, d))
   )
 }

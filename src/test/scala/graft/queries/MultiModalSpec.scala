@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.SparkSuite
 import graft.queries.MultiModalOps.{Asset, StubCodec}
+import org.apache.spark.sql.functions.col
 
 class MultiModalSpec extends SparkSuite {
 
@@ -97,5 +98,36 @@ class MultiModalSpec extends SparkSuite {
       assert(rs.length == expected, s"asset $id")
       assert(rs.forall(_.getInt(4) <= StubCodec.FrameBytes))
     }
+  }
+
+  test("c6_scene_cut matches an in-memory brute-force segmentation") {
+    val got = MultiModalOps.c6SceneCut(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getBoolean(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    // both verdicts must occur, or the threshold is degenerate
+    assert(got.exists(r => r._2 > 0 && r._5))
+    assert(got.exists(r => r._2 > 0 && !r._5))
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .filter(_.getLong(0) % 3 == 2)
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = texts.toSeq.flatMap { case (id, text) =>
+      val fb = StubCodec.FrameBytes
+      val frames = (0 until math.max((text.length + fb - 1) / fb, 1))
+        .map(f => text.slice(f * fb, (f + 1) * fb))
+      var scene = 0L
+      frames.zipWithIndex.map { case (fs, i) =>
+        val s = fs.map(_.toLong).sum
+        val l = fs.length
+        val cut = i == 0 || {
+          val (ps, pl) = (frames(i - 1).map(_.toLong).sum, frames(i - 1).length)
+          math.abs(s * pl - ps * l) > 3L * l * pl
+        }
+        if (cut) scene += 1
+        (id, i, s, l, cut, scene)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want)
   }
 }
