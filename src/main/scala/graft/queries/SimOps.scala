@@ -858,6 +858,40 @@ object SimOps {
         round(max(col("norm")), 6).as("max_norm"))
       .orderBy("label")
 
+  /** C3g: k-means cluster profiling — the corpus-structure diagnostic a
+    * curation pipeline reads before clustering-based sampling or SemDeDup
+    * cell sizing: per trained cell, the member count, smallest member id,
+    * and total/mean squared-L2 distortion to the centroid. Training
+    * reuses the IVF path (deterministic bounded sample + Lloyd
+    * iterations); assignment is one narrow fused argmin per row — no
+    * shuffle before the per-cell partial aggregate. Distortions are
+    * rounded to 6dp and summed as DECIMAL(20,6) — exact in any order
+    * (the [[Exact]] money discipline applied to distances), so the
+    * cross-engine hash can never drift with partial-agg visit order.
+    */
+  def c3ClusterProfile(spark: SparkSession, dir: String, nCells: Int = 16,
+      maxSample: Int = 100000): DataFrame = {
+    val base = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = trainCentroids(boundedSample(base, maxSample), nCells, iters = 5)
+    val assigned = base
+      .withColumn("dists",
+        graft.functions.VectorExprs.centroidDists(col("embD"), centroids))
+      .select(col("vec_id"),
+        expr("array_position(dists, array_min(dists))").cast("int").as("cell"),
+        round(array_min(col("dists")), 6).cast("decimal(20,6)").as("d2"))
+    graft.util.CacheScope.releaseAfterMaterialize(
+      assigned.groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"),
+          sum(col("d2")).as("sumdec"))
+        .select(col("cell"), col("n_vecs"), col("min_vec_id"),
+          round(col("sumdec").cast("double"), 6).as("sum_d2"),
+          round(col("sumdec").cast("double") / col("n_vecs"), 6).as("mean_d2"))
+        .orderBy("cell"),
+      Seq(base))
+  }
+
   /** Render a literal double matrix as a DuckDB nested-list literal.
     * Java's `Double.toString` emits the shortest decimal that round-trips,
     * so DuckDB parses back bit-identical doubles — the planes/centroids in
@@ -1076,7 +1110,23 @@ object SimOps {
         "SELECT asg.vec_id, cell, cl.cluster_rep, " +
         "asg.vec_id = cl.cluster_rep AS is_kept " +
         "FROM asg JOIN cl USING (vec_id) ORDER BY vec_id"
+    // Cluster-profile replay: same centroid literal and argmin cell as
+    // the `d` CTE family, 6dp distortions summed as DECIMAL(20,6)
+    // (order-independent), one double division for the mean.
+    val profileSql =
+      s"WITH ct AS (SELECT ${matLit(cents)} AS c), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"d AS (SELECT vec_id, list_transform(range(1, ${n + 1}), k -> " +
+        "list_sum(list_transform(range(1, 65), j -> " +
+        "(v[j]-c[k][j])*(v[j]-c[k][j])))) AS dists FROM e CROSS JOIN ct), " +
+        "a AS (SELECT vec_id, CAST(list_position(dists, list_min(dists)) AS INT) " +
+        "AS cell, CAST(round(list_min(dists), 6) AS DECIMAL(20,6)) AS d2 FROM d) " +
+        "SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec_id, " +
+        "round(CAST(sum(d2) AS DOUBLE), 6) AS sum_d2, " +
+        "round(CAST(sum(d2) AS DOUBLE) / count(*), 6) AS mean_d2 " +
+        "FROM a GROUP BY cell ORDER BY cell"
     Map(
+      "c3_cluster_profile" -> profileSql,
       "c2_semantic_dedup" -> semSql,
       "c2_semantic_dedup_cc" -> semCcSql,
       "c3_ann_pq" -> pqSql,
@@ -1165,6 +1215,7 @@ object SimOps {
     "c3_ann_recall" -> ((s: SparkSession, d: String) => c3AnnRecall(s, d)),
     "c3_ann_ivf_recall" -> ((s: SparkSession, d: String) => c3AnnIvfRecall(s, d)),
     "c3_ann_pq_recall" -> ((s: SparkSession, d: String) => c3AnnPqRecall(s, d)),
-    "c3_norm_stats" -> (c3NormStats _)
+    "c3_norm_stats" -> (c3NormStats _),
+    "c3_cluster_profile" -> ((s: SparkSession, d: String) => c3ClusterProfile(s, d))
   )
 }

@@ -252,6 +252,37 @@ class SimOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("c3_cluster_profile matches an in-memory assignment over the trained codebook") {
+    import org.apache.spark.sql.functions._
+    val got = SimOps.c3ClusterProfile(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty)
+    // retrain the same deterministic codebook and assign sequentially
+    val cents = SimOps.ivfCentroids(spark, sf).map(_.toArray).toArray
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val assigned = vecs.map { case (id, v) =>
+      // same fold order as CentroidDists: sequential over j, first-min cell
+      val dists = cents.map { c =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        d
+      }
+      val cell = dists.indexOf(dists.min) + 1
+      (cell, id, round6(dists.min))
+    }
+    val want = assigned.groupBy(_._1).toSeq.map { case (cell, ms) =>
+      val sum = ms.map(_._3).sum
+      (cell, ms.length.toLong, ms.map(_._2).min,
+        sum.toDouble, round6(sum.toDouble / ms.length).toDouble)
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+  }
+
   test("cosine of a vector with itself is 1") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
