@@ -23,9 +23,11 @@ class PlanAuditSpec extends SparkSuite {
     "c3_knn_classify",   // same broadcast-query theta join as c3_cosine_topk
     "c3_ann_recall",     // composes c3_cosine_topk: same intentional BNLJ
     "c3_ann_ivf_recall", // composes c3_cosine_topk: same intentional BNLJ
-    "c5_gapfill"         // date-spine x distinct-types cross product:
+    "c5_gapfill",        // date-spine x distinct-types cross product:
                          // both sides bounded by construction
                          // (O(days), O(types)), never corpus-sized
+    "c4_tfidf",          // 1-row grand-total (n_docs) broadcast cross join
+    "c4_pmi"             // 1-row grand-totals (n, p) broadcast cross joins
   )
 
   test("no CartesianProduct anywhere; BNLJ only on the allowlist") {
@@ -235,6 +237,23 @@ class PlanAuditSpec extends SparkSuite {
       assert(!subLeaves.exists(l =>
           l.startsWith("FileScan") && l.contains("documents")),
         s"signature computed over a raw documents scan (corpus re-banding):\n$n")
+    }
+  }
+
+  test("tf-idf / PMI frequency joins never broadcast vocabulary-sized tables") {
+    // The only legitimate broadcasts are the 1-row grand totals (n_docs /
+    // n_tokens / n_pairs): global aggregates, i.e. the TOPMOST
+    // HashAggregate under the exchange has keys=[]. A df/unigram table
+    // (keys=[tok]) feeding a BroadcastExchange means a 10^9-term
+    // vocabulary would be replicated to every executor at scale.
+    for (q <- Seq("c4_tfidf", "c4_pmi")) {
+      val subs = broadcastSubtrees(q)
+      assert(subs.nonEmpty, s"$q: expected the scalar-total broadcasts")
+      subs.foreach { t =>
+        val tail = t.split("HashAggregate\\(", 2)
+        assert(tail.length == 2 && tail(1).startsWith("keys=[]"),
+          s"$q: vocabulary-sized broadcast:\n$t")
+      }
     }
   }
 
