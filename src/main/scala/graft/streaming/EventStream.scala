@@ -1297,6 +1297,51 @@ object EventStream {
       .orderBy("user_id", "event_type", "value")
   }
 
+  /** c5_stream_topk: per-window top-k event types over the STREAMING
+    * hourly aggregation — the live-leaderboard serving composition: the
+    * stream maintains the windowed counts (state bounded by the
+    * watermark); the RANK runs on the sink read side, because Spark
+    * (correctly) rejects cross-row rank windows inside a streaming plan
+    * — a rank over an unfinalized window would retract. This is the
+    * lambda read-path pattern: the expensive aggregation is streaming
+    * and incremental, the top-k is a cheap query over the materialized
+    * view. Oracle = batch hourly counts ranked.
+    */
+  def c5StreamTopK(spark: SparkSession, sfDir: String, k: Int = 2): DataFrame = {
+    implicit val s: SparkSession = spark
+    val counts = runAvailableNow(
+      tumblingCounts(readEventsTable(spark, sfDir))
+        .select("window_start", "event_type", "n_events"),
+      OutputMode.Complete())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy("window_start", "rk")
+  }
+
+  /** c5_stream_topk_incr: the same ranking over the Append-mode sink of
+    * the two-batch incremental run — ranks are computed only over
+    * watermark-FINALIZED windows (the sink never holds a partial count,
+    * so a rank read from it can never retract; in-order arrival gives
+    * finalized windows their full counts). Oracle = the finalized-window
+    * filter of c5_stream_tumbling_incr plus the rank.
+    */
+  def c5StreamTopKIncr(spark: SparkSession, sfDir: String, k: Int = 2): DataFrame = {
+    implicit val s: SparkSession = spark
+    val counts = runIncremental(
+      tumblingCounts(twoBatchEventStream(spark, sfDir))
+        .select("window_start", "event_type", "n_events"),
+      OutputMode.Append(), minBatches = 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy("window_start", "rk")
+  }
+
   /** Oracles for the driver-checkable streaming queries (same tables,
     * DuckDB SQL).
     */
@@ -1353,6 +1398,25 @@ object EventStream {
         "wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM events) " +
         "SELECT window_start, event_type, n_events, sum_value FROM agg, wm " +
         "WHERE window_start + INTERVAL '1 hour' <= w ORDER BY 1, 2"),
+    "c5_stream_topk" ->
+      ("WITH agg AS (SELECT date_trunc('hour', ts) AS window_start, " +
+        "event_type, count(*) AS n_events FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT window_start, event_type, n_events, " +
+        "CAST(row_number() OVER (PARTITION BY window_start " +
+        "ORDER BY n_events DESC, event_type) AS INT) AS rk FROM agg) " +
+        "SELECT window_start, event_type, n_events, rk FROM r " +
+        "WHERE rk <= 2 ORDER BY window_start, rk"),
+    "c5_stream_topk_incr" ->
+      ("WITH agg AS (SELECT date_trunc('hour', ts) AS window_start, " +
+        "event_type, count(*) AS n_events FROM events GROUP BY 1, 2), " +
+        "wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM events), " +
+        "fin AS (SELECT window_start, event_type, n_events FROM agg, wm " +
+        "WHERE window_start + INTERVAL '1 hour' <= w), " +
+        "r AS (SELECT window_start, event_type, n_events, " +
+        "CAST(row_number() OVER (PARTITION BY window_start " +
+        "ORDER BY n_events DESC, event_type) AS INT) AS rk FROM fin) " +
+        "SELECT window_start, event_type, n_events, rk FROM r " +
+        "WHERE rk <= 2 ORDER BY window_start, rk"),
     "c5_stream_tumbling_incr" ->
       ("WITH agg AS (SELECT date_trunc('hour', ts) AS window_start, " +
         "event_type, count(*) AS n_events, " +
@@ -1537,6 +1601,8 @@ object EventStream {
   /** Driver query registry (merged into SparkEntry.queries). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c5_stream_tumbling" -> (c5StreamTumbling _),
+    "c5_stream_topk" -> ((s: SparkSession, d: String) => c5StreamTopK(s, d)),
+    "c5_stream_topk_incr" -> ((s: SparkSession, d: String) => c5StreamTopKIncr(s, d)),
     "c5_stream_tumbling_incr" -> (c5StreamTumblingIncr _),
     "c5_stream_sessionize_incr" -> (c5StreamSessionizeIncr _),
     "c5_stream_user_stats_incr" -> (c5StreamUserStatsIncr _),

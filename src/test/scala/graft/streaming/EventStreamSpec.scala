@@ -415,6 +415,31 @@ class EventStreamSpec extends SparkSuite {
     assert(run(EventStream.c5StreamAnomalyIncr(spark, sf)) == single)
   }
 
+  test("streaming top-k ranks the streamed counts like the batch rank") {
+    import org.apache.spark.sql.functions._
+    val got = EventStream.c5StreamTopK(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    val hourly = Tables.load(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val want = hourly.groupBy(_._1).toSeq.flatMap { case (h, rows) =>
+      rows.sortBy { case (_, t, n) => (-n, t) }.take(2).zipWithIndex
+        .map { case ((_, t, n), i) => (h, t, n, i + 1) }
+    }.sortBy(r => (r._1.getTime, r._4))
+    assert(got.toSeq == want)
+    // the incremental form is the finalized-window subset, same ranks
+    val incr = EventStream.c5StreamTopKIncr(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(incr.nonEmpty)
+    val wantSet = want.toSet
+    assert(incr.forall(wantSet.contains),
+      "incremental top-k produced a row the full rank does not contain")
+    assert(incr.length < want.length,
+      "watermark should hold back the last windows")
+  }
+
   test("batch sessionization query is internally consistent on testdata") {
     val s = EventOps.c5Sessionize(spark, sf).collect()
     assert(s.nonEmpty)
