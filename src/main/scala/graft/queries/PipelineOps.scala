@@ -536,7 +536,62 @@ object PipelineOps {
       Seq(joined))
   }
 
+  /** C7n: curriculum phase assignment — order the corpus by a difficulty
+    * proxy (token count, ties by doc_id: a deterministic TOTAL order) and
+    * split it into `phases` equal-size contiguous phases (easy -> hard),
+    * the data-ordering operator of curriculum training. The phase is an
+    * exact global ntile: `((rank-1)·P) div N + 1` — pure integer
+    * arithmetic off the exact global rank, so unlike percentile-threshold
+    * bucketing nothing can hash-flip, and phase sizes differ by at most
+    * one doc.
+    *
+    * Scale: the global rank uses the two-phase zip-with-index
+    * construction (the [[withRunningSum]] posture, global instead of
+    * per-language): range-partition by the sort key so partitions are
+    * size-bounded, count each partition (O(partitions) driver rows),
+    * broadcast the prefix offsets back, and rank within partitions —
+    * never a corpus-wide single-task window. The ranged frame is
+    * localCheckpoint'ed for the same pid-stability reason documented
+    * there.
+    */
+  def c7Curriculum(spark: SparkSession, dir: String, phases: Int = 4): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val ranged = base
+      .repartitionByRange(col("n_tokens"), col("doc_id"))
+      .sortWithinPartitions("n_tokens", "doc_id")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val partCounts = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val nd = partCounts.map(_._2).sum
+    val offsets = partCounts.map(_._1)
+      .zip(partCounts.map(_._2).scanLeft(0L)(_ + _))
+    val session = spark
+    import session.implicits._
+    val offsetDf = offsets.toSeq.toDF("pid", "offset")
+    val wPart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("n_tokens"), col("doc_id"))
+    ranged
+      .join(broadcast(offsetDf), "pid")
+      .withColumn("rank", col("offset") + row_number().over(wPart))
+      .withColumn("phase",
+        expr(s"CAST(((rank - 1) * $phases) div $nd + 1 AS INT)"))
+      .select("doc_id", "n_tokens", "rank", "phase")
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "c7_curriculum" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) " +
+        "AS n_tokens FROM documents), " +
+        "n AS (SELECT count(*) AS nd FROM t), " +
+        "r AS (SELECT doc_id, n_tokens, CAST(row_number() OVER " +
+        "(ORDER BY n_tokens, doc_id) AS BIGINT) AS rank FROM t) " +
+        "SELECT doc_id, n_tokens, rank, " +
+        "CAST((rank - 1) * 4 // nd + 1 AS INT) AS phase " +
+        "FROM r, n ORDER BY doc_id"),
     // Recursive-CTE closure over the replayed MinHash memberships (the
     // c2_minhash_cc oracle), then the (n_tokens desc, doc_id asc)
     // keep-best pick per cluster.
@@ -716,6 +771,7 @@ object PipelineOps {
     "c7_sample_topk" -> ((s: SparkSession, d: String) => c7SampleTopk(s, d)),
     "c7_mix_sources" -> ((s: SparkSession, d: String) => c7MixSources(s, d)),
     "c7_quality_filter" -> (c7QualityFilter _),
-    "c7_dedup_keep_best" -> (c7DedupKeepBest _)
+    "c7_dedup_keep_best" -> (c7DedupKeepBest _),
+    "c7_curriculum" -> ((s: SparkSession, d: String) => c7Curriculum(s, d))
   )
 }

@@ -273,6 +273,24 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("c7_curriculum: exact global ntile over the (n_tokens, doc_id) order") {
+    val got = PipelineOps.c7Curriculum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    val nTok = corpusTokens
+    val order = nTok.toSeq.map { case (id, n) => (id, n.toLong) }
+      .sortBy { case (id, n) => (n, id) }
+    val nd = order.length
+    val want = order.zipWithIndex.map { case ((id, n), i) =>
+      (id, n, i + 1L, (i.toLong * 4 / nd + 1).toInt)
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    // phases are contiguous in the sort order and near-equal in size
+    val sizes = got.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (1 to 4).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+  }
+
   private def corpusTokens: Map[Long, Int] =
     graft.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text")).collect()
