@@ -124,6 +124,42 @@ object DedupOps {
       Seq(base))
   }
 
+  /** C2g: LSH recall audit — the dedup twin of c3_ann_recall's
+    * "quality is itself oracle-checked" posture: for every EXACT
+    * >= 0.8-Jaccard pair (the prefix-filtered self-join ground truth),
+    * did the c2_minhash_lsh banding (16 bands x 4 rows) co-bucket it?
+    * Reported per similarity bucket (floor(jaccard·20): 0.80–0.85,
+    * 0.85–0.90, ...) so the recall-vs-similarity curve the banding
+    * theory predicts (1−(1−j⁴)¹⁶) is measured, not assumed — a hash
+    * family or banding regression shows up as a hash mismatch here.
+    *
+    * Scale: both sides are the existing sub-quadratic machineries
+    * (prefix-filtered exact pairs, O(n·bands) memberships); the audit
+    * join is on pair ids only, and the output is O(buckets).
+    */
+  def c2LshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val exact = SetSimJoin.jaccardSelfJoin(
+      d, col("doc_id"), array_distinct(split(col("text"), " ")), threshold = 0.8)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    val mem = MinHash.membershipsFromSets(
+      d.select(col("doc_id"), MinHash.tokenSet(col("text")).as("toks")),
+      col("doc_id"), col("toks"), numHashes = 64, bands = 16)
+    val cand = mem.withColumnRenamed("doc_id", "a_id")
+      .join(mem.withColumnRenamed("doc_id", "b_id"), Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .withColumn("found", lit(true))
+    exact.join(cand, Seq("a_id", "b_id"), "left")
+      .select(col("jaccard"), coalesce(col("found"), lit(false)).as("found"))
+      .groupBy(floor(col("jaccard") * 20).cast("int").as("sim_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("found"), 1L).otherwise(0L)).as("n_found"))
+      .select(col("sim_bucket"), col("n_pairs"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_pairs"), 6).as("recall"))
+      .orderBy("sim_bucket")
+  }
+
   /** Banding of the incremental-dedup family, shared by the in-plan
     * variant, the persisted layout, its append path, and (via
     * `mhChainSql(IncBands, IncRows)`) the oracle — retuning HERE retunes
@@ -548,6 +584,31 @@ object DedupOps {
         "(PARTITION BY doc_id ORDER BY jaccard DESC, nbr_id) AS rk FROM sym) " +
         "SELECT doc_id, nbr_id, common, jaccard, rk FROM rk WHERE rk <= 5 " +
         "ORDER BY doc_id, rk"),
+    // Recall-audit replay: the exact-pair SQL (the c2_ngram_jaccard
+    // oracle) and the membership chain share one `base` CTE; the audit
+    // join and bucket aggregation mirror the engine verbatim.
+    "c2_lsh_recall" ->
+      ("WITH base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
+        "FROM documents), " +
+        "ex AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM base), " +
+        "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 6) AS jaccard " +
+        "FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id, a.n, b.n " +
+        "HAVING CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) >= 0.8), " +
+        mhChainSql() + ", " +
+        "cand AS (SELECT DISTINCT m1.doc_id AS a_id, m2.doc_id AS b_id " +
+        "FROM mem m1 JOIN mem m2 ON m1.band = m2.band AND m1.bucket = m2.bucket " +
+        "AND m1.doc_id < m2.doc_id), " +
+        "j AS (SELECT p.jaccard, c.a_id IS NOT NULL AS found FROM pairs p " +
+        "LEFT JOIN cand c ON p.a_id = c.a_id AND p.b_id = c.b_id), " +
+        "b AS (SELECT CAST(floor(jaccard * 20) AS INT) AS sim_bucket, " +
+        "count(*) AS n_pairs, " +
+        "CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found " +
+        "FROM j GROUP BY 1) " +
+        "SELECT sim_bucket, n_pairs, n_found, " +
+        "round(CAST(n_found AS DOUBLE) / n_pairs, 6) AS recall " +
+        "FROM b ORDER BY sim_bucket"),
     "c2_minhash_lsh" ->
       (s"WITH $mhBase, " +
         "mm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) " +
@@ -645,6 +706,7 @@ object DedupOps {
     "c2_incremental_dedup_indexed" -> ((s: SparkSession, d: String) => c2IncrementalDedupIndexed(s, d)),
     "c2_incremental_dedup_topc" -> ((s: SparkSession, d: String) => c2IncrementalDedupTopC(s, d)),
     "c2_semantic_dedup" -> ((s: SparkSession, d: String) => c2SemanticDedup(s, d)),
-    "c2_semantic_dedup_cc" -> ((s: SparkSession, d: String) => c2SemanticDedupCc(s, d))
+    "c2_semantic_dedup_cc" -> ((s: SparkSession, d: String) => c2SemanticDedupCc(s, d)),
+    "c2_lsh_recall" -> (c2LshRecall _)
   )
 }

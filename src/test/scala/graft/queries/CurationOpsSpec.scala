@@ -273,6 +273,32 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("c2_lsh_recall: buckets match brute-force exact pairs; recall meets the banding bound") {
+    val got = DedupOps.c2LshRecall(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // ground truth: brute-force exact-Jaccard pairs bucketed the same way
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet)
+    val wantBuckets = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      j = jaccard(ta, tb) if j >= 0.8
+    } yield math.floor(
+      BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 20
+    ).toInt).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.map(r => r._1 -> r._2).toMap == wantBuckets)
+    got.foreach { case (_, n, f, r) =>
+      assert(f <= n)
+      assert(math.abs(r - f.toDouble / n) < 1e-6) // engine rounds to 6dp
+    }
+    // 16 bands x 4 rows at j >= 0.8: P(miss) = (1-j^4)^16 <= 2.3e-4,
+    // so overall recall must clear 0.95 by a wide margin
+    val (tot, found) = (got.map(_._2).sum, got.map(_._3).sum)
+    assert(found.toDouble / tot >= 0.95,
+      s"overall LSH recall ${found.toDouble / tot} below the banding bound")
+  }
+
   test("c7_curriculum: exact global ntile over the (n_tokens, doc_id) order") {
     val got = PipelineOps.c7Curriculum(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
