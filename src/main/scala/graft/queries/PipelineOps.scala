@@ -142,27 +142,31 @@ object PipelineOps {
     * survive executor loss too). Bench/Verify clear the cache between
     * queries; checkpoint blocks are reclaimed when the RDD is GC'd.
     */
-  private[queries] def withRunningSum(df: DataFrame, valueCol: String, cumName: String): DataFrame = {
+  private[queries] def withRunningSum(df: DataFrame, valueCol: String,
+      cumName: String, keyCol: String = "lang",
+      orderCols: Seq[String] = Seq("doc_id")): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
+    val rangeCols = (keyCol +: orderCols).map(col)
     val ranged = df
-      .repartitionByRange(col("lang"), col("doc_id"))
-      .sortWithinPartitions("lang", "doc_id")
+      .repartitionByRange(rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)
-    val partSums = ranged.groupBy("pid", "lang")
+    val partSums = ranged.groupBy("pid", keyCol)
       .agg(sum(col(valueCol)).as("psum"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-    val offsets = partSums.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+    val offsets = partSums.groupBy(_._2).toSeq.flatMap { case (key, rows) =>
       val sorted = rows.sortBy(_._1)
       sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
-        .map { case (pid, off) => (pid, lang, off) }
+        .map { case (pid, off) => (pid, key, off) }
     }
     val session = df.sparkSession
     import session.implicits._
-    val offsetDf = offsets.toDF("pid", "lang", "offset")
-    val wPart = w.partitionBy(col("pid"), col("lang")).orderBy(col("doc_id"))
+    val offsetDf = offsets.toDF("pid", keyCol, "offset")
+    val wPart = w.partitionBy(col("pid"), col(keyCol))
+      .orderBy(orderCols.map(col): _*)
     ranged
-      .join(broadcast(offsetDf), Seq("pid", "lang"))
+      .join(broadcast(offsetDf), Seq("pid", keyCol))
       .withColumn(cumName, col("offset") + sum(col(valueCol)).over(wPart))
       .drop("pid", "offset")
   }
@@ -582,7 +586,54 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** C7o: deterministic source interleaving — a reproducible "global
+    * shuffle" for the training order: docs are pseudo-shuffled WITHIN
+    * each source by the portable Knuth bucket (engine/partitioning/run
+    * independent, like every C7 selection), then the sources are
+    * round-robin interleaved by slot `(rank_s−1)·n_sources + src_idx`:
+    * consecutive training positions cycle through sources while each
+    * lasts (slots of exhausted sources stay empty — position is an
+    * ORDER KEY, not a dense index). This is the data-ordering operator
+    * that keeps any training-window mixture-balanced without a stored
+    * permutation table.
+    *
+    * Scale: the within-source rank is the two-phase bounded-partition
+    * construction ([[withRunningSum]] with source as the key and
+    * (bucket, doc_id) as the order — a source is NOT a bounded
+    * partition); the source-index table is O(sources) and broadcast.
+    */
+  def c7Interleave(spark: SparkSession, dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val base = docs(spark, dir)
+      .select(col("doc_id"), col("source"), expr(bucketSql).as("bucket"))
+      .withColumn("one", lit(1L))
+    val ranked = withRunningSum(base, "one", "rank_s",
+      keyCol = "source", orderCols = Seq("bucket", "doc_id"))
+    val srcs = docs(spark, dir).select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val srcIdx = srcs.zipWithIndex.map { case (s, i) => (s, i.toLong) }
+      .toSeq.toDF("source", "src_idx")
+    ranked
+      .join(broadcast(srcIdx), "source")
+      .withColumn("position",
+        (col("rank_s") - 1) * srcs.length + col("src_idx") + 1)
+      .select("doc_id", "source", "rank_s", "position")
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "c7_interleave" ->
+      ("WITH s AS (SELECT doc_id, source, " +
+        "(doc_id * 2654435761) % 4294967296 AS bucket FROM documents), " +
+        "si AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 " +
+        "AS BIGINT) AS src_idx FROM (SELECT DISTINCT source FROM documents)), " +
+        "ns AS (SELECT count(*) AS n_sources FROM si), " +
+        "r AS (SELECT doc_id, source, CAST(row_number() OVER " +
+        "(PARTITION BY source ORDER BY bucket, doc_id) AS BIGINT) AS rank_s FROM s) " +
+        "SELECT r.doc_id, r.source, r.rank_s, " +
+        "(r.rank_s - 1) * n_sources + src_idx + 1 AS position " +
+        "FROM r JOIN si USING (source) CROSS JOIN ns ORDER BY doc_id"),
     "c7_curriculum" ->
       ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) " +
         "AS n_tokens FROM documents), " +
@@ -772,6 +823,7 @@ object PipelineOps {
     "c7_mix_sources" -> ((s: SparkSession, d: String) => c7MixSources(s, d)),
     "c7_quality_filter" -> (c7QualityFilter _),
     "c7_dedup_keep_best" -> (c7DedupKeepBest _),
-    "c7_curriculum" -> ((s: SparkSession, d: String) => c7Curriculum(s, d))
+    "c7_curriculum" -> ((s: SparkSession, d: String) => c7Curriculum(s, d)),
+    "c7_interleave" -> (c7Interleave _)
   )
 }

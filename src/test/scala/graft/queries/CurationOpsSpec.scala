@@ -317,6 +317,30 @@ class CurationOpsSpec extends SparkSuite {
     assert(sizes.values.max - sizes.values.min <= 1)
   }
 
+  test("c7_interleave: portable within-source shuffle, strict round-robin slots") {
+    val got = PipelineOps.c7Interleave(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val srcs = docs.map(_._2).distinct.sorted
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      val idx = srcs.indexOf(src).toLong
+      rows.map(_._1)
+        .sortBy(id => ((id * 2654435761L) % 4294967296L, id))
+        .zipWithIndex
+        .map { case (id, i) =>
+          (id, src, i + 1L, i.toLong * srcs.length + idx + 1) }
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    // positions are unique (a valid order key) and round-robin by source
+    assert(got.map(_._4).distinct.length == got.length)
+    got.foreach { case (_, src, _, pos) =>
+      assert((pos - 1) % srcs.length == srcs.indexOf(src).toLong)
+    }
+  }
+
   private def corpusTokens: Map[Long, Int] =
     graft.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text")).collect()
