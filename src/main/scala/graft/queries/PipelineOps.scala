@@ -622,6 +622,73 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** C7p: dataset-card profile — the per-(source, lang) summary a
+    * pipeline publishes with a corpus release: doc/token counts,
+    * exact-duplicate rate (non-first copies by content hash), the
+    * quality-filter pass rate, and mean lexical diversity. Pure
+    * composition of per-doc signals this engine already computes
+    * ([[c7QualityFilter]], [[TextOps.c4Diversity]], the c1 md5
+    * first-copy rule) grouped once — the "one plan, one pass over each
+    * signal" form, not a driver-side report script. Simpson means sum
+    * as DECIMAL(20,6) (the [[graft.queries.Exact]] discipline) so
+    * aggregation order can never drift the hash.
+    */
+  def c7DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), md5(col("text")).as("h"))
+    val fst = d.groupBy("h").agg(min(col("doc_id")).as("first_id"))
+    val qf = c7QualityFilter(spark, dir).select(col("doc_id"), col("keep"))
+    val dv = TextOps.c4Diversity(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("simpson"))
+    d.join(fst, "h")
+      .withColumn("is_dup", col("doc_id") =!= col("first_id"))
+      .join(qf, "doc_id")
+      .join(dv, "doc_id")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(col("simpson").cast("decimal(20,6)")).as("sumdec"))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
+        col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6).as("dup_rate"),
+        col("n_quality"),
+        round(col("n_quality").cast("double") / col("n_docs"), 6).as("quality_rate"),
+        round(col("sumdec").cast("double") / col("n_docs"), 6).as("mean_simpson"))
+      .orderBy("source", "lang")
+  }
+
+  /** Shared replay of the quality-filter signal chain (base/tc/ts/bg/bs
+    * CTEs) and the composite keep predicate — consumed by the
+    * c7_quality_filter oracle and recomposed by c7_dataset_card.
+    */
+  private val qualityCtes: String =
+    "base AS (SELECT doc_id, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+      "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars " +
+      "FROM documents), " +
+      "tc AS (SELECT doc_id, tok, count(*) AS c FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+      "GROUP BY doc_id, tok), " +
+      "ts AS (SELECT doc_id, max(c) AS max_c, " +
+      "count(CASE WHEN tok IN ('the','a','of','to','in','and','is') THEN 1 END) " +
+      "AS n_stop_types FROM tc GROUP BY doc_id), " +
+      "bg AS (SELECT doc_id, bg, count(*) AS cnt FROM " +
+      "(SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))), " +
+      "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg " +
+      "FROM documents) GROUP BY doc_id, bg), " +
+      "bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams, " +
+      "CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup " +
+      "FROM bg GROUP BY doc_id)"
+
+  private val qualityKeepSql: String =
+    "n_tokens BETWEEN 30 AND 10000 AND " +
+      "alpha_chars >= n_tokens * 2 AND alpha_chars <= n_tokens * 12 AND " +
+      "max_c * 5 <= n_tokens AND " +
+      "COALESCE(n_dup, 0) * 10 <= COALESCE(n_bigrams, 0) * 3 AND " +
+      "n_stop_types >= 2"
+
   val oracle: Map[String, String] = Map(
     "c7_interleave" ->
       ("WITH s AS (SELECT doc_id, source, " +
@@ -660,36 +727,46 @@ object PipelineOps {
         "FROM j JOIN (SELECT cluster_rep, keep_id FROM best WHERE rn = 1) b " +
         "USING (cluster_rep) ORDER BY doc_id"),
     "c7_quality_filter" ->
-      ("WITH base AS (SELECT doc_id, " +
-        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars " +
-        "FROM documents), " +
-        "tc AS (SELECT doc_id, tok, count(*) AS c FROM " +
-        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
-        "GROUP BY doc_id, tok), " +
-        "ts AS (SELECT doc_id, max(c) AS max_c, " +
-        "count(CASE WHEN tok IN ('the','a','of','to','in','and','is') THEN 1 END) " +
-        "AS n_stop_types FROM tc GROUP BY doc_id), " +
-        "bg AS (SELECT doc_id, bg, count(*) AS cnt FROM " +
-        "(SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))), " +
-        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg " +
-        "FROM documents) GROUP BY doc_id, bg), " +
-        "bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams, " +
-        "CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup " +
-        "FROM bg GROUP BY doc_id) " +
+      (s"WITH $qualityCtes " +
         "SELECT base.doc_id, " +
         "n_tokens BETWEEN 30 AND 10000 AS r_len, " +
         "(alpha_chars >= n_tokens * 2 AND alpha_chars <= n_tokens * 12) AS r_word_len, " +
         "max_c * 5 <= n_tokens AS r_top_tok, " +
         "COALESCE(n_dup, 0) * 10 <= COALESCE(n_bigrams, 0) * 3 AS r_dup_bigram, " +
         "n_stop_types >= 2 AS r_stopwords, " +
-        "(n_tokens BETWEEN 30 AND 10000 AND " +
-        "alpha_chars >= n_tokens * 2 AND alpha_chars <= n_tokens * 12 AND " +
-        "max_c * 5 <= n_tokens AND " +
-        "COALESCE(n_dup, 0) * 10 <= COALESCE(n_bigrams, 0) * 3 AND " +
-        "n_stop_types >= 2) AS keep " +
+        s"($qualityKeepSql) AS keep " +
         "FROM base LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id) " +
         "ORDER BY doc_id"),
+    // Dataset card: the per-(source, lang) profile composed from the
+    // ALREADY-proven per-doc signals — exact-dup first-copy (the
+    // c1_exact_dedup md5 grouping), the quality-filter keep (shared
+    // qualityCtes), and the diversity index (the c4_diversity formula
+    // over the shared tc CTE). Simpson means sum as DECIMAL(20,6) so
+    // the cross-engine hash is independent of aggregation order.
+    "c7_dataset_card" ->
+      (s"WITH $qualityCtes, " +
+        s"qf AS (SELECT base.doc_id, ($qualityKeepSql) AS keep " +
+        "FROM base LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id)), " +
+        "dv AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "round(1.0 - CAST(sum(c*c) AS DOUBLE) / (sum(c) * sum(c)), 6) AS simpson " +
+        "FROM tc GROUP BY doc_id), " +
+        "d AS (SELECT doc_id, source, lang, md5(text) AS h FROM documents), " +
+        "fst AS (SELECT h, min(doc_id) AS first_id FROM d GROUP BY h), " +
+        "per AS (SELECT d.doc_id, d.source, d.lang, " +
+        "d.doc_id <> f.first_id AS is_dup, qf.keep, dv.simpson, dv.n_tokens " +
+        "FROM d JOIN fst f USING (h) " +
+        "JOIN qf ON qf.doc_id = d.doc_id JOIN dv ON dv.doc_id = d.doc_id) " +
+        "SELECT source, lang, count(*) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, " +
+        "round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) " +
+        "AS dup_rate, " +
+        "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality, " +
+        "round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) " +
+        "AS quality_rate, " +
+        "round(CAST(sum(CAST(simpson AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) " +
+        "AS mean_simpson " +
+        "FROM per GROUP BY source, lang ORDER BY source, lang"),
     "c7_sample_topk" ->
       (s"SELECT lang, doc_id, bucket, rn FROM (" +
         s"SELECT lang, doc_id, $bucketSql AS bucket, " +
@@ -824,6 +901,7 @@ object PipelineOps {
     "c7_quality_filter" -> (c7QualityFilter _),
     "c7_dedup_keep_best" -> (c7DedupKeepBest _),
     "c7_curriculum" -> ((s: SparkSession, d: String) => c7Curriculum(s, d)),
-    "c7_interleave" -> (c7Interleave _)
+    "c7_interleave" -> (c7Interleave _),
+    "c7_dataset_card" -> (c7DatasetCard _)
   )
 }

@@ -341,6 +341,34 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("c7_dataset_card: rates agree with the component operators") {
+    val got = PipelineOps.c7DatasetCard(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7), r.getDouble(8))))
+      .toMap
+    assert(got.nonEmpty)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    // group sizes and token totals from scratch
+    val byKey = docs.groupBy(d => (d._2, d._3))
+    assert(got.keySet == byKey.keySet)
+    val firstByText = docs.groupBy(_._4).view.mapValues(_.map(_._1).min).toMap
+    val qualityKeep = PipelineOps.c7QualityFilter(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    byKey.foreach { case (key, ds) =>
+      val (nDocs, totTok, nDup, dupRate, nQual, qualRate, meanSimpson) = got(key)
+      assert(nDocs == ds.length)
+      assert(totTok == ds.map(_._4.split(" ").length.toLong).sum)
+      assert(nDup == ds.count(d => firstByText(d._4) != d._1))
+      assert(nQual == ds.count(d => qualityKeep(d._1)))
+      assert(math.abs(dupRate - nDup.toDouble / nDocs) < 1e-6)
+      assert(math.abs(qualRate - nQual.toDouble / nDocs) < 1e-6)
+      assert(meanSimpson > 0.0 && meanSimpson < 1.0)
+    }
+  }
+
   private def corpusTokens: Map[Long, Int] =
     graft.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text")).collect()
