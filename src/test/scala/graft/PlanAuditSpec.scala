@@ -19,6 +19,8 @@ class PlanAuditSpec extends SparkSuite {
     "b3_join_range",     // broadcast interval table
     "c2_ngram_jaccard",  // distinct-set bitmask path: broadcast distinct sets
     "c2_ngram_jaccard_topm", // same bitmask path (bounded by maxBroadcastSets)
+    "c2_lsh_recall",     // composes c2_ngram_jaccard's exact side: same
+                         // intentional bitmask BNLJ
     "c3_cosine_topk",    // broadcast query subset, q_id <> b_id theta join
     "c3_knn_classify",   // same broadcast-query theta join as c3_cosine_topk
     "c3_ann_recall",     // composes c3_cosine_topk: same intentional BNLJ
