@@ -196,7 +196,7 @@ object DedupOps {
     * ties — no window over the candidate stream), left-joined back to
     * the batch.
     */
-  private def resolveBatch(cand: DataFrame, newToks: DataFrame,
+  private[queries] def resolveBatch(cand: DataFrame, newToks: DataFrame,
       corpToks: DataFrame, threshold: Double): DataFrame = {
     val confirmed = cand
       .join(newToks.select(col("doc_id").as("n_id"), col("toks").as("n_toks")), "n_id")

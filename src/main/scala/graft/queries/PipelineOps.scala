@@ -215,16 +215,24 @@ object PipelineOps {
     * the exchange on both sides, so nothing shingle-string-sized ever
     * shuffles.
     */
-  private def shingleSides(spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
+  /** `(doc_id, split-bucket, xxhash64(shingle))` rows — the hashed
+    * word-k-gram stream every decontamination/contamination variant is
+    * built on. Hashing happens in the narrow scan, before any exchange.
+    */
+  private def hashedShingleBase(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val toks = split(col("text"), " ")
     val shingles = when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - (k - 1)),
         i => concat_ws(" ", slice(toks, i, lit(k)))))
       .otherwise(array().cast("array<string>"))
-    val base = docs(spark, dir)
+    docs(spark, dir)
       .withColumn("bucket", expr(bucketSql))
       .select(col("doc_id"), col("bucket"), explode(shingles).as("sh"))
       .select(col("doc_id"), col("bucket"), xxhash64(col("sh")).as("h"))
+  }
+
+  private def shingleSides(spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
+    val base = hashedShingleBase(spark, dir, k)
     val train = base.filter(col("bucket") < (0.8 * 4294967296L).toLong)
       .select(col("doc_id"), col("h"))
     val test = base.filter(col("bucket") >= (0.9 * 4294967296L).toLong)
@@ -310,6 +318,76 @@ object PipelineOps {
         ColumnBridge.expression(col("h")))))
     graft.util.CacheScope.releaseAfterMaterialize(
       decontamTail(prefiltered.join(test, "h")), Seq(test))
+  }
+
+  /** C7q: per-test-doc CONTAMINATION report — the mirror of
+    * c7_decontaminate: instead of flagging train docs to drop, measure
+    * for every HELD-OUT doc what fraction of its distinct word k-grams
+    * already leak into the train split (the "dirty benchmark" statistic
+    * the GPT-3/Gopher appendices report per eval set). A doc is flagged
+    * `dirty` when ≥10% of its shingles are leaked — the comparison is
+    * pure integer cross-multiplication (`n_hit·10 ≥ n_shingles`), so no
+    * float threshold can flip the hash.
+    *
+    * Scale shape: the train side is reduced FIRST by a semi join against
+    * the (benchmark-sized) distinct test-shingle hash set — only train
+    * shingles that can possibly matter survive to the distinct — so the
+    * big side never builds a corpus-wide distinct. Every exchange moves
+    * 8-byte hashes (same collision note as c7_decontaminate).
+    */
+  def c7Contamination(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    // Persisted: both split filters scan the same hashed-shingle pass.
+    val base = hashedShingleBase(spark, dir, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val te = base.filter(col("bucket") >= (0.9 * 4294967296L).toLong)
+      .select(col("doc_id"), col("h")).distinct()
+    val teH = te.select("h").distinct()
+    // Train-side hashes restricted to the test vocabulary before the
+    // distinct: the set of test shingles that occur anywhere in train.
+    val leaked = base.filter(col("bucket") < (0.8 * 4294967296L).toLong)
+      .select("h").join(teH, "h").distinct()
+    graft.util.CacheScope.releaseAfterMaterialize(
+      te.join(leaked.withColumn("hit", lit(1)), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+        .withColumn("dirty", col("n_hit") * 10 >= col("n_shingles"))
+        .orderBy("doc_id"),
+      Seq(base))
+  }
+
+  /** C7r: FUZZY decontamination — near-duplicate leakage the exact
+    * k-gram join can't see: a train doc that is a lightly-edited copy of
+    * a held-out doc shares high Jaccard but possibly not one exact
+    * 4-gram. Reuses the incremental-dedup machinery wholesale
+    * (DedupOps.IncBands MinHash banding on both splits, band-bucket
+    * candidate join, exact-Jaccard confirm on candidates only): every
+    * train doc resolves to `contaminated` with its best-matching test
+    * doc (highest Jaccard, smallest id on ties) or clean. Same posture
+    * as c2_incremental_dedup — train is "the batch", the held-out split
+    * is "the corpus" — so the 100 TB shape is already proven: O(doc)
+    * signatures, shuffle on 8-byte band buckets, Ω(candidates) confirm.
+    */
+  def c7DecontaminateFuzzy(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    import graft.dedup.MinHash
+    val d = docs(spark, dir).withColumn("sb", expr(bucketSql))
+    def toksOf(side: Column) = d.filter(side)
+      .select(col("doc_id"), MinHash.tokenSet(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Persisted: each side feeds its banding pass AND the confirm join.
+    val trainToks = toksOf(col("sb") < (0.8 * 4294967296L).toLong)
+    val testToks = toksOf(col("sb") >= (0.9 * 4294967296L).toLong)
+    def memOf(toks: DataFrame) = MinHash.membershipsFromSets(
+      toks, col("doc_id"), col("toks"), DedupOps.IncHashes, DedupOps.IncBands)
+    val cand = memOf(trainToks).withColumnRenamed("doc_id", "n_id")
+      .join(memOf(testToks).withColumnRenamed("doc_id", "c_id"),
+        Seq("band", "bucket"))
+      .select("n_id", "c_id").distinct()
+    graft.util.CacheScope.releaseAfterMaterialize(
+      DedupOps.resolveBatch(cand, trainToks, testToks, threshold)
+        .select(col("doc_id"), (!col("is_novel")).as("contaminated"),
+          col("match_id").as("test_match_id"), col("match_jaccard")),
+      Seq(trainToks, testToks))
   }
 
   /** C7e: end-to-end corpus curation — the composition a training
@@ -559,6 +637,20 @@ object PipelineOps {
     * there.
     */
   def c7Curriculum(spark: SparkSession, dir: String, phases: Int = 4): DataFrame = {
+    val (ranked, nd) = tokenRank(spark, dir)
+    ranked
+      .withColumn("phase",
+        expr(s"CAST(((rank - 1) * $phases) div $nd + 1 AS INT)"))
+      .select("doc_id", "n_tokens", "rank", "phase")
+      .orderBy("doc_id")
+  }
+
+  /** Exact global `(doc_id, n_tokens, rank)` over the (n_tokens, doc_id)
+    * total order via the two-phase bounded-partition construction, plus
+    * the corpus doc count — shared by curriculum phasing and shard
+    * assignment.
+    */
+  private def tokenRank(spark: SparkSession, dir: String): (DataFrame, Long) = {
     val base = docs(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -577,13 +669,34 @@ object PipelineOps {
     val offsetDf = offsets.toSeq.toDF("pid", "offset")
     val wPart = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pid")).orderBy(col("n_tokens"), col("doc_id"))
-    ranged
+    (ranged
       .join(broadcast(offsetDf), "pid")
       .withColumn("rank", col("offset") + row_number().over(wPart))
-      .withColumn("phase",
-        expr(s"CAST(((rank - 1) * $phases) div $nd + 1 AS INT)"))
-      .select("doc_id", "n_tokens", "rank", "phase")
-      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "rank"), nd)
+  }
+
+  /** C7s: size-balanced output SHARD assignment — the step that turns a
+    * curated corpus into the fixed set of training shards (WebDataset/
+    * tfrecord-style) a loader streams: shard = (global token rank − 1)
+    * mod S stripes docs across shards by size, so every shard gets the
+    * same doc count (±1) and near-equal token mass (consecutive ranks
+    * differ minimally in n_tokens) — greedy bin packing balances
+    * marginally better but is inherently sequential; striping is fully
+    * parallel, deterministic at any partitioning, and reproducible on
+    * resume like every C7 selection. Output is the per-shard audit
+    * (count, token mass, id-sum fingerprint pinning WHICH docs landed
+    * where). The rank reuses [[tokenRank]]'s two-phase construction —
+    * never a corpus-wide single-task window.
+    */
+  def c7ShardBalance(spark: SparkSession, dir: String, shards: Int = 16): DataFrame = {
+    val (ranked, _) = tokenRank(spark, dir)
+    ranked
+      .withColumn("shard", ((col("rank") - 1) % shards).cast("int"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("doc_id")).as("idsum"))
+      .orderBy("shard")
   }
 
   /** C7o: deterministic source interleaving — a reproducible "global
@@ -710,6 +823,63 @@ object PipelineOps {
         "SELECT doc_id, n_tokens, rank, " +
         "CAST((rank - 1) * 4 // nd + 1 AS INT) AS phase " +
         "FROM r, n ORDER BY doc_id"),
+    // The same exact global (n_tokens, doc_id) rank, striped mod 16.
+    "c7_shard_balance" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) " +
+        "AS n_tokens FROM documents), " +
+        "r AS (SELECT doc_id, n_tokens, row_number() OVER " +
+        "(ORDER BY n_tokens, doc_id) AS rank FROM t) " +
+        "SELECT CAST((rank - 1) % 16 AS INT) AS shard, count(*) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(doc_id) AS BIGINT) AS idsum " +
+        "FROM r GROUP BY 1 ORDER BY shard"),
+    // Contamination report: string-exact shingle replay of the hashed
+    // join (same collision caveat as c7_decontaminate), integer
+    // cross-multiplied dirty flag.
+    "c7_contamination" ->
+      (s"WITH d AS (SELECT doc_id, $bucketSql AS bucket, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "sh AS (SELECT doc_id, bucket, unnest(list_transform(range(1, len(toks) - 2), " +
+        "i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS sh FROM d), " +
+        s"te AS (SELECT DISTINCT doc_id, sh FROM sh WHERE bucket >= ${(0.9 * 4294967296L).toLong}), " +
+        s"leaked AS (SELECT DISTINCT sh FROM sh WHERE bucket < ${(0.8 * 4294967296L).toLong} " +
+        "AND sh IN (SELECT sh FROM te)) " +
+        "SELECT te.doc_id, count(*) AS n_shingles, count(leaked.sh) AS n_hit, " +
+        "count(leaked.sh) * 10 >= count(*) AS dirty " +
+        "FROM te LEFT JOIN leaked ON te.sh = leaked.sh " +
+        "GROUP BY te.doc_id ORDER BY te.doc_id"),
+    // Fuzzy decontamination: the incremental-dedup replay (IncBands
+    // MinHash chain, band-bucket candidates, exact-Jaccard confirm,
+    // (jaccard desc, id asc) best pick) with the portable split buckets
+    // as the batch/corpus partition.
+    "c7_decontaminate_fuzzy" -> {
+      val t8 = (0.8 * 4294967296L).toLong
+      val t9 = (0.9 * 4294967296L).toLong
+      s"WITH sb AS (SELECT doc_id, $bucketSql AS sb FROM documents), " +
+        "base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
+        s"FROM documents WHERE $bucketSql < $t8 OR $bucketSql >= $t9), " +
+        DedupOps.mhChainSql(DedupOps.IncBands, DedupOps.IncRows) + ", " +
+        "nw AS (SELECT mem.doc_id AS n_id, band, bucket FROM mem " +
+        s"JOIN sb ON mem.doc_id = sb.doc_id WHERE sb.sb < $t8), " +
+        "cp AS (SELECT mem.doc_id AS c_id, band, bucket FROM mem " +
+        s"JOIN sb ON mem.doc_id = sb.doc_id WHERE sb.sb >= $t9), " +
+        "cand AS (SELECT DISTINCT n_id, c_id FROM nw JOIN cp USING (band, bucket)), " +
+        "sc AS (SELECT n_id, c_id, " +
+        "len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS common, " +
+        "len(a.toks) AS na, len(b.toks) AS nb " +
+        "FROM cand JOIN base a ON a.doc_id = cand.n_id " +
+        "JOIN base b ON b.doc_id = cand.c_id), " +
+        "cf AS (SELECT n_id, c_id, " +
+        "round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard " +
+        "FROM sc WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8), " +
+        "best AS (SELECT n_id, c_id, jaccard, row_number() OVER " +
+        "(PARTITION BY n_id ORDER BY jaccard DESC, c_id) AS rn FROM cf) " +
+        "SELECT b.doc_id, m.c_id IS NOT NULL AS contaminated, " +
+        "m.c_id AS test_match_id, m.jaccard AS match_jaccard " +
+        s"FROM (SELECT doc_id FROM sb WHERE sb < $t8) b " +
+        "LEFT JOIN (SELECT n_id, c_id, jaccard FROM best WHERE rn = 1) m " +
+        "ON b.doc_id = m.n_id ORDER BY doc_id"
+    },
     // Recursive-CTE closure over the replayed MinHash memberships (the
     // c2_minhash_cc oracle), then the (n_tokens desc, doc_id asc)
     // keep-best pick per cluster.
@@ -902,6 +1072,9 @@ object PipelineOps {
     "c7_dedup_keep_best" -> (c7DedupKeepBest _),
     "c7_curriculum" -> ((s: SparkSession, d: String) => c7Curriculum(s, d)),
     "c7_interleave" -> (c7Interleave _),
-    "c7_dataset_card" -> (c7DatasetCard _)
+    "c7_dataset_card" -> (c7DatasetCard _),
+    "c7_shard_balance" -> ((s: SparkSession, d: String) => c7ShardBalance(s, d)),
+    "c7_contamination" -> ((s: SparkSession, d: String) => c7Contamination(s, d)),
+    "c7_decontaminate_fuzzy" -> ((s: SparkSession, d: String) => c7DecontaminateFuzzy(s, d))
   )
 }

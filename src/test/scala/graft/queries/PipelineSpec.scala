@@ -187,6 +187,77 @@ class PipelineSpec extends SparkSuite {
     assert(qa + qb <= 110L)
   }
 
+  test("c7_shard_balance: doc counts within 1, all docs covered, shards disjoint") {
+    val shards = PipelineOps.c7ShardBalance(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(shards.length == 16)
+    assert(shards.map(_._1).toSeq == (0 until 16))
+    // striping puts the same number of docs (±1) in every shard
+    val counts = shards.map(_._2)
+    assert(counts.max - counts.min <= 1, s"unbalanced: ${counts.toSeq}")
+    // exhaustive and disjoint: counts and id fingerprints sum to the corpus
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("doc_id")).head()
+    assert(counts.sum == docs.getLong(0))
+    assert(shards.map(_._4).sum == docs.getLong(1))
+    // striping by size rank keeps token mass near-even: no shard may hold
+    // more than 2x the mean token mass (loose, but catches a broken rank)
+    val toks = shards.map(_._3)
+    assert(toks.max <= 2 * (toks.sum / toks.length),
+      s"token-skewed shards: ${toks.toSeq}")
+  }
+
+  test("c7_contamination: counts consistent, dirty flag is the integer rule") {
+    val rows = PipelineOps.c7Contamination(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nSh, nHit, dirty) =>
+      assert(nSh >= 1, s"doc $id: empty shingle set emitted")
+      assert(nHit <= nSh, s"doc $id: more hits than shingles")
+      assert(dirty == (nHit * 10 >= nSh), s"doc $id: flag drifted from the rule")
+    }
+    // test docs only: every emitted doc is in the held-out bucket
+    rows.foreach { case (id, _, _, _) =>
+      assert((id * 2654435761L) % 4294967296L >= (0.9 * 4294967296L).toLong,
+        s"doc $id is not a test-split doc")
+    }
+  }
+
+  test("c7_decontaminate_fuzzy: matches are real >=0.8 Jaccard; exact-dup docs are caught") {
+    val rows = PipelineOps.c7DecontaminateFuzzy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val flagged = rows.filter(_.getBoolean(1))
+    // every contaminated row carries a match at or above the threshold
+    flagged.foreach { r =>
+      assert(!r.isNullAt(2) && r.getDouble(3) >= 0.8,
+        s"doc ${r.getLong(0)}: contaminated without a qualifying match")
+    }
+    // clean rows carry no match
+    rows.filterNot(_.getBoolean(1)).foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3),
+        s"doc ${r.getLong(0)}: clean but match fields set")
+    }
+    // ground truth: any train doc whose text EXACTLY equals a test doc's
+    // text (Jaccard 1.0) must be flagged — LSH banding cannot miss j=1
+    val session = spark
+    import session.implicits._
+    val d = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text",
+        org.apache.spark.sql.functions.expr(
+          "(doc_id * 2654435761) % 4294967296").as("sb"))
+    val t8 = (0.8 * 4294967296L).toLong
+    val t9 = (0.9 * 4294967296L).toLong
+    val testTexts = d.filter($"sb" >= t9).select("text").distinct()
+    val exactDups = d.filter($"sb" < t8)
+      .join(testTexts, "text").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val flaggedIds = flagged.map(_.getLong(0)).toSet
+    exactDups.foreach(id =>
+      assert(flaggedIds.contains(id), s"exact train/test dup $id not flagged"))
+  }
+
   test("c5_retention: day-0 cell equals cohort size; offsets non-negative") {
     val cells = EventOps.c5Retention(spark, sf)
       .collect()
