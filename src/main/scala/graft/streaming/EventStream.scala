@@ -1220,6 +1220,43 @@ object EventStream {
       .orderBy("window_start", "event_type")
   }
 
+  /** c5_stream_enrich: stream-STATIC enrichment join — the remaining
+    * standard streaming join shape (c5_stream_join covers
+    * stream-stream): each live event equi-joins a static per-user
+    * profile snapshot (computed from the batch table) and the enriched
+    * stream aggregates per (hour window, profile tier). Stream-static
+    * equi joins are STATELESS — the static side is re-resolved each
+    * micro-batch and broadcast; no join state ever accumulates, so the
+    * plan runs forever at any stream length (the dimension-lookup
+    * posture a 100 TB/day enrichment pipeline needs; a slowly-changing
+    * dimension just swaps the snapshot between micro-batches).
+    *
+    * The tier rule is exact integer arithmetic (heavy iff
+    * `n_total · n_users ≥ total_events`, i.e. at-or-above the mean,
+    * cross-multiplied — no float threshold can flip the hash), and the
+    * value sum goes through the exact decimal like every windowed twin.
+    */
+  def c5StreamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val counts = graft.Tables.load(spark, sfDir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n_total"))
+    val totals = counts.agg(count(lit(1)).as("nu"), sum("n_total").as("te"))
+    val profile = counts.crossJoin(totals)
+      .withColumn("tier",
+        when(col("n_total") * col("nu") >= col("te"), "heavy").otherwise("light"))
+      .select("user_id", "tier")
+    val enriched = readEventsTable(spark, sfDir)
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(profile), "user_id")
+      .groupBy(window(col("ts"), "1 hour"), col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("tier"),
+        col("n_events"), col("sum_value"))
+    runAvailableNow(enriched, OutputMode.Complete())
+      .orderBy("window_start", "tier")
+  }
+
   /** c5_stream_sessionize: the native session_window operator under
     * streaming execution; oracle = gaps-and-islands sessions with
     * session_end = last event + gap.
@@ -1369,6 +1406,17 @@ object EventStream {
         "count(*) AS n_events, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    // Enrichment replay: profile tiers from exact integer counts, then
+    // the same windowed aggregate over the joined stream.
+    "c5_stream_enrich" ->
+      ("WITH p AS (SELECT user_id, count(*) AS n_total FROM events GROUP BY user_id), " +
+        "t AS (SELECT count(*) AS nu, CAST(sum(n_total) AS BIGINT) AS te FROM p), " +
+        "pt AS (SELECT user_id, CASE WHEN n_total * nu >= te THEN 'heavy' " +
+        "ELSE 'light' END AS tier FROM p, t) " +
+        "SELECT date_trunc('hour', ts) AS window_start, tier, " +
+        "count(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
+        "FROM events JOIN pt USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
     "c5_stream_sessionize" ->
       ("WITH flagged AS (SELECT user_id, ts, event_id, " +
         "CASE WHEN lag(ts) OVER w IS NULL OR " +
@@ -1601,6 +1649,7 @@ object EventStream {
   /** Driver query registry (merged into SparkEntry.queries). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c5_stream_tumbling" -> (c5StreamTumbling _),
+    "c5_stream_enrich" -> (c5StreamEnrich _),
     "c5_stream_topk" -> ((s: SparkSession, d: String) => c5StreamTopK(s, d)),
     "c5_stream_topk_incr" -> ((s: SparkSession, d: String) => c5StreamTopKIncr(s, d)),
     "c5_stream_tumbling_incr" -> (c5StreamTumblingIncr _),

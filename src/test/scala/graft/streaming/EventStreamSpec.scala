@@ -440,6 +440,50 @@ class EventStreamSpec extends SparkSuite {
       "watermark should hold back the last windows")
   }
 
+  test("stream-static enrichment matches the batch join and stays stateless") {
+    val got = EventStream.c5StreamEnrich(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    assert(got.map(_._2).distinct.sorted.toSeq == Seq("heavy", "light"),
+      "both profile tiers must appear on testdata")
+    // batch re-derivation of the same enrichment
+    val ev = Tables.load(spark, sf, "events")
+    val counts = ev.groupBy("user_id").agg(count(lit(1)).as("n_total"))
+    val totals = counts.agg(count(lit(1)).as("nu"),
+      org.apache.spark.sql.functions.sum("n_total").as("te"))
+    val profile = counts.crossJoin(totals)
+      .withColumn("tier", org.apache.spark.sql.functions.when(
+        col("n_total") * col("nu") >= col("te"), "heavy").otherwise("light"))
+      .select("user_id", "tier")
+    val want = ev.join(profile, "user_id")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("sum_value"))
+      .orderBy("window_start", "tier").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+    // stateless join: the only stateful operator in the streaming plan is
+    // the windowed aggregation — a stream-static join must add NO state
+    // (progress reports exactly one stateful operator)
+    val enriched = EventStream.readEventsTable(spark, sf)
+      .withWatermark("ts", "2 hours")
+      .join(org.apache.spark.sql.functions.broadcast(profile), "user_id")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"), col("tier"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = enriched.writeStream.format("memory")
+      .queryName("enrich_state_probe")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000L), "probe query did not finish")
+      val ops = q.recentProgress.flatMap(p => Option(p.stateOperators)).flatten
+        .map(_.operatorName).distinct
+      assert(ops.toSeq == Seq("stateStoreSave"),
+        s"expected only the aggregation's state operator, got: ${ops.toSeq}")
+    } finally q.stop()
+  }
+
   test("batch sessionization query is internally consistent on testdata") {
     val s = EventOps.c5Sessionize(spark, sf).collect()
     assert(s.nonEmpty)
