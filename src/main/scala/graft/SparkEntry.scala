@@ -53,7 +53,8 @@ object SparkEntry {
   def warmups: Seq[Warmup] = Seq(
     Warmup("b8_layouts", _.startsWith("b8"),
       (s, d) => Relational.warmLayouts(s, d)),
-    Warmup("ann_index", _ == "c3_ann_pq_indexed",
+    Warmup("ann_index",
+      Set("c3_ann_pq_indexed", "c3_ann_pq_filtered").contains(_),
       (s, d) => { SimOps.ensureAnnIndex(s, d); () }),
     Warmup("dedup_index", _ == "c2_incremental_dedup_indexed",
       (s, d) => { DedupOps.ensureDedupIndex(s, d); () }))

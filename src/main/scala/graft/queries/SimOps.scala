@@ -550,13 +550,20 @@ object SimOps {
     * list_sum reproducing Spark's left-to-right fold bit-for-bit — a
     * sub-1e-6 near-tie from a different summation order would flip ranks.
     */
+  /** `matchCols` are the candidate-join keys: `cell` alone is the plain
+    * IVF probe; adding an attribute column (both sides must carry it)
+    * restricts candidates to matching metadata DURING the probe — the
+    * pre-filter form of filtered vector search.
+    */
   private def adcTopK(corpus: DataFrame, queries: DataFrame,
-      k: Int, subspaces: Int): DataFrame = {
+      k: Int, subspaces: Int,
+      matchCols: Seq[String] = Seq("cell")): DataFrame = {
     val cand = corpus
-      .join(broadcast(queries.select(col("q_id"), col("cell"))), Seq("cell"))
+      .join(broadcast(queries.select(
+        (col("q_id") +: matchCols.map(col)): _*)), matchCols)
       .filter(col("q_id") =!= col("b_id"))
     val scored = cand
-      .join(broadcast(queries), Seq("q_id", "cell"))
+      .join(broadcast(queries), "q_id" +: matchCols)
       .withColumn("adc", round(expr(
         s"aggregate(sequence(0, ${subspaces - 1}), CAST(0.0 AS DOUBLE), " +
           "(acc, m) -> acc + element_at(element_at(tbls, m+1), " +
@@ -638,7 +645,12 @@ object SimOps {
           bk.zipWithIndex.map { case (v, j) => ("book", m, j + 1, v) } })
         .toDF("kind", "m", "idx", "vec")
         .write.mode("overwrite").format("parquet").saveAsTable(modelTab)
+      // Filterable attributes (label) are stored INLINE with the codes —
+      // the filtered-search posture: a metadata predicate restricts
+      // candidates during the index scan itself, with no id join back to
+      // the corpus at query time. The join happens once, at ingest.
       pqEncodeCorpus(base, coarse, books, subspaces, residual = true)
+        .join(emb(spark, dir).select(col("vec_id").as("b_id"), col("label")), "b_id")
         .write.mode("overwrite").format("parquet")
         .partitionBy("cell").saveAsTable(codesTab)
       (codesTab, modelTab)
@@ -696,7 +708,11 @@ object SimOps {
     require(dup == 0L,
       s"appendAnnIndex: new vectors contain ids already present in $codesTab — " +
         "an appended duplicate would rank twice; dedup upstream")
+    require(newVectors.columns.contains("label"),
+      "appendAnnIndex: new vectors must carry the label attribute — the " +
+        "codes table stores filterable metadata inline")
     val enc = pqEncodeCorpus(base, coarse, books, subspaces, residual = true)
+      .join(newVectors.select(col("vec_id").as("b_id"), col("label")), "b_id")
     val n = enc.count()
     // insertInto is positional — align to the table's physical column
     // order (partition column lands last in a saveAsTable layout)
@@ -717,6 +733,34 @@ object SimOps {
     val corpus = spark.table(codesTab)
       .select(col("b_id"), col("cell").cast("int").as("cell"), col("codes"))
     adcTopK(corpus, queries, k, subspaces)
+  }
+
+  /** C3h': FILTERED ANN over the persisted index — top-k restricted to
+    * corpus vectors whose `label` equals the query's label (same-category
+    * search, the canonical metadata-filtered vector query). This is
+    * PRE-filtering: the label is stored inline in the codes table (see
+    * [[ensureAnnIndex]]) and joins into the candidate generation itself,
+    * so non-matching vectors never reach the ADC scoring — unlike
+    * post-filtering, which rank-truncates to k BEFORE applying the
+    * predicate and can return < k or even zero matching rows. Ranks are
+    * therefore within-label dense 1..k. Same zero-train/zero-encode
+    * query path as c3_ann_pq_indexed; the only additions are the label
+    * columns on both join sides.
+    */
+  def c3AnnPqFiltered(spark: SparkSession, dir: String, k: Int = 5,
+      nCells: Int = 16, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
+      queryMod: Int = 100): DataFrame = {
+    val (codesTab, modelTab) =
+      ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
+    val (coarse, books) = loadPqModel(spark, modelTab, subspaces)
+    val queries = pqQueryTables(
+      emb(spark, dir).select(col("vec_id"), asDouble(col("embedding")).as("embD")),
+      coarse, books, subspaces, nCells, nprobe, queryMod, residual = true)
+      .join(emb(spark, dir).select(col("vec_id").as("q_id"), col("label")), "q_id")
+    val corpus = spark.table(codesTab)
+      .select(col("b_id"), col("cell").cast("int").as("cell"),
+        col("codes"), col("label"))
+    adcTopK(corpus, queries, k, subspaces, matchCols = Seq("cell", "label"))
   }
 
   /** C3e: driver-checked ANN quality — recall@k of the sign-LSH ANN
@@ -986,7 +1030,7 @@ object SimOps {
     // IVF candidate CTEs (assignment + probing with the trained codebook
     // embedded as a literal), shared by the ANN query, its recall twin,
     // and the IVF-PQ query (same coarse quantizer by construction).
-    val ivfCandCtes =
+    val ivfBaseCtes =
       s"ct AS (SELECT ${matLit(cents)} AS c), " +
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         s"d AS (SELECT vec_id, v, list_transform(range(1, ${n + 1}), k -> " +
@@ -997,9 +1041,19 @@ object SimOps {
         "qs AS (SELECT vec_id AS q_id, unnest(list_transform(list_slice(" +
         s"list_sort(list_transform(range(1, ${n + 1}), k -> " +
         "[dists[k], CAST(k AS DOUBLE)])), 1, 4), s -> CAST(s[2] AS BIGINT))) " +
-        "AS cell FROM d WHERE vec_id % 100 = 0), " +
-        "cand AS (SELECT DISTINCT q_id, b_id FROM corp JOIN qs " +
+        "AS cell FROM d WHERE vec_id % 100 = 0)"
+    val ivfCandCtes = ivfBaseCtes +
+      ", cand AS (SELECT DISTINCT q_id, b_id FROM corp JOIN qs " +
         "ON corp.cell = qs.cell AND qs.q_id <> corp.b_id)"
+    // Filtered-search twin: candidates additionally restricted to equal
+    // label on both sides (the pre-filter joins into candidate
+    // generation, exactly as the Spark plan's matchCols do).
+    val ivfCandCtesFiltered = ivfBaseCtes +
+      ", lab AS (SELECT vec_id, label FROM embeddings), " +
+        "cand AS (SELECT DISTINCT q_id, b_id FROM corp JOIN qs " +
+        "ON corp.cell = qs.cell AND qs.q_id <> corp.b_id " +
+        "JOIN lab la ON la.vec_id = qs.q_id " +
+        "JOIN lab lb ON lb.vec_id = corp.b_id AND la.label = lb.label)"
     // IVFADC replay (residual PQ): corpus residuals are taken against the
     // vector's own cell, query residuals against EACH probed cell (one
     // lookup table per (query, probe)); codebooks are retrained on sample
@@ -1047,6 +1101,11 @@ object SimOps {
         "pr AS (SELECT q_id, b_id, adc, CAST(row_number() OVER " +
         "(PARTITION BY q_id ORDER BY adc ASC, b_id) AS INT) AS rank FROM psc)"
     val pqSql = s"WITH $ivfCandCtes, $pqCtes " +
+      "SELECT q_id, rank, b_id, adc FROM pr " +
+      "WHERE rank <= 5 ORDER BY q_id, rank"
+    // Same replay over the label-restricted candidate set (pqCtes only
+    // references `cand`, so the swap is the whole difference).
+    val pqFilteredSql = s"WITH $ivfCandCtesFiltered, $pqCtes " +
       "SELECT q_id, rank, b_id, adc FROM pr " +
       "WHERE rank <= 5 ORDER BY q_id, rank"
     // PQ quantization-loss recall replay: the ADC top-k from pr, the
@@ -1135,6 +1194,7 @@ object SimOps {
       // is held to the SAME full replay — a drifted or stale index breaks
       // the hash.
       "c3_ann_pq_indexed" -> pqSql,
+      "c3_ann_pq_filtered" -> pqFilteredSql,
       "c3_ann_pq_recall" -> pqRecallSql,
       "c3_ann_ivf" -> (s"WITH $ivfCandCtes, " + annScoreTail(5)),
       // Mean over the query set as one integer sum (no float fold order);
@@ -1212,6 +1272,7 @@ object SimOps {
     "c3_ann_ivf" -> ((s: SparkSession, d: String) => c3AnnIvf(s, d)),
     "c3_ann_pq" -> ((s: SparkSession, d: String) => c3AnnPq(s, d)),
     "c3_ann_pq_indexed" -> ((s: SparkSession, d: String) => c3AnnPqIndexed(s, d)),
+    "c3_ann_pq_filtered" -> ((s: SparkSession, d: String) => c3AnnPqFiltered(s, d)),
     "c3_ann_recall" -> ((s: SparkSession, d: String) => c3AnnRecall(s, d)),
     "c3_ann_ivf_recall" -> ((s: SparkSession, d: String) => c3AnnIvfRecall(s, d)),
     "c3_ann_pq_recall" -> ((s: SparkSession, d: String) => c3AnnPqRecall(s, d)),

@@ -155,6 +155,35 @@ class SimOpsSpec extends SparkSuite {
     assert(again == inPlan)
   }
 
+  test("c3_ann_pq_filtered: pre-filter semantics — label-pure, dense ranks, subset scores") {
+    import org.apache.spark.sql.functions.col
+    val filtered = SimOps.c3AnnPqFiltered(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(filtered.nonEmpty)
+    // every returned neighbor has the query's label (the predicate holds)
+    val labels = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    filtered.foreach { case (q, _, b, _) =>
+      assert(labels(q) == labels(b), s"query $q (label ${labels(q)}) " +
+        s"matched $b (label ${labels(b)})")
+    }
+    // ranks are dense 1..n per query (pre-filter, not rank-then-drop)
+    filtered.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"query $q: ranks not dense — post-filtering would look like this")
+    }
+    // agreement with the unfiltered index path: a filtered (q, b) pair
+    // must carry the SAME adc as the unfiltered query does for that pair
+    // (the predicate changes the candidate set, never the scores)
+    val unf = SimOps.c3AnnPqIndexed(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    filtered.foreach { case (q, _, b, adc) =>
+      unf.get((q, b)).foreach(u => assert(u == adc,
+        s"($q,$b): filtered adc $adc != unfiltered $u"))
+    }
+  }
+
   test("appendAnnIndex: incremental ingest encodes with the stored model, rejects duplicates") {
     // Incremental-maintenance contract: vectors appended later must get
     // BIT-IDENTICAL codes to a from-scratch encode under the same stored
@@ -172,7 +201,7 @@ class SimOpsSpec extends SparkSuite {
       val (codesTab, modelTab) = SimOps.ensureAnnIndex(spark, dir)
       val before = spark.table(codesTab).count()
       val newVecs = full.filter(col("vec_id") % 2 =!= 0)
-        .select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("embedding"), col("label"))
       val appended = SimOps.appendAnnIndex(spark, dir, newVecs)
       assert(appended == newVecs.count())
       assert(spark.table(codesTab).count() == before + appended)
