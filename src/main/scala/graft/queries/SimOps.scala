@@ -763,6 +763,52 @@ object SimOps {
     adcTopK(corpus, queries, k, subspaces, matchCols = Seq("cell", "label"))
   }
 
+  /** C3i: k-NN GRAPH construction — every vector's top-m neighbors by
+    * exact cosine, candidates blocked by the trained IVF cell (the same
+    * deterministic codebook as the whole C3/SemDeDup family). This is
+    * the neighbor-graph primitive semantic-dedup, cluster-smoothing and
+    * label-propagation pipelines build on: unlike the query-subset ANN
+    * operators, EVERY corpus vector is a query here, so all-pairs
+    * scoring is off the table — within-cell blocking bounds candidate
+    * generation at O(Σ|cell|²), the published SemDeDup cost, with cells
+    * kept bounded at scale by growing k ≈ √n. The per-vector rank
+    * window partitions on the vector id over its ≤|cell| candidates —
+    * never a corpus-sized partition. Approximation is the blocking
+    * itself (cross-cell neighbors are unseen — the standard trade);
+    * the scoring is exact cosine, 6dp-rounded before the rank so the
+    * (cosine desc, b_id asc) order is portable, and the oracle replays
+    * assignment, blocking, scoring and rank bit-for-bit.
+    */
+  def c3KnnJoin(spark: SparkSession, dir: String, m: Int = 3): DataFrame = {
+    val base = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
+    val cents = ivfCentroids(spark, dir)
+    // Persisted: both sides of the within-cell self-join scan it.
+    val assigned = base
+      .withColumn("dists",
+        graft.functions.VectorExprs.centroidDists(col("embD"), cents))
+      .withColumn("cell",
+        expr("array_position(dists, array_min(dists))").cast("int"))
+      .select(col("vec_id"), col("embD"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = assigned
+      .select(col("cell"), col("vec_id").as("a_id"), col("embD").as("a_emb"))
+      .join(assigned.select(col("cell"), col("vec_id").as("b_id"),
+        col("embD").as("b_emb")), Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cosine",
+        round(dotD(col("a_emb"), col("b_emb")) /
+          (normD(col("a_emb")) * normD(col("b_emb"))), 6))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id"))
+    graft.util.CacheScope.releaseAfterMaterialize(
+      cand.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= m)
+        .select(col("a_id"), col("rank"), col("b_id"), col("cosine"))
+        .orderBy("a_id", "rank"),
+      Seq(assigned))
+  }
+
   /** C3e: driver-checked ANN quality — recall@k of the sign-LSH ANN
     * against the exact brute-force top-k, per query, with an in-plan
     * bound claim (the b2_agg_approx pattern): `recall_ok` = recall ≥
@@ -1108,6 +1154,24 @@ object SimOps {
     val pqFilteredSql = s"WITH $ivfCandCtesFiltered, $pqCtes " +
       "SELECT q_id, rank, b_id, adc FROM pr " +
       "WHERE rank <= 5 ORDER BY q_id, rank"
+    // k-NN graph replay: same centroid assignment, within-cell exact
+    // cosine (6dp before the rank), (cosine desc, b_id) top-3 per vector.
+    val knnSql =
+      s"WITH ct AS (SELECT ${matLit(cents)} AS c), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"d AS (SELECT vec_id, v, list_transform(range(1, ${n + 1}), k -> " +
+        "list_sum(list_transform(range(1, 65), j -> " +
+        "(v[j]-c[k][j])*(v[j]-c[k][j])))) AS dists FROM e CROSS JOIN ct), " +
+        "asg AS (SELECT vec_id, v, " +
+        "CAST(list_position(dists, list_min(dists)) AS INT) AS cell FROM d), " +
+        "sc AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * " +
+        "sqrt(list_dot_product(b.v, b.v))), 6) AS cosine " +
+        "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id), " +
+        "pr AS (SELECT a_id, b_id, cosine, CAST(row_number() OVER " +
+        "(PARTITION BY a_id ORDER BY cosine DESC, b_id) AS INT) AS rank FROM sc) " +
+        "SELECT a_id, rank, b_id, cosine FROM pr WHERE rank <= 3 " +
+        "ORDER BY a_id, rank"
     // PQ quantization-loss recall replay: the ADC top-k from pr, the
     // exact squared-L2 ranking over the SAME cand set via the
     // three-dot-product formula the Spark side computes
@@ -1195,6 +1259,7 @@ object SimOps {
       // the hash.
       "c3_ann_pq_indexed" -> pqSql,
       "c3_ann_pq_filtered" -> pqFilteredSql,
+      "c3_knn_join" -> knnSql,
       "c3_ann_pq_recall" -> pqRecallSql,
       "c3_ann_ivf" -> (s"WITH $ivfCandCtes, " + annScoreTail(5)),
       // Mean over the query set as one integer sum (no float fold order);
@@ -1273,6 +1338,7 @@ object SimOps {
     "c3_ann_pq" -> ((s: SparkSession, d: String) => c3AnnPq(s, d)),
     "c3_ann_pq_indexed" -> ((s: SparkSession, d: String) => c3AnnPqIndexed(s, d)),
     "c3_ann_pq_filtered" -> ((s: SparkSession, d: String) => c3AnnPqFiltered(s, d)),
+    "c3_knn_join" -> ((s: SparkSession, d: String) => c3KnnJoin(s, d)),
     "c3_ann_recall" -> ((s: SparkSession, d: String) => c3AnnRecall(s, d)),
     "c3_ann_ivf_recall" -> ((s: SparkSession, d: String) => c3AnnIvfRecall(s, d)),
     "c3_ann_pq_recall" -> ((s: SparkSession, d: String) => c3AnnPqRecall(s, d)),

@@ -184,6 +184,44 @@ class SimOpsSpec extends SparkSuite {
     }
   }
 
+  test("c3_knn_join: dense ranks, cell-pure blocking, agrees with naive within-cell top-m") {
+    import org.apache.spark.sql.functions.col
+    val got = SimOps.c3KnnJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (a, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"vector $a: ranks not dense")
+      assert(rows.length <= 3)
+    }
+    // naive ground truth: same cell assignment, exact cosine, top-3
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cents = SimOps.ivfCentroids(spark, sf)
+    def cellOf(v: Array[Double]): Int =
+      cents.zipWithIndex.minBy { case (c, _) =>
+        v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+      }._2 + 1
+    val cells = vecs.map { case (id, v) => id -> cellOf(v) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = vecs.keys.toSeq.flatMap { a =>
+      vecs.keys.toSeq
+        .filter(b => b != a && cells(b) == cells(a))
+        .map(b => (a, b, cos(vecs(a), vecs(b))))
+        .sortBy { case (_, b, c) => (-c, b) }
+        .take(3).zipWithIndex
+        .map { case ((_, b, c), i) => (a, i + 1, b, c) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq.sortBy(r => (r._1, r._2)) == want,
+      "knn graph diverged from the naive within-cell top-m")
+  }
+
   test("appendAnnIndex: incremental ingest encodes with the stored model, rejects duplicates") {
     // Incremental-maintenance contract: vectors appended later must get
     // BIT-IDENTICAL codes to a from-scratch encode under the same stored
