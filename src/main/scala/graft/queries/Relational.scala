@@ -81,6 +81,38 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** B2i: covariance + Pearson correlation under the same exact-sum
+    * discipline as [[b2AggVar]]: the five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy²) are order-independent DECIMAL sums, so
+    * partial-aggregation order can never drift the hash, and the final
+    * cov/corr are one fixed IEEE expression per row (6dp-rounded) that
+    * both engines evaluate identically — the dispersion surface the
+    * `corr()`/`covar_pop()` built-ins cannot oracle-check (their
+    * internal folds are engine-specific). Variances are clamped at 0
+    * against catastrophic cancellation exactly as b2_agg_var.
+    */
+  def b2AggCorr(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,6)")
+    val y = col("l_extendedprice").cast("decimal(18,6)")
+    val agg = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast("decimal(28,6)")).as("sxy"),
+        sum((x * x).cast("decimal(28,6)")).as("sx2"),
+        sum((y * y).cast("decimal(28,6)")).as("sy2"))
+    def d(c: String) = col(c).cast("double")
+    val cov = d("sxy") / col("n") - (d("sx") / col("n")) * (d("sy") / col("n"))
+    val vx = greatest(
+      d("sx2") / col("n") - (d("sx") / col("n")) * (d("sx") / col("n")), lit(0.0))
+    val vy = greatest(
+      d("sy2") / col("n") - (d("sy") / col("n")) * (d("sy") / col("n")), lit(0.0))
+    agg.select(col("l_returnflag"), col("n"),
+      round(cov, 6).as("cov_qty_price"),
+      round(cov / sqrt(vx * vy), 6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** B2b: exact + distinct aggregation. */
   def b2AggDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -143,6 +175,29 @@ object Relational {
     c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
+  }
+
+  /** B3i: NOT IN — the NULL-AWARE anti join, a genuinely different
+    * execution path from [[b3JoinAnti]]'s left_anti: SQL's NOT IN is
+    * three-valued (one NULL in the subquery makes every membership test
+    * UNKNOWN and empties the result), so Catalyst must plan a
+    * null-aware join whenever it cannot prove the build side non-null.
+    * The `nullif(o_custkey, -1)` wrapper forces exactly that: the
+    * column is typed nullable (the NAAJ plan is exercised — pinned in
+    * RelationalSpec) while no null actually occurs (custkeys are
+    * positive), so the result stays the non-degenerate anti-join rows
+    * rather than the empty set the trap produces.
+    */
+  def b3JoinNotIn(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("graft_b3_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("graft_b3_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name
+        |FROM graft_b3_customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT nullif(o_custkey, -1) FROM graft_b3_orders
+        |   WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin)
   }
 
   /** B4: ranking window — top-3 orders per customer by price. */
@@ -674,6 +729,32 @@ object Relational {
         "round(greatest(CAST(sx2 AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n), 0), 6) AS var_qty, " +
         "round(sqrt(greatest(CAST(sx2 AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n), 0)), 6) AS stddev_qty " +
         "FROM a ORDER BY l_returnflag"),
+    "b2_agg_corr" ->
+      ("WITH a AS (SELECT l_returnflag, count(*) AS n, " +
+        "SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy, " +
+        // first operand widened to DECIMAL(28,6): DuckDB multiplies
+        // width-18 decimals in int64, which overflows on extendedprice
+        // products — the wider cast forces its INT128 path. The product
+        // value and the 6dp-rounded cast are identical either way.
+        "SUM(CAST(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(18,6)) " +
+        "AS DECIMAL(28,6))) AS sxy, " +
+        "SUM(CAST(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(18,6)) " +
+        "AS DECIMAL(28,6))) AS sx2, " +
+        "SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(18,6)) " +
+        "AS DECIMAL(28,6))) AS sy2 " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, " +
+        "round(CAST(sxy AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n), 6) AS cov_qty_price, " +
+        "round((CAST(sxy AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n)) / " +
+        "sqrt(greatest(CAST(sx2 AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n), 0) * " +
+        "greatest(CAST(sy2 AS DOUBLE)/n - (CAST(sy AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n), 0)), 6) AS corr_qty_price " +
+        "FROM a ORDER BY l_returnflag"),
+    "b3_join_notin" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE c_custkey NOT IN " +
+        "(SELECT nullif(o_custkey, -1) FROM orders WHERE o_totalprice > 400000.0) " +
+        "ORDER BY c_custkey"),
     "b2_agg_distinct" ->
       ("SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts, " +
         "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supps, COUNT(*) AS n_rows " +
@@ -877,6 +958,8 @@ object Relational {
     "b4_window_lag" -> (b4WindowLag _),
     "b4_window_range" -> (b4WindowRange _),
     "b2_agg_var" -> (b2AggVar _),
+    "b2_agg_corr" -> (b2AggCorr _),
+    "b3_join_notin" -> (b3JoinNotIn _),
     "b4_window_ranks" -> (b4WindowRanks _),
     "b5_topk" -> (b5TopK _),
     "b5_setops" -> (b5SetOps _),

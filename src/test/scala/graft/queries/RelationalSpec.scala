@@ -90,4 +90,29 @@ class RelationalSpec extends SparkSuite {
     assert(!plan.toLowerCase.contains("scalar-subquery"),
       s"correlated scalar subquery not decorrelated:\n${plan.take(1200)}")
   }
+
+  test("NOT IN plans as a null-aware anti join and honors three-valued semantics") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // the nullable build side must force the null-aware anti join path
+    // (sparkPlan: the planned physical tree, before AQE re-wraps it)
+    val phys = Relational.b3JoinNotIn(spark, sf).queryExecution.sparkPlan
+    val naaj = phys.collect {
+      case j: BroadcastHashJoinExec if j.isNullAwareAntiJoin => j
+    }
+    assert(naaj.nonEmpty, s"NOT IN did not plan null-aware:\n$phys")
+    // with no actual nulls, NOT IN == the plain anti join
+    val notIn = Relational.b3JoinNotIn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(notIn.nonEmpty)
+    // the trap the null-aware path exists for: one NULL in the subquery
+    // empties the result entirely (every membership test is UNKNOWN)
+    graft.Tables.load(spark, sf, "customer")
+      .createOrReplaceTempView("graft_naaj_probe")
+    val withNull = spark.sql(
+      """SELECT c_custkey FROM graft_naaj_probe
+        |WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN c_custkey > 0 THEN NULL ELSE c_custkey END
+        |   FROM graft_naaj_probe)""".stripMargin).count()
+    assert(withNull == 0L, "a NULL in the NOT IN subquery must empty the result")
+  }
 }
