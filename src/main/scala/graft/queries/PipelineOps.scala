@@ -368,7 +368,28 @@ object PipelineOps {
     * signatures, shuffle on 8-byte band buckets, Ω(candidates) confirm.
     */
   def c7DecontaminateFuzzy(spark: SparkSession, dir: String,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    fuzzyDecontam(spark, dir, threshold, topC = None)
+
+  /** C7r': [[c7DecontaminateFuzzy]] with the BOUNDED confirm — the
+    * duplicate-saturated-corpus scale path, exactly the
+    * c2_incremental_dedup_topc posture: measured at the derived sf1,
+    * the full variant's exact confirm went 5.1 → 111 s for 10× docs
+    * (candidate-pair growth on a high-baseline-similarity corpus —
+    * Ω(candidates) is inherent to the exact confirm), so per train doc
+    * only the top `c` candidates by LSH band-agreement count
+    * (deterministic (agreement desc, c_id asc) order through the
+    * bounded-heap TopKAggregator) pay the exact Jaccard — O(train · c)
+    * confirms at any duplication density. The band-agreement rank is
+    * replayed verbatim by the oracle, so the approximation itself is
+    * hash-checked.
+    */
+  def c7DecontaminateFuzzyTopC(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, c: Int = 64): DataFrame =
+    fuzzyDecontam(spark, dir, threshold, topC = Some(c))
+
+  private def fuzzyDecontam(spark: SparkSession, dir: String,
+      threshold: Double, topC: Option[Int]): DataFrame = {
     import graft.dedup.MinHash
     val d = docs(spark, dir).withColumn("sb", expr(bucketSql))
     def toksOf(side: Column) = d.filter(side)
@@ -379,10 +400,30 @@ object PipelineOps {
     val testToks = toksOf(col("sb") >= (0.9 * 4294967296L).toLong)
     def memOf(toks: DataFrame) = MinHash.membershipsFromSets(
       toks, col("doc_id"), col("toks"), DedupOps.IncHashes, DedupOps.IncBands)
-    val cand = memOf(trainToks).withColumnRenamed("doc_id", "n_id")
+    val joined = memOf(trainToks).withColumnRenamed("doc_id", "n_id")
       .join(memOf(testToks).withColumnRenamed("doc_id", "c_id"),
         Seq("band", "bucket"))
-      .select("n_id", "c_id").distinct()
+    val cand = topC match {
+      case None => joined.select("n_id", "c_id").distinct()
+      case Some(c) =>
+        // band-agreement count per pair (same shuffle shape as the
+        // distinct), then the bounded-heap top-c rerank per train doc
+        val agree = joined.groupBy("n_id", "c_id")
+          .agg(count(lit(1)).as("bandsc"))
+        val session = spark
+        import session.implicits._
+        val topk = new graft.functions.TopKAggregator[(Double, Long)](
+          c, _._1, _._2).toColumn.name("topc")
+        agree
+          .select(col("n_id"), col("bandsc").cast("double"), col("c_id"))
+          .as[(Long, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+          .agg(topk)
+          .toDF("n_id", "topc")
+          .select(col("n_id"), explode(col("topc")).as("p"))
+          .select(col("n_id"), col("p._2").as("c_id"))
+    }
     graft.util.CacheScope.releaseAfterMaterialize(
       DedupOps.resolveBatch(cand, trainToks, testToks, threshold)
         .select(col("doc_id"), (!col("is_novel")).as("contaminated"),
@@ -802,6 +843,41 @@ object PipelineOps {
       "COALESCE(n_dup, 0) * 10 <= COALESCE(n_bigrams, 0) * 3 AND " +
       "n_stop_types >= 2"
 
+  /** Shared fuzzy-decontamination replay (IncBands MinHash chain over
+    * the portable split buckets, exact-Jaccard confirm, best pick),
+    * parameterized on the candidate CTE so the full-candidate and
+    * bounded-top-C variants share every other stage verbatim — the
+    * incrementalSqlWith pattern applied to the split-based form.
+    */
+  private def fuzzySqlWith(candCte: String): String = {
+    val t8 = (0.8 * 4294967296L).toLong
+    val t9 = (0.9 * 4294967296L).toLong
+    s"WITH sb AS (SELECT doc_id, $bucketSql AS sb FROM documents), " +
+      "base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
+      s"FROM documents WHERE $bucketSql < $t8 OR $bucketSql >= $t9), " +
+      DedupOps.mhChainSql(DedupOps.IncBands, DedupOps.IncRows) + ", " +
+      "nw AS (SELECT mem.doc_id AS n_id, band, bucket FROM mem " +
+      s"JOIN sb ON mem.doc_id = sb.doc_id WHERE sb.sb < $t8), " +
+      "cp AS (SELECT mem.doc_id AS c_id, band, bucket FROM mem " +
+      s"JOIN sb ON mem.doc_id = sb.doc_id WHERE sb.sb >= $t9), " +
+      candCte + ", " +
+      "sc AS (SELECT n_id, c_id, " +
+      "len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS common, " +
+      "len(a.toks) AS na, len(b.toks) AS nb " +
+      "FROM cand JOIN base a ON a.doc_id = cand.n_id " +
+      "JOIN base b ON b.doc_id = cand.c_id), " +
+      "cf AS (SELECT n_id, c_id, " +
+      "round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard " +
+      "FROM sc WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8), " +
+      "best AS (SELECT n_id, c_id, jaccard, row_number() OVER " +
+      "(PARTITION BY n_id ORDER BY jaccard DESC, c_id) AS rn FROM cf) " +
+      "SELECT b.doc_id, m.c_id IS NOT NULL AS contaminated, " +
+      "m.c_id AS test_match_id, m.jaccard AS match_jaccard " +
+      s"FROM (SELECT doc_id FROM sb WHERE sb < $t8) b " +
+      "LEFT JOIN (SELECT n_id, c_id, jaccard FROM best WHERE rn = 1) m " +
+      "ON b.doc_id = m.n_id ORDER BY doc_id"
+  }
+
   val oracle: Map[String, String] = Map(
     "c7_interleave" ->
       ("WITH s AS (SELECT doc_id, source, " +
@@ -852,34 +928,17 @@ object PipelineOps {
     // MinHash chain, band-bucket candidates, exact-Jaccard confirm,
     // (jaccard desc, id asc) best pick) with the portable split buckets
     // as the batch/corpus partition.
-    "c7_decontaminate_fuzzy" -> {
-      val t8 = (0.8 * 4294967296L).toLong
-      val t9 = (0.9 * 4294967296L).toLong
-      s"WITH sb AS (SELECT doc_id, $bucketSql AS sb FROM documents), " +
-        "base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
-        s"FROM documents WHERE $bucketSql < $t8 OR $bucketSql >= $t9), " +
-        DedupOps.mhChainSql(DedupOps.IncBands, DedupOps.IncRows) + ", " +
-        "nw AS (SELECT mem.doc_id AS n_id, band, bucket FROM mem " +
-        s"JOIN sb ON mem.doc_id = sb.doc_id WHERE sb.sb < $t8), " +
-        "cp AS (SELECT mem.doc_id AS c_id, band, bucket FROM mem " +
-        s"JOIN sb ON mem.doc_id = sb.doc_id WHERE sb.sb >= $t9), " +
-        "cand AS (SELECT DISTINCT n_id, c_id FROM nw JOIN cp USING (band, bucket)), " +
-        "sc AS (SELECT n_id, c_id, " +
-        "len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS common, " +
-        "len(a.toks) AS na, len(b.toks) AS nb " +
-        "FROM cand JOIN base a ON a.doc_id = cand.n_id " +
-        "JOIN base b ON b.doc_id = cand.c_id), " +
-        "cf AS (SELECT n_id, c_id, " +
-        "round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard " +
-        "FROM sc WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8), " +
-        "best AS (SELECT n_id, c_id, jaccard, row_number() OVER " +
-        "(PARTITION BY n_id ORDER BY jaccard DESC, c_id) AS rn FROM cf) " +
-        "SELECT b.doc_id, m.c_id IS NOT NULL AS contaminated, " +
-        "m.c_id AS test_match_id, m.jaccard AS match_jaccard " +
-        s"FROM (SELECT doc_id FROM sb WHERE sb < $t8) b " +
-        "LEFT JOIN (SELECT n_id, c_id, jaccard FROM best WHERE rn = 1) m " +
-        "ON b.doc_id = m.n_id ORDER BY doc_id"
-    },
+    "c7_decontaminate_fuzzy" -> fuzzySqlWith(
+      "cand AS (SELECT DISTINCT n_id, c_id FROM nw JOIN cp USING (band, bucket))"),
+    // Top-C replay: band-agreement counts, then the (agreement desc,
+    // c_id asc) rank — the exact total order the bounded-heap
+    // TopKAggregator implements (the incrementalTopCSql pattern).
+    "c7_decontaminate_fuzzy_topc" -> fuzzySqlWith(
+      "ag AS (SELECT n_id, c_id, count(*) AS bandsc FROM nw JOIN cp " +
+        "USING (band, bucket) GROUP BY n_id, c_id), " +
+        "cand AS (SELECT n_id, c_id FROM (SELECT n_id, c_id, row_number() " +
+        "OVER (PARTITION BY n_id ORDER BY bandsc DESC, c_id) AS rn FROM ag) " +
+        "WHERE rn <= 64)"),
     // Recursive-CTE closure over the replayed MinHash memberships (the
     // c2_minhash_cc oracle), then the (n_tokens desc, doc_id asc)
     // keep-best pick per cluster.
@@ -1075,6 +1134,7 @@ object PipelineOps {
     "c7_dataset_card" -> (c7DatasetCard _),
     "c7_shard_balance" -> ((s: SparkSession, d: String) => c7ShardBalance(s, d)),
     "c7_contamination" -> ((s: SparkSession, d: String) => c7Contamination(s, d)),
-    "c7_decontaminate_fuzzy" -> ((s: SparkSession, d: String) => c7DecontaminateFuzzy(s, d))
+    "c7_decontaminate_fuzzy" -> ((s: SparkSession, d: String) => c7DecontaminateFuzzy(s, d)),
+    "c7_decontaminate_fuzzy_topc" -> ((s: SparkSession, d: String) => c7DecontaminateFuzzyTopC(s, d))
   )
 }
