@@ -776,6 +776,64 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** C7t: deterministic WEIGHTED priority sampling — select the k docs
+    * whose inclusion chance is monotone in a weight column (n_chars:
+    * longer docs more likely), reproducibly on any engine / partitioning
+    * / run. Each doc gets the integer priority `bucket div weight`: the
+    * portable Knuth bucket scaled down by its weight, so doubling a
+    * doc's weight halves its expected priority, and the k SMALLEST
+    * priorities form the weighted sample. This is the integer-arithmetic
+    * analog of the exponential-key (Efraimidis–Spirakis) scheme — chosen
+    * over u^(1/w) keys because pow/ln are not bit-portable across
+    * engines while 64-bit integer division is; the induced inclusion
+    * probabilities are approximately (not exactly) proportional to w,
+    * which is the usual contract of a size-biased corpus sample.
+    * Ties (same priority) break on doc_id, so the selection is a total
+    * order and the oracle hash pins WHICH docs were picked.
+    *
+    * Scale: a narrow projection into TakeOrderedAndProject(k) — no
+    * shuffle, no window, no global sort; each task keeps a k-row heap
+    * and the driver merges O(partitions·k).
+    */
+  def c7SampleWeighted(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr(s"($bucketSql) div greatest(n_chars, 1)").as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+
+  /** C7u: per-epoch training-order reshuffle — a DIFFERENT reproducible
+    * permutation of the corpus for each training epoch (epoch-salted
+    * Knuth key, ties by doc_id), the multi-epoch counterpart of
+    * [[c7Interleave]]'s single ordering: re-shuffling between epochs is
+    * standard training practice, and doing it as a pure function of
+    * (doc_id, epoch) means resume/backfill replays the exact batch
+    * order of any epoch without a stored permutation table. The salt
+    * multiplier (xxhash prime 2246822519) is coprime to 2^32 and
+    * distinct from the doc multiplier, so epochs decorrelate.
+    *
+    * Scale: position is an exact per-epoch global rank via the same
+    * two-phase bounded-partition construction as [[c7Curriculum]]
+    * ([[withRunningSum]] keyed by epoch) — an epoch is NOT a bounded
+    * partition, so a plain `Window.partitionBy(epoch)` would funnel the
+    * whole corpus through one task; the range-partitioned construction
+    * keeps every task bounded at any corpus size.
+    */
+  def c7EpochOrder(spark: SparkSession, dir: String, epochs: Int = 3): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("epoch",
+        explode(array((0 until epochs).map(e => lit(e)): _*)))
+      .withColumn("ekey",
+        expr("(doc_id * 2654435761 + epoch * 2246822519) % 4294967296"))
+      .withColumn("epoch_s", concat(lit("e"), col("epoch")))
+      .withColumn("one", lit(1L))
+    withRunningSum(base, "one", "position",
+      keyCol = "epoch_s", orderCols = Seq("ekey", "doc_id"))
+      .select(col("epoch"), col("doc_id"), col("position"))
+      .orderBy("epoch", "doc_id")
+  }
+
   /** C7p: dataset-card profile — the per-(source, lang) summary a
     * pipeline publishes with a corpus release: doc/token counts,
     * exact-duplicate rate (non-first copies by content hash), the
@@ -996,6 +1054,21 @@ object PipelineOps {
         "round(CAST(sum(CAST(simpson AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) " +
         "AS mean_simpson " +
         "FROM per GROUP BY source, lang ORDER BY source, lang"),
+    // Weighted priority replay: integer bucket//weight keys, the k
+    // smallest by (priority, doc_id).
+    "c7_sample_weighted" ->
+      ("SELECT doc_id, lang, n_chars, " +
+        "((doc_id * 2654435761) % 4294967296) // greatest(n_chars, 1) AS priority " +
+        "FROM documents ORDER BY priority, doc_id LIMIT 100"),
+    // Epoch-salted permutation replay: the per-epoch rank over the
+    // (ekey, doc_id) total order.
+    "c7_epoch_order" ->
+      ("WITH e AS (SELECT doc_id, unnest([0, 1, 2]) AS epoch FROM documents), " +
+        "k AS (SELECT doc_id, epoch, " +
+        "(doc_id * 2654435761 + epoch * 2246822519) % 4294967296 AS ekey FROM e) " +
+        "SELECT epoch, doc_id, CAST(row_number() OVER " +
+        "(PARTITION BY epoch ORDER BY ekey, doc_id) AS BIGINT) AS position " +
+        "FROM k ORDER BY epoch, doc_id"),
     "c7_sample_topk" ->
       (s"SELECT lang, doc_id, bucket, rn FROM (" +
         s"SELECT lang, doc_id, $bucketSql AS bucket, " +
@@ -1135,6 +1208,8 @@ object PipelineOps {
     "c7_shard_balance" -> ((s: SparkSession, d: String) => c7ShardBalance(s, d)),
     "c7_contamination" -> ((s: SparkSession, d: String) => c7Contamination(s, d)),
     "c7_decontaminate_fuzzy" -> ((s: SparkSession, d: String) => c7DecontaminateFuzzy(s, d)),
-    "c7_decontaminate_fuzzy_topc" -> ((s: SparkSession, d: String) => c7DecontaminateFuzzyTopC(s, d))
+    "c7_decontaminate_fuzzy_topc" -> ((s: SparkSession, d: String) => c7DecontaminateFuzzyTopC(s, d)),
+    "c7_sample_weighted" -> ((s: SparkSession, d: String) => c7SampleWeighted(s, d)),
+    "c7_epoch_order" -> ((s: SparkSession, d: String) => c7EpochOrder(s, d))
   )
 }

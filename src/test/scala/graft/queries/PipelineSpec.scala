@@ -258,6 +258,49 @@ class PipelineSpec extends SparkSuite {
       assert(flaggedIds.contains(id), s"exact train/test dup $id not flagged"))
   }
 
+  test("c7_sample_weighted: k rows, size-biased toward heavy docs, no global sort") {
+    val df = PipelineOps.c7SampleWeighted(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 100)
+    // priorities are the integer rule, and the cut is the k smallest:
+    // every kept priority <= every dropped one (spot-check via corpus)
+    val all = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "((doc_id * 2654435761) % 4294967296) div greatest(n_chars, 1) AS p")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val keptMax = rows.map(_._3).max
+    val dropped = all.filterNot(a => rows.exists(_._1 == a._1))
+    assert(dropped.forall(d => d._2 > keptMax ||
+      (d._2 == keptMax && d._1 > rows.filter(_._3 == keptMax).map(_._1).max)))
+    // size bias: the weighted sample's mean n_chars must exceed the
+    // corpus mean (longer docs get smaller priorities)
+    val corpusMean = all.length.toDouble *
+      rows.map(_._2).sum / (rows.length.toDouble *
+        graft.Tables.load(spark, sf, "documents")
+          .agg(org.apache.spark.sql.functions.sum("n_chars"))
+          .collect()(0).getLong(0))
+    assert(corpusMean > 1.1, s"no size bias: sample/corpus mean ratio $corpusMean")
+    // scale posture: a TakeOrdered, never a global Sort+Limit
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
+  }
+
+  test("c7_epoch_order: each epoch is a complete permutation; epochs decorrelate") {
+    val rows = PipelineOps.c7EpochOrder(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val n = rows.map(_._2).distinct.length
+    (0 until 3).foreach { e =>
+      val pos = rows.filter(_._1 == e).map(_._3).sorted
+      assert(pos.toSeq == (1L to n.toLong).toSeq, s"epoch $e not a permutation")
+    }
+    // different epochs really are different orders
+    val p0 = rows.filter(_._1 == 0).sortBy(_._2).map(_._3).toSeq
+    val p1 = rows.filter(_._1 == 1).sortBy(_._2).map(_._3).toSeq
+    assert(p0 != p1, "epoch 0 and 1 produced the same permutation")
+    val agree = p0.zip(p1).count { case (a, b) => a == b }
+    assert(agree < n / 10, s"epochs barely differ: $agree/$n fixed points")
+  }
+
   test("c5_retention: day-0 cell equals cohort size; offsets non-negative") {
     val cells = EventOps.c5Retention(spark, sf)
       .collect()
