@@ -779,10 +779,16 @@ object PipelineOps {
   /** C7t: deterministic WEIGHTED priority sampling — select the k docs
     * whose inclusion chance is monotone in a weight column (n_chars:
     * longer docs more likely), reproducibly on any engine / partitioning
-    * / run. Each doc gets the integer priority `bucket div weight`: the
-    * portable Knuth bucket scaled down by its weight, so doubling a
-    * doc's weight halves its expected priority, and the k SMALLEST
-    * priorities form the weighted sample. This is the integer-arithmetic
+    * / run. Each doc gets the integer priority
+    * `(bucket * 2^20) div weight`: the portable Knuth bucket scaled down
+    * by its weight, so doubling a doc's weight halves its expected
+    * priority, and the k SMALLEST priorities form the weighted sample.
+    * The 2^20 pre-scale keeps resolution when bucket < weight — a bare
+    * `bucket div w` collapses to priority 0 for ≈ total_chars/2^32 docs
+    * (tens of thousands at the 100 TB posture, far above k), after which
+    * the doc_id tie-break, not weight, would decide the sample; bucket
+    * < 2^32 so the scaled product stays under 2^52 — safely in int64.
+    * This is the integer-arithmetic
     * analog of the exponential-key (Efraimidis–Spirakis) scheme — chosen
     * over u^(1/w) keys because pow/ln are not bit-portable across
     * engines while 64-bit integer division is; the induced inclusion
@@ -798,7 +804,7 @@ object PipelineOps {
   def c7SampleWeighted(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        expr(s"($bucketSql) div greatest(n_chars, 1)").as("priority"))
+        expr(s"(($bucketSql) * 1048576) div greatest(n_chars, 1)").as("priority"))
       .orderBy(col("priority"), col("doc_id"))
       .limit(k)
 
@@ -809,8 +815,12 @@ object PipelineOps {
     * standard training practice, and doing it as a pure function of
     * (doc_id, epoch) means resume/backfill replays the exact batch
     * order of any epoch without a stored permutation table. The salt
-    * multiplier (xxhash prime 2246822519) is coprime to 2^32 and
-    * distinct from the doc multiplier, so epochs decorrelate.
+    * enters as an epoch-dependent odd MULTIPLIER
+    * `m(e) = (2654435761 + 2·e·2246822519) mod 2^32` — odd for every
+    * epoch, hence bijective mod 2^32 — so each epoch is a genuinely
+    * different permutation. (An ADDITIVE salt `doc·K + e·P` would make
+    * every epoch a cyclic rotation of epoch 0's order: same training
+    * sequence, shifted — the round-10 advisor caught exactly that.)
     *
     * Scale: position is an exact per-epoch global rank via the same
     * two-phase bounded-partition construction as [[c7Curriculum]]
@@ -825,7 +835,8 @@ object PipelineOps {
       .withColumn("epoch",
         explode(array((0 until epochs).map(e => lit(e)): _*)))
       .withColumn("ekey",
-        expr("(doc_id * 2654435761 + epoch * 2246822519) % 4294967296"))
+        expr("(doc_id * ((2654435761 + 2 * epoch * 2246822519) % 4294967296)) " +
+          "% 4294967296"))
       .withColumn("epoch_s", concat(lit("e"), col("epoch")))
       .withColumn("one", lit(1L))
     withRunningSum(base, "one", "position",
@@ -1054,18 +1065,22 @@ object PipelineOps {
         "round(CAST(sum(CAST(simpson AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) " +
         "AS mean_simpson " +
         "FROM per GROUP BY source, lang ORDER BY source, lang"),
-    // Weighted priority replay: integer bucket//weight keys, the k
-    // smallest by (priority, doc_id).
+    // Weighted priority replay: integer (bucket*2^20)//weight keys
+    // (pre-scaled so bucket<weight can't collapse to 0), the k smallest
+    // by (priority, doc_id).
     "c7_sample_weighted" ->
       ("SELECT doc_id, lang, n_chars, " +
-        "((doc_id * 2654435761) % 4294967296) // greatest(n_chars, 1) AS priority " +
+        "(((doc_id * 2654435761) % 4294967296) * 1048576) // greatest(n_chars, 1) " +
+        "AS priority " +
         "FROM documents ORDER BY priority, doc_id LIMIT 100"),
     // Epoch-salted permutation replay: the per-epoch rank over the
-    // (ekey, doc_id) total order.
+    // (ekey, doc_id) total order. The epoch-dependent odd multiplier
+    // mirrors c7EpochOrder exactly (additive salts only rotate).
     "c7_epoch_order" ->
       ("WITH e AS (SELECT doc_id, unnest([0, 1, 2]) AS epoch FROM documents), " +
         "k AS (SELECT doc_id, epoch, " +
-        "(doc_id * 2654435761 + epoch * 2246822519) % 4294967296 AS ekey FROM e) " +
+        "(doc_id * ((2654435761 + 2 * epoch * 2246822519) % 4294967296)) " +
+        "% 4294967296 AS ekey FROM e) " +
         "SELECT epoch, doc_id, CAST(row_number() OVER " +
         "(PARTITION BY epoch ORDER BY ekey, doc_id) AS BIGINT) AS position " +
         "FROM k ORDER BY epoch, doc_id"),

@@ -266,7 +266,8 @@ class PipelineSpec extends SparkSuite {
     // every kept priority <= every dropped one (spot-check via corpus)
     val all = graft.Tables.load(spark, sf, "documents")
       .selectExpr("doc_id",
-        "((doc_id * 2654435761) % 4294967296) div greatest(n_chars, 1) AS p")
+        "(((doc_id * 2654435761) % 4294967296) * 1048576) " +
+          "div greatest(n_chars, 1) AS p")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val keptMax = rows.map(_._3).max
     val dropped = all.filterNot(a => rows.exists(_._1 == a._1))
@@ -274,12 +275,12 @@ class PipelineSpec extends SparkSuite {
       (d._2 == keptMax && d._1 > rows.filter(_._3 == keptMax).map(_._1).max)))
     // size bias: the weighted sample's mean n_chars must exceed the
     // corpus mean (longer docs get smaller priorities)
-    val corpusMean = all.length.toDouble *
-      rows.map(_._2).sum / (rows.length.toDouble *
-        graft.Tables.load(spark, sf, "documents")
-          .agg(org.apache.spark.sql.functions.sum("n_chars"))
-          .collect()(0).getLong(0))
-    assert(corpusMean > 1.1, s"no size bias: sample/corpus mean ratio $corpusMean")
+    val sampleMean = rows.map(_._2).sum.toDouble / rows.length
+    val corpusChars = graft.Tables.load(spark, sf, "documents")
+      .agg(org.apache.spark.sql.functions.sum("n_chars"))
+      .collect()(0).getLong(0)
+    val meanRatio = sampleMean / (corpusChars.toDouble / all.length)
+    assert(meanRatio > 1.1, s"no size bias: sample/corpus mean ratio $meanRatio")
     // scale posture: a TakeOrdered, never a global Sort+Limit
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
@@ -299,6 +300,17 @@ class PipelineSpec extends SparkSuite {
     assert(p0 != p1, "epoch 0 and 1 produced the same permutation")
     val agree = p0.zip(p1).count { case (a, b) => a == b }
     assert(agree < n / 10, s"epochs barely differ: $agree/$n fixed points")
+    // rotation guard: a cyclic shift of epoch 0 has ZERO fixed points yet
+    // replays the same training sequence — so additionally require that
+    // consecutive pairs of epoch 0's order are broken up in epoch 1
+    // (adjacency preservation well below 10%, where a rotation keeps ~100%)
+    def order(e: Int): Seq[Long] =
+      rows.filter(_._1 == e).sortBy(_._3).map(_._2).toSeq
+    val succ0 = order(0).sliding(2).map(p => (p(0), p(1))).toSet
+    val kept = order(1).sliding(2).count(p => succ0((p(0), p(1))))
+    assert(kept < n / 10,
+      s"epoch 1 preserves $kept/${n - 1} adjacent pairs of epoch 0 — " +
+        "a rotation, not a reshuffle")
   }
 
   test("c5_retention: day-0 cell equals cohort size; offsets non-negative") {
