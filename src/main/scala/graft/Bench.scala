@@ -3,6 +3,9 @@ package graft
 import java.util.concurrent.ConcurrentLinkedQueue
 import java.util.concurrent.atomic.AtomicBoolean
 
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — runs every declared query against
@@ -20,8 +23,13 @@ import org.apache.spark.sql.SparkSession
   *   - a JVM shutdown hook prints the partial results line if the
   *     process is killed (SIGTERM) before the normal print — a timed-out
   *     run still yields a parseable benchmark line;
-  *   - statistical outliers (freeze-inflated timings) get one re-run and
-  *     keep the better time; honest regressions reproduce;
+  *   - statistical outliers (freeze-inflated timings) get inline re-runs
+  *     and keep the better time; honest regressions reproduce. The JSON
+  *     line carries the evidence: a `reruns` object with per-triggered-
+  *     query {first, runs, sec, why} (reruns get a bounded grace budget
+  *     PAST the soft deadline so defense never silently shuts off for
+  *     the last-timed queries), and a `shuffle` object with per-query
+  *     shuffle read/write bytes — the noise-immune plan signal;
   *   - every completed timing is appended to a history file
   *     (`.bench_history.jsonl`, override via SPARK_GRAFT_BENCH_HISTORY)
   *     the moment it finishes, so even a SIGKILL leaves the measurements
@@ -36,6 +44,59 @@ object Bench {
   private val done = new ConcurrentLinkedQueue[(String, Double)]()
   private val printed = new AtomicBoolean(false)
 
+  /** Rerun evidence for the official record (round-10 verdict: two
+    * entries stood at 3-5x their history-best and the record could not
+    * say whether the defense ran, froze, or was deadline-skipped).
+    * Keyed by query; present iff the outlier rule TRIGGERED for it.
+    * `first` = first-pass seconds, `runs` = inline reruns executed,
+    * `sec` = what the record kept, `why` ∈ defended (a rerun beat the
+    * threshold), still-outlier (all reruns also above threshold — an
+    * honest regression or a repeatedly-frozen host, but now with the
+    * evidence inline), rerun-failed (a rerun crashed/was cancelled),
+    * deadline (grace budget exhausted before any rerun could run).
+    */
+  private val rerunNotes =
+    new TrieMap[String, (Double, Int, Double, String)]()
+
+  /** Per-query shuffle read/write bytes (round-10 verdict Next #7):
+    * wall time on a freeze-prone host is the weakest scale signal;
+    * bytes shuffled is noise-immune and catches plan regressions (a
+    * lost broadcast, a widened exchange) that hide inside 1-2 s
+    * queries. Filled by [[GroupShuffleListener]], attributed via the
+    * per-query job group.
+    */
+  private val shuffleBytes = new TrieMap[String, (Long, Long)]()
+
+  /** Accumulates shuffle read/write bytes per job group off task-end
+    * events (task metrics there are reliably populated, unlike
+    * StageInfo.taskMetrics which depends on event-log settings).
+    * Stage→group attribution comes from job-start properties.
+    */
+  private final class GroupShuffleListener extends SparkListener {
+    private val stageGroup = new TrieMap[Int, String]()
+    private val acc = new TrieMap[String, (Long, Long)]()
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      val g = Option(js.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        .getOrElse("")
+      js.stageIds.foreach(id => stageGroup.put(id, g))
+    }
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+      for (g <- stageGroup.get(te.stageId); m <- Option(te.taskMetrics)) {
+        val r = m.shuffleReadMetrics.totalBytesRead
+        val w = m.shuffleWriteMetrics.bytesWritten
+        if (r != 0 || w != 0) {
+          val cur = acc.getOrElse(g, (0L, 0L))
+          acc.put(g, (cur._1 + r, cur._2 + w))
+        }
+      }
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      // retries re-announce the stage id via their job start; safe to drop
+      stageGroup.remove(sc.stageInfo.stageId)
+    def reset(group: String): Unit = acc.remove(group)
+    def bytes(group: String): (Long, Long) = acc.getOrElse(group, (0L, 0L))
+  }
+
   private def emitLine(): Unit = if (printed.compareAndSet(false, true)) {
     val results = {
       import scala.jdk.CollectionConverters._
@@ -44,8 +105,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Self-defense evidence: every query whose outlier rule triggered
+    // carries its first-pass time, rerun count, and outcome INLINE in
+    // the official record — an entry standing >2x history-best is now
+    // explainable from the line alone.
+    val rr = rerunNotes.toSeq.sortBy(_._1).map { case (k, (first, runs, sec, why)) =>
+      "\"" + k + f"""\":{"first":$first%.3f,"runs":$runs,"sec":$sec%.3f,"why":"$why"}"""
+    }.mkString("{", ",", "}")
+    // Noise-immune plan telemetry: shuffle read/write bytes per query.
+    val sh = shuffleBytes.toSeq.sortBy(_._1).map { case (k, (r, w)) =>
+      "\"" + k + "\":{\"r\":" + r + ",\"w\":" + w + "}"
+    }.mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDirForLine"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reruns":$rr,"shuffle":$sh,"sf":"$sfDirForLine"}"""
     println(line)
     System.out.flush()
     // The stdout line is NOT guaranteed last under sbt (a trailing
@@ -105,6 +177,9 @@ object Bench {
 
     val watchdog = new java.util.Timer("bench-watchdog", true)
 
+    val shuffleListener = new GroupShuffleListener
+    spark.sparkContext.addSparkListener(shuffleListener)
+
     // Optional dev filter: SPARK_GRAFT_ONLY=<regex> times a subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val selectedNames = SparkEntry.queries.keySet
@@ -160,6 +235,9 @@ object Bench {
       // runs so every measurement starts cold and reruns can't cheat.
       spark.catalog.clearCache()
       val group = s"bench-$name"
+      // Zero this query's shuffle counters: reruns reuse the group, and
+      // the recorded bytes must describe ONE run of the plan.
+      shuffleListener.reset(group)
       spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
       val cancelled = new AtomicBoolean(false)
       val cancel = new java.util.TimerTask {
@@ -186,8 +264,14 @@ object Bench {
       // fired concurrently (the rare race where cancelJobGroup lands
       // just after the last job finishes) — discard only cancelled runs
       // that did NOT complete.
-      if (completed) Some((System.nanoTime() - t0) / 1e9)
-      else {
+      if (completed) {
+        // Bytes are a property of the plan, not the run — any completed
+        // run's numbers are authoritative, so last-completed-wins. Drain
+        // the (async) listener bus first so trailing task-end events land.
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        shuffleBytes.put(name, shuffleListener.bytes(group))
+        Some((System.nanoTime() - t0) / 1e9)
+      } else {
         System.err.println(s"[bench] $name NOT recorded (" +
           (if (cancelled.get) "watchdog-cancelled" else "failed") + ")")
         None
@@ -199,8 +283,17 @@ object Bench {
     // absent) so a freeze-riddled run still finishes inside the harness's
     // hard timeout and prints a parseable line.
     val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "1500").toLong
+    // Outlier-defense grace: reruns alone may run past the soft deadline
+    // up to this much extra wall clock. Round 10's record kept two 3-5x
+    // freeze artifacts precisely because defense silently shut off with
+    // the deadline — the queries timed LAST are the ones whose reruns
+    // need the budget. The harness's hard timeout still bounds the run.
+    val rerunGraceSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_GRACE", "240").toLong
     val benchStart = System.nanoTime()
-    def pastDeadline: Boolean = (System.nanoTime() - benchStart) / 1e9 > deadlineSec
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
+    def pastDeadline: Boolean = elapsedSec > deadlineSec
+    def pastRerunBudget: Boolean = elapsedSec > deadlineSec + rerunGraceSec
 
     // Cross-run timing history: best (minimum) observed seconds per query.
     // Best-of-history is the right aggregate here — the noise source is
@@ -256,20 +349,30 @@ object Bench {
           recordHistory(name, first)
           var sec = first
           val threshold = history.get(name).map(b => math.max(2 * b, 1.0))
-          // Inline reruns only while inside the soft deadline: a
-          // freeze-inflated outlier detected AT the deadline edge must
-          // not buy another full execution past it.
+          // Inline reruns: allowed up to rerunGraceSec PAST the soft
+          // deadline (defense for the last-timed queries must not
+          // silently shut off with it), and every trigger leaves its
+          // evidence in rerunNotes for the official record.
           var reruns = 0
-          while (threshold.exists(sec > _) && reruns < 2 && !pastDeadline) {
-            reruns += 1
-            run(name, fn) match {
-              case Some(again) =>
-                System.err.println(
-                  f"[bench] $name%-22s $again%8.2f s (inline outlier rerun $reruns; first $first%.2f)")
-                recordHistory(name, again)
-                sec = math.min(sec, again)
-              case None => reruns = 2 // rerun itself failed/cancelled — stop
+          var why = ""
+          while (threshold.exists(sec > _) && reruns < 2 && why.isEmpty) {
+            if (pastRerunBudget) why = "deadline"
+            else {
+              reruns += 1
+              run(name, fn) match {
+                case Some(again) =>
+                  System.err.println(
+                    f"[bench] $name%-22s $again%8.2f s (inline outlier rerun $reruns; first $first%.2f)")
+                  recordHistory(name, again)
+                  sec = math.min(sec, again)
+                case None => why = "rerun-failed"
+              }
             }
+          }
+          if (threshold.exists(first > _)) {
+            if (why.isEmpty)
+              why = if (threshold.exists(sec > _)) "still-outlier" else "defended"
+            rerunNotes.put(name, (first, reruns, sec, why))
           }
           done.add(name -> sec)
           (name, fn, sec)
@@ -282,12 +385,19 @@ object Bench {
     if (firstPass.nonEmpty) {
       val med = firstPass.map(_._3).sorted.apply(firstPass.length / 2)
       firstPass.foreach { case (name, fn, sec) =>
-        if (!history.contains(name) && sec > math.max(4.0, 4 * med) && !pastDeadline) {
-          run(name, fn).foreach { again =>
-            System.err.println(f"[bench] $name%-22s $again%8.2f s (outlier rerun; first $sec%.2f)")
-            done.removeIf(_._1 == name)
-            done.add(name -> math.min(sec, again))
-            recordHistory(name, again)
+        if (!history.contains(name) && sec > math.max(4.0, 4 * med)) {
+          if (pastRerunBudget)
+            rerunNotes.put(name, (sec, 0, sec, "deadline"))
+          else run(name, fn) match {
+            case Some(again) =>
+              System.err.println(f"[bench] $name%-22s $again%8.2f s (outlier rerun; first $sec%.2f)")
+              done.removeIf(_._1 == name)
+              done.add(name -> math.min(sec, again))
+              recordHistory(name, again)
+              rerunNotes.put(name, (sec, 1, math.min(sec, again),
+                if (again < sec) "defended" else "still-outlier"))
+            case None =>
+              rerunNotes.put(name, (sec, 1, sec, "rerun-failed"))
           }
         }
       }
