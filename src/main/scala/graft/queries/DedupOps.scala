@@ -189,6 +189,52 @@ object DedupOps {
   private[queries] val IncRows = 8
   private[queries] val IncHashes = IncBands * IncRows
 
+  /** Per-band-bucket candidate-side cap for the bounded (_topc) ingest
+    * variants: a bucket keeps only its `IncBucketCap` smallest corpus
+    * doc ids as match candidates. Bounds candidate GENERATION — the one
+    * stage the per-doc top-C rerank could not bound (measured sf1:
+    * the band-bucket pair shuffle dominated c7_decontaminate_fuzzy at
+    * 111 s on the duplicate-saturated derived corpus) — at
+    * O(batch · bands · cap) pairs at ANY duplication density. Smallest-
+    * ids is the right deterministic choice, not just a stable one: a
+    * bucket's members all share that band's full minhash signature (the
+    * bucket IS a hash of it), so they are symmetric as candidates, and
+    * the downstream best-match rule already prefers the smallest c_id
+    * on jaccard ties — the cap keeps exactly the ids the resolve would
+    * favor. Replayed verbatim by the oracle (row_number per bucket).
+    */
+  private[queries] val IncBucketCap = 64
+
+  /** The cap itself: bounded-heap smallest-`cap` ids per (band, bucket)
+    * via [[graft.functions.BoundedMinIds]] — a partial aggregate
+    * (O(cap) memory per group map-side), NEVER a window (a saturated
+    * bucket would funnel into one task). Drops are loud: an `observe`
+    * node on the aggregated form reports dropped memberships / capped
+    * buckets to stderr through [[graft.util.ObservedLog]] on every run.
+    */
+  private[queries] def capBuckets(mem: DataFrame, cap: Int,
+      metric: String): DataFrame = {
+    val spark = mem.sparkSession
+    graft.util.ObservedLog.register(spark)
+    import spark.implicits._
+    val keep = new graft.functions.BoundedMinIds(cap).toColumn.name("kc")
+    mem
+      .select(col("band").cast("int"), col("bucket").cast("long"),
+        col("doc_id").cast("long"))
+      .as[(Int, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .mapValues(_._3)
+      .agg(keep)
+      .toDF("bb", "kc")
+      .select(col("bb._1").as("band"), col("bb._2").as("bucket"),
+        col("kc._1").as("kept"), col("kc._2").as("n_mem"))
+      .observe(metric,
+        sum(greatest(col("n_mem") - cap, lit(0L))).as("dropped_memberships"),
+        sum(when(col("n_mem") > cap, 1L).otherwise(0L)).as("capped_buckets"),
+        count(lit(1)).as("n_buckets"))
+      .select(col("band"), col("bucket"), explode(col("kept")).as("doc_id"))
+  }
+
   /** Shared tail of both incremental variants: exact-Jaccard confirm of
     * the candidate pairs (token sets re-attached by id for candidate
     * rows only), best match per new doc as ONE partial aggregate (min
@@ -253,19 +299,22 @@ object DedupOps {
     * corpus scale path: [[c2IncrementalDedup]]'s exact confirm is
     * Ω(candidates), and on a corpus sitting just under the threshold the
     * candidate set goes quadratic (measured: 86.5 M pairs at sf1 — the
-    * confirm join is ~90% of the 89 s cost). This variant RERANKS: per
-    * new doc, keep only the top `c` candidates by LSH band-agreement
-    * count (more shared bands ⇒ higher estimated Jaccard; deterministic
-    * (agreement desc, c_id asc) order) through the bounded-heap
-    * [[graft.functions.TopKAggregator]] — O(batch · c) exact confirms at
-    * ANY duplication density, the c2_ngram_jaccard_topm contract applied
-    * to the ingest check. Explicitly approximate: a true match ranked
-    * below the c-th candidate is missed (at the default c = 64 that
-    * needs 64 better-agreeing candidates — on corpora where duplicates
-    * are rare, candidates per doc rarely reach c and the result equals
-    * the full variant exactly, which the spec pins at sf0.001). The
-    * oracle replays the band-agreement rank verbatim, so the
-    * approximation itself is hash-checked.
+    * confirm join is ~90% of the 89 s cost). This variant bounds BOTH
+    * super-linear stages: candidate GENERATION via the per-band-bucket
+    * corpus cap ([[capBuckets]]/[[IncBucketCap]] — O(batch·bands·cap)
+    * pairs at any duplication density, drops logged loudly), and the
+    * exact confirm via the per-new-doc RERANK: keep only the top `c`
+    * candidates by LSH band-agreement count (more shared bands ⇒ higher
+    * estimated Jaccard; deterministic (agreement desc, c_id asc) order)
+    * through the bounded-heap [[graft.functions.TopKAggregator]] —
+    * O(batch · c) exact confirms, the c2_ngram_jaccard_topm contract
+    * applied to the ingest check. Explicitly approximate: a true match
+    * ranked below the c-th candidate — or outside its every bucket's
+    * cap — is missed (on corpora where duplicates are rare, buckets and
+    * per-doc candidate counts rarely reach the bounds and the result
+    * equals the full variant exactly, which the spec pins at sf0.001).
+    * The oracle replays bucket cap and band-agreement rank verbatim, so
+    * the approximation itself is hash-checked.
     */
   def c2IncrementalDedupTopC(spark: SparkSession, dir: String,
       threshold: Double = 0.8, c: Int = 64): DataFrame = {
@@ -277,11 +326,16 @@ object DedupOps {
     val mem = MinHash.membershipsFromSets(
       base, col("doc_id"), col("toks"), IncHashes, IncBands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band-agreement count per candidate pair: the same join as the full
-    // variant's candidate generation, with the distinct replaced by a
-    // partial-aggregating count (identical shuffle shape)
+    // Candidate GENERATION is bounded too (round-10 verdict #2): the
+    // corpus side is capped at IncBucketCap ids per band bucket BEFORE
+    // the join, so the pair shuffle is O(batch · bands · cap) even on a
+    // corpus where every bucket is a near-clique. Then band-agreement
+    // count per surviving pair (partial-aggregating count on the same
+    // shuffle shape).
+    val corpCapped = capBuckets(
+      mem.filter(!isNew), IncBucketCap, "graft_inc_dedup_bucket_cap")
     val agree = mem.filter(isNew).withColumnRenamed("doc_id", "n_id")
-      .join(mem.filter(!isNew).withColumnRenamed("doc_id", "c_id"),
+      .join(corpCapped.withColumnRenamed("doc_id", "c_id"),
         Seq("band", "bucket"))
       .groupBy("n_id", "c_id").agg(count(lit(1)).as("bandsc"))
     val topk = new graft.functions.TopKAggregator[(Double, Long)](c, _._1, _._2)
@@ -697,15 +751,22 @@ object DedupOps {
   private lazy val incrementalSql: String = incrementalSqlWith(
     "cand AS (SELECT DISTINCT n_id, c_id FROM nw JOIN cp USING (band, bucket))")
 
-  // Top-C replay: band-agreement counts, then the (agreement desc, c_id
-  // asc) rank — the exact total order the bounded-heap TopKAggregator
-  // implements.
-  private lazy val incrementalTopCSql: String = incrementalSqlWith(
-    "ag AS (SELECT n_id, c_id, count(*) AS bandsc FROM nw JOIN cp " +
+  // Top-C replay: per-bucket corpus cap (smallest IncBucketCap ids —
+  // the BoundedMinIds order), then band-agreement counts over the
+  // surviving memberships, then the (agreement desc, c_id asc) rank —
+  // the exact total orders the two bounded heaps implement.
+  private[queries] def topCCandidateSql(corpusCte: String): String =
+    s"cpc AS (SELECT c_id, band, bucket FROM (SELECT c_id, band, bucket, " +
+      s"row_number() OVER (PARTITION BY band, bucket ORDER BY c_id) AS brn " +
+      s"FROM $corpusCte) WHERE brn <= $IncBucketCap), " +
+      "ag AS (SELECT n_id, c_id, count(*) AS bandsc FROM nw JOIN cpc " +
       "USING (band, bucket) GROUP BY n_id, c_id), " +
       "cand AS (SELECT n_id, c_id FROM (SELECT n_id, c_id, row_number() " +
       "OVER (PARTITION BY n_id ORDER BY bandsc DESC, c_id) AS rn FROM ag) " +
-      "WHERE rn <= 64)")
+      "WHERE rn <= 64)"
+
+  private lazy val incrementalTopCSql: String =
+    incrementalSqlWith(topCCandidateSql("cp"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c2_ngram_jaccard" -> (c2NgramJaccard _),

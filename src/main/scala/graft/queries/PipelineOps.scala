@@ -376,12 +376,15 @@ object PipelineOps {
     * c2_incremental_dedup_topc posture: measured at the derived sf1,
     * the full variant's exact confirm went 5.1 → 111 s for 10× docs
     * (candidate-pair growth on a high-baseline-similarity corpus —
-    * Ω(candidates) is inherent to the exact confirm), so per train doc
-    * only the top `c` candidates by LSH band-agreement count
-    * (deterministic (agreement desc, c_id asc) order through the
-    * bounded-heap TopKAggregator) pay the exact Jaccard — O(train · c)
-    * confirms at any duplication density. The band-agreement rank is
-    * replayed verbatim by the oracle, so the approximation itself is
+    * Ω(candidates) is inherent to the exact confirm). Both super-linear
+    * stages are bounded: candidate GENERATION by the per-band-bucket
+    * held-out-side cap (DedupOps.IncBucketCap smallest ids per bucket,
+    * drops logged loudly — O(train·bands·cap) pairs at any duplication
+    * density), and the confirm by the per-train-doc top-`c` rerank on
+    * LSH band-agreement count (deterministic (agreement desc, c_id asc)
+    * order through the bounded-heap TopKAggregator) — O(train · c)
+    * exact Jaccards. Bucket cap and agreement rank are replayed
+    * verbatim by the oracle, so the approximation itself is
     * hash-checked.
     */
   def c7DecontaminateFuzzyTopC(spark: SparkSession, dir: String,
@@ -400,15 +403,25 @@ object PipelineOps {
     val testToks = toksOf(col("sb") >= (0.9 * 4294967296L).toLong)
     def memOf(toks: DataFrame) = MinHash.membershipsFromSets(
       toks, col("doc_id"), col("toks"), DedupOps.IncHashes, DedupOps.IncBands)
-    val joined = memOf(trainToks).withColumnRenamed("doc_id", "n_id")
-      .join(memOf(testToks).withColumnRenamed("doc_id", "c_id"),
-        Seq("band", "bucket"))
     val cand = topC match {
-      case None => joined.select("n_id", "c_id").distinct()
+      case None =>
+        memOf(trainToks).withColumnRenamed("doc_id", "n_id")
+          .join(memOf(testToks).withColumnRenamed("doc_id", "c_id"),
+            Seq("band", "bucket"))
+          .select("n_id", "c_id").distinct()
       case Some(c) =>
-        // band-agreement count per pair (same shuffle shape as the
-        // distinct), then the bounded-heap top-c rerank per train doc
-        val agree = joined.groupBy("n_id", "c_id")
+        // Bounded candidate GENERATION first (the DedupOps.IncBucketCap
+        // contract: the held-out side keeps its cap smallest ids per
+        // band bucket, drops logged loudly), then band-agreement count
+        // per surviving pair and the bounded-heap top-c rerank per
+        // train doc.
+        val testCapped = DedupOps.capBuckets(
+          memOf(testToks), DedupOps.IncBucketCap,
+          "graft_fuzzy_decontam_bucket_cap")
+        val agree = memOf(trainToks).withColumnRenamed("doc_id", "n_id")
+          .join(testCapped.withColumnRenamed("doc_id", "c_id"),
+            Seq("band", "bucket"))
+          .groupBy("n_id", "c_id")
           .agg(count(lit(1)).as("bandsc"))
         val session = spark
         import session.implicits._
@@ -999,15 +1012,12 @@ object PipelineOps {
     // as the batch/corpus partition.
     "c7_decontaminate_fuzzy" -> fuzzySqlWith(
       "cand AS (SELECT DISTINCT n_id, c_id FROM nw JOIN cp USING (band, bucket))"),
-    // Top-C replay: band-agreement counts, then the (agreement desc,
-    // c_id asc) rank — the exact total order the bounded-heap
-    // TopKAggregator implements (the incrementalTopCSql pattern).
+    // Top-C replay: the shared bounded-candidate chain (per-bucket
+    // held-out cap, band-agreement counts, (agreement desc, c_id asc)
+    // rank — the exact total orders the two bounded heaps implement),
+    // verbatim from the incremental-dedup replay.
     "c7_decontaminate_fuzzy_topc" -> fuzzySqlWith(
-      "ag AS (SELECT n_id, c_id, count(*) AS bandsc FROM nw JOIN cp " +
-        "USING (band, bucket) GROUP BY n_id, c_id), " +
-        "cand AS (SELECT n_id, c_id FROM (SELECT n_id, c_id, row_number() " +
-        "OVER (PARTITION BY n_id ORDER BY bandsc DESC, c_id) AS rn FROM ag) " +
-        "WHERE rn <= 64)"),
+      DedupOps.topCCandidateSql("cp")),
     // Recursive-CTE closure over the replayed MinHash memberships (the
     // c2_minhash_cc oracle), then the (n_tokens desc, doc_id asc)
     // keep-best pick per cluster.

@@ -49,14 +49,65 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
-  test("c2_incremental_dedup_topc equals the full variant when candidates fit the bound") {
-    // At sf0.001 every new doc has at most |corpus| = 45 candidates — under
-    // the c = 64 bound — so the bounded rerank must reproduce the full
-    // variant EXACTLY (the approximation only begins past the bound).
+  test("c2_incremental_dedup_topc: bounded form is faithful — valid matches, no novelty flips") {
+    // The word-salad corpus saturates LSH buckets even at this sf (16
+    // buckets over the 64-id cap), so the bounded form's candidate set
+    // is a strict subset of the full variant's and strict row equality
+    // is NOT the contract (the divergences are the documented, oracle-
+    // hash-pinned approximation). The contract is fidelity:
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
     val full = DedupOps.c2IncrementalDedup(spark, sf).collect().toSeq
     val topc = DedupOps.c2IncrementalDedupTopC(spark, sf).collect().toSeq
-    assert(topc == full)
     assert(topc.nonEmpty)
+    // same batch coverage
+    assert(topc.map(_.getLong(0)) == full.map(_.getLong(0)))
+    val byId = full.map(r => r.getLong(0) -> r).toMap
+    var diverged = 0
+    topc.foreach { r =>
+      val (id, novel) = (r.getLong(0), r.getBoolean(1))
+      val fr = byId(id)
+      // every claimed match must be a real >= 0.8 neighbor (a bounded
+      // candidate set can only LOSE matches, never invent them)
+      if (!novel) {
+        val m = r.getLong(2)
+        assert(jaccard(docs(id), docs(m)) >= 0.8,
+          s"doc $id: bounded match $m below threshold")
+      }
+      // novelty must not flip on this corpus (deterministic for the
+      // fixed hash family + corpus; a flip means the cap starved a doc
+      // of ALL its true candidates — the failure mode to watch)
+      assert(novel == fr.getBoolean(1), s"doc $id: novelty flipped")
+      if (r != fr) diverged += 1
+    }
+    // the bounded form tracks the full variant closely even here
+    assert(diverged <= topc.length / 5,
+      s"$diverged/${topc.length} rows diverged from the full variant")
+  }
+
+  test("capBuckets == window rank <= cap, smallest ids kept, no window in plan") {
+    import spark.implicits._
+    // synthetic memberships with a bucket over the cap, one at it, one under
+    val mem = Seq(
+      (0, 10L, 5L), (0, 10L, 1L), (0, 10L, 9L), (0, 10L, 3L), (0, 10L, 7L),
+      (0, 20L, 2L), (0, 20L, 4L), (0, 20L, 6L),
+      (1, 10L, 8L), (1, 30L, 11L)
+    ).toDF("band", "bucket", "doc_id")
+    val got = DedupOps.capBuckets(mem, 3, "graft_test_bucket_cap")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val want = mem
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("band", "bucket").orderBy("doc_id")))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // the over-cap bucket kept exactly its 3 smallest ids
+    assert(got.filter(t => t._1 == 0 && t._2 == 10L).map(_._3) == Set(1L, 3L, 5L))
+    // scale posture: the cap is a partial aggregate, never a window
+    val plan = DedupOps.capBuckets(mem, 3, "graft_test_bucket_cap2")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"bucket cap must not window:\n$plan")
   }
 
   test("c2_incremental_dedup_indexed is row-identical to the in-plan variant") {
