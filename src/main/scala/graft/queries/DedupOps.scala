@@ -446,7 +446,12 @@ object DedupOps {
       threshold: Double): (DataFrame, DataFrame) = {
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
-    val cents = SimOps.ivfCentroids(spark, dir)
+    // Corpus-scaled cell count (k ≈ √n, power-of-two grid): keeps the
+    // within-cell pair generation O(n·√n̄) instead of O(n²/16) — the
+    // SemDeDup recipe's cell growth, shared with c3_knn_join and
+    // replayed by the dynamic oracle from the same function.
+    val cents = SimOps.ivfCentroids(spark, dir,
+      nCells = SimOps.scaledCells(spark, dir))
     val assigned = base
       .withColumn("dists",
         graft.functions.VectorExprs.centroidDists(col("embD"), cents))

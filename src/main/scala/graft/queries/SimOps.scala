@@ -782,7 +782,7 @@ object SimOps {
   def c3KnnJoin(spark: SparkSession, dir: String, m: Int = 3): DataFrame = {
     val base = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
-    val cents = ivfCentroids(spark, dir)
+    val cents = ivfCentroids(spark, dir, nCells = scaledCells(spark, dir))
     // Persisted: both sides of the within-cell self-join scan it.
     val assigned = base
       .withColumn("dists",
@@ -1067,12 +1067,40 @@ object SimOps {
     trainCentroids(boundedSample(base, maxSample), nCells, iters = 5)
   }
 
+  /** Corpus-scaled cell count for the EVERY-vector-is-a-query operators
+    * (c3_knn_join, c2_semantic_dedup): the smallest power of two ≥ √n,
+    * floored at 16. Their within-cell blocking cost is O(Σ|cell|²) =
+    * O(n²/k) under uniform cells, so a FIXED k turns the 10× corpus
+    * decade into ~100×/k per cell — the measured 8.7× sf1 decade at the
+    * old fixed 16. Growing k ≈ √n keeps expected |cell| ≈ √n and total
+    * pairs O(n·√n̄) — the published SemDeDup posture, now code rather
+    * than prose. Power-of-two grid: the count is a stable step function
+    * of n (a few appended docs don't retrain a different codebook), and
+    * the dynamic oracle calls this same function so it replays the
+    * identical codebook. The query-subset ANN operators keep their
+    * fixed coarse codebook (their cost is per-query, not per-pair, and
+    * the persisted-index fingerprint keys on the cell count).
+    */
+  private[queries] def scaledCells(spark: SparkSession, dir: String): Int = {
+    val n = emb(spark, dir).count()
+    val target = math.ceil(math.sqrt(n.toDouble)).toLong
+    var c = 16
+    while (c < target && c < (1 << 20)) c <<= 1
+    c
+  }
+
   /** Oracle SQL that depends on data-trained plan literals — generated at
     * verify time (Verify merges it into oracle_sql.json).
     */
   def dynamicOracle(spark: SparkSession, dir: String): Map[String, String] = {
     val cents = ivfCentroids(spark, dir)
     val n = cents.length
+    // The every-vector-is-a-query operators train on the corpus-scaled
+    // cell count (see scaledCells) — their replays must embed THAT
+    // codebook, not the fixed ANN coarse quantizer.
+    val kCells = scaledCells(spark, dir)
+    val centsK = if (kCells == 16) cents else ivfCentroids(spark, dir, kCells)
+    val nK = centsK.length
     // IVF candidate CTEs (assignment + probing with the trained codebook
     // embedded as a literal), shared by the ANN query, its recall twin,
     // and the IVF-PQ query (same coarse quantizer by construction).
@@ -1157,9 +1185,9 @@ object SimOps {
     // k-NN graph replay: same centroid assignment, within-cell exact
     // cosine (6dp before the rank), (cosine desc, b_id) top-3 per vector.
     val knnSql =
-      s"WITH ct AS (SELECT ${matLit(cents)} AS c), " +
+      s"WITH ct AS (SELECT ${matLit(centsK)} AS c), " +
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        s"d AS (SELECT vec_id, v, list_transform(range(1, ${n + 1}), k -> " +
+        s"d AS (SELECT vec_id, v, list_transform(range(1, ${nK + 1}), k -> " +
         "list_sum(list_transform(range(1, 65), j -> " +
         "(v[j]-c[k][j])*(v[j]-c[k][j])))) AS dists FROM e CROSS JOIN ct), " +
         "asg AS (SELECT vec_id, v, " +
@@ -1201,9 +1229,9 @@ object SimOps {
     // within-cell pairs at round-6 cosine >= 0.35 (the corpus's
     // embed-neardup threshold) and the min-neighbor propagation round.
     val semCtes =
-      s"ct AS (SELECT ${matLit(cents)} AS c), " +
+      s"ct AS (SELECT ${matLit(centsK)} AS c), " +
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        s"d AS (SELECT vec_id, v, list_transform(range(1, ${n + 1}), k -> " +
+        s"d AS (SELECT vec_id, v, list_transform(range(1, ${nK + 1}), k -> " +
         "list_sum(list_transform(range(1, 65), j -> " +
         "(v[j]-c[k][j])*(v[j]-c[k][j])))) AS dists FROM e CROSS JOIN ct), " +
         "asg AS (SELECT vec_id, v, " +

@@ -194,11 +194,13 @@ class SimOpsSpec extends SparkSuite {
         s"vector $a: ranks not dense")
       assert(rows.length <= 3)
     }
-    // naive ground truth: same cell assignment, exact cosine, top-3
+    // naive ground truth: same CORPUS-SCALED cell assignment (the √n
+    // power-of-two codebook the operator trains on), exact cosine, top-3
     val vecs = graft.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    val cents = SimOps.ivfCentroids(spark, sf)
+    val cents = SimOps.ivfCentroids(spark, sf,
+      nCells = SimOps.scaledCells(spark, sf))
     def cellOf(v: Array[Double]): Int =
       cents.zipWithIndex.minBy { case (c, _) =>
         v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
