@@ -721,6 +721,70 @@ object SimOps {
     n
   }
 
+  /** Remove vectors from the persisted IVFADC index — the other half of
+    * the maintenance lifecycle a growing corpus needs (GDPR erasure,
+    * retention expiry, recalled documents): without a remove path the
+    * layout drifts from the corpus it serves and deleted vectors keep
+    * ranking in every search. Physical deletion, not a tombstone: the
+    * inverted file is cell-partitioned, so only the cell partitions
+    * that actually CONTAIN a deleted id are rewritten (dynamic
+    * partition overwrite — O(affected cells · cell size), never a full
+    * index rewrite; a cell emptied entirely is dropped via its
+    * partition). A tombstone side-table would leave query cost and a
+    * join on every search; rewriting a few bounded cells at delete time
+    * is the cheaper end of that trade at any scale. The model table is
+    * untouched — codebooks are trained on a sample and retrain cadence
+    * is a separate decision (same stance as [[appendAnnIndex]]).
+    * Ids not present in the index are ignored (idempotent). Returns the
+    * number of removed rows.
+    */
+  private[graft] def deleteFromAnnIndex(spark: SparkSession, dir: String,
+      ids: Seq[Long], nCells: Int = 16, subspaces: Int = 8,
+      kSub: Int = 16): Long = {
+    val (codesTab, _) = ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
+    val session = spark
+    import session.implicits._
+    val idsDf = ids.toDF("b_id")
+    val codes = spark.table(codesTab)
+    // Affected cells: bounded by |ids| — the only corpus-sized input is
+    // the (cell-pruned on write) codes scan.
+    val affected = codes.join(broadcast(idsDf), Seq("b_id"), "left_semi")
+      .groupBy(col("cell").cast("int").as("cell")).agg(count(lit(1)).as("n_del"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (affected.isEmpty) return 0L
+    val cellList = affected.keys.toSeq
+    val survivors = codes
+      .filter(col("cell").isin(cellList: _*))
+      .join(broadcast(idsDf), Seq("b_id"), "left_anti")
+    // Spark refuses to overwrite a table it is reading in the same plan,
+    // so the surviving rows of the affected cells stage through a temp
+    // dir (two passes over ONLY those cells), then land via dynamic
+    // partition overwrite.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_del").toString
+    try {
+      survivors.write.mode("overwrite").parquet(tmp)
+      val back = spark.read.parquet(tmp)
+      val emptied = cellList.filter(c =>
+        back.filter(col("cell") === c).limit(1).count() == 0L)
+      val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        back.select(codes.columns.map(col).toIndexedSeq: _*)
+          .write.mode("overwrite").insertInto(codesTab)
+        // dynamic overwrite only touches partitions present in the data —
+        // a fully-emptied cell must be dropped explicitly
+        emptied.foreach(c => spark.sql(
+          s"ALTER TABLE $codesTab DROP IF EXISTS PARTITION (cell=$c)"))
+      } finally prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.catalog.refreshTable(codesTab)
+      affected.values.sum
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   def c3AnnPqIndexed(spark: SparkSession, dir: String, k: Int = 5,
       nCells: Int = 16, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
       queryMod: Int = 100): DataFrame = {

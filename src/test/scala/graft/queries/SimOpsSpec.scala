@@ -267,6 +267,59 @@ class SimOpsSpec extends SparkSuite {
     }
   }
 
+  test("deleteFromAnnIndex: append+delete equals a from-scratch rebuild; only affected cells rewritten") {
+    // Lifecycle contract: after appending the odd ids and then deleting
+    // a subset of ids (odd AND even, including one whole cell's worth),
+    // the index must hold exactly the codes a from-scratch encode of
+    // the surviving corpus would produce under the SAME stored model —
+    // no ghost rows, no lost survivors. Deletes of absent ids are no-ops.
+    import org.apache.spark.sql.functions.col
+    val full = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-delete").toString
+    try {
+      full.filter(col("vec_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val (codesTab, modelTab) = SimOps.ensureAnnIndex(spark, dir)
+      SimOps.appendAnnIndex(spark, dir,
+        full.filter(col("vec_id") % 2 =!= 0)
+          .select(col("vec_id"), col("embedding"), col("label")))
+      // delete every id of one whole cell (exercises the partition-drop
+      // path) plus a scattered slice across other cells
+      val byCell = spark.table(codesTab)
+        .select(col("b_id"), col("cell").cast("int").as("cell")).collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      val victimCell = byCell.groupBy(_._2).minBy(c => (c._2.length, c._1))._1
+      val wholeCell = byCell.filter(_._2 == victimCell).map(_._1).toSeq
+      val scattered = byCell.filter(_._2 != victimCell).map(_._1)
+        .filter(_ % 7 == 3).toSeq
+      val removed = SimOps.deleteFromAnnIndex(spark, dir, wholeCell ++ scattered)
+      assert(removed == (wholeCell ++ scattered).length)
+      // idempotent: deleting the same ids again removes nothing
+      assert(SimOps.deleteFromAnnIndex(spark, dir, wholeCell ++ scattered) == 0L)
+      // survivors == from-scratch encode of the surviving corpus with
+      // the stored model (bit-identical codes, same cells)
+      val deleted = (wholeCell ++ scattered).toSet
+      val (coarse, books) = SimOps.loadPqModel(spark, modelTab, subspaces = 8)
+      val expected = SimOps.pqEncodeCorpus(
+        full.filter(!col("vec_id").isInCollection(deleted))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embD")),
+        coarse, books, subspaces = 8, residual = true)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+      val stored = spark.table(codesTab)
+        .select(col("b_id"), col("cell").cast("int"), col("codes"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+      assert(stored == expected,
+        "post-delete index diverged from a from-scratch rebuild")
+      // the emptied cell is gone from the partition listing
+      assert(!spark.table(codesTab).select(col("cell").cast("int")).distinct()
+        .collect().map(_.getInt(0)).contains(victimCell),
+        s"emptied cell $victimCell still listed")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("residual encoding (IVFADC) does not lose to raw-vector PQ at the same code size") {
     // sf0.01: 60 queries — the 5-query sf0.001 set quantizes both metrics
     // too coarsely to order the variants (measured flips either way).
