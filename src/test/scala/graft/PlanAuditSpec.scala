@@ -141,6 +141,24 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("global-rank consumers window only on bounded pid partitions") {
+    // c7_curriculum / c7_shard_balance / c7_epoch_order ride the
+    // two-phase bounded-partition global rank; a regression to a plain
+    // unpartitioned (or epoch-only) Window would funnel the whole
+    // corpus — or a whole epoch of it — through ONE task and would be
+    // silent at test scale. Pin: every windowspecdefinition in these
+    // plans partitions by the range-partitioner's pid FIRST, so no
+    // window partition can outgrow a task.
+    for (name <- Seq("c7_curriculum", "c7_shard_balance", "c7_epoch_order")) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      val all = "windowspecdefinition\\(".r.findAllIn(plan).length
+      val pidFirst = "windowspecdefinition\\(pid#".r.findAllIn(plan).length
+      assert(all > 0, s"$name: expected the two-phase rank window:\n$plan")
+      assert(all == pidFirst,
+        s"$name: $all windows but only $pidFirst partition by pid first:\n$plan")
+    }
+  }
+
   test("bucketed join plans with no exchange on either join input") {
     // b8_bucketed_join persists both sides bucketed+sorted on the join
     // key: the SortMergeJoin must read co-located buckets directly — any
