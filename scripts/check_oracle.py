@@ -25,9 +25,17 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    import os
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):
+        # A filtered (SPARK_GRAFT_ONLY) dump has no dir for the skipped
+        # queries — skip them BEFORE running the oracle SQL (some oracle
+        # replays are deliberately expensive; executing them for absent
+        # dumps turns a 2-query pre-flight into a full-corpus replay).
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"SKIP {name}: not dumped")
+            continue
         try:
             exp = con.execute(sql).fetchdf()
             got = duckdb.connect().execute(
