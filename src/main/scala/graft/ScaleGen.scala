@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * the scale-proof corpus for measuring how query times grow with data
   * size (BASELINE.md records the ratios). Usage:
   *
-  *   runMain graft.ScaleGen <srcSfDir> <outDir> [multiplier=10]
+  *   runMain graft.ScaleGen <srcSfDir> <outDir> [multiplier=10] [density]
   *
   * The derived corpus is `multiplier` id-offset copies of the source
   * tables, NOT fresh synthesis — so value distributions, key skew, text
@@ -16,11 +16,22 @@ import org.apache.spark.sql.functions._
   * byte-identical data. Per-copy perturbations keep the derived corpus
   * honest at scale:
   *
-  *  - documents: a per-copy suffix token is appended to `text` (copy 0 is
-  *    verbatim), so exact-duplicate rates match the source per copy while
-  *    cross-copy pairs become NEAR-duplicates (~1-token Jaccard delta) —
-  *    a 10× web crawl genuinely has more near-dups, and this exercises
-  *    the dedup family's banding/CC under growing cluster sizes;
+  *  - documents, density=dense (default): a per-copy suffix token is
+  *    appended to `text` (copy 0 is verbatim), so exact-duplicate rates
+  *    match the source per copy while cross-copy pairs become
+  *    NEAR-duplicates (~1-token Jaccard delta) — every doc a
+  *    `multiplier`-clique, the ADVERSARIAL duplicate-saturated corpus
+  *    that stresses candidate generation (measured: 88× candidate pairs
+  *    for 10× docs);
+  *  - documents, density=sparse: the REALISTIC crawl shape — ~2% of base
+  *    docs keep the dense mode's near-dup copy family (clusters of
+  *    `multiplier`), every other derived doc is decorrelated by a
+  *    per-(doc, copy) salted token rewrite (~half its tokens made
+  *    unique), which also breaks the source corpus's own word-salad
+  *    cross-similarity: pairwise Jaccard lands ≈0.15, far below the 0.8
+  *    dedup thresholds. Measuring a family on BOTH corpora separates
+  *    "the corpus got bigger" from "the corpus got more duplicated"
+  *    (BASELINE.md tables the two as columns);
   *  - events: ids and user_ids are offset per copy, timestamps are kept —
   *    10× event density over the same window, the shape of a service
   *    with 10× traffic (user count also grows 10×);
@@ -37,6 +48,9 @@ object ScaleGen {
     val src = args(0)
     val out = args(1)
     val mult = if (args.length > 2) args(2).toInt else 10
+    val density = if (args.length > 3) args(3) else "dense"
+    require(density == "dense" || density == "sparse",
+      s"density must be dense|sparse, got $density")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -45,11 +59,12 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, src, out, mult)
+    try generate(spark, src, out, mult, density)
     finally spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, out: String, mult: Int): Unit = {
+  def generate(spark: SparkSession, src: String, out: String, mult: Int,
+      density: String = "dense"): Unit = {
     val copies = spark.range(mult).toDF("copy")
 
     def offsetBy(df: DataFrame, idCols: Seq[String]): DataFrame = {
@@ -66,12 +81,40 @@ object ScaleGen {
     }
 
     val docs = Tables.load(spark, src, "documents")
-    offsetBy(docs, Seq("doc_id"))
-      .withColumn("text",
-        when(col("copy") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" cpy"), col("copy"))))
+    // Near-dup copy family: verbatim base, one appended token per copy.
+    val denseText =
+      when(col("copy") === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" cpy"), col("copy")))
+    // Decorrelating rewrite: ~half of each doc's tokens get a suffix
+    // salted by (derived doc_id, token index) — unique per derived doc,
+    // so rewritten docs are near-unique against copies of the same base
+    // AND against the source's word-salad vocabulary overlap.
+    val sparseText = array_join(
+      zip_with(
+        split(col("text"), " "),
+        sequence(lit(1), size(split(col("text"), " "))),
+        (t, i) => when(pmod(xxhash64(t, col("doc_id"), i), lit(2)) === 0,
+          concat(t, lit("_d"), pmod(col("doc_id"), lit(997))))
+          .otherwise(t)),
+      " ")
+    // sparse: ~2% of BASE docs keep the near-dup copy family; the rest
+    // are decorrelated. The family flag is decided on the PRE-offset id
+    // (a Knuth bucket, so a base doc's whole copy family shares it);
+    // the sparse rewrite is salted by the POST-offset id (unique per
+    // derived doc) — hence flag, then offset, then rewrite.
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val crossed = docs.crossJoin(copies)
+      .withColumn("fam",
+        pmod(col("doc_id") * 2654435761L, lit(4294967296L)) <
+          lit((0.02 * 4294967296L).toLong))
+      .withColumn("doc_id", col("doc_id") + col("copy") * maxId)
+    val withText =
+      if (density == "dense") crossed.withColumn("text", denseText)
+      else crossed.withColumn("text",
+        when(col("fam"), denseText).otherwise(sparseText))
+    withText
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .drop("copy")
+      .drop("copy", "fam")
       .repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     offsetBy(Tables.load(spark, src, "events"), Seq("event_id", "user_id"))
