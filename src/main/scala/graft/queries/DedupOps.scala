@@ -212,7 +212,7 @@ object DedupOps {
     * node on the aggregated form reports dropped memberships / capped
     * buckets to stderr through [[graft.util.ObservedLog]] on every run.
     */
-  private[queries] def capBuckets(mem: DataFrame, cap: Int,
+  private[graft] def capBuckets(mem: DataFrame, cap: Int,
       metric: String): DataFrame = {
     val spark = mem.sparkSession
     graft.util.ObservedLog.register(spark)

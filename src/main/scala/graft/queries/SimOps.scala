@@ -1145,7 +1145,7 @@ object SimOps {
     * fixed coarse codebook (their cost is per-query, not per-pair, and
     * the persisted-index fingerprint keys on the cell count).
     */
-  private[queries] def scaledCells(spark: SparkSession, dir: String): Int = {
+  private[graft] def scaledCells(spark: SparkSession, dir: String): Int = {
     val n = emb(spark, dir).count()
     val target = math.ceil(math.sqrt(n.toDouble)).toLong
     var c = 16

@@ -167,6 +167,41 @@ class EdgeCasesSpec extends SparkSuite {
     assert(!out(1L) && !out(2L)) // too short on every length rule
   }
 
+  test("capBuckets on an empty membership table returns empty; cap=1 keeps the min id") {
+    import spark.implicits._
+    val empty = Seq.empty[(Int, Long, Long)].toDF("band", "bucket", "doc_id")
+    assert(graft.queries.DedupOps.capBuckets(empty, 4, "graft_edge_cap0")
+      .collect().isEmpty)
+    val one = Seq((0, 5L, 9L), (0, 5L, 2L), (0, 5L, 7L))
+      .toDF("band", "bucket", "doc_id")
+    val kept = graft.queries.DedupOps.capBuckets(one, 1, "graft_edge_cap1")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(kept.toSeq == Seq((0, 5L, 2L)))
+  }
+
+  test("deleteFromAnnIndex with no matching ids is a no-op") {
+    import org.apache.spark.sql.functions.col
+    val full = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("edge_ann_del").toString
+    try {
+      full.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val (codesTab, _) = graft.queries.SimOps.ensureAnnIndex(spark, dir)
+      val before = spark.table(codesTab).count()
+      assert(graft.queries.SimOps.deleteFromAnnIndex(spark, dir, Seq.empty) == 0L)
+      assert(graft.queries.SimOps.deleteFromAnnIndex(spark, dir,
+        Seq(Long.MaxValue - 1, Long.MaxValue)) == 0L)
+      assert(spark.table(codesTab).count() == before)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("scaledCells: next power of two past sqrt(n), floored at 16") {
+    // sf0.001 ships 500 embeddings -> sqrt ~ 22.4 -> 32 cells
+    assert(graft.queries.SimOps.scaledCells(spark, sf) == 32)
+  }
+
   test("semantic dedup machinery survives a corpus smaller than the cell count") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("edge_emb").toString
