@@ -82,12 +82,96 @@ object SetSimJoin {
       inter.unionByName(intraPairs), Seq(sets))
   }
 
+  /** ASYMMETRIC near-containment pairs: ordered `(a_id, b_id, common,
+    * containment)` where containment(A→B) = |A∩B| / |A| ≥ tNum/tDen and
+    * |A| ≥ `minTokens` — the quote-/subset-inclusion detector Jaccard
+    * cannot see (a doc pasted inside a much larger one has high
+    * containment but low Jaccard, since the union is dominated by B).
+    * The threshold is an exact rational (`common·tDen ≥ tNum·|A|` in
+    * int64), so the cut is bit-portable to the oracle.
+    *
+    * Candidate generation is the containment-specific prefix filter: if
+    * B misses ALL of A's `|A| − ⌈t·|A|⌉ + 1` rarest tokens, then
+    * |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| — so A explodes only that prefix
+    * (rarest-first ids make it selective) against B's FULL posting
+    * list (B cannot be prefix-filtered: it may be arbitrarily larger
+    * than A). The inverted index is O(Σ|set|) rows — linear — and
+    * candidates are bounded by the document frequency of A's rare
+    * prefix tokens; the degenerate case (a doc of only corpus-hot
+    * tokens) is the standard prefix-filter caveat, shared with the
+    * Jaccard form.
+    */
+  def containmentSelfJoin(
+      df: DataFrame,
+      id: Column,
+      tokens: Column,
+      tNum: Int = 9,
+      tDen: Int = 10,
+      minTokens: Int = 10): DataFrame = {
+    val st = buildSetTable(df, id, tokens)
+    val sets = st.sets
+    // contained-side prefix: n − ceil(t·n) + 1 rarest token ids
+    val xpref = sets.filter(col("n") >= minTokens)
+      .select(col("set_id").as("x_set"), col("n").as("x_n"),
+        explode(expr(
+          s"slice(ids, 1, n - ((n * $tNum + ${tDen - 1}) div $tDen) + 1)"))
+          .as("tok_id"))
+    val yall = sets
+      .select(col("set_id").as("y_set"), col("n").as("y_n"),
+        explode(col("ids")).as("tok_id"))
+    val cand = xpref.join(yall, Seq("tok_id"))
+      .filter(col("x_set") =!= col("y_set"))
+      // length filter: |A∩B| ≥ t·|A| needs |B| ≥ t·|A|
+      .filter(col("y_n") * tDen >= col("x_n") * tNum)
+      .select("x_set", "y_set").distinct()
+    val full = sets.select(col("set_id"), col("ids"), col("n"), col("docs"))
+    val inter = cand
+      .join(full.toDF("x_set", "x_ids", "x_n", "x_docs"), "x_set")
+      .join(full.toDF("y_set", "y_ids", "y_n", "y_docs"), "y_set")
+      .withColumn("common",
+        size(array_intersect(col("x_ids"), col("y_ids"))).cast("long"))
+      .filter(col("common") * tDen >= col("x_n") * tNum)
+      .select(explode(col("x_docs")).as("a_id"), col("y_docs"),
+        col("common"), col("x_n"))
+      .select(col("a_id"), explode(col("y_docs")).as("b_id"),
+        col("common"), col("x_n"))
+    // identical token sets: containment 1 in BOTH directions for every
+    // ordered member pair (the asymmetric twin of the intra-set
+    // expansion)
+    val intra = sets.filter(size(col("docs")) >= 2 && col("n") >= minTokens)
+      .select(col("n"), explode(col("docs")).as("a_id"), col("docs"))
+      .select(col("a_id"), explode(col("docs")).as("b_id"),
+        col("n").cast("long").as("common"), col("n").as("x_n"))
+      .filter(col("a_id") =!= col("b_id"))
+    graft.util.CacheScope.releaseAfterMaterialize(
+      inter.unionByName(intra)
+        .withColumn("containment",
+          round(col("common").cast("double") / col("x_n").cast("double"), 6))
+        .drop("x_n"),
+      Seq(sets))
+  }
+
+  /** The threshold-independent prefix of the machinery: the persisted
+    * distinct-set table (rarity-ordered dense token ids, member doc
+    * lists) plus vocabulary/set counts. Shared by the Jaccard stage and
+    * [[containmentSelfJoin]], whose prefix filters differ.
+    */
+  private final case class SetTable(sets: DataFrame, vocabSize: Long, nSets: Long)
+
   private def buildSetStage(
       df: DataFrame,
       id: Column,
       tokens: Column,
       threshold: Double,
       maxBroadcastSets: Long): SetStage = {
+    val st = buildSetTable(df, id, tokens)
+    buildPairsStage(st, threshold, maxBroadcastSets)
+  }
+
+  private def buildSetTable(
+      df: DataFrame,
+      id: Column,
+      tokens: Column): SetTable = {
     val base = df.select(id.as("doc_id"), tokens.as("toks"))
 
     // 1. Dictionary: token -> dense int id, rarest first. Global dense
@@ -151,6 +235,14 @@ object SetSimJoin {
     // it are spent — release them now instead of leaking them past return.
     ranged.unpersist(blocking = false)
     dict.unpersist(blocking = false)
+    SetTable(sets, vocabSize, nSets)
+  }
+
+  private def buildPairsStage(
+      st: SetTable,
+      threshold: Double,
+      maxBroadcastSets: Long): SetStage = {
+    val SetTable(sets, vocabSize, nSets) = st
 
     // 2. Exact distinct-set pairs (x_set < y_set) with common/jaccard.
     val setPairs: DataFrame =

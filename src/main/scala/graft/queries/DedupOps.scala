@@ -45,6 +45,26 @@ object DedupOps {
       array_distinct(split(col("text"), " ")), threshold = 0.8, m = 5)
       .orderBy("doc_id", "rk")
 
+  /** C2a'': asymmetric NEAR-CONTAINMENT pairs — containment(A→B) =
+    * |A∩B|/|A| ≥ 0.9 with |A| ≥ 10 tokens: the quote-/subset-inclusion
+    * detector the Jaccard family cannot see (a doc pasted inside a much
+    * larger one has containment ≈ 1 but low Jaccard — the union is
+    * dominated by the bigger doc). The ingestion-dedup literature
+    * treats this as its own relation (drop the contained copy, keep the
+    * superset); decontamination too (a benchmark item quoted inside a
+    * training doc). Threshold is the exact rational common·10 ≥ 9·|A|,
+    * so the cut is bit-portable and the oracle replays it verbatim.
+    * Scale: the containment-specific prefix filter in
+    * [[graft.dedup.SetSimJoin.containmentSelfJoin]] — A explodes only
+    * its |A|−⌈0.9|A|⌉+1 rarest tokens against the linear inverted
+    * index, never all-pairs.
+    */
+  def c2Containment(spark: SparkSession, dir: String): DataFrame =
+    SetSimJoin.containmentSelfJoin(
+      docs(spark, dir), col("doc_id"),
+      array_distinct(split(col("text"), " ")))
+      .orderBy("a_id", "b_id")
+
   /** C2b: MinHash + LSH banding, surfaced as per-doc dedup assignments
     * (O(n) output — the pair list is inherently O(n²) on a self-similar
     * corpus). Rows-only driver check; pair-level exactness of the same
@@ -656,6 +676,20 @@ object DedupOps {
         "(PARTITION BY doc_id ORDER BY jaccard DESC, nbr_id) AS rk FROM sym) " +
         "SELECT doc_id, nbr_id, common, jaccard, rk FROM rk WHERE rk <= 5 " +
         "ORDER BY doc_id, rk"),
+    // Containment replay: the same token co-occurrence join as the
+    // Jaccard oracle, with the asymmetric denominator (a.n) and the
+    // exact-rational cut common*10 >= 9*a.n.
+    "c2_containment" ->
+      ("WITH base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
+        "FROM documents), " +
+        "ex AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM base) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common, " +
+        "round(CAST(count(*) AS DOUBLE) / a.n, 6) AS containment " +
+        "FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id <> b.doc_id " +
+        "WHERE a.n >= 10 " +
+        "GROUP BY a.doc_id, b.doc_id, a.n " +
+        "HAVING count(*) * 10 >= 9 * a.n " +
+        "ORDER BY a_id, b_id"),
     // Recall-audit replay: the exact-pair SQL (the c2_ngram_jaccard
     // oracle) and the membership chain share one `base` CTE; the audit
     // join and bucket aggregation mirror the engine verbatim.
@@ -776,6 +810,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c2_ngram_jaccard" -> (c2NgramJaccard _),
     "c2_ngram_jaccard_topm" -> (c2NgramJaccardTopM _),
+    "c2_containment" -> (c2Containment _),
     "c2_minhash_lsh" -> (c2MinHashLsh _),
     "c2_minhash_cc" -> (c2MinHashCc _),
     "c2_simhash" -> (c2SimHash _),

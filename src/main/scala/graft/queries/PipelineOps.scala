@@ -444,6 +444,31 @@ object PipelineOps {
       Seq(trainToks, testToks))
   }
 
+  /** C7w: cross-source duplication forensics — for each unordered pair
+    * of sources, how many near-dup clusters (the c2_minhash_lsh
+    * one-round assignment) contain documents from BOTH: the overlap
+    * matrix a pipeline consults before mixing sources (two crawls of
+    * the same sites double-count; a benchmark mirrored inside a crawl
+    * is leakage). O(n) cluster assignments → distinct (cluster, source)
+    * → a self-join keyed by cluster whose output is bounded by
+    * clusters·sources² — never a doc-level pair expansion, so
+    * duplication density cannot blow it up.
+    */
+  def c7SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.MinHash
+    val d = docs(spark, dir)
+    val cs = MinHash.dedupAssignments(
+      d, col("doc_id"), col("text"), numHashes = 64, bands = 16)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("cluster_rep"), col("source")).distinct()
+    cs.toDF("rep", "source_a")
+      .join(cs.toDF("rep", "source_b"), "rep")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** C7e: end-to-end corpus curation — the composition a training
     * pipeline actually ships: exact-dedup first-copy flag, language
     * agreement (LangId.detect vs the declared lang), and a minimum-length
@@ -1006,6 +1031,17 @@ object PipelineOps {
         "count(leaked.sh) * 10 >= count(*) AS dirty " +
         "FROM te LEFT JOIN leaked ON te.sh = leaked.sh " +
         "GROUP BY te.doc_id ORDER BY te.doc_id"),
+    // Cross-source overlap replay: the c2_minhash_lsh cluster chain,
+    // source attach, distinct (cluster, source), pair count.
+    "c7_source_overlap" ->
+      (s"WITH ${DedupOps.mhBase}, " +
+        "mm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) " +
+        "AS bucket_min FROM mem), " +
+        "asg AS (SELECT doc_id, min(bucket_min) AS rep FROM mm GROUP BY doc_id), " +
+        "cs AS (SELECT DISTINCT rep, source FROM asg JOIN documents USING (doc_id)) " +
+        "SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_clusters " +
+        "FROM cs a JOIN cs b ON a.rep = b.rep AND a.source < b.source " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     // Fuzzy decontamination: the incremental-dedup replay (IncBands
     // MinHash chain, band-bucket candidates, exact-Jaccard confirm,
     // (jaccard desc, id asc) best pick) with the portable split buckets
@@ -1235,6 +1271,7 @@ object PipelineOps {
     "c7_decontaminate_fuzzy" -> ((s: SparkSession, d: String) => c7DecontaminateFuzzy(s, d)),
     "c7_decontaminate_fuzzy_topc" -> ((s: SparkSession, d: String) => c7DecontaminateFuzzyTopC(s, d)),
     "c7_sample_weighted" -> ((s: SparkSession, d: String) => c7SampleWeighted(s, d)),
+    "c7_source_overlap" -> ((s: SparkSession, d: String) => c7SourceOverlap(s, d)),
     "c7_epoch_order" -> ((s: SparkSession, d: String) => c7EpochOrder(s, d))
   )
 }

@@ -110,6 +110,44 @@ class CurationOpsSpec extends SparkSuite {
     assert(!plan.contains("Window"), s"bucket cap must not window:\n$plan")
   }
 
+  test("c2_containment equals brute-force asymmetric containment") {
+    val rows = DedupOps.c2Containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    val want = (for {
+      (a, ta) <- docs.toSeq if ta.size >= 10
+      (b, tb) <- docs.toSeq if a != b
+      common = (ta & tb).size.toLong
+      if common * 10 >= 9L * ta.size
+    } yield (a, b, common,
+      BigDecimal(common.toDouble / ta.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(rows == want, s"got ${rows.size} pairs, want ${want.size}")
+    assert(rows.nonEmpty)
+    // asymmetry is real on this corpus: some containments hold one way only
+    val dirs = rows.map(r => (r._1, r._2))
+    assert(dirs.exists { case (a, b) => !dirs.contains((b, a)) },
+      "no one-directional containment found — test corpus degenerate?")
+  }
+
+  test("c7_source_overlap equals a recount over the minhash clusters") {
+    val got = PipelineOps.c7SourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val src = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clusters = DedupOps.c2MinHashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).values.map(_.map(d => src(d._1)).toSet)
+    val want = clusters.toSeq
+      .flatMap(ss => ss.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("c2_incremental_dedup_indexed is row-identical to the in-plan variant") {
     // The persisted-layout path must change WHERE the corpus memberships
     // come from, never WHAT they are — same hash family, same banding.
