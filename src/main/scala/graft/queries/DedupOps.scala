@@ -65,6 +65,32 @@ object DedupOps {
       array_distinct(split(col("text"), " ")))
       .orderBy("a_id", "b_id")
 
+  /** C2a''': the O(n)-OUTPUT companion of [[c2Containment]] — per doc,
+    * whether it is ≥0.9-contained in some other doc and its BEST
+    * container (highest containment, smallest id on ties): the form a
+    * curation pass actually consumes (drop the contained copy, keep the
+    * superset), with the same output-boundedness rationale as the
+    * dedup-assignment family — the pair LIST is Ω(candidates) on a
+    * saturated corpus, the assignment never is. The best pick is one
+    * partial aggregate (min over a (-containment, b_id) struct — no
+    * window over the candidate stream).
+    */
+  def c2ContainmentBest(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = SetSimJoin.containmentSelfJoin(
+      docs(spark, dir), col("doc_id"),
+      array_distinct(split(col("text"), " ")))
+    val best = pairs
+      .groupBy(col("a_id").as("doc_id"))
+      .agg(min(struct((-col("containment")).as("nc"), col("b_id").as("bid"))).as("b"))
+      .select(col("doc_id"), col("b.bid").as("container_id"),
+        (-col("b.nc")).as("containment"))
+    docs(spark, dir).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("container_id").isNotNull.as("is_contained"),
+        col("container_id"), col("containment"))
+      .orderBy("doc_id")
+  }
+
   /** C2b: MinHash + LSH banding, surfaced as per-doc dedup assignments
     * (O(n) output — the pair list is inherently O(n²) on a self-similar
     * corpus). Rows-only driver check; pair-level exactness of the same
@@ -690,6 +716,26 @@ object DedupOps {
         "GROUP BY a.doc_id, b.doc_id, a.n " +
         "HAVING count(*) * 10 >= 9 * a.n " +
         "ORDER BY a_id, b_id"),
+    // Best-container replay: the containment pair CTE, then the
+    // (containment desc, b_id asc) pick per doc, left-joined to cover
+    // uncontained docs.
+    "c2_containment_best" ->
+      ("WITH base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
+        "FROM documents), " +
+        "ex AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM base), " +
+        "pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "round(CAST(count(*) AS DOUBLE) / a.n, 6) AS containment " +
+        "FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id <> b.doc_id " +
+        "WHERE a.n >= 10 " +
+        "GROUP BY a.doc_id, b.doc_id, a.n " +
+        "HAVING count(*) * 10 >= 9 * a.n), " +
+        "bst AS (SELECT a_id, b_id, containment, row_number() OVER " +
+        "(PARTITION BY a_id ORDER BY containment DESC, b_id) AS rn FROM pr) " +
+        "SELECT d.doc_id, m.b_id IS NOT NULL AS is_contained, " +
+        "m.b_id AS container_id, m.containment " +
+        "FROM (SELECT doc_id FROM documents) d " +
+        "LEFT JOIN (SELECT a_id, b_id, containment FROM bst WHERE rn = 1) m " +
+        "ON d.doc_id = m.a_id ORDER BY doc_id"),
     // Recall-audit replay: the exact-pair SQL (the c2_ngram_jaccard
     // oracle) and the membership chain share one `base` CTE; the audit
     // join and bucket aggregation mirror the engine verbatim.
@@ -811,6 +857,7 @@ object DedupOps {
     "c2_ngram_jaccard" -> (c2NgramJaccard _),
     "c2_ngram_jaccard_topm" -> (c2NgramJaccardTopM _),
     "c2_containment" -> (c2Containment _),
+    "c2_containment_best" -> (c2ContainmentBest _),
     "c2_minhash_lsh" -> (c2MinHashLsh _),
     "c2_minhash_cc" -> (c2MinHashCc _),
     "c2_simhash" -> (c2SimHash _),

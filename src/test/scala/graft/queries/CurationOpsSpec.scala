@@ -132,6 +132,28 @@ class CurationOpsSpec extends SparkSuite {
       "no one-directional containment found — test corpus degenerate?")
   }
 
+  test("c2_containment_best is the (containment desc, id asc) argmax of the pair list") {
+    val pairs = DedupOps.c2Containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val best = DedupOps.c2ContainmentBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3)))))
+    val want = pairs.groupBy(_._1).map { case (a, ps) =>
+      a -> ps.minBy(p => (-p._3, p._2))
+    }
+    val allIds = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(best.map(_._1).toSet == allIds, "assignment must cover every doc")
+    best.foreach { case (id, contained, pick) =>
+      (want.get(id), pick) match {
+        case (Some(w), Some((b, c))) =>
+          assert(contained && b == w._2 && c == w._3, s"doc $id: $pick vs $w")
+        case (None, None) => assert(!contained)
+        case other => fail(s"doc $id: mismatch $other")
+      }
+    }
+  }
+
   test("c7_source_overlap equals a recount over the minhash clusters") {
     val got = PipelineOps.c7SourceOverlap(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
