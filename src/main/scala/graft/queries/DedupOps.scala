@@ -91,6 +91,102 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** C2a'''': BOUNDED-candidate best-container — the topc discipline
+    * applied to [[c2ContainmentBest]]: on a duplicate-saturated corpus
+    * the exact form's candidate set goes quadratic (measured: 5.6 GB
+    * shuffled / 196 s at dense sf1, OOM at the 8 g bench heap), because
+    * "rare" prefix tokens aren't rare when every doc is a clique.
+    * EVERY super-linear stage is bounded here:
+    *  - candidate generation: each contained-side doc probes only its
+    *    `anchors` (8) RAREST tokens, and each token's posting list is
+    *    capped at its `postingCap` (64) smallest doc ids (the
+    *    band-bucket cap discipline via [[graft.functions.BoundedMinIds]]
+    *    — a partial aggregate, drops reported loudly), so agreement
+    *    pairs are ≤ anchors·postingCap per doc at ANY density;
+    *  - the exact intersect: only the top `c` candidates by
+    *    anchor-agreement count (deterministic (agree desc, b_id asc)
+    *    order through the bounded-heap TopKAggregator) pay it —
+    *    O(docs · c) confirms and array re-attaches.
+    * Explicitly approximate (a true container whose every shared anchor
+    * was capped out, or ranked below the c-th candidate, is missed; on
+    * corpora where duplication is rare neither bound binds). Rarity
+    * order, caps and ranks are ALL replayed verbatim by the oracle, so
+    * the approximation itself is hash-checked. Token rarity ranks by
+    * (corpus frequency, token) — byte-wise string comparison in both
+    * engines.
+    */
+  def c2ContainmentBestTopC(spark: SparkSession, dir: String,
+      cCap: Int = 64, anchors: Int = 8, postingCap: Int = 64,
+      minTokens: Int = 10): DataFrame = {
+    import spark.implicits._
+    graft.util.ObservedLog.register(spark)
+    val base = docs(spark, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = base.select(col("doc_id"), size(col("toks")).as("n"),
+      explode(col("toks")).as("tok"))
+    val tf = ex.groupBy("tok").agg(count(lit(1)).as("freq"))
+    // per-doc rarity-ordered anchor tokens (the `anchors` rarest).
+    // The frequency table is vocab-sized — shuffle join, never broadcast
+    // (the tf-idf posture); the per-doc sort is bounded by doc length.
+    val pref = ex.join(tf.hint("shuffle_hash"), "tok")
+      .filter(col("n") >= minTokens)
+      .groupBy(col("doc_id"), col("n"))
+      .agg(array_sort(collect_list(struct(col("freq"), col("tok")))).as("st"))
+      .select(col("doc_id").as("a_id"),
+        explode(expr(s"slice(transform(st, s -> s.tok), 1, $anchors)"))
+          .as("tok"))
+    // container-side posting lists capped at the postingCap smallest ids
+    val postAgg = new graft.functions.BoundedMinIds(postingCap)
+      .toColumn.name("kc")
+    val pb = ex.select(col("tok"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(postAgg)
+      .toDF("tok", "kc")
+      .select(col("tok"), col("kc._1").as("kept"), col("kc._2").as("n_mem"))
+      .observe("graft_containment_posting_cap",
+        sum(greatest(col("n_mem") - postingCap, lit(0L))).as("dropped_postings"),
+        sum(when(col("n_mem") > postingCap, 1L).otherwise(0L)).as("capped_tokens"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("tok"), explode(col("kept")).as("b_id"))
+    val agree = pref
+      .join(pb, Seq("tok"))
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("agree"))
+    val topk = new graft.functions.TopKAggregator[(Double, Long)](
+      cCap, _._1, _._2).toColumn.name("topc")
+    val cand = agree
+      .select(col("a_id"), col("agree").cast("double"), col("b_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk)
+      .toDF("a_id", "topc")
+      .select(col("a_id"), explode(col("topc")).as("p"))
+      .select(col("a_id"), col("p._2").as("b_id"))
+    val conf = cand
+      .join(base.select(col("doc_id").as("a_id"), col("toks").as("a_toks"),
+        size(col("toks")).as("n")), "a_id")
+      .join(base.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), "b_id")
+      .withColumn("common", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .filter(col("common") * 10 >= col("n") * 9)
+      .withColumn("containment",
+        round(col("common").cast("double") / col("n").cast("double"), 6))
+    val best = conf.groupBy(col("a_id").as("doc_id"))
+      .agg(min(struct((-col("containment")).as("nc"), col("b_id").as("bid"))).as("b"))
+      .select(col("doc_id"), col("b.bid").as("container_id"),
+        (-col("b.nc")).as("containment"))
+    graft.util.CacheScope.releaseAfterMaterialize(
+      docs(spark, dir).select(col("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("container_id").isNotNull.as("is_contained"),
+          col("container_id"), col("containment"))
+        .orderBy("doc_id"),
+      Seq(base))
+  }
+
   /** C2b: MinHash + LSH banding, surfaced as per-doc dedup assignments
     * (O(n) output — the pair list is inherently O(n²) on a self-similar
     * corpus). Rows-only driver check; pair-level exactness of the same
@@ -736,6 +832,44 @@ object DedupOps {
         "FROM (SELECT doc_id FROM documents) d " +
         "LEFT JOIN (SELECT a_id, b_id, containment FROM bst WHERE rn = 1) m " +
         "ON d.doc_id = m.a_id ORDER BY doc_id"),
+    // Bounded best-container replay: rarity rank (corpus freq, token —
+    // byte-wise in both engines), per-doc prefix, prefix-agreement
+    // counts, the (agree desc, b_id asc) top-64 cap, exact confirm on
+    // the survivors, best pick. Every stage of the approximation is
+    // replayed, so the cap itself is hash-checked.
+    "c2_containment_best_topc" ->
+      ("WITH base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
+        "FROM documents), " +
+        "ex AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM base), " +
+        "tf AS (SELECT tok, count(*) AS freq FROM ex GROUP BY tok), " +
+        "rk AS (SELECT ex.doc_id, ex.n, ex.tok, row_number() OVER " +
+        "(PARTITION BY ex.doc_id ORDER BY tf.freq, ex.tok) AS rn " +
+        "FROM ex JOIN tf USING (tok)), " +
+        "pref AS (SELECT doc_id, tok FROM rk WHERE n >= 10 AND rn <= 8), " +
+        "pb AS (SELECT tok, doc_id AS b_id FROM (SELECT tok, doc_id, " +
+        "row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS prn FROM ex) " +
+        "WHERE prn <= 64), " +
+        "ag AS (SELECT p.doc_id AS a_id, pb.b_id, count(*) AS agree " +
+        "FROM pref p JOIN pb ON p.tok = pb.tok AND p.doc_id <> pb.b_id " +
+        "GROUP BY 1, 2), " +
+        "cand AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, row_number() " +
+        "OVER (PARTITION BY a_id ORDER BY agree DESC, b_id) AS crn FROM ag) " +
+        "WHERE crn <= 64), " +
+        "sc AS (SELECT a_id, b_id, " +
+        "len(list_filter(x.toks, t -> list_contains(y.toks, t))) AS common, " +
+        "len(x.toks) AS n FROM cand " +
+        "JOIN base x ON x.doc_id = cand.a_id " +
+        "JOIN base y ON y.doc_id = cand.b_id), " +
+        "cf AS (SELECT a_id, b_id, " +
+        "round(CAST(common AS DOUBLE) / n, 6) AS containment " +
+        "FROM sc WHERE common * 10 >= 9 * n), " +
+        "bst AS (SELECT a_id, b_id, containment, row_number() OVER " +
+        "(PARTITION BY a_id ORDER BY containment DESC, b_id) AS rn FROM cf) " +
+        "SELECT d.doc_id, m.b_id IS NOT NULL AS is_contained, " +
+        "m.b_id AS container_id, m.containment " +
+        "FROM (SELECT doc_id FROM documents) d " +
+        "LEFT JOIN (SELECT a_id, b_id, containment FROM bst WHERE rn = 1) m " +
+        "ON d.doc_id = m.a_id ORDER BY doc_id"),
     // Recall-audit replay: the exact-pair SQL (the c2_ngram_jaccard
     // oracle) and the membership chain share one `base` CTE; the audit
     // join and bucket aggregation mirror the engine verbatim.
@@ -858,6 +992,7 @@ object DedupOps {
     "c2_ngram_jaccard_topm" -> (c2NgramJaccardTopM _),
     "c2_containment" -> (c2Containment _),
     "c2_containment_best" -> (c2ContainmentBest _),
+    "c2_containment_best_topc" -> ((s: SparkSession, d: String) => c2ContainmentBestTopC(s, d)),
     "c2_minhash_lsh" -> (c2MinHashLsh _),
     "c2_minhash_cc" -> (c2MinHashCc _),
     "c2_simhash" -> (c2SimHash _),

@@ -154,6 +154,31 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("c2_containment_best_topc: bounded form is faithful — valid picks, no flips") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    val exact = DedupOps.c2ContainmentBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val topc = DedupOps.c2ContainmentBestTopC(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3)))))
+    assert(topc.map(_._1).toSet == docs.keySet, "must cover every doc")
+    topc.foreach { case (id, contained, pick) =>
+      // every claimed container is a REAL >= 0.9 containment (the caps
+      // can only lose candidates, never fabricate)
+      pick.foreach { case (b, _) =>
+        val (ta, tb) = (docs(id), docs(b))
+        assert((ta & tb).size * 10 >= 9 * ta.size,
+          s"doc $id: claimed container $b below threshold")
+      }
+      // is_contained must not flip on this corpus (deterministic for
+      // the fixed corpus; a flip means the caps starved a doc of ALL
+      // its true containers)
+      assert(contained == exact(id), s"doc $id: containment flipped")
+    }
+  }
+
   test("c7_source_overlap equals a recount over the minhash clusters") {
     val got = PipelineOps.c7SourceOverlap(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
