@@ -33,8 +33,15 @@ def main(sf_dir, out_dir):
         # queries — skip them BEFORE running the oracle SQL (some oracle
         # replays are deliberately expensive; executing them for absent
         # dumps turns a 2-query pre-flight into a full-corpus replay).
+        # Only when the filter env is actually set: in a FULL run a
+        # missing dir means the dump CRASHED, and that must stay a FAIL,
+        # not a silent skip.
         if not os.path.isdir(os.path.join(out_dir, name)):
-            print(f"SKIP {name}: not dumped")
+            if os.environ.get("SPARK_GRAFT_ONLY"):
+                print(f"SKIP {name}: not dumped")
+                continue
+            print(f"FAIL {name}: not dumped (dump step crashed?)")
+            failures += 1
             continue
         try:
             exp = con.execute(sql).fetchdf()

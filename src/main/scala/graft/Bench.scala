@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicBoolean
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — runs every declared query against
@@ -90,9 +90,11 @@ object Bench {
           acc.put(g, (cur._1 + r, cur._2 + w))
         }
       }
-    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-      // retries re-announce the stage id via their job start; safe to drop
-      stageGroup.remove(sc.stageInfo.stageId)
+    // NOTE: the stage→group mapping is kept for the JVM's lifetime —
+    // stage RETRIES do not re-announce their ids via a new JobStart, so
+    // dropping the mapping on stage completion would lose the retry's
+    // shuffle metrics. Stage ids are app-unique and the entries are two
+    // words each; a full bench leaves a few thousand, which is noise.
     def reset(group: String): Unit = acc.remove(group)
     def bytes(group: String): (Long, Long) = acc.getOrElse(group, (0L, 0L))
   }
@@ -265,12 +267,16 @@ object Bench {
       // just after the last job finishes) — discard only cancelled runs
       // that did NOT complete.
       if (completed) {
+        // Elapsed is captured BEFORE the listener-bus drain: the drain
+        // waits for queued events and must not inflate the timing the
+        // record exists to defend.
+        val sec = (System.nanoTime() - t0) / 1e9
         // Bytes are a property of the plan, not the run — any completed
         // run's numbers are authoritative, so last-completed-wins. Drain
         // the (async) listener bus first so trailing task-end events land.
         org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
         shuffleBytes.put(name, shuffleListener.bytes(group))
-        Some((System.nanoTime() - t0) / 1e9)
+        Some(sec)
       } else {
         System.err.println(s"[bench] $name NOT recorded (" +
           (if (cancelled.get) "watchdog-cancelled" else "failed") + ")")

@@ -94,7 +94,10 @@ object ScaleGen {
         split(col("text"), " "),
         sequence(lit(1), size(split(col("text"), " "))),
         (t, i) => when(pmod(xxhash64(t, col("doc_id"), i), lit(2)) === 0,
-          concat(t, lit("_d"), pmod(col("doc_id"), lit(997))))
+          // the FULL derived id in the suffix — a modular suffix would
+          // let salt-colliding copies of one base doc keep ~identical
+          // rewrites (~0.33 Jaccard instead of the designed ~0.15)
+          concat(t, lit("_d"), col("doc_id")))
           .otherwise(t)),
       " ")
     // sparse: ~2% of BASE docs keep the near-dup copy family; the rest

@@ -764,8 +764,10 @@ object SimOps {
     try {
       survivors.write.mode("overwrite").parquet(tmp)
       val back = spark.read.parquet(tmp)
-      val emptied = cellList.filter(c =>
-        back.filter(col("cell") === c).limit(1).count() == 0L)
+      // one distinct pass over the staged cells, not one job per cell
+      val stillPresent = back.select(col("cell").cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val emptied = cellList.filterNot(stillPresent)
       val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try {

@@ -1,6 +1,6 @@
 package graft.util
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.Collections
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.QueryExecution
@@ -15,11 +15,15 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * every bench/verify log rather than only in a dedicated audit.
   */
 object ObservedLog {
-  private val registered = ConcurrentHashMap.newKeySet[SparkSession]()
+  // Weak keys: a stopped session must not be pinned by its registration
+  // mark (the CacheScope.installed pattern).
+  private val registered =
+    Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
-    if (registered.add(spark)) {
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit =
