@@ -290,4 +290,23 @@ class PlanAuditSpec extends SparkSuite {
     assert(offenders.isEmpty,
       s"c2_ngram_jaccard: vocabulary-sized broadcast:\n${offenders.mkString("\n")}")
   }
+
+  test("containment family joins are broadcast-free above the cached set/doc tables") {
+    // Every join side in the containment family scales with the corpus
+    // or the vocabulary (inverted index, capped postings, candidate
+    // sets, token-set re-attaches, the best-pick assignment) — all are
+    // explicit shuffle_hash joins. The only legitimate broadcast is the
+    // set-sim machinery's driver-built per-partition offset table
+    // (pid/offset), same allowance as the c2_ngram_jaccard pin; as
+    // there, a cached relation's printed lineage doesn't count.
+    for (name <- Seq("c2_containment", "c2_containment_best",
+        "c2_containment_best_topc")) {
+      val offenders = broadcastSubtrees(name).filterNot { t =>
+        val above = t.split("InMemoryRelation").head
+        above.contains("pid") && above.contains("offset")
+      }
+      assert(offenders.isEmpty,
+        s"$name: corpus/vocab-sized broadcast:\n${offenders.mkString("\n")}")
+    }
+  }
 }
