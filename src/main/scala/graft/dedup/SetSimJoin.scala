@@ -119,16 +119,18 @@ object SetSimJoin {
     val yall = sets
       .select(col("set_id").as("y_set"), col("n").as("y_n"),
         explode(col("ids")).as("tok_id"))
-    // all sides corpus-sized: shuffle joins, never broadcast (pinned)
-    val cand = xpref.join(yall.hint("shuffle_hash"), Seq("tok_id"))
+    // all sides corpus-sized — no explicit broadcast (PlanAuditSpec
+    // pins the static plan; runtime AQE may still broadcast on
+    // measured-size evidence, the correct call at every scale)
+    val cand = xpref.join(yall, Seq("tok_id"))
       .filter(col("x_set") =!= col("y_set"))
       // length filter: |A∩B| ≥ t·|A| needs |B| ≥ t·|A|
       .filter(col("y_n") * tDen >= col("x_n") * tNum)
       .select("x_set", "y_set").distinct()
     val full = sets.select(col("set_id"), col("ids"), col("n"), col("docs"))
     val inter = cand
-      .join(full.toDF("x_set", "x_ids", "x_n", "x_docs").hint("shuffle_hash"), "x_set")
-      .join(full.toDF("y_set", "y_ids", "y_n", "y_docs").hint("shuffle_hash"), "y_set")
+      .join(full.toDF("x_set", "x_ids", "x_n", "x_docs"), "x_set")
+      .join(full.toDF("y_set", "y_ids", "y_n", "y_docs"), "y_set")
       .withColumn("common",
         size(array_intersect(col("x_ids"), col("y_ids"))).cast("long"))
       .filter(col("common") * tDen >= col("x_n") * tNum)

@@ -85,7 +85,7 @@ object DedupOps {
       .select(col("doc_id"), col("b.bid").as("container_id"),
         (-col("b.nc")).as("containment"))
     docs(spark, dir).select(col("doc_id"))
-      .join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("container_id").isNotNull.as("is_contained"),
         col("container_id"), col("containment"))
       .orderBy("doc_id")
@@ -151,12 +151,13 @@ object DedupOps {
         sum(when(col("n_mem") > postingCap, 1L).otherwise(0L)).as("capped_tokens"),
         count(lit(1)).as("n_tokens"))
       .select(col("tok"), explode(col("kept")).as("b_id"))
-    // vocab-sized posting table and corpus-sized re-attaches: shuffle
-    // joins, never broadcast (round-3 broadcast hygiene; a 10^9-token
-    // vocabulary or a corpus-sized candidate set must not replicate to
-    // every executor) — pinned in PlanAuditSpec.
+    // The posting table and the re-attaches are vocab/corpus-sized —
+    // no EXPLICIT broadcast anywhere (PlanAuditSpec pins the static
+    // plan broadcast-free under cluster confs); at runtime AQE may
+    // still broadcast a side its measured size proves small, which is
+    // the correct call at every scale.
     val agree = pref
-      .join(pb.hint("shuffle_hash"), Seq("tok"))
+      .join(pb, Seq("tok"))
       .filter(col("a_id") =!= col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("agree"))
     val topk = new graft.functions.TopKAggregator[(Double, Long)](
@@ -172,9 +173,8 @@ object DedupOps {
       .select(col("a_id"), col("p._2").as("b_id"))
     val conf = cand
       .join(base.select(col("doc_id").as("a_id"), col("toks").as("a_toks"),
-        size(col("toks")).as("n")).hint("shuffle_hash"), "a_id")
-      .join(base.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
-        .hint("shuffle_hash"), "b_id")
+        size(col("toks")).as("n")), "a_id")
+      .join(base.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), "b_id")
       .withColumn("common", size(array_intersect(col("a_toks"), col("b_toks"))))
       .filter(col("common") * 10 >= col("n") * 9)
       .withColumn("containment",
@@ -185,7 +185,7 @@ object DedupOps {
         (-col("b.nc")).as("containment"))
     graft.util.CacheScope.releaseAfterMaterialize(
       docs(spark, dir).select(col("doc_id"))
-        .join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .join(best, Seq("doc_id"), "left")
         .select(col("doc_id"), col("container_id").isNotNull.as("is_contained"),
           col("container_id"), col("containment"))
         .orderBy("doc_id"),

@@ -294,11 +294,16 @@ class PlanAuditSpec extends SparkSuite {
   test("containment family joins are broadcast-free above the cached set/doc tables") {
     // Every join side in the containment family scales with the corpus
     // or the vocabulary (inverted index, capped postings, candidate
-    // sets, token-set re-attaches, the best-pick assignment) — all are
-    // explicit shuffle_hash joins. The only legitimate broadcast is the
-    // set-sim machinery's driver-built per-partition offset table
-    // (pid/offset), same allowance as the c2_ngram_jaccard pin; as
-    // there, a cached relation's printed lineage doesn't count.
+    // sets, token-set re-attaches, the best-pick assignment), so no
+    // side may be EXPLICITLY broadcast — under the audit's cluster
+    // confs the static plan must be broadcast-free. (Runtime AQE may
+    // still broadcast a side whose measured size proves small; that
+    // evidence-based choice is correct at every scale and is exactly
+    // what this pin does NOT forbid.) The only legitimate static
+    // broadcast is the set-sim machinery's driver-built per-partition
+    // offset table (pid/offset), same allowance as the
+    // c2_ngram_jaccard pin; as there, a cached relation's printed
+    // lineage doesn't count.
     for (name <- Seq("c2_containment", "c2_containment_best",
         "c2_containment_best_topc")) {
       val offenders = broadcastSubtrees(name).filterNot { t =>
