@@ -58,23 +58,36 @@ object Bench {
   private val rerunNotes =
     new TrieMap[String, (Double, Int, Double, String)]()
 
-  /** Per-query shuffle read/write bytes (round-10 verdict Next #7):
-    * wall time on a freeze-prone host is the weakest scale signal;
-    * bytes shuffled is noise-immune and catches plan regressions (a
-    * lost broadcast, a widened exchange) that hide inside 1-2 s
-    * queries. Filled by [[GroupShuffleListener]], attributed via the
-    * per-query job group.
+  /** Per-query task-metric telemetry (round-10/11 verdict asks): wall
+    * time on a freeze-prone host is the weakest scale signal. Per query
+    * the record carries the noise-immune plan/pressure signals:
+    *   - `r`/`w`     shuffle read/write bytes (plan shape — a lost
+    *                 broadcast or widened exchange is visible here);
+    *   - `spill`     memory+disk spill bytes (execution-memory pressure
+    *                 — the signal round 11 lacked when the
+    *                 c2_containment_best warm-session outlier could not
+    *                 be explained from the line alone);
+    *   - `peak`      max per-task peakExecutionMemory (how close the
+    *                 heaviest task ran to its execution-memory share);
+    *   - `in`        input bytes read (a cached-intermediate recompute
+    *                 re-reads its source — extra `in` + extra `tasks`
+    *                 is the recompute fingerprint);
+    *   - `tasks`     completed task count (same purpose).
+    * Filled by [[GroupTelemetryListener]], attributed via the per-query
+    * job group.
     */
-  private val shuffleBytes = new TrieMap[String, (Long, Long)]()
+  private final case class Tel(r: Long = 0, w: Long = 0, spill: Long = 0,
+      peak: Long = 0, in: Long = 0, tasks: Long = 0)
+  private val queryTel = new TrieMap[String, Tel]()
 
-  /** Accumulates shuffle read/write bytes per job group off task-end
-    * events (task metrics there are reliably populated, unlike
-    * StageInfo.taskMetrics which depends on event-log settings).
-    * Stage→group attribution comes from job-start properties.
+  /** Accumulates task metrics per job group off task-end events (task
+    * metrics there are reliably populated, unlike StageInfo.taskMetrics
+    * which depends on event-log settings). Stage→group attribution
+    * comes from job-start properties.
     */
-  private final class GroupShuffleListener extends SparkListener {
+  private final class GroupTelemetryListener extends SparkListener {
     private val stageGroup = new TrieMap[Int, String]()
-    private val acc = new TrieMap[String, (Long, Long)]()
+    private val acc = new TrieMap[String, Tel]()
     override def onJobStart(js: SparkListenerJobStart): Unit = {
       val g = Option(js.properties)
         .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
@@ -83,12 +96,14 @@ object Bench {
     }
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
       for (g <- stageGroup.get(te.stageId); m <- Option(te.taskMetrics)) {
-        val r = m.shuffleReadMetrics.totalBytesRead
-        val w = m.shuffleWriteMetrics.bytesWritten
-        if (r != 0 || w != 0) {
-          val cur = acc.getOrElse(g, (0L, 0L))
-          acc.put(g, (cur._1 + r, cur._2 + w))
-        }
+        val cur = acc.getOrElse(g, Tel())
+        acc.put(g, Tel(
+          r = cur.r + m.shuffleReadMetrics.totalBytesRead,
+          w = cur.w + m.shuffleWriteMetrics.bytesWritten,
+          spill = cur.spill + m.memoryBytesSpilled + m.diskBytesSpilled,
+          peak = math.max(cur.peak, m.peakExecutionMemory),
+          in = cur.in + m.inputMetrics.bytesRead,
+          tasks = cur.tasks + 1))
       }
     // NOTE: the stage→group mapping is kept for the JVM's lifetime —
     // stage RETRIES do not re-announce their ids via a new JobStart, so
@@ -96,7 +111,7 @@ object Bench {
     // shuffle metrics. Stage ids are app-unique and the entries are two
     // words each; a full bench leaves a few thousand, which is noise.
     def reset(group: String): Unit = acc.remove(group)
-    def bytes(group: String): (Long, Long) = acc.getOrElse(group, (0L, 0L))
+    def tel(group: String): Tel = acc.getOrElse(group, Tel())
   }
 
   private def emitLine(): Unit = if (printed.compareAndSet(false, true)) {
@@ -114,9 +129,12 @@ object Bench {
     val rr = rerunNotes.toSeq.sortBy(_._1).map { case (k, (first, runs, sec, why)) =>
       "\"" + k + f"""\":{"first":$first%.3f,"runs":$runs,"sec":$sec%.3f,"why":"$why"}"""
     }.mkString("{", ",", "}")
-    // Noise-immune plan telemetry: shuffle read/write bytes per query.
-    val sh = shuffleBytes.toSeq.sortBy(_._1).map { case (k, (r, w)) =>
-      "\"" + k + "\":{\"r\":" + r + ",\"w\":" + w + "}"
+    // Noise-immune plan/pressure telemetry per query: shuffle bytes,
+    // spill bytes, peak task execution memory, input bytes, task count.
+    val sh = queryTel.toSeq.sortBy(_._1).map { case (k, t) =>
+      "\"" + k + "\":{\"r\":" + t.r + ",\"w\":" + t.w +
+        ",\"spill\":" + t.spill + ",\"peak\":" + t.peak +
+        ",\"in\":" + t.in + ",\"tasks\":" + t.tasks + "}"
     }.mkString("{", ",", "}")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reruns":$rr,"shuffle":$sh,"sf":"$sfDirForLine"}"""
@@ -179,7 +197,7 @@ object Bench {
 
     val watchdog = new java.util.Timer("bench-watchdog", true)
 
-    val shuffleListener = new GroupShuffleListener
+    val shuffleListener = new GroupTelemetryListener
     spark.sparkContext.addSparkListener(shuffleListener)
 
     // Optional dev filter: SPARK_GRAFT_ONLY=<regex> times a subset.
@@ -237,8 +255,12 @@ object Bench {
       // runs so every measurement starts cold and reruns can't cheat.
       spark.catalog.clearCache()
       val group = s"bench-$name"
-      // Zero this query's shuffle counters: reruns reuse the group, and
-      // the recorded bytes must describe ONE run of the plan.
+      // Zero this query's telemetry counters: reruns reuse the group, and
+      // the recorded bytes must describe ONE run of the plan. Drain the
+      // async listener bus FIRST — straggler task-end events from a
+      // watchdog-cancelled previous run of the same group would
+      // otherwise land after the reset and contaminate this run's bytes.
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
       shuffleListener.reset(group)
       spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
       val cancelled = new AtomicBoolean(false)
@@ -275,7 +297,7 @@ object Bench {
         // run's numbers are authoritative, so last-completed-wins. Drain
         // the (async) listener bus first so trailing task-end events land.
         org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
-        shuffleBytes.put(name, shuffleListener.bytes(group))
+        queryTel.put(name, shuffleListener.tel(group))
         Some(sec)
       } else {
         System.err.println(s"[bench] $name NOT recorded (" +

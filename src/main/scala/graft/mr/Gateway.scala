@@ -35,9 +35,11 @@ import java.nio.charset.StandardCharsets
   */
 final class Gateway(spark: SparkSession, store: JobStore, port: Int = 2335,
     maxBodyBytes: Int = Gateway.DefaultMaxBodyBytes,
-    threads: Int = Gateway.DefaultThreads) {
+    threads: Int = Gateway.DefaultThreads,
+    sweepIntervalMillis: Long = Gateway.DefaultSweepIntervalMillis) {
 
   @volatile private var server: HttpServer = _
+  @volatile private var sweeper: java.util.concurrent.ScheduledExecutorService = _
 
   /** Bind + start; returns the actual port (use port 0 for ephemeral). */
   def start(): Int = {
@@ -50,10 +52,29 @@ final class Gateway(spark: SparkSession, store: JobStore, port: Int = 2335,
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
       threads, r => { val t = new Thread(r, "graft-gateway"); t.setDaemon(true); t }))
     server.start()
+    // The reference master runs a detached background scanner that
+    // evicts TTL-expired finished jobs every SCAN_PERIOD_SECOND = 10 s
+    // (`master.cc:114,436-463`, `master.h:25`). JobStore sweeps lazily
+    // on getResult/cancel, which matches the observable per-request
+    // semantics — but a LONG-LIVED gateway whose expired jobs are never
+    // polled again would retain their results forever. This daemon
+    // thread restores the reference's active sweep; the store's
+    // injectable clock is untouched (the sweep just invokes the same
+    // evictExpired the lazy path uses, so tests drive eviction by
+    // advancing the fake clock).
+    sweeper = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      r => { val t = new Thread(r, "graft-gateway-sweep"); t.setDaemon(true); t })
+    sweeper.scheduleWithFixedDelay(
+      () => try store.evictExpired() catch { case _: Exception => () },
+      sweepIntervalMillis, sweepIntervalMillis,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (sweeper != null) sweeper.shutdownNow()
+    if (server != null) server.stop(0)
+  }
 
   private def handleLaunch(ex: HttpExchange): Unit =
     if (ex.getRequestMethod != "POST") respond(ex, 405, "", "text/plain")
@@ -165,4 +186,6 @@ object Gateway {
     */
   val DefaultMaxBodyBytes: Int = 8 * 1024 * 1024
   val DefaultThreads: Int = 8
+  /** Background TTL sweep cadence — SCAN_PERIOD_SECOND, master.h:25. */
+  val DefaultSweepIntervalMillis: Long = 10L * 1000L
 }

@@ -868,13 +868,27 @@ object PipelineOps {
     * keeps every task bounded at any corpus size.
     */
   def c7EpochOrder(spark: SparkSession, dir: String, epochs: Int = 3): DataFrame = {
+    // ekey = (doc_id · m(e)) mod 2^32, computed OVERFLOW-SAFE for the
+    // full int64 id range: a naive doc_id * m with m up to 2^32−1
+    // overflows int64 once doc_id exceeds ~2.1e9 — Spark wraps silently
+    // while DuckDB errors, so engine and oracle would diverge on very
+    // large ids. Reduce doc_id into [0, 2^32) first (sign-safe double
+    // mod — portable where pmod is Spark-only), then split the multiply
+    // 16/16: d·m ≡ ((d÷2^16)·m mod 2^16)·2^16 + (d mod 2^16)·m
+    // (mod 2^32); every intermediate stays below 2^49. The oracle
+    // replays the identical split, so the permutation is bit-portable
+    // at any id.
     val base = docs(spark, dir)
       .select(col("doc_id"))
       .withColumn("epoch",
         explode(array((0 until epochs).map(e => lit(e)): _*)))
+      .withColumn("em",
+        expr("(2654435761 + 2 * epoch * 2246822519) % 4294967296"))
+      .withColumn("d32",
+        expr("((doc_id % 4294967296) + 4294967296) % 4294967296"))
       .withColumn("ekey",
-        expr("(doc_id * ((2654435761 + 2 * epoch * 2246822519) % 4294967296)) " +
-          "% 4294967296"))
+        expr("((((d32 div 65536) * em) % 65536) * 65536 " +
+          "+ (d32 % 65536) * em) % 4294967296"))
       .withColumn("epoch_s", concat(lit("e"), col("epoch")))
       .withColumn("one", lit(1L))
     withRunningSum(base, "one", "position",
@@ -1121,15 +1135,20 @@ object PipelineOps {
         "FROM documents ORDER BY priority, doc_id LIMIT 100"),
     // Epoch-salted permutation replay: the per-epoch rank over the
     // (ekey, doc_id) total order. The epoch-dependent odd multiplier
-    // mirrors c7EpochOrder exactly (additive salts only rotate).
+    // mirrors c7EpochOrder exactly (additive salts only rotate), and
+    // the 16/16 split mulmod mirrors the engine's overflow-safe form
+    // (DuckDB would ERROR on the naive int64 overflow Spark wraps).
     "c7_epoch_order" ->
       ("WITH e AS (SELECT doc_id, unnest([0, 1, 2]) AS epoch FROM documents), " +
         "k AS (SELECT doc_id, epoch, " +
-        "(doc_id * ((2654435761 + 2 * epoch * 2246822519) % 4294967296)) " +
-        "% 4294967296 AS ekey FROM e) " +
+        "(2654435761 + 2 * epoch * 2246822519) % 4294967296 AS em, " +
+        "((doc_id % 4294967296) + 4294967296) % 4294967296 AS d32 FROM e), " +
+        "k2 AS (SELECT doc_id, epoch, " +
+        "((((d32 // 65536) * em) % 65536) * 65536 " +
+        "+ (d32 % 65536) * em) % 4294967296 AS ekey FROM k) " +
         "SELECT epoch, doc_id, CAST(row_number() OVER " +
         "(PARTITION BY epoch ORDER BY ekey, doc_id) AS BIGINT) AS position " +
-        "FROM k ORDER BY epoch, doc_id"),
+        "FROM k2 ORDER BY epoch, doc_id"),
     "c7_sample_topk" ->
       (s"SELECT lang, doc_id, bucket, rn FROM (" +
         s"SELECT lang, doc_id, $bucketSql AS bucket, " +

@@ -771,12 +771,18 @@ object SimOps {
       val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try {
-        back.select(codes.columns.map(col).toIndexedSeq: _*)
-          .write.mode("overwrite").insertInto(codesTab)
-        // dynamic overwrite only touches partitions present in the data —
-        // a fully-emptied cell must be dropped explicitly
+        // Dynamic overwrite only touches partitions present in the data,
+        // so a fully-emptied cell must be dropped explicitly — and it is
+        // dropped BEFORE the overwrite: a crash between the two steps
+        // then leaves some cells still holding their pre-delete rows
+        // (the delete simply has not happened there yet and a retry
+        // re-applies it), never the half-applied state where the
+        // overwrite landed but an emptied cell still serves its deleted
+        // vectors as ghost rankings.
         emptied.foreach(c => spark.sql(
           s"ALTER TABLE $codesTab DROP IF EXISTS PARTITION (cell=$c)"))
+        back.select(codes.columns.map(col).toIndexedSeq: _*)
+          .write.mode("overwrite").insertInto(codesTab)
       } finally prevMode match {
         case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -1147,13 +1153,27 @@ object SimOps {
     * fixed coarse codebook (their cost is per-query, not per-pair, and
     * the persisted-index fingerprint keys on the cell count).
     */
-  private[graft] def scaledCells(spark: SparkSession, dir: String): Int = {
-    val n = emb(spark, dir).count()
-    val target = math.ceil(math.sqrt(n.toDouble)).toLong
-    var c = 16
-    while (c < target && c < (1 << 20)) c <<= 1
-    c
-  }
+  private[graft] def scaledCells(spark: SparkSession, dir: String): Int =
+    scaledCellsCache.computeIfAbsent(
+      graft.sources.Storage.sourceFingerprint(s"$dir/embeddings.parquet"),
+      _ => {
+        val n = emb(spark, dir).count()
+        val target = math.ceil(math.sqrt(n.toDouble)).toLong
+        var c = 16
+        while (c < target && c < (1 << 20)) c <<= 1
+        c
+      })
+
+  /** Memoized per corpus FINGERPRINT (not per dir): scaledCells is
+    * called inside timed queries (c3_knn_join, c2_semantic_dedup) and
+    * the dynamic oracle, and an uncached count() there is a full extra
+    * corpus scan per timed run that also skews the per-query
+    * shuffle/time record. The fingerprint key (file list + sizes +
+    * mtimes, the ensureAnnIndex pattern) means a regenerated corpus
+    * recounts while repeat runs don't.
+    */
+  private val scaledCellsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
 
   /** Oracle SQL that depends on data-trained plan literals — generated at
     * verify time (Verify merges it into oracle_sql.json).

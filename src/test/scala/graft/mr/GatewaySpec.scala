@@ -145,6 +145,42 @@ class GatewaySpec extends SparkSuite {
     } finally gw.stop()
   }
 
+  test("background sweep evicts an expired job that is NEVER polled (BGScaner parity)") {
+    // The lazy sweep above runs inside getResult; the reference ALSO
+    // runs a detached 10 s scanner (master.cc:114,436-463) so a job
+    // nobody polls again still expires. Drive the gateway's daemon
+    // sweep: finish a job, jump the fake clock past the TTL, make NO
+    // further HTTP request — the store must still forget the job.
+    @volatile var now = 1000L
+    val store = new JobStore(clock = () => now, ttlMillis = 60_000L)
+    val gw = new Gateway(spark, store, port = 0, sweepIntervalMillis = 50L)
+    val port = gw.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      val launch = post(s"$base/launch", launchBody("charcount_example"))
+      assert(launch.statusCode() == 200, launch.body())
+      val id = """"job_id":(\d+)""".r.findFirstMatchIn(launch.body()).get.group(1)
+      var resp = get(s"$base/getresult?job_id=$id&token=ztorchan")
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (resp.statusCode() != 200 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        resp = get(s"$base/getresult?job_id=$id&token=ztorchan")
+      }
+      assert(resp.statusCode() == 200, resp.body())
+      now += 61_000L // past the TTL; no HTTP request from here on
+      // status() does NOT sweep — only the daemon can evict this job.
+      val sweepDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (store.status(id.toLong).isDefined && System.nanoTime() < sweepDeadline)
+        Thread.sleep(50)
+      assert(store.status(id.toLong).isEmpty,
+        "daemon sweep did not evict the expired job")
+      // and the wire agrees, post-hoc
+      val gone = get(s"$base/getresult?job_id=$id&token=ztorchan")
+      assert(gone.statusCode() == 500 && gone.body().contains("no such job"),
+        gone.body())
+    } finally gw.stop()
+  }
+
   test("oversized launch body is rejected with 413, not buffered") {
     val store = new JobStore()
     val gw = new Gateway(spark, store, port = 0, maxBodyBytes = 4096)
