@@ -107,33 +107,16 @@ object SetSimJoin {
       tokens: Column,
       tNum: Int = 9,
       tDen: Int = 10,
-      minTokens: Int = 10): DataFrame = {
+      minTokens: Int = 10,
+      maxMaskSets: Long = 100000L): DataFrame = {
     val st = buildSetTable(df, id, tokens)
     val sets = st.sets
-    // contained-side prefix: n − ceil(t·n) + 1 rarest token ids
-    val xpref = sets.filter(col("n") >= minTokens)
-      .select(col("set_id").as("x_set"), col("n").as("x_n"),
-        explode(expr(
-          s"slice(ids, 1, n - ((n * $tNum + ${tDen - 1}) div $tDen) + 1)"))
-          .as("tok_id"))
-    val yall = sets
-      .select(col("set_id").as("y_set"), col("n").as("y_n"),
-        explode(col("ids")).as("tok_id"))
-    // all sides corpus-sized — no explicit broadcast (PlanAuditSpec
-    // pins the static plan; runtime AQE may still broadcast on
-    // measured-size evidence, the correct call at every scale)
-    val cand = xpref.join(yall, Seq("tok_id"))
-      .filter(col("x_set") =!= col("y_set"))
-      // length filter: |A∩B| ≥ t·|A| needs |B| ≥ t·|A|
-      .filter(col("y_n") * tDen >= col("x_n") * tNum)
-      .select("x_set", "y_set").distinct()
-    val full = sets.select(col("set_id"), col("ids"), col("n"), col("docs"))
-    val inter = cand
-      .join(full.toDF("x_set", "x_ids", "x_n", "x_docs"), "x_set")
-      .join(full.toDF("y_set", "y_ids", "y_n", "y_docs"), "y_set")
-      .withColumn("common",
-        size(array_intersect(col("x_ids"), col("y_ids"))).cast("long"))
-      .filter(col("common") * tDen >= col("x_n") * tNum)
+    val interSet = containmentSetPairs(st, tNum, tDen, minTokens, maxMaskSets)
+    val inter = interSet
+      .join(sets.select(col("set_id").as("x_set"), col("docs").as("x_docs")),
+        "x_set")
+      .join(sets.select(col("set_id").as("y_set"), col("docs").as("y_docs")),
+        "y_set")
       .select(explode(col("x_docs")).as("a_id"), col("y_docs"),
         col("common"), col("x_n"))
       .select(col("a_id"), explode(col("y_docs")).as("b_id"),
@@ -152,6 +135,146 @@ object SetSimJoin {
           round(col("common").cast("double") / col("x_n").cast("double"), 6))
         .drop("x_n"),
       Seq(sets))
+  }
+
+  /** Per-doc BEST-CONTAINER assignment — the O(n)-output companion of
+    * [[containmentSelfJoin]]: for every doc, whether some other doc
+    * ≥t-contains it, and the best container (highest containment,
+    * smallest doc id on ties). Computed at the SET level before any doc
+    * expansion: containment is a property of the two token SETS, and
+    * every member of a container set is a container, so the doc-level
+    * tie-break `min b_id` inside a set is the set's minimum member =
+    * its set_id — the best pick reduces to ONE partial aggregate
+    * `min(struct(-containment, y_set))` over the O(qualified set pairs)
+    * stream. The pair-expanded form (explode x_docs × y_docs, then
+    * re-aggregate per doc) shuffles the full doc-pair multiplicity
+    * through the agg only to collapse it again — Ω(doc pairs) where
+    * this is Ω(set pairs); on a duplicate-saturated corpus that gap is
+    * the difference between linear and quadratic shuffle volume.
+    */
+  def containmentBestAssign(
+      df: DataFrame,
+      id: Column,
+      tokens: Column,
+      tNum: Int = 9,
+      tDen: Int = 10,
+      minTokens: Int = 10,
+      maxMaskSets: Long = 100000L): DataFrame = {
+    val st = buildSetTable(df, id, tokens)
+    val sets = st.sets
+    val setBest = containmentSetPairs(st, tNum, tDen, minTokens, maxMaskSets)
+      .withColumn("containment",
+        round(col("common").cast("double") / col("x_n").cast("double"), 6))
+      .groupBy(col("x_set").as("set_id"))
+      .agg(min(struct((-col("containment")).as("nc"),
+        col("y_set").as("bid"))).as("ib"))
+    // Per-doc intra candidate: members of a duplicated set (n ≥
+    // minTokens) contain each other at containment exactly 1.0; the
+    // best (smallest-id) other member is docs[0] — or docs[1] for the
+    // set's own minimum. Every doc appears in exactly one set, so this
+    // explode IS the full output frame (no corpus re-join needed).
+    val mem = sets
+      .select(col("set_id"), col("n"), col("docs"),
+        explode(col("docs")).as("doc_id"))
+      .withColumn("intra_b",
+        when(size(col("docs")) >= 2 && col("n") >= minTokens,
+          when(col("doc_id") === element_at(col("docs"), 1),
+            element_at(col("docs"), 2))
+            .otherwise(element_at(col("docs"), 1))))
+    val out = mem.join(setBest, Seq("set_id"), "left")
+      .withColumn("intra_s",
+        when(col("intra_b").isNotNull,
+          struct(lit(-1.0).as("nc"), col("intra_b").as("bid"))))
+      // least() skips nulls: inter-only, intra-only, and both-present
+      // docs all resolve without branching; both-null stays null
+      // (= not contained).
+      .withColumn("b", least(col("intra_s"), col("ib")))
+      .select(col("doc_id"), col("b.bid").isNotNull.as("is_contained"),
+        col("b.bid").as("container_id"), (-col("b.nc")).as("containment"))
+    graft.util.CacheScope.releaseAfterMaterialize(out, Seq(sets))
+  }
+
+  /** SET-level qualified near-containment pairs `(x_set, y_set, common,
+    * x_n)` with |x∩y|·tDen ≥ x_n·tNum, x ≠ y, x_n ≥ minTokens — the
+    * shared core of [[containmentSelfJoin]] (which expands to doc
+    * pairs) and [[containmentBestAssign]] (which aggregates before
+    * expanding). Strategy pick mirrors the Jaccard stage's plan-build-
+    * time adaptivity:
+    *
+    *  - vocab ≤ 64 and ≤ `maxMaskSets` distinct sets: 64-bit bitmask
+    *    broadcast nested-loop with `bit_count(x & y)` — pure
+    *    whole-stage codegen, zero shuffle in the pairwise stage, and —
+    *    decisive here — IMMUNE to duplicate saturation: the
+    *    degenerate corpora where every posting list is corpus-sized
+    *    (so the prefix filter prunes nothing and the candidate set
+    *    goes quadratic; measured: OOM at the 8 g bench heap on the
+    *    dense sf1 clique corpus) are exactly the small-vocabulary
+    *    ones, and the mask loop's cost is distinct-set pairs with NO
+    *    per-candidate shuffle or array re-attach.
+    *  - otherwise: the containment-specific prefix filter (contained
+    *    side explodes its |A|−⌈t·|A|⌉+1 rarest tokens against the
+    *    linear inverted index). The candidate re-attach joins carry
+    *    the token-id arrays and are HINTED sort-merge: on an
+    *    adversarial (big-vocab AND saturated) corpus the candidate
+    *    stream must degrade to disk-backed sort spill, never to a
+    *    shuffle-hash build that dies on heap (measured cost of the
+    *    hint on realistic-density sparse sf1: within run-to-run
+    *    noise, ~1 s on a ~14 s query).
+    */
+  private def containmentSetPairs(
+      st: SetTable,
+      tNum: Int,
+      tDen: Int,
+      minTokens: Int,
+      maxMaskSets: Long): DataFrame = {
+    val SetTable(sets, vocabSize, nSets) = st
+    if (vocabSize <= 64 && nSets <= maxMaskSets) {
+      val masked = sets.withColumn("mask",
+        aggregate(col("ids"), lit(0L),
+          (acc, i) => acc.bitwiseOR(call_function("shiftleft", lit(1L), i))))
+      val x = masked.filter(col("n") >= minTokens)
+        .select(col("set_id").as("x_set"), col("n").as("x_n"),
+          col("mask").as("x_mask"))
+      val y = masked
+        .select(col("set_id").as("y_set"), col("n").as("y_n"),
+          col("mask").as("y_mask"))
+      // qualification entirely inside the join condition: only
+      // qualified pairs ever materialize as rows
+      x.join(broadcast(y),
+          col("x_set") =!= col("y_set") &&
+            col("y_n") * tDen >= col("x_n") * tNum &&
+            bit_count(col("x_mask").bitwiseAND(col("y_mask"))) * tDen >=
+              col("x_n") * tNum)
+        .withColumn("common",
+          bit_count(col("x_mask").bitwiseAND(col("y_mask"))).cast("long"))
+        .select("x_set", "y_set", "common", "x_n")
+    } else {
+      // contained-side prefix: n − ceil(t·n) + 1 rarest token ids
+      val xpref = sets.filter(col("n") >= minTokens)
+        .select(col("set_id").as("x_set"), col("n").as("x_n"),
+          explode(expr(
+            s"slice(ids, 1, n - ((n * $tNum + ${tDen - 1}) div $tDen) + 1)"))
+            .as("tok_id"))
+      val yall = sets
+        .select(col("set_id").as("y_set"), col("n").as("y_n"),
+          explode(col("ids")).as("tok_id"))
+      // all sides corpus-sized — no explicit broadcast (PlanAuditSpec
+      // pins the static plan; runtime AQE may still broadcast on
+      // measured-size evidence, the correct call at every scale)
+      val cand = xpref.join(yall, Seq("tok_id"))
+        .filter(col("x_set") =!= col("y_set"))
+        // length filter: |A∩B| ≥ t·|A| needs |B| ≥ t·|A|
+        .filter(col("y_n") * tDen >= col("x_n") * tNum)
+        .select("x_set", "y_set").distinct()
+      val full = sets.select(col("set_id"), col("ids"), col("n"))
+      cand
+        .join(full.toDF("x_set", "x_ids", "x_n").hint("merge"), "x_set")
+        .join(full.toDF("y_set", "y_ids", "y_n").hint("merge"), "y_set")
+        .withColumn("common",
+          size(array_intersect(col("x_ids"), col("y_ids"))).cast("long"))
+        .filter(col("common") * tDen >= col("x_n") * tNum)
+        .select("x_set", "y_set", "common", "x_n")
+    }
   }
 
   /** The threshold-independent prefix of the machinery: the persisted

@@ -71,25 +71,16 @@ object DedupOps {
     * curation pass actually consumes (drop the contained copy, keep the
     * superset), with the same output-boundedness rationale as the
     * dedup-assignment family — the pair LIST is Ω(candidates) on a
-    * saturated corpus, the assignment never is. The best pick is one
-    * partial aggregate (min over a (-containment, b_id) struct — no
-    * window over the candidate stream).
+    * saturated corpus, the assignment never is. The best pick happens
+    * at the SET level, before any doc expansion (one partial aggregate
+    * over qualified set pairs; see SetSimJoin.containmentBestAssign) —
+    * the doc-pair multiplicity never exists in this plan at all.
     */
-  def c2ContainmentBest(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = SetSimJoin.containmentSelfJoin(
+  def c2ContainmentBest(spark: SparkSession, dir: String): DataFrame =
+    SetSimJoin.containmentBestAssign(
       docs(spark, dir), col("doc_id"),
       array_distinct(split(col("text"), " ")))
-    val best = pairs
-      .groupBy(col("a_id").as("doc_id"))
-      .agg(min(struct((-col("containment")).as("nc"), col("b_id").as("bid"))).as("b"))
-      .select(col("doc_id"), col("b.bid").as("container_id"),
-        (-col("b.nc")).as("containment"))
-    docs(spark, dir).select(col("doc_id"))
-      .join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("container_id").isNotNull.as("is_contained"),
-        col("container_id"), col("containment"))
       .orderBy("doc_id")
-  }
 
   /** C2a'''': BOUNDED-candidate best-container — the topc discipline
     * applied to [[c2ContainmentBest]]: on a duplicate-saturated corpus
@@ -752,27 +743,73 @@ object DedupOps {
       "mem AS (SELECT doc_id, fp, b AS block, (fp >> (b*15)) & 32767 AS bucket " +
       "FROM fps CROSS JOIN range(0, 4) rt(b))"
 
-  /** Min-label transitive closure over co-bucket edges as a recursive CTE
-    * — the oracle twin of ConnectedComponents (which computes the same
-    * fixpoint via large-star/small-star contraction).
-    *
-    * Scale note: the CTE's reach set is O(Σ component²) — fine at the
-    * driver's sf0.01 gate (verified in seconds), quadratic on the very
-    * self-similar larger corpora. That asymmetry is the point: the
-    * ENGINE side contracts stars in O(E log n); plain SQL has no
-    * comparably scalable closure, which is why the operator exists.
+  /** Rounds for the fixed-round closure oracle: hop+jump min
+    * propagation at least doubles the radius a node's label has
+    * conquered each round (the pointer-jumping / hash-to-min argument —
+    * Rastogi et al. 2013, see PAPERS.md), so 64 rounds converge for any
+    * component diameter ≤ 2^63 — i.e. every corpus, with no
+    * data-dependent round count to plumb. Each round is ONE linear pass
+    * (O(V + E) join+aggregate), so the constant is cheap: the whole
+    * 64-round chain replays in milliseconds at sf0.1 where the previous
+    * recursive-CTE reach set (O(Σ component²) rows) exceeded 2 CPU-hours
+    * — this oracle exists precisely so the CC family keeps a real hash
+    * check ABOVE the sf0.01 gate. Convergence is not taken on faith:
+    * the verify-time hash compare fails loudly if any label were still
+    * moving at round 64.
+    */
+  private[queries] val CcRounds = 64
+
+  /** The shared fixed-round min-label propagation chain: assumes CTEs
+    * `sed(src, dst)` (symmetric edge list) exist; `nodesSelect` seeds
+    * every node with its own id as label. Emits lab0..labN and a final
+    * `cl(doc_id, cluster_rep)`. Per round, a node keeps the min of
+    *  (a) its label's OWN label (pointer jump — `l2.id = l.r`; this
+    *      branch also covers every node, since lab(x) ≤ x always, so
+    *      the current label is never lost), and
+    *  (b) each neighbor's label (hop).
+    */
+  private[queries] def minPropRoundsSql(nodesSelect: String,
+      rounds: Int = CcRounds): String = {
+    // Every round CTE is MATERIALIZED: DuckDB inlines CTEs by default,
+    // and a chain where each round references its predecessor TWICE
+    // (self-join for the pointer jump) would otherwise expand into a
+    // 2^rounds-leaf plan. Materialization makes the chain what it is on
+    // paper — `rounds` sequential linear passes.
+    val sb = new StringBuilder
+    sb.append(s"lab0 AS MATERIALIZED ($nodesSelect)")
+    for (k <- 1 to rounds) {
+      val p = s"lab${k - 1}"
+      sb.append(s", lab$k AS MATERIALIZED (SELECT id, min(r) AS r FROM (")
+        .append(s"SELECT l.id AS id, l2.r AS r FROM $p l JOIN $p l2 ON l2.id = l.r")
+        .append(s" UNION ALL SELECT e.src AS id, l.r AS r FROM sed e JOIN $p l ON l.id = e.dst")
+        .append(") GROUP BY id)")
+    }
+    sb.append(s", cl AS (SELECT id AS doc_id, r AS cluster_rep FROM lab$rounds)")
+    sb.toString
+  }
+
+  /** Closure chain over the replayed `mem(doc_id, band-ish, bucket)`
+    * table: the edge set is the ENGINE's own star form — every bucket
+    * member links to the bucket MINIMUM (connectivity-equivalent to the
+    * per-bucket clique, cf. ConnectedComponents.edgesFromMemberships,
+    * but O(n · bands) rows instead of O(Σ|bucket|²), which on a
+    * saturated corpus is the difference between 80 k and 400 M oracle
+    * rows) — then the fixed-round propagation above.
     */
   private[queries] def closureChainSql(bandCol: String): String =
-    "edges AS (SELECT DISTINCT m1.doc_id AS s, m2.doc_id AS d FROM mem m1 " +
-      s"JOIN mem m2 ON m1.$bandCol = m2.$bandCol AND m1.bucket = m2.bucket " +
-      "AND m1.doc_id <> m2.doc_id), " +
-      "reach AS (SELECT doc_id AS id, doc_id AS r FROM base " +
-      "UNION SELECT e.d, reach.r FROM reach JOIN edges e ON reach.id = e.s)"
+    s"bm AS (SELECT $bandCol, bucket, min(doc_id) AS bmin " +
+      s"FROM mem GROUP BY $bandCol, bucket), " +
+      "edges AS (SELECT DISTINCT m.doc_id AS src, bm.bmin AS dst " +
+      s"FROM mem m JOIN bm USING ($bandCol, bucket) " +
+      "WHERE m.doc_id <> bm.bmin), " +
+      "sed AS MATERIALIZED (SELECT src, dst FROM edges " +
+      "UNION ALL SELECT dst, src FROM edges), " +
+      minPropRoundsSql("SELECT doc_id AS id, doc_id AS r FROM base")
 
   private def closureSql(bandCol: String): String =
     closureChainSql(bandCol) + " " +
-      "SELECT id AS doc_id, min(r) AS cluster_rep, id = min(r) AS is_kept " +
-      "FROM reach GROUP BY id ORDER BY doc_id"
+      "SELECT doc_id, cluster_rep, doc_id = cluster_rep AS is_kept " +
+      "FROM cl ORDER BY doc_id"
 
   val oracle: Map[String, String] = Map(
     "c2_ngram_jaccard" ->
@@ -908,7 +945,7 @@ object DedupOps {
         "doc_id = min(bucket_min) AS is_kept " +
         "FROM mm GROUP BY doc_id ORDER BY doc_id"),
     "c2_minhash_cc" ->
-      (s"WITH RECURSIVE $mhBase, " + closureSql("band")),
+      (s"WITH $mhBase, " + closureSql("band")),
     "c2_simhash" ->
       (s"WITH $shBase, " +
         "mm AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY block, bucket) " +
@@ -917,7 +954,7 @@ object DedupOps {
         "doc_id = min(bucket_min) AS is_kept " +
         "FROM mm GROUP BY doc_id ORDER BY doc_id"),
     "c2_simhash_cc" ->
-      (s"WITH RECURSIVE $shBase, " + closureSql("block")),
+      (s"WITH $shBase, " + closureSql("block")),
     // Incremental replay: the mhChainSql memberships split new/corpus,
     // the (band, bucket) candidate join, the exact-Jaccard confirm on
     // candidates only, and the (jaccard desc, c_id asc) best-match pick.

@@ -1068,13 +1068,13 @@ object PipelineOps {
     // verbatim from the incremental-dedup replay.
     "c7_decontaminate_fuzzy_topc" -> fuzzySqlWith(
       DedupOps.topCCandidateSql("cp")),
-    // Recursive-CTE closure over the replayed MinHash memberships (the
-    // c2_minhash_cc oracle), then the (n_tokens desc, doc_id asc)
-    // keep-best pick per cluster.
+    // Fixed-round min-propagation closure over the replayed MinHash
+    // memberships (the c2_minhash_cc oracle chain — linear per round,
+    // so this replays above the sf0.01 gate too), then the
+    // (n_tokens desc, doc_id asc) keep-best pick per cluster.
     "c7_dedup_keep_best" ->
-      ("WITH RECURSIVE " + DedupOps.mhBase + ", " +
+      ("WITH " + DedupOps.mhBase + ", " +
         DedupOps.closureChainSql("band") + ", " +
-        "cl AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id), " +
         "st AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) " +
         "AS n_tokens FROM documents), " +
         "j AS (SELECT cl.doc_id, cluster_rep, n_tokens FROM cl JOIN st USING (doc_id)), " +

@@ -1333,20 +1333,21 @@ object SimOps {
         "least(asg.vec_id, COALESCE(mn, asg.vec_id)) AS cluster_rep, " +
         "asg.vec_id = least(asg.vec_id, COALESCE(mn, asg.vec_id)) AS is_kept " +
         "FROM asg LEFT JOIN reps USING (vec_id) ORDER BY vec_id"
-    // CC twin: min-label transitive closure over the SYMMETRIZED
-    // semantic edges as a recursive CTE — the oracle twin of the
-    // large-star/small-star contraction (the closureSql pattern of the
-    // token-space CC oracles, over cosine edges instead of co-buckets).
+    // CC twin: min-label closure over the SYMMETRIZED semantic edges
+    // via the shared FIXED-ROUND hop+jump propagation chain (the
+    // DedupOps.minPropRoundsSql pattern of the token-space CC oracles,
+    // over cosine edges instead of co-buckets) — linear per round, so
+    // the replay stays tractable above the sf0.01 gate where the old
+    // recursive reach set was O(Σ component²).
     val semCcSql =
-      s"WITH RECURSIVE $semCtes, " +
-        "sed AS (SELECT a_id AS src, b_id AS dst FROM ed " +
+      s"WITH $semCtes, " +
+        "sed AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM ed " +
         "UNION ALL SELECT b_id, a_id FROM ed), " +
-        "reach AS (SELECT vec_id AS id, vec_id AS r FROM asg " +
-        "UNION SELECT sed.dst, reach.r FROM reach JOIN sed ON reach.id = sed.src), " +
-        "cl AS (SELECT id AS vec_id, min(r) AS cluster_rep FROM reach GROUP BY id) " +
+        graft.queries.DedupOps.minPropRoundsSql(
+          "SELECT vec_id AS id, vec_id AS r FROM asg") + " " +
         "SELECT asg.vec_id, cell, cl.cluster_rep, " +
         "asg.vec_id = cl.cluster_rep AS is_kept " +
-        "FROM asg JOIN cl USING (vec_id) ORDER BY vec_id"
+        "FROM asg JOIN cl ON cl.doc_id = asg.vec_id ORDER BY vec_id"
     // Cluster-profile replay: same centroid literal and argmin cell as
     // the `d` CTE family, 6dp distortions summed as DECIMAL(20,6)
     // (order-independent), one double division for the mean.

@@ -21,6 +21,11 @@ class PlanAuditSpec extends SparkSuite {
     "c2_ngram_jaccard_topm", // same bitmask path (bounded by maxBroadcastSets)
     "c2_lsh_recall",     // composes c2_ngram_jaccard's exact side: same
                          // intentional bitmask BNLJ
+    "c2_containment",    // distinct-set bitmask path (vocab<=64): the
+                         // saturation-immune strategy for degenerate
+                         // vocabularies; big-vocab corpora plan the
+                         // prefix-filtered join instead
+    "c2_containment_best", // same set-level bitmask path
     "c3_cosine_topk",    // broadcast query subset, q_id <> b_id theta join
     "c3_knn_classify",   // same broadcast-query theta join as c3_cosine_topk
     "c3_ann_recall",     // composes c3_cosine_topk: same intentional BNLJ
@@ -299,16 +304,25 @@ class PlanAuditSpec extends SparkSuite {
     // confs the static plan must be broadcast-free. (Runtime AQE may
     // still broadcast a side whose measured size proves small; that
     // evidence-based choice is correct at every scale and is exactly
-    // what this pin does NOT forbid.) The only legitimate static
-    // broadcast is the set-sim machinery's driver-built per-partition
-    // offset table (pid/offset), same allowance as the
-    // c2_ngram_jaccard pin; as there, a cached relation's printed
-    // lineage doesn't count.
+    // what this pin does NOT forbid.) Legitimate static broadcasts:
+    // the set-sim machinery's driver-built per-partition offset table
+    // (pid/offset), and — for the exact containment pair/best forms on
+    // this ≤64-token fixture — the DISTINCT-SET bitmask side, which is
+    // bounded by maxMaskSets and engages only when the vocabulary
+    // itself bounds it (the c2_ngram_jaccard allowance). A `mask`
+    // attribute is computed ONLY in that bounded distinct-set
+    // construction (token-level relations — the dictionary, the
+    // inverted index — never carry one), so its presence above the
+    // cache boundary identifies the allowed broadcast even when plan
+    // caching inlines the full encode lineage into the printed
+    // subtree. As elsewhere, a cached relation's printed lineage
+    // doesn't count.
     for (name <- Seq("c2_containment", "c2_containment_best",
         "c2_containment_best_topc")) {
       val offenders = broadcastSubtrees(name).filterNot { t =>
         val above = t.split("InMemoryRelation").head
-        above.contains("pid") && above.contains("offset")
+        (above.contains("pid") && above.contains("offset")) ||
+          above.contains("mask")
       }
       assert(offenders.isEmpty,
         s"$name: corpus/vocab-sized broadcast:\n${offenders.mkString("\n")}")

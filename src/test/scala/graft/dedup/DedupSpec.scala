@@ -117,6 +117,33 @@ class DedupSpec extends SparkSuite {
     assert(bitmask.nonEmpty)
   }
 
+  test("containment: prefix-filter path == bitmask path (pairs AND best assignment)") {
+    // Same strategy-equivalence pin for the asymmetric containment
+    // family: the ≤64-token corpus selects the bitmask path; forcing
+    // maxMaskSets = 0 drives the identical input down the
+    // prefix-filtered inverted-index path (the big-vocabulary 100 TB
+    // strategy), which must yield the identical pair set and the
+    // identical per-doc best-container assignment.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val toks = array_distinct(split(col("text"), " "))
+    def pairs(maxSets: Long) = SetSimJoin.containmentSelfJoin(
+      docs, col("doc_id"), toks, maxMaskSets = maxSets)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    def best(maxSets: Long) = SetSimJoin.containmentBestAssign(
+      docs, col("doc_id"), toks, maxMaskSets = maxSets)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3))))).toSet
+    val maskPairs = pairs(100000L)
+    assert(pairs(0L) === maskPairs)
+    assert(maskPairs.nonEmpty)
+    val maskBest = best(100000L)
+    assert(best(0L) === maskBest)
+    assert(maskBest.exists(_._2), "no contained doc on the real corpus?")
+  }
+
   /** Per-doc top-m ground truth derived from the (already verified) full
     * pair list: symmetrize, sort by (jaccard desc, nbr asc), take m.
     */
