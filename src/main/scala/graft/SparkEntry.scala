@@ -54,7 +54,8 @@ object SparkEntry {
     Warmup("b8_layouts", _.startsWith("b8"),
       (s, d) => Relational.warmLayouts(s, d)),
     Warmup("ann_index",
-      Set("c3_ann_pq_indexed", "c3_ann_pq_filtered").contains(_),
+      Set("c3_ann_pq_indexed", "c3_ann_pq_filtered",
+        "c2_incremental_semantic").contains(_),
       (s, d) => { SimOps.ensureAnnIndex(s, d); () }),
     Warmup("dedup_index", _ == "c2_incremental_dedup_indexed",
       (s, d) => { DedupOps.ensureDedupIndex(s, d); () }))

@@ -1363,8 +1363,40 @@ object SimOps {
         "round(CAST(sum(d2) AS DOUBLE), 6) AS sum_d2, " +
         "round(CAST(sum(d2) AS DOUBLE) / count(*), 6) AS mean_d2 " +
         "FROM a GROUP BY cell ORDER BY cell"
+    // Incremental-semantic replay: the stored 16-cell codebook as a
+    // literal, corpus assignment (minus the batch slice), the batch's
+    // nprobe=4 probe cells via the same sorted-(dist, cell) slice as the
+    // ANN queries, exact-cosine confirm on candidates only, then the
+    // (cosine desc, b_id asc) best pick over the threshold floor.
+    val incSemSql =
+      s"WITH ct AS (SELECT ${matLit(cents)} AS c), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"d AS (SELECT vec_id, v, list_transform(range(1, ${n + 1}), k -> " +
+        "list_sum(list_transform(range(1, 65), j -> " +
+        "(v[j]-c[k][j])*(v[j]-c[k][j])))) AS dists FROM e CROSS JOIN ct), " +
+        "corp AS (SELECT vec_id AS b_id, " +
+        "list_position(dists, list_min(dists)) AS cell FROM d " +
+        "WHERE vec_id % 10 <> 7), " +
+        "pr AS (SELECT vec_id AS n_id, unnest(list_transform(list_slice(" +
+        s"list_sort(list_transform(range(1, ${n + 1}), k -> " +
+        "[dists[k], CAST(k AS DOUBLE)])), 1, 4), s -> CAST(s[2] AS BIGINT))) " +
+        "AS cell FROM d WHERE vec_id % 10 = 7), " +
+        "cand AS (SELECT n_id, b_id FROM pr JOIN corp USING (cell)), " +
+        "sc AS (SELECT n_id, b_id, round(list_dot_product(x.v, y.v) / " +
+        "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) " +
+        "AS cosine FROM cand JOIN e x ON x.vec_id = cand.n_id " +
+        "JOIN e y ON y.vec_id = cand.b_id), " +
+        "best AS (SELECT n_id, b_id, cosine, row_number() OVER " +
+        "(PARTITION BY n_id ORDER BY cosine DESC, b_id) AS rn FROM sc " +
+        s"WHERE cosine >= $IncSemThreshold) " +
+        "SELECT d.vec_id, b.b_id IS NULL AS is_novel, " +
+        "b.b_id AS match_id, b.cosine AS match_cosine " +
+        "FROM d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b " +
+        "ON b.n_id = d.vec_id " +
+        "WHERE d.vec_id % 10 = 7 ORDER BY vec_id"
     Map(
       "c3_cluster_profile" -> profileSql,
+      "c2_incremental_semantic" -> incSemSql,
       "c2_semantic_dedup" -> semSql,
       "c2_semantic_dedup_cc" -> semCcSql,
       "c3_ann_pq" -> pqSql,
@@ -1445,7 +1477,85 @@ object SimOps {
         "GROUP BY label ORDER BY label")
   )
 
+  /** C2g: INCREMENTAL semantic (embedding-level) dedup — the
+    * [[graft.queries.DedupOps.c2IncrementalDedup]] ingest shape at the
+    * EMBEDDING level, resolved against the PERSISTED ANN index (the
+    * round-11 verdict's one missing pipeline composition: the
+    * incremental path was token-LSH only, semantic dedup batch-only).
+    * The deterministic batch slice `vec_id % 10 = 7` stands in for
+    * today's crawl; each batch vector is resolved to is_novel or its
+    * best-matching standing-corpus vector (highest exact cosine,
+    * smallest id on ties, `threshold` floor).
+    *
+    * Scale shape — composes two proven parts:
+    *  - candidate generation reads the INDEX, not the corpus: the batch
+    *    assigns to its `nprobe` nearest stored coarse cells (same
+    *    codebook the index was built with — loadPqModel), and
+    *    candidates are the codes table's rows for those cells — a
+    *    cell-partition-PRUNED scan of (id, cell) pairs, never a corpus
+    *    embedding scan ([[appendAnnIndex]] keeps the index current as
+    *    batches land, so this is the steady-state ingest loop);
+    *  - only candidates pay the exact-cosine confirm (corpus embeddings
+    *    re-attached by id — O(batch · nprobe · cell), bounded), and the
+    *    best pick is one partial aggregate, no window.
+    * Approximation is the probing itself (a true match outside the
+    * probed cells is missed — the standard IVF trade, same as every
+    * c3_ann query); the dynamic oracle replays codebook, assignment,
+    * probing, confirm and pick bit-for-bit, so the approximation is
+    * itself hash-checked.
+    */
+  def c2IncrementalSemantic(spark: SparkSession, dir: String,
+      threshold: Double = IncSemThreshold, nprobe: Int = 4,
+      nCells: Int = 16, subspaces: Int = 8, kSub: Int = 16): DataFrame = {
+    val (codesTab, modelTab) = ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
+    val (coarse, _) = loadPqModel(spark, modelTab, subspaces)
+    val nTrained = coarse.length
+    val base = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
+    val isNew = col("vec_id") % 10 === 7
+    val probed = base.filter(isNew)
+      .withColumn("cdists",
+        graft.functions.VectorExprs.centroidDists(col("embD"), coarse))
+      .withColumn("probes",
+        slice(transform(array_sort(zip_with(
+          col("cdists"), sequence(lit(1), lit(nTrained)),
+          (d, i) => struct(d.as("d"), i.as("i")))), s => s.getField("i")),
+          lit(1), lit(math.min(nprobe, nTrained))))
+      .select(col("vec_id").as("n_id"), col("embD").as("n_emb"),
+        explode(col("probes")).as("cell"))
+    // The index also holds the batch (appended as it landed) — exclude
+    // it from the corpus side of the resolution.
+    val cand = spark.table(codesTab)
+      .select(col("b_id"), col("cell").cast("int").as("cell"))
+      .filter(col("b_id") % 10 =!= 7)
+      .join(probed, Seq("cell"))
+      .select(col("n_id"), col("n_emb"), col("b_id"))
+    import graft.functions.VectorExprs.{dot, norm}
+    val scored = cand
+      .join(base.select(col("vec_id").as("b_id"), col("embD").as("b_emb")),
+        "b_id")
+      .withColumn("cosine", round(dot(col("n_emb"), col("b_emb")) /
+        (norm(col("n_emb")) * norm(col("b_emb"))), 6))
+      .filter(col("cosine") >= threshold)
+    val best = scored.groupBy(col("n_id"))
+      .agg(min(struct((-col("cosine")).as("nc"), col("b_id").as("bid"))).as("b"))
+      .select(col("n_id").as("vec_id"), col("b.bid").as("match_id"),
+        (-col("b.nc")).as("match_cosine"))
+    base.filter(isNew).select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("match_id").isNull.as("is_novel"),
+        col("match_id"), col("match_cosine"))
+      .orderBy("vec_id")
+  }
+
+  /** Duplicate-call floor shared with the c2_embed_neardup family: the
+    * synthetic embedding geometry puts near-dups well above it.
+    */
+  private[queries] val IncSemThreshold = 0.35
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c2_incremental_semantic" ->
+      ((s: SparkSession, d: String) => c2IncrementalSemantic(s, d)),
     "c3_cosine_topk" -> ((s: SparkSession, d: String) => c3CosineTopK(s, d)),
     "c3_knn_classify" -> ((s: SparkSession, d: String) => c3KnnClassify(s, d)),
     "c3_ann_lsh" -> ((s: SparkSession, d: String) => c3AnnLsh(s, d)),

@@ -405,6 +405,45 @@ class SimOpsSpec extends SparkSuite {
     assert(got.toSeq == want)
   }
 
+  test("c2_incremental_semantic: batch coverage, match validity, within-probe optimality") {
+    import org.apache.spark.sql.functions._
+    val out = SimOps.c2IncrementalSemantic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3)))))
+    // (a) output is exactly the batch slice, one row each
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val batch = vecs.keySet.filter(_ % 10 == 7)
+    assert(out.map(_._1).toSet == batch && out.length == batch.size)
+    // ground truth: probe cells from the STORED model (the same one the
+    // query loads), exact cosine over the probed corpus cells
+    val (codesTab, modelTab) = SimOps.ensureAnnIndex(spark, sf)
+    val (coarse, _) = SimOps.loadPqModel(spark, modelTab, subspaces = 8)
+    def d2(v: Array[Double], c: Seq[Double]): Double =
+      v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val corpusCell = vecs.view.filterKeys(_ % 10 != 7).toMap.map { case (id, v) =>
+      id -> (coarse.zipWithIndex.map { case (c, i) => (d2(v, c), i + 1) }.min._2)
+    }
+    out.foreach { case (nId, novel, pick) =>
+      val probes = coarse.zipWithIndex
+        .map { case (c, i) => (d2(vecs(nId), c), i + 1) }.sorted.take(4).map(_._2).toSet
+      val candBest = corpusCell.collect {
+        case (bId, cell) if probes(cell) => (bId, cosine(vecs(nId), vecs(bId)))
+      }.filter(_._2 >= 0.35)
+      val want = if (candBest.isEmpty) None
+        else Some(candBest.minBy { case (b, cos) => (-cos, b) })
+      assert(pick == want, s"batch vec $nId: got $pick want $want")
+      assert(novel == want.isEmpty)
+    }
+    assert(out.exists(!_._2), "no non-novel resolution on the real corpus?")
+  }
+
   test("cosine of a vector with itself is 1") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
