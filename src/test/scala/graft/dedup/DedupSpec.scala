@@ -319,6 +319,60 @@ class DedupSpec extends SparkSuite {
     assert(got.length == 3 && got.forall { case (id, rep, kept) => id == rep && kept })
   }
 
+  test("fixed-round hop+jump min-propagation converges within the oracle's 64-round budget") {
+    // The CC oracles replay the closure as 64 chained rounds of
+    //   lab'(v) = min( lab(lab(v)),  min over neighbors u of lab(u) )
+    // (DedupOps.minPropRoundsSql). The verify-time hash would catch a
+    // label still moving at round 64, but only on the corpus at hand —
+    // this pins the ROUND BOUND itself on adversarial topologies, in a
+    // pure-Scala simulation of exactly that recurrence: convergence to
+    // the component min must take ≤ ceil(log2(diameter)) + 2 rounds,
+    // far under 64 even for a 100k-node path (diameter ≈ n, where
+    // hop-only propagation would need ~n rounds — the pointer jump is
+    // what buys the log).
+    def simulate(n: Int, edges: Seq[(Int, Int)]): Int = {
+      val nbrs = Array.fill(n)(List.empty[Int])
+      edges.foreach { case (a, b) =>
+        nbrs(a) = b :: nbrs(a); nbrs(b) = a :: nbrs(b)
+      }
+      var lab = Array.tabulate(n)(identity)
+      var rounds = 0
+      var changed = true
+      while (changed && rounds <= 64) {
+        val next = Array.tabulate(n) { v =>
+          val jump = lab(lab(v))
+          val hop = if (nbrs(v).isEmpty) lab(v) else nbrs(v).map(lab).min
+          math.min(jump, math.min(lab(v), hop))
+        }
+        changed = !java.util.Arrays.equals(next, lab)
+        lab = next
+        if (changed) rounds += 1
+      }
+      // converged to the true component min (union-find ground truth)
+      val root = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (root(x) != x) root(x) = find(root(x)); root(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) root(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).foreach { v =>
+        assert(lab(v) == find(v), s"node $v: label ${lab(v)} != component min ${find(v)}")
+      }
+      rounds
+    }
+    val n = 100000
+    val path = simulate(n, (0 until n - 1).map(i => (i, i + 1)))
+    assert(path <= 19, s"path-graph convergence took $path rounds")       // log2(1e5)≈17
+    val rev = simulate(n, (0 until n - 1).map(i => (n - 1 - i, n - 2 - i)))
+    assert(rev <= 19, s"reversed path took $rev rounds")
+    val star = simulate(n, (1 until n).map(i => (0, i)))
+    assert(star <= 3, s"star took $star rounds")
+    val rnd = new scala.util.Random(12)
+    val random = simulate(n, Seq.fill(n)((rnd.nextInt(n), rnd.nextInt(n))).filter(e => e._1 != e._2))
+    assert(random <= 19, s"random graph took $random rounds")
+    info(s"rounds: path=$path revpath=$rev star=$star random=$random (budget 64)")
+  }
+
   test("CC invariants hold at sf0.1 — fixed point + min labels beyond the oracle's reach") {
     // The recursive-CTE closure oracle is O(Σ component²) and intractable
     // at sf0.1 (BASELINE.md), so the transitive-closure path gets an
