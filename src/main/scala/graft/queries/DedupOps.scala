@@ -379,16 +379,61 @@ object DedupOps {
     * over the (-jaccard, c_id) struct = highest jaccard, smallest id on
     * ties — no window over the candidate stream), left-joined back to
     * the batch.
+    *
+    * The confirm itself is ADAPTIVE (the SetSimJoin strategy
+    * discipline): when the two sides' combined vocabulary fits in 64
+    * bits, each token set collapses to one int64 and the exact
+    * intersect becomes `bit_count(n & c)` — O(1)/pair instead of an
+    * O(|toks|) string-array intersect. This matters because the
+    * candidate stream's ROWS are narrow (two ids), so AQE rightly
+    * coalesces its shuffle by bytes — on a duplicate-saturated
+    * small-vocab corpus millions of array intersects then land on few
+    * cores, and per-row cost is the only lever left. Big-vocab corpora
+    * (the 100 TB case) keep the array path and pay only a sampled
+    * vocabulary probe (one tiny batch-side aggregate): the full
+    * distinct-vocabulary check runs ONLY when the sample already fits
+    * in 64 tokens. Jaccard values are identical either way
+    * (|A∩B| is |A∩B| however it's counted), so the oracle replay is
+    * untouched.
     */
   private[queries] def resolveBatch(cand: DataFrame, newToks: DataFrame,
-      corpToks: DataFrame, threshold: Double): DataFrame = {
-    val confirmed = cand
-      .join(newToks.select(col("doc_id").as("n_id"), col("toks").as("n_toks")), "n_id")
-      .join(corpToks.select(col("doc_id").as("c_id"), col("toks").as("c_toks")), "c_id")
-      .withColumn("common", size(array_intersect(col("n_toks"), col("c_toks"))))
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (size(col("n_toks")) + size(col("c_toks")) - col("common")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
+      corpToks: DataFrame, threshold: Double,
+      maxMaskVocab: Int = 64): DataFrame = {
+    val sampleVocab =
+      if (maxMaskVocab <= 0) Long.MaxValue
+      else newToks
+        .select(explode(col("toks")).as("tok")).limit(5000)
+        .agg(count_distinct(col("tok"))).head().getLong(0)
+    val vocab: Array[String] =
+      if (sampleVocab > maxMaskVocab) Array.empty
+      else newToks.select(explode(col("toks")).as("tok"))
+        .unionByName(corpToks.select(explode(col("toks")).as("tok")))
+        .distinct().sort("tok").limit(maxMaskVocab + 1).collect()
+        .map(_.getString(0))
+    val confirmed =
+      if (vocab.nonEmpty && vocab.length <= maxMaskVocab && vocab.length <= 64) {
+        val vlit = array(vocab.map(lit).toIndexedSeq: _*)
+        def maskOf(c: org.apache.spark.sql.Column) =
+          aggregate(c, lit(0L), (acc, t) => acc.bitwiseOR(
+            call_function("shiftleft", lit(1L),
+              (array_position(vlit, t) - 1).cast("int"))))
+        cand
+          .join(newToks.select(col("doc_id").as("n_id"),
+            maskOf(col("toks")).as("n_mask"), size(col("toks")).as("n_n")), "n_id")
+          .join(corpToks.select(col("doc_id").as("c_id"),
+            maskOf(col("toks")).as("c_mask"), size(col("toks")).as("c_n")), "c_id")
+          .withColumn("common",
+            bit_count(col("n_mask").bitwiseAND(col("c_mask"))).cast("int"))
+          .withColumn("jaccard", round(col("common").cast("double") /
+            (col("n_n") + col("c_n") - col("common")).cast("double"), 6))
+          .filter(col("jaccard") >= threshold)
+      } else cand
+        .join(newToks.select(col("doc_id").as("n_id"), col("toks").as("n_toks")), "n_id")
+        .join(corpToks.select(col("doc_id").as("c_id"), col("toks").as("c_toks")), "c_id")
+        .withColumn("common", size(array_intersect(col("n_toks"), col("c_toks"))))
+        .withColumn("jaccard", round(col("common").cast("double") /
+          (size(col("n_toks")) + size(col("c_toks")) - col("common")).cast("double"), 6))
+        .filter(col("jaccard") >= threshold)
     val best = confirmed.groupBy(col("n_id"))
       .agg(min(struct((-col("jaccard")).as("nj"), col("c_id").as("cid"))).as("b"))
       .select(col("n_id").as("doc_id"), col("b.cid").as("match_id"),

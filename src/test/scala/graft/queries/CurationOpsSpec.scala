@@ -49,6 +49,33 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("resolveBatch: mask confirm == array confirm on the real corpus") {
+    // The exact-confirm strategy pick (≤64-token combined vocabulary →
+    // int64 bitmask intersect; otherwise string-array intersect) must
+    // be invisible in the output — same discipline pin as SetSimJoin's
+    // mask/prefix equivalence. The fixture corpus selects the mask
+    // path; maxMaskVocab = 0 forces the identical input down the array
+    // path (the big-vocabulary 100 TB branch).
+    import graft.dedup.MinHash
+    val base = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), MinHash.tokenSet(col("text")).as("toks"))
+    val isNew = col("doc_id") % 10 === 7
+    val mem = MinHash.membershipsFromSets(
+      base, col("doc_id"), col("toks"), 128, 16)
+    val cand = mem.filter(isNew).withColumnRenamed("doc_id", "n_id")
+      .join(mem.filter(!isNew).withColumnRenamed("doc_id", "c_id"),
+        Seq("band", "bucket"))
+      .select("n_id", "c_id").distinct()
+    def run(maxVocab: Int) = DedupOps.resolveBatch(
+      cand, base.filter(isNew), base.filter(!isNew), 0.8, maxVocab)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3))))).toSet
+    val mask = run(64)
+    assert(run(0) === mask)
+    assert(mask.exists(!_._2), "no resolved match on the real corpus?")
+  }
+
   test("c2_incremental_dedup_topc: bounded form is faithful — valid matches, no novelty flips") {
     // The word-salad corpus saturates LSH buckets even at this sf (16
     // buckets over the 64-id cap), so the bounded form's candidate set
