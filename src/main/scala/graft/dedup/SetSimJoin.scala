@@ -307,45 +307,78 @@ object SetSimJoin {
     // and add the per-partition row-count prefix offsets — the standard
     // scalable zip-with-index construction. Order, and therefore every
     // tok_id, is identical to a global row_number over (freq, tok).
+    // Persisted for the duration of the dictionary phase: the small-vocab
+    // probe below and (on the big-vocab path) the zip-index construction
+    // both read it — one full-corpus token scan, not two.
     val freq = base
       .select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
-    val ranged = freq
-      .repartitionByRange(col("freq"), col("tok"))
-      .sortWithinPartitions("freq", "tok")
-      .withColumn("pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Tiny driver-side action: one (pid, count) row per partition.
-    val partCounts = ranged.groupBy("pid").count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = partCounts.map(_._2).scanLeft(0L)(_ + _)
+    // Small-vocab probe: TakeOrdered(65) over the frequency table — a
+    // linear per-partition top-k + driver merge, no extra shuffle, cheap
+    // at any scale. A ≤64-token vocabulary (the same regime where the
+    // bitmask pair strategies engage) gets a DRIVER-LITERAL dictionary:
+    // ids are positions in the (freq, tok)-ordered 64-row list —
+    // bit-identical to the zip-with-index construction's global
+    // row_number (same ordering, computed by the same engine) — and the
+    // encode becomes a pure array_position expression, dropping the
+    // range-partition, per-partition window, offset join and
+    // vocab-sized encode join the scalable path needs. On a real
+    // (big-vocab) corpus the probe's 65 rows come back instantly and
+    // the scalable machinery below runs unchanged.
+    val head65 = freq.orderBy(col("freq"), col("tok")).limit(65)
+      .collect().map(_.getString(0))
     val session = df.sparkSession
     import session.implicits._
-    val offsetDf = partCounts.map(_._1).zip(offsets).toSeq.toDF("pid", "offset")
-    val wPart = Window.partitionBy(col("pid")).orderBy(col("freq"), col("tok"))
-    // Persisted: consumed by the encode join (vocab-sized; persisting
-    // avoids a second full-corpus frequency scan when the join reads it).
-    // broadcast(offsetDf) is one tiny driver-built row per partition —
-    // NOT the dictionary.
-    val dict = ranged
-      .withColumn("idx", row_number().over(wPart) - 1)
-      .join(broadcast(offsetDf), "pid")
-      .withColumn("tok_id", (col("offset") + col("idx")).cast("int"))
-      .select("tok", "tok_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vocabSize = offsets.last // already computed from the partition counts
+
+    val (encodedRows, vocabSize, dictPersists) =
+      if (head65.length <= 64) {
+        freq.unpersist(blocking = false)
+        val vlit = array(head65.map(lit).toIndexedSeq: _*)
+        val enc = base
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .withColumn("tok_id",
+            (array_position(vlit, col("tok")) - 1).cast("int"))
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("tok_id"))).as("ids"))
+        (enc, head65.length.toLong, Seq.empty[DataFrame])
+      } else {
+        val ranged = freq
+          .repartitionByRange(col("freq"), col("tok"))
+          .sortWithinPartitions("freq", "tok")
+          .withColumn("pid", spark_partition_id())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Tiny driver-side action: one (pid, count) row per partition.
+        val partCounts = ranged.groupBy("pid").count()
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val offsets = partCounts.map(_._2).scanLeft(0L)(_ + _)
+        val offsetDf = partCounts.map(_._1).zip(offsets).toSeq.toDF("pid", "offset")
+        val wPart = Window.partitionBy(col("pid")).orderBy(col("freq"), col("tok"))
+        // Persisted: consumed by the encode join (vocab-sized; persisting
+        // avoids a second full-corpus frequency scan when the join reads
+        // it). broadcast(offsetDf) is one tiny driver-built row per
+        // partition — NOT the dictionary.
+        val dict = ranged
+          .withColumn("idx", row_number().over(wPart) - 1)
+          .join(broadcast(offsetDf), "pid")
+          .withColumn("tok_id", (col("offset") + col("idx")).cast("int"))
+          .select("tok", "tok_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // The encode step shuffle-joins (doc, token) rows against the
+        // dictionary on the token: the dictionary scales with the
+        // vocabulary (10^9+ distinct tokens on a web corpus), so
+        // broadcasting it would OOM every executor long before the
+        // corpus itself is a problem.
+        val enc = base
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .join(dict.hint("shuffle_hash"), "tok")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("tok_id"))).as("ids"))
+        (enc, offsets.last, Seq(freq, ranged, dict))
+      }
 
     // 0.+1. Distinct sets with member lists, ids ascending (= rarity order).
-    // The encode step shuffle-joins (doc, token) rows against the
-    // dictionary on the token: the dictionary scales with the vocabulary
-    // (10^9+ distinct tokens on a web corpus), so broadcasting it would
-    // OOM every executor long before the corpus itself is a problem.
-    val encodedRows = base
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .join(dict.hint("shuffle_hash"), "tok")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("tok_id"))).as("ids"))
-    // Persisted: this subtree (tokenize → dict join → two aggregations) is
+    // Persisted: this subtree (tokenize → encode → two aggregations) is
     // consumed by the strategy-pick count, both join sides, and the
     // intra-set expansion — without a persist it re-executes ~4×. The
     // distinct-set table is corpus-compressed (tiny relative to input), so
@@ -359,8 +392,7 @@ object SetSimJoin {
     val nSets = sets.count() // distinct-set-count action (also fills the cache)
     // The count above materialized `sets`, so the dictionary stages feeding
     // it are spent — release them now instead of leaking them past return.
-    ranged.unpersist(blocking = false)
-    dict.unpersist(blocking = false)
+    dictPersists.foreach(_.unpersist(blocking = false))
     SetTable(sets, vocabSize, nSets)
   }
 
