@@ -331,8 +331,11 @@ object SetSimJoin {
     val session = df.sparkSession
     import session.implicits._
 
+    // nonEmpty guard: a zero-arg array() literal is ARRAY<NULL> and
+    // array_position over it fails analysis — the (already
+    // empty-tolerant) scalable branch handles the empty corpus.
     val (encodedRows, vocabSize, dictPersists) =
-      if (head65.length <= 64) {
+      if (head65.nonEmpty && head65.length <= 64) {
         freq.unpersist(blocking = false)
         val vlit = array(head65.map(lit).toIndexedSeq: _*)
         val enc = base
