@@ -306,6 +306,31 @@ class EventStreamSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("RocksDB state store: restart recovery is provider-invisible (the 100TB provider)") {
+    // local[32]'s default HDFSBackedStateStore keeps every key's state
+    // ON-HEAP — at production streaming-state volume the disk-backed
+    // RocksDB provider is the configuration that actually ships. The
+    // checkpoint-restart harness (custom flatMapGroupsWithState state —
+    // the hardest family to recover) must produce byte-identical output
+    // under it, across a checkpointed stop/restart, including state
+    // files written by one provider lifecycle and read by the next.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val got = EventStream.c5StreamRestartState(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      val want = EventStream.c5StreamSessionizeState(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("checkpointed restart recovers stream-stream JOIN buffers") {
     // the query asserts internally that the cut-straddling pair is
     // absent before the restart and present after it; here we also pin
