@@ -220,11 +220,78 @@ object EventOps {
       .orderBy("user_id", "hour")
   }
 
+  /** C5k: semi-structured property extraction — the `props` column is
+    * JSON text (the reference moves opaque string values end-to-end,
+    * `/root/reference/src/tmapreduce/job.h:17-24`; any structure lives in
+    * user code — here extraction is first-class). `get_json_object`
+    * pulls `$.k` per event, and the aggregate profiles it per
+    * (event_type, k-decade): count, sum, min/max, distinct users.
+    * Scale: the JSON path evaluation is a narrow codegen'd projection
+    * under the single partial+final aggregate shuffle — no UDF, no
+    * re-parse per field (one path here; a multi-field profile would use
+    * `from_json` once per row). Malformed/missing keys surface as the
+    * explicit -1 bucket rather than engine-dependent NULL ordering.
+    */
+  def c5JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k_bucket",
+        coalesce(expr("k div 10"), lit(-1L)))
+      .groupBy(col("event_type"), col("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type", "k_bucket")
+
+  /** C5l: event-type transition matrix — the first-order Markov view of
+    * user behavior (the sequence-mining aggregate every product or
+    * curriculum pipeline derives before building session models): for
+    * each ordered pair (prev_type → event_type) of consecutive events of
+    * the same user, the transition count and row-normalized probability.
+    * One shuffle on user_id for the lag window, then a partial+final
+    * aggregate on the (prev, next) pair — the probability normalizer is
+    * a window over the O(|types|²) aggregate, never over events. The
+    * probability is one int64/int64 division rounded at 6dp — exact and
+    * order-free, so the oracle matches bitwise.
+    */
+  def c5Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = ev(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))), 6))
+      .orderBy("prev_type", "event_type")
+  }
+
   private val anomalyMean = "CAST(t AS DOUBLE)/h"
   private val anomalyVar =
     s"CAST(s2 AS DOUBLE)/h - ($anomalyMean)*($anomalyMean)"
 
   val oracle: Map[String, String] = Map(
+    "c5_json_extract" ->
+      ("WITH e AS (SELECT event_type, user_id, " +
+        "CAST(props->>'k' AS BIGINT) AS k FROM events) " +
+        "SELECT event_type, COALESCE(k // 10, -1) AS k_bucket, " +
+        "count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k, " +
+        "min(k) AS min_k, max(k) AS max_k, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM e GROUP BY 1, 2 ORDER BY 1, 2"),
+    "c5_transitions" ->
+      ("WITH s AS (SELECT event_type, lag(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +
+        "FROM events), " +
+        "t AS (SELECT prev_type, event_type, count(*) AS n FROM s " +
+        "WHERE prev_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT prev_type, event_type, n, " +
+        "round(CAST(n AS DOUBLE) / CAST(sum(n) OVER " +
+        "(PARTITION BY prev_type) AS DOUBLE), 6) AS p " +
+        "FROM t ORDER BY prev_type, event_type"),
     "c5_anomaly" ->
       ("WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS hour, " +
         "count(*) AS cnt FROM events GROUP BY 1, 2), " +
@@ -322,6 +389,8 @@ object EventOps {
     "c5_funnel" -> (c5Funnel _),
     "c5_retention" -> (c5Retention _),
     "c5_gapfill" -> (c5Gapfill _),
-    "c5_anomaly" -> (c5Anomaly _)
+    "c5_anomaly" -> (c5Anomaly _),
+    "c5_json_extract" -> (c5JsonExtract _),
+    "c5_transitions" -> (c5Transitions _)
   )
 }

@@ -91,6 +91,38 @@ object SimOps {
       .orderBy("q_id", "rank")
   }
 
+  /** C3m: cosine RANGE search — every corpus neighbor with cosine ≥ τ
+    * per query (the FAISS/Milvus `range_search` API: variable-cardinality
+    * threshold retrieval, vs top-k's fixed fan-out — the shape recall
+    * pipelines and near-duplicate audits consume when "how many are this
+    * close" matters more than "the closest k"). Same deterministic
+    * discipline as [[c3CosineTopK]]: the score is rounded at 6dp BEFORE
+    * the threshold compare, and τ = 0.25 is exactly representable, so no
+    * boundary row can hash-flip between engines.
+    *
+    * Scale posture: the query side broadcasts (small by contract); the
+    * corpus scan is narrow and the threshold filter runs map-side under
+    * the broadcast join — no corpus shuffle at all, and unlike top-k no
+    * rank window either: output order is a plain sort of the O(matches)
+    * result. For corpus×corpus range search at scale, the LSH-bucketed
+    * path is [[graft.queries.DedupOps.c2EmbedNeardup]].
+    */
+  def c3RangeSearch(spark: SparkSession, dir: String, tau: Double = 0.25,
+      queryMod: Int = 50): DataFrame = {
+    val corpus = emb(spark, dir)
+      .select(col("vec_id").as("b_id"), asDouble(col("embedding")).as("b_emb"))
+    val queries = emb(spark, dir)
+      .filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
+    corpus.join(broadcast(queries), col("q_id") =!= col("b_id"))
+      .withColumn("cosine",
+        round(dotD(col("q_emb"), col("b_emb")) /
+          (normD(col("q_emb")) * normD(col("b_emb"))), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("q_id"), col("b_id"), col("cosine"))
+      .orderBy("q_id", "b_id")
+  }
+
   /** C3i: kNN classification — predict each query vector's label by
     * majority vote of its k nearest corpus neighbors (exact cosine, the
     * labeled-embedding evaluation loop every embedding pipeline runs:
@@ -1468,6 +1500,15 @@ object SimOps {
         "r AS (SELECT q_id, b_id, cosine, CAST(row_number() OVER " +
         "(PARTITION BY q_id ORDER BY cosine DESC, b_id) AS INT) AS rank FROM s) " +
         "SELECT q_id, rank, b_id, cosine FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
+    "c3_range_search" ->
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb " +
+        "FROM embeddings WHERE vec_id % 50 = 0), " +
+        "c AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS b_emb FROM embeddings), " +
+        "s AS (SELECT q_id, b_id, round(list_dot_product(q_emb, b_emb) / " +
+        "(sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(b_emb, b_emb))), 6) AS cosine " +
+        "FROM q JOIN c ON q_id <> b_id) " +
+        "SELECT q_id, b_id, cosine FROM s WHERE cosine >= 0.25 " +
+        "ORDER BY q_id, b_id"),
     "c3_norm_stats" ->
       ("SELECT label, count(*) AS n_vecs, " +
         "round(sum(norm), 4) AS sum_norm, round(min(norm), 6) AS min_norm, " +
@@ -1557,6 +1598,7 @@ object SimOps {
     "c2_incremental_semantic" ->
       ((s: SparkSession, d: String) => c2IncrementalSemantic(s, d)),
     "c3_cosine_topk" -> ((s: SparkSession, d: String) => c3CosineTopK(s, d)),
+    "c3_range_search" -> ((s: SparkSession, d: String) => c3RangeSearch(s, d)),
     "c3_knn_classify" -> ((s: SparkSession, d: String) => c3KnnClassify(s, d)),
     "c3_ann_lsh" -> ((s: SparkSession, d: String) => c3AnnLsh(s, d)),
     "c3_ann_ivf" -> ((s: SparkSession, d: String) => c3AnnIvf(s, d)),

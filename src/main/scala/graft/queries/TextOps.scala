@@ -409,7 +409,64 @@ object TextOps {
       "CAST(struct_extract(best, 'score') AS DOUBLE) / nt AS lang_score " +
       "FROM b ORDER BY doc_id"
 
+  /** C4m: vocabulary-growth curve (Heaps' law profile) — how many NEW
+    * unigram and bigram types each successive tenth of the corpus
+    * contributes, plus the cumulative vocabulary size. The
+    * corpus-health analytic run before tokenizer training and dedup
+    * threshold tuning: a flattening curve means the crawl is saturating
+    * (mostly duplicate phrasing); a linear one means vocabulary is
+    * still being discovered. First occurrence = min doc_id per type —
+    * deterministic, engine-independent.
+    *
+    * Scale posture: two partial-agg shuffles (per-type min over the
+    * exploded token stream, then per-bucket count over the O(vocab)
+    * type table); the cumulative sum is a window over ≤`buckets` rows
+    * per gram and the max-id normalizer is a broadcast 1-row aggregate.
+    * Nothing corpus-sized is windowed or collected.
+    */
+  def c4VocabGrowth(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val toks = split(col("text"), " ")
+    val uni = docs(spark, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .withColumn("gram", lit("uni"))
+    val bi = docs(spark, dir)
+      .select(col("doc_id"), explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("term"))
+      .withColumn("gram", lit("bi"))
+    val first = uni.unionByName(bi)
+      .groupBy(col("gram"), col("term"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val maxId = broadcast(docs(spark, dir).agg(max(col("doc_id")).as("max_id")))
+    val growth = first.crossJoin(maxId)
+      .withColumn("bucket", least(lit(buckets - 1).cast("long"),
+        expr(s"(first_doc * $buckets) div (max_id + 1)")).cast("long"))
+      .groupBy(col("gram"), col("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram")).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    growth.withColumn("cum_vocab", sum(col("new_terms")).over(w))
+      .orderBy("gram", "bucket")
+  }
+
   val oracle: Map[String, String] = Map(
+    "c4_vocab_growth" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "uni AS (SELECT 'uni' AS gram, unnest(toks) AS term, doc_id FROM t), " +
+        "bi AS (SELECT 'bi' AS gram, unnest(list_transform(range(1, len(toks)), " +
+        "i -> toks[i] || ' ' || toks[i + 1])) AS term, doc_id FROM t), " +
+        "f AS (SELECT gram, term, min(doc_id) AS first_doc " +
+        "FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) GROUP BY 1, 2), " +
+        "m AS (SELECT max(doc_id) AS max_id FROM documents), " +
+        "g AS (SELECT gram, CAST(least(9, (first_doc * 10) // (max_id + 1)) AS BIGINT) " +
+        "AS bucket, count(*) AS new_terms FROM f, m GROUP BY 1, 2) " +
+        "SELECT gram, bucket, new_terms, " +
+        "CAST(sum(new_terms) OVER (PARTITION BY gram ORDER BY bucket " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab " +
+        "FROM g ORDER BY gram, bucket"),
     "c4_langid" -> langIdOracle,
     "c1_exact_dedup" ->
       ("SELECT md5(text) AS text_hash, min(doc_id) AS first_doc_id, " +
@@ -528,6 +585,7 @@ object TextOps {
     "c4_heavy_hitters" -> ((s: SparkSession, d: String) => c4HeavyHitters(s, d)),
     "c4_dup_ngrams" -> (c4DupNgrams _),
     "c4_tfidf" -> ((s: SparkSession, d: String) => c4Tfidf(s, d)),
-    "c4_pmi" -> ((s: SparkSession, d: String) => c4Pmi(s, d))
+    "c4_pmi" -> ((s: SparkSession, d: String) => c4Pmi(s, d)),
+    "c4_vocab_growth" -> ((s: SparkSession, d: String) => c4VocabGrowth(s, d))
   )
 }

@@ -27,6 +27,7 @@ class PlanAuditSpec extends SparkSuite {
                          // prefix-filtered join instead
     "c2_containment_best", // same set-level bitmask path
     "c3_cosine_topk",    // broadcast query subset, q_id <> b_id theta join
+    "c3_range_search",   // same broadcast-query theta join, threshold filter
     "c3_knn_classify",   // same broadcast-query theta join as c3_cosine_topk
     "c3_ann_recall",     // composes c3_cosine_topk: same intentional BNLJ
     "c3_ann_ivf_recall", // composes c3_cosine_topk: same intentional BNLJ
@@ -34,7 +35,8 @@ class PlanAuditSpec extends SparkSuite {
                          // both sides bounded by construction
                          // (O(days), O(types)), never corpus-sized
     "c4_tfidf",          // 1-row grand-total (n_docs) broadcast cross join
-    "c4_pmi"             // 1-row grand-totals (n, p) broadcast cross joins
+    "c4_pmi",            // 1-row grand-totals (n, p) broadcast cross joins
+    "c4_vocab_growth"    // 1-row max-id normalizer broadcast cross join
   )
 
   test("no CartesianProduct anywhere; BNLJ only on the allowlist") {

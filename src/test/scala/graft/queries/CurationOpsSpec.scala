@@ -409,6 +409,62 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("c5_json_extract: per (type, k-decade) profile matches a driver-side JSON parse") {
+    val out = EventOps.c5JsonExtract(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(out.nonEmpty)
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select("event_type", "user_id", "props").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val kOf = "\"k\"\\s*:\\s*(-?\\d+)".r
+    val parsed = ev.map { case (t, u, p) =>
+      (t, u, kOf.findFirstMatchIn(p).map(_.group(1).toLong))
+    }
+    // independent JSON parse: every event in this corpus carries k >= 0
+    assert(parsed.forall(_._3.exists(_ >= 0)))
+    val expect = parsed.groupBy { case (t, _, k) => (t, k.get / 10) }
+    assert(out.keySet == expect.keySet)
+    expect.foreach { case (key, rows) =>
+      val (n, sumK, minK, maxK, nUsers) = out(key)
+      val ks = rows.map(_._3.get)
+      assert(n == rows.length, s"$key n_events")
+      assert(sumK == ks.sum, s"$key sum_k")
+      assert(minK == ks.min && maxK == ks.max, s"$key min/max")
+      assert(nUsers == rows.map(_._2).distinct.length, s"$key n_users")
+    }
+  }
+
+  test("c5_transitions: counts and row-normalized probabilities match a replay") {
+    val out = EventOps.c5Transitions(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.nonEmpty)
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortWith { (a, b) =>
+        val c = a._2.compareTo(b._2)
+        if (c != 0) c < 0 else a._3 < b._3
+      }
+      sorted.map(_._4).toSeq.sliding(2).collect { case Seq(p, n) => (p, n) }
+    }
+    val expect = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(out.keySet == expect.keySet)
+    val totals = expect.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    expect.foreach { case (key, n) =>
+      val (gotN, gotP) = out(key)
+      assert(gotN == n, s"$key count")
+      assert(math.abs(gotP - n.toDouble / totals(key._1)) <= 5e-7, s"$key p")
+    }
+    // probabilities row-normalize: each prev row sums to ~1
+    out.toSeq.groupBy(_._1._1).foreach { case (prev, rows) =>
+      assert(math.abs(rows.map(_._2._2).sum - 1.0) < 1e-4, s"$prev sums to 1")
+    }
+  }
+
   test("c7_dedup_keep_best: same clusters as c2_minhash_cc, keep is argmax quality") {
     val out = PipelineOps.c7DedupKeepBest(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),

@@ -15,6 +15,29 @@ class SimOpsSpec extends SparkSuite {
     }
   }
 
+  test("c3_range_search: exactly the rounded-cosine >= tau pairs of brute force") {
+    val out = SimOps.c3RangeSearch(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.nonEmpty)
+    val vecs = graft.Tables.load(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = (for {
+      (q, qv) <- vecs.toSeq if q % 50 == 0
+      (b, bv) <- vecs.toSeq if b != q
+      c = round6(dot(qv, bv) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(bv, bv))))
+      if c >= 0.25
+    } yield (q, b) -> c).toMap
+    assert(out == expect)
+  }
+
   test("LSH ANN recall@5 >= 0.6 vs brute force") {
     val exact = SimOps.c3CosineTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

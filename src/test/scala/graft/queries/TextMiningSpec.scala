@@ -40,6 +40,32 @@ class TextMiningSpec extends SparkSuite {
     assert(got.toSeq == want)
   }
 
+  test("c4_vocab_growth matches an in-memory brute force") {
+    val got = TextOps.c4VocabGrowth(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    assert(got.nonEmpty)
+    val maxId = corpus.keys.max
+    def firstDocs(terms: Map[Long, Seq[String]]): Map[String, Long] =
+      terms.toSeq.flatMap { case (id, ts) => ts.map(_ -> id) }
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).min }
+    val uni = firstDocs(corpus.view.mapValues(_.toSeq).toMap)
+    val bi = firstDocs(corpus.view.mapValues(ts =>
+      ts.toSeq.sliding(2).collect { case Seq(a, b) => s"$a $b" }.toSeq).toMap)
+    def growth(gram: String, first: Map[String, Long]) = {
+      val byBucket = first.values
+        .groupBy(f => math.min(9L, f * 10 / (maxId + 1)))
+        .view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      byBucket.scanLeft((("", 0L), (0L, 0L))) { case ((_, (_, cum)), (b, n)) =>
+        ((gram, b), (n, cum + n))
+      }.drop(1)
+    }
+    val want = growth("bi", bi) ++ growth("uni", uni)
+    assert(got.toSeq == want.toSeq)
+    // the curve is a proper cumsum ending at the full vocabulary size
+    assert(got.filter(_._1._1 == "uni").map(_._2._2).max == uni.size.toLong)
+    assert(got.filter(_._1._1 == "bi").map(_._2._2).max == bi.size.toLong)
+  }
+
   test("c4_pmi matches an in-memory brute force") {
     val got = TextOps.c4Pmi(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
