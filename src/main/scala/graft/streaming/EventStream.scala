@@ -103,6 +103,99 @@ object EventStream {
     t
   }
 
+  /** transformWithState — Spark 4's successor to the
+    * mapGroupsWithState/flatMapGroupsWithState pair: typed composable
+    * state primitives (ValueState / ListState / MapState, optional TTL,
+    * timers) on one keyed processor, instead of a single opaque state
+    * case class. This processor keeps, per user, a MapState of
+    * per-event-type counts and a ValueState of the latest event time —
+    * TWO independent state variables under one key, the shape the old
+    * API forces into a monolithic struct rewritten wholesale on every
+    * update. With MapState only the touched (type → count) entries are
+    * written per micro-batch; at 100 TB keyed state that is the
+    * difference between rewriting a user's whole profile per event and
+    * point-updating one counter (the reason the new API exists).
+    * State stays O(users · types), watermark-independent (running
+    * totals, like [[userRunningStats]]).
+    *
+    * Emission: one row per (user, touched-or-stored type) per
+    * micro-batch with the RUNNING count — Update-mode semantics; the
+    * single-batch surface reads the sink directly and the incremental
+    * twin max-folds per key, exactly like the mapGroupsWithState pair.
+    */
+  final case class UserTypeStat(user_id: Long, event_type: String,
+      n_events: Long, last_us: Long)
+
+  final class UserTypeStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long), UserTypeStat] {
+    import org.apache.spark.sql.streaming.TTLConfig
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var lastUs:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long](
+        "counts", E.STRING, E.scalaLong, TTLConfig.NONE)
+      lastUs = getHandle.getValueState[Long](
+        "lastUs", E.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTypeStat] = {
+      var last = if (lastUs.exists()) lastUs.get() else Long.MinValue
+      rows.foreach { case (_, t, us) =>
+        val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, cur + 1L)
+        if (us > last) last = us
+      }
+      lastUs.update(last)
+      // materialized BEFORE returning: the runtime may close the state
+      // interaction once handleInputRows returns, so a lazy iterator
+      // over MapState would read after close
+      counts.iterator()
+        .map { case (t, n) => UserTypeStat(key, t, n, last) }
+        .toList.iterator
+    }
+  }
+
+  /** OSS Spark gates transformWithState on the RocksDB state-store
+    * provider (the HDFS-backed default doesn't implement the
+    * multi-column-family layout the typed state variables need) — which
+    * is also the provider a 100 TB deployment runs anyway (state larger
+    * than executor heap, changelog checkpointing). Scoped conf swap
+    * under the same lock as the state-partition sizing.
+    */
+  private def withRocksDbProvider[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    statePartitionsLock.lock()
+    try {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try body finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    } finally statePartitionsLock.unlock()
+  }
+
+  def userTypeStats(spark: SparkSession, events: DataFrame)
+      : org.apache.spark.sql.Dataset[UserTypeStat] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTypeStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Custom sessionization via flatMapGroupsWithState — the full
     * arbitrary-stateful surface (multi-row emission + explicit state
     * lifecycle), for session logic `session_window` can't express (e.g.
@@ -1290,6 +1383,49 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** c5_stream_tws: the transformWithState surface (Spark 4's typed
+    * arbitrary-state API) under real streaming execution — per-user
+    * MapState of per-type counts + ValueState last-seen time (see
+    * [[UserTypeStatsProcessor]]), RocksDB state store (the provider the
+    * API requires and a 100 TB deployment runs anyway). Oracle = the
+    * per-(user, type) batch counts joined with the per-user max event
+    * time.
+    */
+  def c5StreamTws(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    withRocksDbProvider(spark) {
+      runAvailableNow(
+        userTypeStats(spark, readEventsTable(spark, sfDir)).toDF(),
+        OutputMode.Update())
+    }
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        timestamp_micros(col("last_us")).as("last_ts"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** c5_stream_tws_incr: transformWithState state carry under REAL
+    * incremental arrival — the MapState counters and the ValueState
+    * last-seen time must cross the micro-batch boundary: a (user, type)
+    * split across the halves reaches its full count in the Update-mode
+    * sink only if batch 2 incremented the carried counter (a reset
+    * state would leave max(n_events) at the second-half count and
+    * hash-mismatch the full-table oracle), and every batch-2 emission
+    * re-reports batch-1-only types straight from the carried MapState.
+    */
+  def c5StreamTwsIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    withRocksDbProvider(spark) {
+      runIncremental(
+        userTypeStats(spark, twoBatchEventStream(spark, sfDir)).toDF(),
+        OutputMode.Update(), minBatches = 2)
+    }
+      .groupBy("user_id", "event_type")
+      .agg(max(col("n_events")).as("n_events"), max(col("last_us")).as("last_us"))
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        timestamp_micros(col("last_us")).as("last_ts"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** c5_stream_sessionize_state: the flatMapGroupsWithState surface
     * (multi-row emission, explicit state lifecycle) under streaming
     * execution. Only CLOSED sessions are emitted — each user's last
@@ -1540,6 +1676,24 @@ object EventStream {
     "c5_stream_user_stats" ->
       ("SELECT user_id, count(*) AS n_events, max(ts) AS last_ts " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    // transformWithState replay: per-(user, type) counts (the MapState)
+    // joined with the per-user max event time (the ValueState). The
+    // incremental twin shares it — the carried state must reproduce the
+    // full-table answer despite two-batch arrival.
+    "c5_stream_tws" ->
+      ("WITH u AS (SELECT user_id, max(ts) AS last_ts FROM events " +
+        "GROUP BY user_id) " +
+        "SELECT e.user_id, e.event_type, count(*) AS n_events, u.last_ts " +
+        "FROM events e JOIN u ON e.user_id = u.user_id " +
+        "GROUP BY e.user_id, e.event_type, u.last_ts " +
+        "ORDER BY e.user_id, e.event_type"),
+    "c5_stream_tws_incr" ->
+      ("WITH u AS (SELECT user_id, max(ts) AS last_ts FROM events " +
+        "GROUP BY user_id) " +
+        "SELECT e.user_id, e.event_type, count(*) AS n_events, u.last_ts " +
+        "FROM events e JOIN u ON e.user_id = u.user_id " +
+        "GROUP BY e.user_id, e.event_type, u.last_ts " +
+        "ORDER BY e.user_id, e.event_type"),
     // Incremental twin: identical oracle — the final running counter
     // must equal the full count despite arriving in two batches.
     "c5_stream_user_stats_incr" ->
@@ -1659,6 +1813,8 @@ object EventStream {
     "c5_stream_dedup" -> (c5StreamDedup _),
     "c5_stream_sliding" -> (c5StreamSliding _),
     "c5_stream_user_stats" -> (c5StreamUserStats _),
+    "c5_stream_tws" -> (c5StreamTws _),
+    "c5_stream_tws_incr" -> (c5StreamTwsIncr _),
     "c5_stream_sessionize_state" -> (c5StreamSessionizeState _),
     "c5_stream_join" -> (c5StreamJoin _),
     "c5_stream_join_incr" -> (c5StreamJoinIncr _),

@@ -239,6 +239,39 @@ class EventStreamSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("transformWithState per-(user,type) MapState counts match batch; state carries across batches") {
+    val ev = Tables.load(spark, sf, "events")
+    val want = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val lastWant = ev.groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("l")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // single-batch surface
+    val got = EventStream.c5StreamTws(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getTimestamp(3)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (n, lastTs)) =>
+      assert(n == want(k), s"$k count")
+      val us = Math.floorDiv(lastTs.getTime, 1000L) * 1000000L +
+        lastTs.getNanos / 1000L
+      assert(us == lastWant(k._1), s"$k last_ts")
+    }
+    // incremental twin: only bites if some (user, type) spans the cut —
+    // a reset MapState would report the second half's count alone
+    val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val cutUs = Math.floorDiv(b.getLong(0) + b.getLong(1), 2L)
+    val spanning = ev.groupBy("user_id", "event_type")
+      .agg(sum(when(unix_micros(col("ts")) <= cutUs, 1).otherwise(0)).as("a"),
+        sum(when(unix_micros(col("ts")) > cutUs, 1).otherwise(0)).as("b"))
+      .filter(col("a") > 0 && col("b") > 0).count()
+    assert(spanning > 0, "fixture must have (user, type) pairs on both sides of the cut")
+    val gotIncr = EventStream.c5StreamTwsIncr(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(gotIncr == want)
+  }
+
   test("incremental stream-stream join carries buffered rows across batches") {
     val ev = Tables.load(spark, sf, "events")
     // the check only bites if a matched pair straddles the cut — the
