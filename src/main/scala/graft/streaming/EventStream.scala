@@ -185,7 +185,8 @@ object EventStream {
     } finally statePartitionsLock.unlock()
   }
 
-  def userTypeStats(spark: SparkSession, events: DataFrame)
+  def userTypeStats(spark: SparkSession, events: DataFrame,
+      mode: OutputMode = OutputMode.Update())
       : org.apache.spark.sql.Dataset[UserTypeStat] = {
     import spark.implicits._
     events
@@ -193,7 +194,7 @@ object EventStream {
       .as[(Long, String, Long)]
       .groupByKey(_._1)
       .transformWithState(new UserTypeStatsProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        org.apache.spark.sql.streaming.TimeMode.None(), mode)
   }
 
   /** Custom sessionization via flatMapGroupsWithState — the full
@@ -1426,6 +1427,74 @@ object EventStream {
       .orderBy("user_id", "event_type")
   }
 
+  /** c5_stream_restart_tws: transformWithState TYPED state (MapState +
+    * ValueState under the RocksDB multi-column-family checkpoint layout)
+    * recovered from a durable checkpoint across a full query stop and
+    * restart — the sixth state family joins the restart matrix. The cut
+    * splits some (user, type)'s events across the two lifecycles:
+    * lifecycle A sees only the early file and can emit at most the
+    * early-half count for that pair; lifecycle B — a fresh query object
+    * on the same checkpoint — sees only the late file and emits the pair
+    * at its FULL count only if batch B incremented the MapState counter
+    * recovered from disk (asserted: full count absent after A, present
+    * after B). Oracle = the same full-table replay as c5_stream_tws; the
+    * max-fold over the two lifecycles' Append sink matches it only with
+    * intact recovery.
+    */
+  def c5StreamRestartTws(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import java.nio.file.{Files => JFiles}
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val bounds = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")).head()
+    val cutUs = Math.floorDiv(bounds.getLong(0) + bounds.getLong(1), 2L)
+    val span = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(sum(when(unix_micros(col("ts")) <= cutUs, 1L).otherwise(0L)).as("a"),
+        sum(when(unix_micros(col("ts")) > cutUs, 1L).otherwise(0L)).as("b"))
+      .filter(col("a") > 0 && col("b") > 0)
+      .orderBy(col("user_id"), col("event_type"))
+      .limit(1).collect()
+    if (span.isEmpty)
+      throw new IllegalStateException(
+        "no (user, type) pair spans the cut; the recovery check would be vacuous")
+    val (su, st) = (span(0).getLong(0), span(0).getString(1))
+    val full = span(0).getLong(2) + span(0).getLong(3)
+    val (dir, schema) = twoBatchSplitDir(spark, sfDir)
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val ckpt = JFiles.createTempDirectory("graft_restart_tws_ckpt")
+    val out = JFiles.createTempDirectory("graft_restart_tws_out")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt.toFile)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out.toFile)
+    def q = userTypeStats(spark, src, OutputMode.Append()).toDF()
+    def fullCountRows(): Long = spark.read.parquet(out.toString)
+      .filter(col("user_id") === su && col("event_type") === st &&
+        col("n_events") === full)
+      .limit(1).count()
+    withRocksDbProvider(spark) {
+      withParkedLate(dir) {
+        runCheckpointedToParquet(q, ckpt.toString, out.toString, 1)
+      }
+      if (fullCountRows() != 0)
+        throw new IllegalStateException(
+          "the cut-spanning pair reached its full count before the restart; " +
+            "the recovery check would be vacuous")
+      // lifecycle B: fresh query object, same checkpoint — crash-restart
+      runCheckpointedToParquet(q, ckpt.toString, out.toString, 1)
+    }
+    if (fullCountRows() == 0)
+      throw new IllegalStateException(
+        "cut-spanning pair never reached its full count after restart: " +
+          "transformWithState MapState did not survive the stop/restart")
+    spark.read.parquet(out.toString)
+      .groupBy("user_id", "event_type")
+      .agg(max(col("n_events")).as("n_events"), max(col("last_us")).as("last_us"))
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        timestamp_micros(col("last_us")).as("last_ts"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** c5_stream_sessionize_state: the flatMapGroupsWithState surface
     * (multi-row emission, explicit state lifecycle) under streaming
     * execution. Only CLOSED sessions are emitted — each user's last
@@ -1694,6 +1763,13 @@ object EventStream {
         "FROM events e JOIN u ON e.user_id = u.user_id " +
         "GROUP BY e.user_id, e.event_type, u.last_ts " +
         "ORDER BY e.user_id, e.event_type"),
+    "c5_stream_restart_tws" ->
+      ("WITH u AS (SELECT user_id, max(ts) AS last_ts FROM events " +
+        "GROUP BY user_id) " +
+        "SELECT e.user_id, e.event_type, count(*) AS n_events, u.last_ts " +
+        "FROM events e JOIN u ON e.user_id = u.user_id " +
+        "GROUP BY e.user_id, e.event_type, u.last_ts " +
+        "ORDER BY e.user_id, e.event_type"),
     // Incremental twin: identical oracle — the final running counter
     // must equal the full count despite arriving in two batches.
     "c5_stream_user_stats_incr" ->
@@ -1815,6 +1891,7 @@ object EventStream {
     "c5_stream_user_stats" -> (c5StreamUserStats _),
     "c5_stream_tws" -> (c5StreamTws _),
     "c5_stream_tws_incr" -> (c5StreamTwsIncr _),
+    "c5_stream_restart_tws" -> (c5StreamRestartTws _),
     "c5_stream_sessionize_state" -> (c5StreamSessionizeState _),
     "c5_stream_join" -> (c5StreamJoin _),
     "c5_stream_join_incr" -> (c5StreamJoinIncr _),

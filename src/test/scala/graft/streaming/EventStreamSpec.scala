@@ -339,6 +339,20 @@ class EventStreamSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("checkpointed restart recovers transformWithState typed state (MapState + ValueState)") {
+    // the query's internal guards prove the recovery itself (the
+    // cut-spanning pair's full count is absent after lifecycle A,
+    // present only after B); the spec asserts the recovered result
+    // equals the batch ground truth
+    val ev = Tables.load(spark, sf, "events")
+    val want = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val got = EventStream.c5StreamRestartTws(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
   test("RocksDB state store: restart recovery is provider-invisible (the 100TB provider)") {
     // local[32]'s default HDFSBackedStateStore keeps every key's state
     // ON-HEAP — at production streaming-state volume the disk-backed
