@@ -185,6 +185,67 @@ object EventStream {
     } finally statePartitionsLock.unlock()
   }
 
+  /** Streaming event-type transitions — the sequence analytic NO native
+    * streaming operator can express (a windowed aggregate sees rows, not
+    * row ADJACENCY; the batch form needs a lag window, which streaming
+    * correctly rejects because a later batch could insert between two
+    * already-seen rows). transformWithState makes it incremental: a
+    * per-user ValueState carries the last-seen (time, type) across
+    * micro-batches, each batch's rows are sorted locally per user and
+    * folded into (prev → next) transition emissions, and the global
+    * matrix is a read-side fold over the Append sink (the lambda
+    * read-path pattern, like c5_stream_topk). Exact under in-order
+    * batch arrival (the chronological file split); an out-of-order
+    * producer would buffer into a ListState until the watermark — the
+    * same trade the batch oracle equivalence documents for every
+    * incremental twin here.
+    */
+  final case class Transition(user_id: Long, prev_type: String,
+      event_type: String)
+
+  final class TransitionsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long, Long), Transition] {
+    import org.apache.spark.sql.streaming.TTLConfig
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var lastEvent:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, String)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lastEvent = getHandle.getValueState[(Long, Long, String)](
+        "lastEvent", E.tuple(E.scalaLong, E.scalaLong, E.STRING), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Transition] = {
+      // batch-local sort by (ts, event_id) — the batch lag window's
+      // exact order key, so the two forms can never disagree on ties
+      val sorted = rows.map { case (_, t, us, id) => (us, id, t) }
+        .toIndexedSeq.sortBy { case (us, id, _) => (us, id) }
+      var prev = if (lastEvent.exists()) Option(lastEvent.get()) else None
+      val out = List.newBuilder[Transition]
+      sorted.foreach { case (us, id, t) =>
+        prev.foreach { case (_, _, pt) => out += Transition(key, pt, t) }
+        prev = Some((us, id, t))
+      }
+      prev.foreach(lastEvent.update)
+      out.result().iterator
+    }
+  }
+
+  def userTransitions(spark: SparkSession, events: DataFrame)
+      : org.apache.spark.sql.Dataset[Transition] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us", "event_id")
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TransitionsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   def userTypeStats(spark: SparkSession, events: DataFrame,
       mode: OutputMode = OutputMode.Update())
       : org.apache.spark.sql.Dataset[UserTypeStat] = {
@@ -1427,6 +1488,51 @@ object EventStream {
       .orderBy("user_id", "event_type")
   }
 
+  /** Read-side fold shared by the streaming transition queries: the
+    * Append sink holds one row per observed transition; the matrix
+    * (counts + row-normalized probability) is the same O(|types|²)
+    * aggregate as the batch c5_transitions, so the two share an oracle.
+    */
+  private def transitionMatrix(sink: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prev_type"))
+    sink.groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") / sum(col("n")).over(w), 6))
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** c5_stream_transitions: the event-type transition matrix computed ON
+    * THE STREAM — row-adjacency analytics no native streaming operator
+    * expresses (see [[TransitionsProcessor]]): per-user ValueState
+    * carries the last event across micro-batches, transitions append to
+    * the sink as they are observed, the matrix is the read-side fold.
+    * Oracle = the batch c5_transitions replay.
+    */
+  def c5StreamTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    transitionMatrix(withRocksDbProvider(spark) {
+      runAvailableNow(
+        userTransitions(spark, readEventsTable(spark, sfDir)).toDF(),
+        OutputMode.Append())
+    })
+  }
+
+  /** c5_stream_transitions_incr: the transition spanning the micro-batch
+    * boundary (a user's last batch-1 event → first batch-2 event) is
+    * emitted by batch 2 USING THE CARRIED ValueState — a reset state
+    * would silently drop exactly those transitions and hash-mismatch
+    * the full-table oracle.
+    */
+  def c5StreamTransitionsIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    transitionMatrix(withRocksDbProvider(spark) {
+      runIncremental(
+        userTransitions(spark, twoBatchEventStream(spark, sfDir)).toDF(),
+        OutputMode.Append(), minBatches = 2)
+    })
+  }
+
   /** c5_stream_restart_tws: transformWithState TYPED state (MapState +
     * ValueState under the RocksDB multi-column-family checkpoint layout)
     * recovered from a durable checkpoint across a full query stop and
@@ -1605,6 +1711,17 @@ object EventStream {
       "cnt, cnt * n_prev > 2 * sum_prev AS is_burst " +
       "FROM st ORDER BY user_id, hour"
 
+  private val transitionsSql: String =
+    "WITH s AS (SELECT event_type, lag(event_type) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +
+      "FROM events), " +
+      "t AS (SELECT prev_type, event_type, count(*) AS n FROM s " +
+      "WHERE prev_type IS NOT NULL GROUP BY 1, 2) " +
+      "SELECT prev_type, event_type, n, " +
+      "round(CAST(n AS DOUBLE) / CAST(sum(n) OVER " +
+      "(PARTITION BY prev_type) AS DOUBLE), 6) AS p " +
+      "FROM t ORDER BY prev_type, event_type"
+
   val oracle: Map[String, String] = Map(
     "c5_stream_tumbling" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
@@ -1763,6 +1880,11 @@ object EventStream {
         "FROM events e JOIN u ON e.user_id = u.user_id " +
         "GROUP BY e.user_id, e.event_type, u.last_ts " +
         "ORDER BY e.user_id, e.event_type"),
+    // Streaming transition matrix: identical replay to the batch
+    // c5_transitions — the streamed adjacency fold must reproduce the
+    // lag-window result (and the _incr twin despite two-batch arrival).
+    "c5_stream_transitions" -> transitionsSql,
+    "c5_stream_transitions_incr" -> transitionsSql,
     "c5_stream_restart_tws" ->
       ("WITH u AS (SELECT user_id, max(ts) AS last_ts FROM events " +
         "GROUP BY user_id) " +
@@ -1892,6 +2014,8 @@ object EventStream {
     "c5_stream_tws" -> (c5StreamTws _),
     "c5_stream_tws_incr" -> (c5StreamTwsIncr _),
     "c5_stream_restart_tws" -> (c5StreamRestartTws _),
+    "c5_stream_transitions" -> (c5StreamTransitions _),
+    "c5_stream_transitions_incr" -> (c5StreamTransitionsIncr _),
     "c5_stream_sessionize_state" -> (c5StreamSessionizeState _),
     "c5_stream_join" -> (c5StreamJoin _),
     "c5_stream_join_incr" -> (c5StreamJoinIncr _),

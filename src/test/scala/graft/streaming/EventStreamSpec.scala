@@ -339,6 +339,33 @@ class EventStreamSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming transition matrix equals the batch lag-window matrix; prev-state carries the cut") {
+    val want = EventOps.c5Transitions(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toSeq
+    val got = EventStream.c5StreamTransitions(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toSeq
+    assert(got == want)
+    // the incr twin only bites if some user's CONSECUTIVE pair straddles
+    // the cut — batch 2 then emits that transition from the carried
+    // ValueState; a reset state would drop it and shift the counts
+    val ev = Tables.load(spark, sf, "events")
+    val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val cutUs = Math.floorDiv(b.getLong(0) + b.getLong(1), 2L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val straddling = ev
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us") <= cutUs && unix_micros(col("ts")) > cutUs)
+      .count()
+    assert(straddling > 0, "fixture must have a consecutive pair across the cut")
+    val gotIncr = EventStream.c5StreamTransitionsIncr(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toSeq
+    assert(gotIncr == want)
+  }
+
   test("checkpointed restart recovers transformWithState typed state (MapState + ValueState)") {
     // the query's internal guards prove the recovery itself (the
     // cut-spanning pair's full count is absent after lifecycle A,
