@@ -246,6 +246,121 @@ object EventStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming CONSECUTIVE-pattern detection (CEP-lite, the
+    * MATCH_RECOGNIZE shape): emit a hit whenever a user's last k events
+    * are exactly `pattern` (default view → click → purchase, the
+    * attribution sequence). Adjacency across micro-batches needs a
+    * buffer of the last k−1 events — transformWithState's ListState,
+    * the typed primitive built for bounded per-key buffers (the old
+    * APIs would re-serialize a monolithic struct; ListState appends and
+    * rewrites only the buffer entries). Batch-local rows fold in the
+    * lag window's (ts, event_id) order, so hits are deterministic and
+    * the batch double-lag oracle replays them exactly.
+    */
+  final case class PatternHit(user_id: Long, us: Long)
+
+  final class PatternProcessor(pattern: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long, Long), PatternHit] {
+    import org.apache.spark.sql.streaming.TTLConfig
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var recent:
+      org.apache.spark.sql.streaming.ListState[(Long, Long, String)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      recent = getHandle.getListState[(Long, Long, String)](
+        "recent", E.tuple(E.scalaLong, E.scalaLong, E.STRING), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[PatternHit] = {
+      val sorted = rows.map { case (_, t, us, id) => (us, id, t) }
+        .toIndexedSeq.sortBy { case (us, id, _) => (us, id) }
+      var buf: Vector[(Long, Long, String)] =
+        if (recent.exists()) recent.get().toVector else Vector.empty
+      val out = List.newBuilder[PatternHit]
+      sorted.foreach { ev =>
+        if (buf.length == pattern.length - 1 &&
+            (buf.map(_._3) :+ ev._3) == pattern)
+          out += PatternHit(key, ev._1)
+        buf = (buf :+ ev).takeRight(pattern.length - 1)
+      }
+      recent.put(buf.toArray)
+      out.result().iterator
+    }
+  }
+
+  def userPatternHits(spark: SparkSession, events: DataFrame,
+      pattern: Seq[String] = Seq("view", "click", "purchase"))
+      : org.apache.spark.sql.Dataset[PatternHit] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us", "event_id")
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new PatternProcessor(pattern),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming INACTIVITY detection via transformWithState EVENT-TIME
+    * TIMERS — the push-based absence alert (dormancy/churn detection):
+    * a user is reported when the watermark passes their last event by
+    * `gapMs`, i.e. the stream itself notices nothing arrived. Absence
+    * is the one thing data-driven operators cannot see (every other
+    * emission here is triggered by a row; this one is triggered by a
+    * TIMER the row armed). One armed timer per user, re-armed on every
+    * new event (the old deadline is deleted first); state is O(users).
+    */
+  final case class InactiveUser(user_id: Long, last_us: Long)
+
+  final class InactivityProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), InactiveUser] {
+    import org.apache.spark.sql.streaming.TTLConfig
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var lastUs:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lastUs = getHandle.getValueState[Long](
+        "lastUs", E.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[InactiveUser] = {
+      var last = if (lastUs.exists()) lastUs.get() else Long.MinValue
+      rows.foreach { case (_, us) => if (us > last) last = us }
+      lastUs.update(last)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(Math.floorDiv(last, 1000L) + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[InactiveUser] =
+      Iterator.single(InactiveUser(key, lastUs.get()))
+  }
+
+  def userInactivity(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 21600000L)
+      : org.apache.spark.sql.Dataset[InactiveUser] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .selectExpr("user_id", "unix_micros(ts) AS us")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new InactivityProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   def userTypeStats(spark: SparkSession, events: DataFrame,
       mode: OutputMode = OutputMode.Update())
       : org.apache.spark.sql.Dataset[UserTypeStat] = {
@@ -1533,6 +1648,59 @@ object EventStream {
     })
   }
 
+  /** c5_stream_pattern: consecutive view → click → purchase detection on
+    * the stream (see [[PatternProcessor]]) — each hit appends
+    * (user_id, completion ts) to the sink as it is observed. Oracle =
+    * the batch double-lag replay.
+    */
+  def c5StreamPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    withRocksDbProvider(spark) {
+      runAvailableNow(
+        userPatternHits(spark, readEventsTable(spark, sfDir)).toDF(),
+        OutputMode.Append())
+    }
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+      .orderBy("user_id", "ts")
+  }
+
+  /** c5_stream_pattern_incr: a pattern instance SPLIT by the micro-batch
+    * boundary (view/click in batch 1, purchase in batch 2) completes
+    * only if the ListState buffer carried the first two events across
+    * the boundary — a reset buffer silently drops exactly those hits
+    * and hash-mismatches the full-table oracle.
+    */
+  def c5StreamPatternIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    withRocksDbProvider(spark) {
+      runIncremental(
+        userPatternHits(spark, twoBatchEventStream(spark, sfDir)).toDF(),
+        OutputMode.Append(), minBatches = 2)
+    }
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+      .orderBy("user_id", "ts")
+  }
+
+  /** c5_stream_inactive: event-time-timer inactivity detection (see
+    * [[InactivityProcessor]]) — users whose 6 h inactivity deadline the
+    * final watermark (max event time − 2 h) has passed. The timer batch
+    * is a ZERO-input micro-batch after the data batch: the emission is
+    * watermark-driven, the thing only timers can do. Oracle replays the
+    * deadline arithmetic in exact integer milliseconds (the engine's
+    * ms-floor watermark convention, same as the c5_stream_anomaly
+    * oracle).
+    */
+  def c5StreamInactive(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    withRocksDbProvider(spark) {
+      runAvailableNow(
+        userInactivity(spark, readEventsTable(spark, sfDir)).toDF(),
+        OutputMode.Append())
+    }
+      .select(col("user_id"), timestamp_micros(col("last_us")).as("last_ts"))
+      .orderBy("user_id")
+  }
+
   /** c5_stream_restart_tws: transformWithState TYPED state (MapState +
     * ValueState under the RocksDB multi-column-family checkpoint layout)
     * recovered from a durable checkpoint across a full query stop and
@@ -1722,6 +1890,13 @@ object EventStream {
       "(PARTITION BY prev_type) AS DOUBLE), 6) AS p " +
       "FROM t ORDER BY prev_type, event_type"
 
+  private val patternSql: String =
+    "WITH s AS (SELECT user_id, ts, event_type, " +
+      "lag(event_type, 1) OVER w AS l1, lag(event_type, 2) OVER w AS l2 " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+      "SELECT user_id, ts FROM s WHERE event_type = 'purchase' " +
+      "AND l1 = 'click' AND l2 = 'view' ORDER BY user_id, ts"
+
   val oracle: Map[String, String] = Map(
     "c5_stream_tumbling" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
@@ -1885,6 +2060,21 @@ object EventStream {
     // lag-window result (and the _incr twin despite two-batch arrival).
     "c5_stream_transitions" -> transitionsSql,
     "c5_stream_transitions_incr" -> transitionsSql,
+    // Pattern replay: the double-lag window finds every consecutive
+    // view -> click -> purchase triple; the streamed ListState buffer
+    // must reproduce it exactly (incl. triples split across batches).
+    "c5_stream_pattern" -> patternSql,
+    "c5_stream_pattern_incr" -> patternSql,
+    // Timer replay: the 6h deadline against the ms-floor watermark
+    // (max event time - 2h), exact integer arithmetic.
+    "c5_stream_inactive" ->
+      ("WITH u AS (SELECT user_id, max(ts) AS last_ts FROM events " +
+        "GROUP BY user_id), " +
+        "wm AS (SELECT CAST(floor(epoch_us(max(ts)) / 1000.0) AS BIGINT) " +
+        "- 7200000 AS wm_ms FROM events) " +
+        "SELECT user_id, last_ts FROM u, wm " +
+        "WHERE CAST(floor(epoch_us(last_ts) / 1000.0) AS BIGINT) " +
+        "+ 21600000 <= wm_ms ORDER BY user_id"),
     "c5_stream_restart_tws" ->
       ("WITH u AS (SELECT user_id, max(ts) AS last_ts FROM events " +
         "GROUP BY user_id) " +
@@ -2016,6 +2206,9 @@ object EventStream {
     "c5_stream_restart_tws" -> (c5StreamRestartTws _),
     "c5_stream_transitions" -> (c5StreamTransitions _),
     "c5_stream_transitions_incr" -> (c5StreamTransitionsIncr _),
+    "c5_stream_pattern" -> (c5StreamPattern _),
+    "c5_stream_pattern_incr" -> (c5StreamPatternIncr _),
+    "c5_stream_inactive" -> (c5StreamInactive _),
     "c5_stream_sessionize_state" -> (c5StreamSessionizeState _),
     "c5_stream_join" -> (c5StreamJoin _),
     "c5_stream_join_incr" -> (c5StreamJoinIncr _),

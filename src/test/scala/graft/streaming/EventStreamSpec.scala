@@ -366,6 +366,45 @@ class EventStreamSpec extends SparkSuite {
     assert(gotIncr == want)
   }
 
+  test("streaming CEP pattern hits equal the batch double-lag triples; buffer carries the cut") {
+    val ev = Tables.load(spark, sf, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wantDf = ev
+      .withColumn("l1", lag(col("event_type"), 1).over(w))
+      .withColumn("l2", lag(col("event_type"), 2).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("l1") === "click" && col("l2") === "view")
+      .select(col("user_id"), col("ts"))
+    val want = wantDf.collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(want.nonEmpty, "fixture must contain the pattern")
+    val got = EventStream.c5StreamPattern(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(got == want)
+    val gotIncr = EventStream.c5StreamPatternIncr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(gotIncr == want)
+  }
+
+  test("timer-driven inactivity emits exactly the users the final watermark left behind") {
+    val ev = Tables.load(spark, sf, "events")
+    val wmMs = Math.floorDiv(
+      ev.agg(max(unix_micros(col("ts")))).head().getLong(0), 1000L) - 7200000L
+    val want = ev.groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (_, us) => Math.floorDiv(us, 1000L) + 21600000L <= wmMs }
+      .toMap
+    assert(want.nonEmpty, "fixture must contain inactive users")
+    val got = EventStream.c5StreamInactive(spark, sf).collect()
+      .map { r =>
+        val t = r.getTimestamp(1)
+        (r.getLong(0),
+          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+      }.toMap
+    assert(got == want)
+  }
+
   test("checkpointed restart recovers transformWithState typed state (MapState + ValueState)") {
     // the query's internal guards prove the recovery itself (the
     // cut-spanning pair's full count is absent after lifecycle A,
