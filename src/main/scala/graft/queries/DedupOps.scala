@@ -210,6 +210,38 @@ object DedupOps {
       docs(spark, dir), col("doc_id"), col("text"), numHashes = 64, bands = 16)
       .orderBy("doc_id")
 
+  /** C2c'': duplicate-cluster size forensics over the MinHash-CC
+    * clusters — the histogram (cluster_size → n_clusters, doc share) a
+    * dedup run publishes alongside its assignments: a heavy tail of
+    * mega-clusters means boilerplate/template contamination (and
+    * predicts exactly where per-bucket caps will engage), while an
+    * all-singletons profile means the threshold is too tight to matter.
+    * Pure composition over [[c2MinHashCc]]'s O(n) assignment output:
+    * one partial-agg shuffle on cluster_rep (O(clusters) rows out), a
+    * second over the O(distinct sizes) histogram, and a broadcast 1-row
+    * total for the share — nothing pair-shaped anywhere.
+    */
+  def c2CcStats(spark: SparkSession, dir: String): DataFrame = {
+    // The O(clusters) size table feeds BOTH the histogram and the 1-row
+    // total; persist it so the expensive CC-assignment subtree upstream
+    // runs once, not once per consumer (released after the result
+    // materializes — the CacheScope discipline).
+    val sizes = MinHash.dedupAssignmentsCC(
+        docs(spark, dir), col("doc_id"), col("text"), numHashes = 64, bands = 16)
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val tot = sizes.agg(sum(col("cluster_size")).as("n_total"))
+    val out = sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6)
+          .as("docs_share"))
+      .orderBy("cluster_size")
+    graft.util.CacheScope.releaseAfterMaterialize(out, Seq(sizes))
+  }
+
   /** C2c': SimHash dedup with full transitive closure (see c2_minhash_cc). */
   def c2SimHashCc(spark: SparkSession, dir: String): DataFrame =
     SimHash.dedupAssignmentsCC(docs(spark, dir), col("doc_id"), col("text"), maxHamming = 3)
@@ -991,6 +1023,18 @@ object DedupOps {
         "FROM mm GROUP BY doc_id ORDER BY doc_id"),
     "c2_minhash_cc" ->
       (s"WITH $mhBase, " + closureSql("band")),
+    // Cluster-size histogram over the same fixed-round closure labels.
+    "c2_cc_stats" ->
+      (s"WITH $mhBase, " + closureChainSql("band") + ", " +
+        "cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM cl " +
+        "GROUP BY cluster_rep), " +
+        "tot AS (SELECT CAST(sum(cluster_size) AS BIGINT) AS n_total FROM cs), " +
+        "h AS (SELECT cluster_size, count(*) AS n_clusters FROM cs " +
+        "GROUP BY cluster_size) " +
+        "SELECT cluster_size, n_clusters, " +
+        "CAST(cluster_size * n_clusters AS BIGINT) AS n_docs, " +
+        "round(CAST(cluster_size * n_clusters AS DOUBLE) / n_total, 6) " +
+        "AS docs_share FROM h, tot ORDER BY cluster_size"),
     "c2_simhash" ->
       (s"WITH $shBase, " +
         "mm AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY block, bucket) " +
@@ -1082,6 +1126,7 @@ object DedupOps {
     "c2_containment_best_topc" -> ((s: SparkSession, d: String) => c2ContainmentBestTopC(s, d)),
     "c2_minhash_lsh" -> (c2MinHashLsh _),
     "c2_minhash_cc" -> (c2MinHashCc _),
+    "c2_cc_stats" -> (c2CcStats _),
     "c2_simhash" -> (c2SimHash _),
     "c2_simhash_cc" -> (c2SimHashCc _),
     "c2_embed_neardup" -> ((s: SparkSession, d: String) => c2EmbedNearDup(s, d)),

@@ -452,7 +452,72 @@ object TextOps {
       .orderBy("gram", "bucket")
   }
 
+  /** C4n: empirical Zipf profile of the corpus unigram distribution —
+    * the top-k terms by frequency with rank, the normalized Zipf ratio
+    * `freq·rank / freq(1)` (≈ constant 1 under an exact Zipf law; its
+    * drift quantifies how far the corpus deviates), and the cumulative
+    * token-mass coverage of the top ranks. The companion analytic to
+    * [[c4VocabGrowth]]: Heaps profiles type DISCOVERY over corpus
+    * position, this profiles type CONCENTRATION over frequency rank —
+    * together the two standard tokenizer-budget / crawl-health curves.
+    *
+    * Every output is rational in exact int64 counts (freq·rank and the
+    * rank-window cumsum are exact; each row does ONE double division,
+    * then rounds) — the [[c4Diversity]] no-log discipline, chosen over a
+    * least-squares log-log slope precisely because per-term `ln` is not
+    * correctly-rounded across libms and would hash-flip the oracle.
+    *
+    * Scale posture: one (token) partial-agg shuffle for the frequency
+    * table, then `TakeOrdered` for the top-k (bounded heap per
+    * partition + driver merge of k·partitions rows — no vocab-sized
+    * single-task window); the rank window and cumsum run over the ≤k
+    * collected rows, and the two 1-row normalizers (total tokens, f1)
+    * are broadcast cross joins on a k-row side (the allowlisted shape).
+    */
+  def c4Zipf(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    // limit after orderBy = TakeOrdered: each partition keeps a k-heap,
+    // the driver merges — the scale-safe global top-k (no full-vocab
+    // window through one task).
+    val top = freq.orderBy(col("freq").desc, col("tok")).limit(k)
+    val tot = tok.agg(count(lit(1)).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("tok"))
+    val cw = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    // Both windows run over the ≤k-row TakeOrdered output — bounded by
+    // construction, not by data.
+    val ranked = top
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("cum_freq", sum(col("freq")).over(cw))
+    val f1 = ranked.agg(max(when(col("rank") === 1, col("freq"))).as("f1"))
+    ranked.crossJoin(broadcast(tot)).crossJoin(broadcast(f1))
+      .select(col("rank"), col("tok"), col("freq"),
+        round((col("freq") * col("rank")).cast("double") / col("f1"), 6)
+          .as("zipf_ratio"),
+        round(col("cum_freq").cast("double") / col("n_total"), 6)
+          .as("coverage"))
+      .orderBy("rank")
+  }
+
   val oracle: Map[String, String] = Map(
+    "c4_zipf" ->
+      ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "f AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok), " +
+        "tot AS (SELECT count(*) AS n_total FROM t), " +
+        "r AS (SELECT tok, freq, CAST(row_number() OVER " +
+        "(ORDER BY freq DESC, tok) AS INT) AS rank FROM f), " +
+        "k AS (SELECT tok, freq, rank, CAST(sum(freq) OVER (ORDER BY rank " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_freq " +
+        "FROM r WHERE rank <= 50), " +
+        "f1 AS (SELECT freq AS f1 FROM k WHERE rank = 1) " +
+        "SELECT rank, tok, freq, " +
+        "round(CAST(freq * rank AS DOUBLE) / f1, 6) AS zipf_ratio, " +
+        "round(CAST(cum_freq AS DOUBLE) / n_total, 6) AS coverage " +
+        "FROM k, f1, tot ORDER BY rank"),
     "c4_vocab_growth" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "uni AS (SELECT 'uni' AS gram, unnest(toks) AS term, doc_id FROM t), " +
@@ -586,6 +651,7 @@ object TextOps {
     "c4_dup_ngrams" -> (c4DupNgrams _),
     "c4_tfidf" -> ((s: SparkSession, d: String) => c4Tfidf(s, d)),
     "c4_pmi" -> ((s: SparkSession, d: String) => c4Pmi(s, d)),
-    "c4_vocab_growth" -> ((s: SparkSession, d: String) => c4VocabGrowth(s, d))
+    "c4_vocab_growth" -> ((s: SparkSession, d: String) => c4VocabGrowth(s, d)),
+    "c4_zipf" -> ((s: SparkSession, d: String) => c4Zipf(s, d))
   )
 }

@@ -592,6 +592,39 @@ object EventStream {
       .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"), col("c_ts"))
   }
 
+  /** LEFT-OUTER twin of [[purchaseClickJoin]]: every purchase appears —
+    * matched purchases emit immediately (inner semantics), while a
+    * purchase with NO click in its 6h window emits with null click
+    * columns only when the global watermark passes it (state eviction
+    * proves no matching click can still arrive: future clicks have
+    * c_ts > watermark, and a match needs c_ts <= p_ts). The
+    * absence-detection join shape — "purchases with no prior click" —
+    * that an inner join structurally cannot express on a stream.
+    *
+    * Boundary (pinned by EventStreamSpec's boundary test): a purchase
+    * emits null-matched iff epoch_us(p_ts) < global_watermark_ms·1000
+    * — STRICTLY below, at microsecond granularity — where the watermark
+    * is min over both sides of (ms-floored max event time − 2h).
+    * Purchases at or above the final watermark stay buffered in state
+    * and never reach an AvailableNow sink.
+    */
+  def purchaseClickJoinOuter(purchases: DataFrame, clicks: DataFrame,
+      windowHours: Int = 6): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowHours HOURS") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"), col("c_ts"))
+  }
+
   /** Streaming exact dedup — the streaming twin of c1_exact_dedup: drop
     * repeats of the same (user_id, event_type, value) payload arriving
     * within the watermark horizon. `dropDuplicatesWithinWatermark` keys
@@ -1799,6 +1832,24 @@ object EventStream {
       .orderBy("p_id", "c_id")
   }
 
+  /** c5_stream_join_outer: the watermarked LEFT-OUTER stream-stream
+    * interval join — the one stream-stream shape where a result row is
+    * emitted by state EVICTION rather than by data (the null-matched
+    * side appears only once the watermark proves no match can arrive).
+    * Inner matches reproduce c5_stream_join; the added rows are the
+    * watermark-cleared matchless purchases. Oracle = batch left join
+    * with the eviction boundary replayed in exact integer microseconds
+    * (see [[purchaseClickJoinOuter]]).
+    */
+  def c5StreamJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    runAvailableNow(
+      purchaseClickJoinOuter(
+        readEventsTable(spark, sfDir), readEventsTable(spark, sfDir)),
+      OutputMode.Append())
+      .orderBy("p_id", "c_id")
+  }
+
   /** c5_stream_dedup: dropDuplicatesWithinWatermark over the event
     * payload columns; projected to the dedup key so the surviving-row
     * choice (arrival order) doesn't enter the result — oracle = batch
@@ -2095,6 +2146,28 @@ object EventStream {
         "ON p.user_id = c.user_id " +
         "AND c.ts >= p.ts - INTERVAL '6 hours' AND c.ts <= p.ts " +
         "ORDER BY p_id, c_id"),
+    // Left-outer twin: inner rows identical; a matchless purchase emits
+    // null-matched iff the final global watermark (min over both sides
+    // of ms-floored max event time - 2h) is STRICTLY above it — replayed
+    // in exact integer microseconds (boundary pinned by the spec's
+    // micro-test). Purchases at or above the watermark stay in state.
+    "c5_stream_join_outer" ->
+      ("WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts " +
+        "FROM events WHERE event_type = 'click'), " +
+        "wm AS (SELECT least(" +
+        "(SELECT CAST(floor(epoch_us(max(p_ts)) / 1000.0) AS BIGINT) FROM p), " +
+        "(SELECT CAST(floor(epoch_us(max(c_ts)) / 1000.0) AS BIGINT) FROM c)) " +
+        "- 7200000 AS wm_ms), " +
+        "j AS (SELECT p_id, user_id, p_ts, c_id, c_ts " +
+        "FROM p JOIN c ON p.user_id = c.c_user " +
+        "AND c_ts >= p_ts - INTERVAL '6 hours' AND c_ts <= p_ts), " +
+        "um AS (SELECT p.p_id, p.user_id, p.p_ts, " +
+        "CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS TIMESTAMP) AS c_ts " +
+        "FROM p, wm WHERE p.p_id NOT IN (SELECT p_id FROM j) " +
+        "AND epoch_us(p.p_ts) < wm_ms * 1000) " +
+        "SELECT * FROM j UNION ALL SELECT * FROM um ORDER BY p_id, c_id"),
     // Incremental twin: identical oracle — inner-join matches emit as
     // soon as both rows are buffered, in-order arrival never drops a
     // matchable row (see c5StreamJoinIncr), so the two-batch sink must
@@ -2211,6 +2284,7 @@ object EventStream {
     "c5_stream_inactive" -> (c5StreamInactive _),
     "c5_stream_sessionize_state" -> (c5StreamSessionizeState _),
     "c5_stream_join" -> (c5StreamJoin _),
+    "c5_stream_join_outer" -> (c5StreamJoinOuter _),
     "c5_stream_join_incr" -> (c5StreamJoinIncr _),
     "c5_stream_dedup_incr" -> (c5StreamDedupIncr _),
     "c5_stream_restart" -> (c5StreamRestart _),

@@ -36,7 +36,11 @@ class PlanAuditSpec extends SparkSuite {
                          // (O(days), O(types)), never corpus-sized
     "c4_tfidf",          // 1-row grand-total (n_docs) broadcast cross join
     "c4_pmi",            // 1-row grand-totals (n, p) broadcast cross joins
-    "c4_vocab_growth"    // 1-row max-id normalizer broadcast cross join
+    "c4_vocab_growth",   // 1-row max-id normalizer broadcast cross join
+    "c4_zipf",           // 1-row total-tokens + f1 normalizer cross joins
+                         // on a TakeOrdered <=k-row side
+    "c2_cc_stats"        // 1-row doc-total share normalizer cross join
+                         // on the O(distinct sizes) histogram side
   )
 
   test("no CartesianProduct anywhere; BNLJ only on the allowlist") {

@@ -447,4 +447,22 @@ class DedupSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("c2_cc_stats is the exact size histogram of the CC assignments") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val asg = graft.queries.DedupOps.c2MinHashCc(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val total = asg.length.toLong
+    val hist = asg.groupBy(_._2).values.map(_.size.toLong)
+      .groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val want = hist.toSeq.sortBy(_._1).map { case (s, n) =>
+      (s, n, s * n, round6((s * n).toDouble / total))
+    }
+    val got = graft.queries.DedupOps.c2CcStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want)
+    // the histogram accounts for every document exactly once
+    assert(got.map(_._3).sum == total)
+  }
 }

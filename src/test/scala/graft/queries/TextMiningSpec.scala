@@ -66,6 +66,29 @@ class TextMiningSpec extends SparkSuite {
     assert(got.filter(_._1._1 == "bi").map(_._2._2).max == bi.size.toLong)
   }
 
+  test("c4_zipf matches an in-memory brute force") {
+    val got = TextOps.c4Zipf(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty && got.length <= 50)
+    val freq = corpus.values.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val nTotal = freq.values.sum
+    val top = freq.toSeq.sortBy { case (t, f) => (-f, t) }.take(50)
+    val f1 = top.head._2
+    val want = top.zipWithIndex
+      .scanLeft(((0, "", 0L, 0.0, 0.0), 0L)) { case ((_, cum), ((t, f), i)) =>
+        val c = cum + f
+        ((i + 1, t, f, round6((f * (i + 1)).toDouble / f1),
+          round6(c.toDouble / nTotal)), c)
+      }.drop(1).map(_._1)
+    assert(got.toSeq == want)
+    // rank 1 normalizes to exactly 1; coverage is monotone and <= 1
+    assert(got.head._4 == 1.0)
+    assert(got.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(got.last._5 <= 1.0)
+  }
+
   test("c4_pmi matches an in-memory brute force") {
     val got = TextOps.c4Pmi(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),

@@ -630,4 +630,77 @@ class EventStreamSpec extends SparkSuite {
       assert(r.getLong(2) >= 1) // n_events
     }
   }
+
+  /** Pins the left-outer interval join's null-emission boundary that the
+    * c5_stream_join_outer oracle replays: a matchless purchase emits iff
+    * epoch_us(p_ts) < global_watermark_ms · 1000 — STRICTLY below, and at
+    * MICROsecond granularity (a row exactly at the watermark, and one
+    * 0.5 ms above it, both stay buffered). If a Spark upgrade changes the
+    * eviction strictness, this fails before the oracle does.
+    */
+  test("left-outer interval join: null emission boundary is p_us < wm_ms * 1000") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(ms: Long, us: Long = 0): Timestamp = {
+      val t = new Timestamp(ms)
+      t.setNanos((((ms % 1000) * 1000 + us) * 1000).toInt)
+      t
+    }
+    val T = 1704110400000L // 2024-01-01 12:00:00 UTC, whole second
+    val W = T - 7200000L   // both sides' max ts = T -> global watermark
+    def ev(id: Long, u: Long, typ: String, ts: Timestamp): Ev =
+      Ev(id, ts, u, typ, 1.0, "{}")
+    val pMem = MemoryStream[Ev]
+    val cMem = MemoryStream[Ev]
+    val q = EventStream.purchaseClickJoinOuter(pMem.toDF(), cMem.toDF())
+      .writeStream.format("memory").queryName("oj_boundary")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      // users 1-4 have NO clicks; only the watermark decides their fate.
+      pMem.addData(Seq(
+        ev(1, 1, "purchase", at(W - 1)),   // 1 ms below the watermark
+        ev(2, 2, "purchase", at(W)),       // exactly at it
+        ev(3, 3, "purchase", at(W + 1)),   // 1 ms above
+        ev(4, 4, "purchase", at(W, 500)),  // 0.5 ms above (sub-ms probe)
+        ev(5, 98, "purchase", at(T))))     // drives the left watermark
+      cMem.addData(Seq(ev(100, 99, "click", at(T)))) // drives the right
+      q.processAllAvailable()
+      // Second batch with the SAME max event time: the watermark computed
+      // from batch 1 is now in force but does not move further — eviction
+      // runs against exactly W.
+      cMem.addData(Seq(ev(101, 99, "click", at(T))))
+      q.processAllAvailable()
+      val got = spark.table("oj_boundary").filter(col("c_id").isNull)
+        .select("p_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L), s"unexpected null-emission set: $got")
+    } finally q.stop()
+  }
+
+  test("streaming left-outer interval join == batch replay with the eviction rule") {
+    val got = EventStream.c5StreamJoinOuter(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSet
+    val ev = Tables.load(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val inner = p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 6 HOURS") &&
+        col("c_ts") <= col("p_ts"))
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), Some(r.getLong(1)))).toSet
+    val maxP = p.agg(max(unix_micros(col("p_ts")))).head().getLong(0)
+    val maxC = c.agg(max(unix_micros(col("c_ts")))).head().getLong(0)
+    val wmUs = (math.min(maxP / 1000L, maxC / 1000L) - 7200000L) * 1000L
+    val matched = inner.map(_._1)
+    val unmatched = p.select(col("p_id"), unix_micros(col("p_ts")).as("us"))
+      .collect()
+      .filter(r => !matched.contains(r.getLong(0)) && r.getLong(1) < wmUs)
+      .map(r => (r.getLong(0), None: Option[Long])).toSet
+    assert(unmatched.nonEmpty, "corpus yields no watermark-cleared matchless purchase")
+    assert(got == inner ++ unmatched)
+  }
 }
