@@ -1006,6 +1006,45 @@ object EventStream {
     joined.orderBy("p_id", "c_id")
   }
 
+  /** c5_stream_join_outer_incr: the left-outer interval join under REAL
+    * two-batch arrival — the sink must hold (a) a matched pair whose
+    * sides arrived in DIFFERENT micro-batches (join row-buffer state
+    * crossed the boundary) and (b) a null-matched purchase from batch 1
+    * (the eviction predicate ran against buffered state under a
+    * watermark that only existed because batch 2 started). Same oracle
+    * as the single-batch twin: under in-order arrival the final
+    * emission set is identical — an early-evicted purchase (p_ts below
+    * the batch-1 watermark) can never match a later click anyway, since
+    * a match needs c_ts <= p_ts but every batch-2 click has
+    * c_ts > cut > watermark_1 > p_ts.
+    */
+  def c5StreamJoinOuterIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cutOpt = joinCutUs(graft.Tables.load(spark, sfDir, "events"))
+    val (dir, schema) = twoBatchSplitDir(spark, sfDir, cutOpt)
+    def side: DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val joined = runIncremental(purchaseClickJoinOuter(side, side),
+      OutputMode.Append(), minBatches = 2)
+    cutOpt.foreach { cut =>
+      val straddling = joined.filter(
+        unix_micros(col("c_ts")) <= cut && unix_micros(col("p_ts")) > cut)
+        .limit(1).count()
+      if (straddling == 0)
+        throw new IllegalStateException(
+          "no cross-batch pair in the outer-join sink: stream-stream join " +
+            "state was not carried across micro-batches")
+      val evictedEarly = joined.filter(
+        col("c_id").isNull && unix_micros(col("p_ts")) <= cut)
+        .limit(1).count()
+      if (evictedEarly == 0)
+        throw new IllegalStateException(
+          "no null-matched batch-1 purchase in the outer-join sink: " +
+            "watermark eviction did not run against cross-batch state")
+    }
+    joined.orderBy("p_id", "c_id")
+  }
+
   /** Dedup-state horizon for the incremental dedup check (24 h): the
     * corpus has no duplicate payloads closer than ~5.6 h (sf0.1) /
     * ~24.8 h (sf0.01), so the single-batch twin's 2 h horizon leaves no
@@ -1930,6 +1969,27 @@ object EventStream {
       "cnt, cnt * n_prev > 2 * sum_prev AS is_burst " +
       "FROM st ORDER BY user_id, hour"
 
+  /** Shared replay for both left-outer join twins: batch left join with
+    * the strictly-below microsecond eviction boundary.
+    */
+  private val outerJoinSql: String =
+    "WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts " +
+      "FROM events WHERE event_type = 'click'), " +
+      "wm AS (SELECT least(" +
+      "(SELECT CAST(floor(epoch_us(max(p_ts)) / 1000.0) AS BIGINT) FROM p), " +
+      "(SELECT CAST(floor(epoch_us(max(c_ts)) / 1000.0) AS BIGINT) FROM c)) " +
+      "- 7200000 AS wm_ms), " +
+      "j AS (SELECT p_id, user_id, p_ts, c_id, c_ts " +
+      "FROM p JOIN c ON p.user_id = c.c_user " +
+      "AND c_ts >= p_ts - INTERVAL '6 hours' AND c_ts <= p_ts), " +
+      "um AS (SELECT p.p_id, p.user_id, p.p_ts, " +
+      "CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS TIMESTAMP) AS c_ts " +
+      "FROM p, wm WHERE p.p_id NOT IN (SELECT p_id FROM j) " +
+      "AND epoch_us(p.p_ts) < wm_ms * 1000) " +
+      "SELECT * FROM j UNION ALL SELECT * FROM um ORDER BY p_id, c_id"
+
   private val transitionsSql: String =
     "WITH s AS (SELECT event_type, lag(event_type) OVER " +
       "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +
@@ -2151,23 +2211,11 @@ object EventStream {
     // of ms-floored max event time - 2h) is STRICTLY above it — replayed
     // in exact integer microseconds (boundary pinned by the spec's
     // micro-test). Purchases at or above the watermark stay in state.
-    "c5_stream_join_outer" ->
-      ("WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts " +
-        "FROM events WHERE event_type = 'purchase'), " +
-        "c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts " +
-        "FROM events WHERE event_type = 'click'), " +
-        "wm AS (SELECT least(" +
-        "(SELECT CAST(floor(epoch_us(max(p_ts)) / 1000.0) AS BIGINT) FROM p), " +
-        "(SELECT CAST(floor(epoch_us(max(c_ts)) / 1000.0) AS BIGINT) FROM c)) " +
-        "- 7200000 AS wm_ms), " +
-        "j AS (SELECT p_id, user_id, p_ts, c_id, c_ts " +
-        "FROM p JOIN c ON p.user_id = c.c_user " +
-        "AND c_ts >= p_ts - INTERVAL '6 hours' AND c_ts <= p_ts), " +
-        "um AS (SELECT p.p_id, p.user_id, p.p_ts, " +
-        "CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS TIMESTAMP) AS c_ts " +
-        "FROM p, wm WHERE p.p_id NOT IN (SELECT p_id FROM j) " +
-        "AND epoch_us(p.p_ts) < wm_ms * 1000) " +
-        "SELECT * FROM j UNION ALL SELECT * FROM um ORDER BY p_id, c_id"),
+    "c5_stream_join_outer" -> outerJoinSql,
+    // Incremental twin: identical oracle — under in-order two-batch
+    // arrival the final emission set matches the single-batch run (see
+    // c5StreamJoinOuterIncr for why early eviction can't lose a match).
+    "c5_stream_join_outer_incr" -> outerJoinSql,
     // Incremental twin: identical oracle — inner-join matches emit as
     // soon as both rows are buffered, in-order arrival never drops a
     // matchable row (see c5StreamJoinIncr), so the two-batch sink must
@@ -2285,6 +2333,7 @@ object EventStream {
     "c5_stream_sessionize_state" -> (c5StreamSessionizeState _),
     "c5_stream_join" -> (c5StreamJoin _),
     "c5_stream_join_outer" -> (c5StreamJoinOuter _),
+    "c5_stream_join_outer_incr" -> (c5StreamJoinOuterIncr _),
     "c5_stream_join_incr" -> (c5StreamJoinIncr _),
     "c5_stream_dedup_incr" -> (c5StreamDedupIncr _),
     "c5_stream_restart" -> (c5StreamRestart _),
