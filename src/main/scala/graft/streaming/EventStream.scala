@@ -778,6 +778,60 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Parquet-sink twins of [[runAvailableNow]]/[[runIncremental]] for the
+    * Append-mode queries whose sink is O(events)-sized (per-event
+    * transitions/anomaly scores, dedup survivors, join matches, emitted
+    * sessions). A memory sink materializes its WHOLE output on the
+    * driver heap — the driver-side-materialization scale-killer the
+    * batch surface bans, and measured: c5_stream_transitions OOMs the
+    * 8 g harness heap at 10 M events purely in the sink while its
+    * operator state stays O(users). These runners write the sink to a
+    * temp parquet directory (executor-parallel, spillable) and return a
+    * distributed scan of it, so the downstream fold/orderBy runs as a
+    * normal distributed plan. Aggregated-output queries (windowed
+    * counts, top-k, per-user stats) keep the memory sink: their output
+    * is O(windows·types)/O(users) — driver-sized by contract — and
+    * Update/Complete modes have no file sink anyway.
+    */
+  private def runToParquet(df: DataFrame, minBatches: Int, exact: Boolean)
+      (implicit spark: SparkSession): DataFrame = withStatePartitions(spark) {
+    import java.nio.file.{Files => JFiles}
+    val out = JFiles.createTempDirectory("graft_stream_sink")
+    val ckpt = JFiles.createTempDirectory("graft_stream_sink_ckpt")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out.toFile)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt.toFile)
+    val q = df.writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    if (!q.awaitTermination(300000L)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming query to $out did not terminate within 300s; " +
+          "refusing to return a partially-filled sink")
+    }
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (exact && dataBatches != minBatches)
+      throw new IllegalStateException(
+        s"streaming query to $out ran $dataBatches data micro-batches; " +
+          s"the batch oracle is only valid for exactly $minBatches")
+    if (!exact && dataBatches < minBatches)
+      throw new IllegalStateException(
+        s"streaming query to $out ran $dataBatches data micro-batches; " +
+          s"this query exists to verify incremental arrival (>= $minBatches)")
+    spark.read.parquet(out.toString)
+  }
+
+  /** Single-data-batch invariant of [[runAvailableNow]], parquet sink. */
+  private def runAvailableNowToParquet(df: DataFrame)
+      (implicit spark: SparkSession): DataFrame =
+    runToParquet(df, minBatches = 1, exact = true)
+
+  /** Multi-batch contract of [[runIncremental]], parquet sink. */
+  private def runIncrementalToParquet(df: DataFrame, minBatches: Int)
+      (implicit spark: SparkSession): DataFrame =
+    runToParquet(df, minBatches, exact = false)
+
   /** c5_stream_tumbling_incr: the tumbling aggregation under REAL
     * incremental arrival — the events table is split chronologically
     * into two files, streamed with maxFilesPerTrigger=1 (two data
@@ -992,8 +1046,8 @@ object EventStream {
     val (dir, schema) = twoBatchSplitDir(spark, sfDir, cutOpt)
     def side: DataFrame = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
-    val joined = runIncremental(purchaseClickJoin(side, side),
-      OutputMode.Append(), minBatches = 2)
+    val joined = runIncrementalToParquet(purchaseClickJoin(side, side),
+      minBatches = 2)
     cutOpt.foreach { cut =>
       val straddling = joined.filter(
         unix_micros(col("c_ts")) <= cut && unix_micros(col("p_ts")) > cut)
@@ -1024,8 +1078,8 @@ object EventStream {
     val (dir, schema) = twoBatchSplitDir(spark, sfDir, cutOpt)
     def side: DataFrame = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
-    val joined = runIncremental(purchaseClickJoinOuter(side, side),
-      OutputMode.Append(), minBatches = 2)
+    val joined = runIncrementalToParquet(purchaseClickJoinOuter(side, side),
+      minBatches = 2)
     cutOpt.foreach { cut =>
       val straddling = joined.filter(
         unix_micros(col("c_ts")) <= cut && unix_micros(col("p_ts")) > cut)
@@ -1121,10 +1175,10 @@ object EventStream {
     implicit val s: SparkSession = spark
     val pairOpt = dedupCutUs(graft.Tables.load(spark, sfDir, "events"))
     val stream = twoBatchEventStream(spark, sfDir, pairOpt.map(_._1))
-    val sink = runIncremental(
+    val sink = runIncrementalToParquet(
       dedupWithinWatermark(stream, DedupHorizonInterval)
         .select(col("user_id"), col("event_type"), col("value")),
-      OutputMode.Append(), minBatches = 2)
+      minBatches = 2)
     val res = sink.groupBy(col("user_id"), col("event_type"), col("value"))
       .agg(count(lit(1)).as("n_emitted"))
     pairOpt.foreach { case (_, uid, etype, v) =>
@@ -1241,9 +1295,8 @@ object EventStream {
     */
   def c5StreamAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    runAvailableNow(
-      anomalyOut(onlineAnomaly(spark, readEventsTable(spark, sfDir))),
-      OutputMode.Append())
+    runAvailableNowToParquet(
+      anomalyOut(onlineAnomaly(spark, readEventsTable(spark, sfDir))))
       .orderBy("user_id", "hour")
   }
 
@@ -1257,9 +1310,9 @@ object EventStream {
     */
   def c5StreamAnomalyIncr(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    runIncremental(
+    runIncrementalToParquet(
       anomalyOut(onlineAnomaly(spark, twoBatchEventStream(spark, sfDir))),
-      OutputMode.Append(), minBatches = 2)
+      minBatches = 2)
       .orderBy("user_id", "hour")
   }
 
@@ -1699,9 +1752,8 @@ object EventStream {
   def c5StreamTransitions(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s: SparkSession = spark
     transitionMatrix(withRocksDbProvider(spark) {
-      runAvailableNow(
-        userTransitions(spark, readEventsTable(spark, sfDir)).toDF(),
-        OutputMode.Append())
+      runAvailableNowToParquet(
+        userTransitions(spark, readEventsTable(spark, sfDir)).toDF())
     })
   }
 
@@ -1714,9 +1766,9 @@ object EventStream {
   def c5StreamTransitionsIncr(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s: SparkSession = spark
     transitionMatrix(withRocksDbProvider(spark) {
-      runIncremental(
+      runIncrementalToParquet(
         userTransitions(spark, twoBatchEventStream(spark, sfDir)).toDF(),
-        OutputMode.Append(), minBatches = 2)
+        minBatches = 2)
     })
   }
 
@@ -1728,9 +1780,8 @@ object EventStream {
   def c5StreamPattern(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s: SparkSession = spark
     withRocksDbProvider(spark) {
-      runAvailableNow(
-        userPatternHits(spark, readEventsTable(spark, sfDir)).toDF(),
-        OutputMode.Append())
+      runAvailableNowToParquet(
+        userPatternHits(spark, readEventsTable(spark, sfDir)).toDF())
     }
       .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
       .orderBy("user_id", "ts")
@@ -1745,9 +1796,9 @@ object EventStream {
   def c5StreamPatternIncr(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s: SparkSession = spark
     withRocksDbProvider(spark) {
-      runIncremental(
+      runIncrementalToParquet(
         userPatternHits(spark, twoBatchEventStream(spark, sfDir)).toDF(),
-        OutputMode.Append(), minBatches = 2)
+        minBatches = 2)
     }
       .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
       .orderBy("user_id", "ts")
@@ -1849,9 +1900,8 @@ object EventStream {
     */
   def c5StreamSessionizeState(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    runAvailableNow(
-      sessionizeWithState(spark, readEventsTable(spark, sfDir)).toDF(),
-      OutputMode.Append())
+    runAvailableNowToParquet(
+      sessionizeWithState(spark, readEventsTable(spark, sfDir)).toDF())
       .select("user_id", "session_start", "session_end", "n_events")
       .orderBy("user_id", "session_start")
   }
@@ -1864,10 +1914,9 @@ object EventStream {
     */
   def c5StreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    runAvailableNow(
+    runAvailableNowToParquet(
       purchaseClickJoin(
-        readEventsTable(spark, sfDir), readEventsTable(spark, sfDir)),
-      OutputMode.Append())
+        readEventsTable(spark, sfDir), readEventsTable(spark, sfDir)))
       .orderBy("p_id", "c_id")
   }
 
@@ -1882,10 +1931,9 @@ object EventStream {
     */
   def c5StreamJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    runAvailableNow(
+    runAvailableNowToParquet(
       purchaseClickJoinOuter(
-        readEventsTable(spark, sfDir), readEventsTable(spark, sfDir)),
-      OutputMode.Append())
+        readEventsTable(spark, sfDir), readEventsTable(spark, sfDir)))
       .orderBy("p_id", "c_id")
   }
 
@@ -1896,10 +1944,9 @@ object EventStream {
     */
   def c5StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    runAvailableNow(
+    runAvailableNowToParquet(
       dedupWithinWatermark(readEventsTable(spark, sfDir))
-        .select(col("user_id"), col("event_type"), col("value")),
-      OutputMode.Append())
+        .select(col("user_id"), col("event_type"), col("value")))
       .orderBy("user_id", "event_type", "value")
   }
 
