@@ -54,12 +54,35 @@ object SimOps {
 
   private def asDouble(a: Column): Column = a.cast("array<double>")
 
+  /** Benchmark instantiation of a caller-supplied query table: the first
+    * [[MaxQueries]] multiples of `queryMod`. The cap is what makes the
+    * "small by contract" broadcast side TRUE at any corpus size — a bare
+    * `% queryMod` filter is a corpus FRACTION, which silently turns every
+    * broadcast-query theta join into O(n²/mod) work with an O(n/mod)
+    * broadcast (measured: c3_range_search 39× on the sf1→sf10 decade
+    * before the cap). Vacuous at the driver's gate corpora — every
+    * vec_id there is below the bound, so oracle hashes are unchanged —
+    * while at derived scale corpora the query count pins at MaxQueries
+    * and the exact-scan family is linear in the corpus again.
+    */
+  private[queries] val MaxQueries = 128
+
+  private def isQuery(id: Column, queryMod: Int): Column =
+    id % queryMod === 0 && id < lit(queryMod.toLong * MaxQueries)
+
+  /** The same query-set predicate in oracle SQL (`ref` names the vec_id
+    * column, qualified if the SQL context needs it).
+    */
+  private def queryPredSql(queryMod: Int, ref: String = "vec_id"): String =
+    s"$ref % $queryMod = 0 AND $ref < ${queryMod.toLong * MaxQueries}"
+
   /** C3a: exact cosine top-k (k=5) of every corpus vector for each query
     * vector. Scores rounded to 6 decimals; ties broken by neighbor id in
     * both engines.
     *
-    * `queryMod` selects the query subset (`vec_id % queryMod == 0`) — the
-    * oracle-stable stand-in for a caller-supplied query table. In
+    * `queryMod` selects the query subset (the first [[MaxQueries]]
+    * multiples of queryMod, see [[isQuery]]) — the oracle-stable,
+    * corpus-size-BOUNDED stand-in for a caller-supplied query table. In
     * production the query side is whatever small DataFrame the caller
     * passes; only its smallness matters (it is the broadcast side).
     */
@@ -84,7 +107,7 @@ object SimOps {
     val corpus = emb(spark, dir)
       .select(col("vec_id").as("b_id"), asDouble(col("embedding")).as("b_emb"))
     val queries = emb(spark, dir)
-      .filter(col("vec_id") % queryMod === 0)
+      .filter(isQuery(col("vec_id"), queryMod))
       .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
     exactCosineTopK(corpus, queries, k)
       .select(col("q_id"), col("rank"), col("b_id"), col("cosine"))
@@ -112,7 +135,7 @@ object SimOps {
     val corpus = emb(spark, dir)
       .select(col("vec_id").as("b_id"), asDouble(col("embedding")).as("b_emb"))
     val queries = emb(spark, dir)
-      .filter(col("vec_id") % queryMod === 0)
+      .filter(isQuery(col("vec_id"), queryMod))
       .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
     corpus.join(broadcast(queries), col("q_id") =!= col("b_id"))
       .withColumn("cosine",
@@ -144,7 +167,7 @@ object SimOps {
       .select(col("vec_id").as("b_id"), asDouble(col("embedding")).as("b_emb"),
         col("label").as("b_label"))
     val queries = emb(spark, dir)
-      .filter(col("vec_id") % queryMod === 0)
+      .filter(isQuery(col("vec_id"), queryMod))
       .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"),
         col("label").as("true_label"))
 
@@ -241,7 +264,7 @@ object SimOps {
       .drop("col")
 
     val queries = base
-      .filter(col("vec_id") % queryMod === 0)
+      .filter(isQuery(col("vec_id"), queryMod))
       .select(col("vec_id").as("q_id"),
         explodeBuckets(col("buckets"), bits, probe = true))
       .withColumnRenamed("pos", "tbl")
@@ -255,7 +278,7 @@ object SimOps {
       // an explicit shuffle hash join on id so no plan ever materializes
       // the full embeddings table on every executor.
       .select(col("q_id"), col("b_id")).distinct()
-      .join(broadcast(base.filter(col("vec_id") % queryMod === 0)
+      .join(broadcast(base.filter(isQuery(col("vec_id"), queryMod))
         .select(col("vec_id").as("q_id"), col("embD").as("q_emb"))), "q_id")
       .join(base.select(col("vec_id").as("b_id"), col("embD").as("b_emb"))
         .hint("shuffle_hash"), "b_id")
@@ -381,7 +404,7 @@ object SimOps {
     // null-pad: the null-distance structs sort FIRST and every probe
     // would be a phantom cell (silently empty results).
     val nTrained = centroids.length
-    val queries = base.filter(col("vec_id") % queryMod === 0)
+    val queries = base.filter(isQuery(col("vec_id"), queryMod))
       .withColumn("dists", dists(col("embD")))
       .withColumn("probes",
         slice(transform(array_sort(zip_with(
@@ -398,7 +421,7 @@ object SimOps {
       .join(broadcast(queries.select(col("q_id"), col("cell"))), Seq("cell"))
       .filter(col("q_id") =!= col("b_id"))
       .select("q_id", "b_id").distinct()
-      .join(broadcast(base.filter(col("vec_id") % queryMod === 0)
+      .join(broadcast(base.filter(isQuery(col("vec_id"), queryMod))
         .select(col("vec_id").as("q_id"), col("embD").as("q_emb"))), "q_id")
       .join(base.select(col("vec_id").as("b_id"), col("embD").as("b_emb"))
         .hint("shuffle_hash"), "b_id")
@@ -552,7 +575,7 @@ object SimOps {
     // probe indices run over coarse.length, not the requested nCells —
     // see c3AnnIvf's nTrained comment (null-padded zip = phantom probes)
     val nTrained = coarse.length
-    val probed = base.filter(col("vec_id") % queryMod === 0)
+    val probed = base.filter(isQuery(col("vec_id"), queryMod))
       .withColumn("cdists",
         graft.functions.VectorExprs.centroidDists(col("embD"), coarse))
       .withColumn("probes",
@@ -1015,7 +1038,7 @@ object SimOps {
     val exact = cand
       .join(base.select(col("vec_id").as("b_id"), col("embD").as("b_emb"))
         .hint("shuffle_hash"), "b_id")
-      .join(broadcast(base.filter(col("vec_id") % queryMod === 0)
+      .join(broadcast(base.filter(isQuery(col("vec_id"), queryMod))
         .select(col("vec_id").as("q_id"), col("embD").as("q_emb"))), "q_id")
       .withColumn("l2sq",
         round(dotD(col("q_emb"), col("q_emb")) + dotD(col("b_emb"), col("b_emb"))
@@ -1119,7 +1142,7 @@ object SimOps {
       "qs AS (SELECT vec_id AS q_id, rt.t AS tbl, " +
       s"unnest(list_prepend(buckets[rt.t+1], list_transform(range(0, $bits), i -> " +
       "xor(buckets[rt.t+1], (1::BIGINT << i))))) AS bucket " +
-      s"FROM bk CROSS JOIN range(0, $tables) rt(t) WHERE vec_id % 100 = 0), " +
+      s"FROM bk CROSS JOIN range(0, $tables) rt(t) WHERE ${queryPredSql(100)}), " +
       "cand AS (SELECT DISTINCT q_id, b_id FROM corp JOIN qs " +
       "ON corp.tbl = qs.tbl AND corp.bucket = qs.bucket AND qs.q_id <> corp.b_id)"
 
@@ -1138,7 +1161,8 @@ object SimOps {
       "bsc AS (SELECT q.vec_id AS q_id, c.vec_id AS b_id, " +
       "round(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * " +
       "sqrt(list_dot_product(c.v, c.v))), 6) AS cosine " +
-      "FROM e q JOIN e c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id), " +
+      s"FROM e q JOIN e c ON ${queryPredSql(100, "q.vec_id")} " +
+      "AND q.vec_id <> c.vec_id), " +
       "bfr AS (SELECT q_id, b_id, row_number() OVER " +
       "(PARTITION BY q_id ORDER BY cosine DESC, b_id) AS rank FROM bsc), " +
       s"bf AS (SELECT q_id, b_id FROM bfr WHERE rank <= $k), " +
@@ -1233,7 +1257,7 @@ object SimOps {
         "qs AS (SELECT vec_id AS q_id, unnest(list_transform(list_slice(" +
         s"list_sort(list_transform(range(1, ${n + 1}), k -> " +
         "[dists[k], CAST(k AS DOUBLE)])), 1, 4), s -> CAST(s[2] AS BIGINT))) " +
-        "AS cell FROM d WHERE vec_id % 100 = 0)"
+        s"AS cell FROM d WHERE ${queryPredSql(100)})"
     val ivfCandCtes = ivfBaseCtes +
       ", cand AS (SELECT DISTINCT q_id, b_id FROM corp JOIN qs " +
         "ON corp.cell = qs.cell AND qs.q_id <> corp.b_id)"
@@ -1475,7 +1499,7 @@ object SimOps {
     // asc) argmax.
     "c3_knn_classify" ->
       ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb, " +
-        "label AS true_label FROM embeddings WHERE vec_id % 20 = 0), " +
+        s"label AS true_label FROM embeddings WHERE ${queryPredSql(20)}), " +
         "c AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS b_emb, " +
         "label AS b_label FROM embeddings), " +
         "s AS (SELECT q_id, true_label, b_id, b_label, " +
@@ -1492,7 +1516,7 @@ object SimOps {
         "b_label = true_label AS correct FROM p WHERE vr = 1 ORDER BY q_id"),
     "c3_cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb " +
-        "FROM embeddings WHERE vec_id % 100 = 0), " +
+        s"FROM embeddings WHERE ${queryPredSql(100)}), " +
         "c AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS b_emb FROM embeddings), " +
         "s AS (SELECT q_id, b_id, round(list_dot_product(q_emb, b_emb) / " +
         "(sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(b_emb, b_emb))), 6) AS cosine " +
@@ -1502,7 +1526,7 @@ object SimOps {
         "SELECT q_id, rank, b_id, cosine FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
     "c3_range_search" ->
       ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb " +
-        "FROM embeddings WHERE vec_id % 50 = 0), " +
+        s"FROM embeddings WHERE ${queryPredSql(50)}), " +
         "c AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS b_emb FROM embeddings), " +
         "s AS (SELECT q_id, b_id, round(list_dot_product(q_emb, b_emb) / " +
         "(sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(b_emb, b_emb))), 6) AS cosine " +
