@@ -1387,6 +1387,75 @@ object EventStream {
     * applies unchanged across the restart: the recovered watermark can
     * only evict clicks already outside any batch-2 purchase's window).
     */
+  /** c5_stream_restart_outer: LEFT-OUTER join state recovered across a
+    * full query stop/restart — three distinct recovery properties, each
+    * observable only in the outer form:
+    *  1. the buffered unmatched rows come back (a cross-lifecycle match
+    *     completes, as in c5_stream_restart_join);
+    *  2. eviction runs against RECOVERED state (lifecycle B emits
+    *     null-matched batch-1 purchases lifecycle A's lower watermark
+    *     could not clear);
+    *  3. the per-row MATCHED flag survives (asserted structurally: no
+    *     p_id appears both matched and null-matched — a restart that
+    *     lost the flag would re-emit lifecycle-A matches as phantom
+    *     nulls once the watermark passed them).
+    * Oracle = the same exact-microsecond batch replay as the live outer
+    * twins; it matches only if all three held.
+    */
+  def c5StreamRestartJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import java.nio.file.{Files => JFiles}
+    val cutOpt = joinCutUs(graft.Tables.load(spark, sfDir, "events"))
+    val (dir, schema) = twoBatchSplitDir(spark, sfDir, cutOpt)
+    def src: DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val sinkSchema = purchaseClickJoinOuter(src, src).schema
+    val ckpt = JFiles.createTempDirectory("graft_restart_oj_ckpt")
+    val out = JFiles.createTempDirectory("graft_restart_oj_out")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt.toFile)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out.toFile)
+    def sink = spark.read.schema(sinkSchema).parquet(out.toString)
+    def straddles(cut: Long): Long = sink
+      .filter(unix_micros(col("c_ts")) <= cut && unix_micros(col("p_ts")) > cut)
+      .limit(1).count()
+    def earlyNulls(cut: Long): Long = sink
+      .filter(col("c_id").isNull && unix_micros(col("p_ts")) <= cut).count()
+    withParkedLate(dir) {
+      runCheckpointedToParquet(
+        purchaseClickJoinOuter(src, src), ckpt.toString, out.toString, 1)
+    }
+    val nullsAfterA = cutOpt.map { cut =>
+      if (straddles(cut) != 0)
+        throw new IllegalStateException(
+          "the cut-straddling pair was emitted before the restart; " +
+            "the recovery check would be vacuous")
+      earlyNulls(cut)
+    }
+    // lifecycle B: fresh query object, same checkpoint — crash-restart.
+    runCheckpointedToParquet(
+      purchaseClickJoinOuter(src, src), ckpt.toString, out.toString, 1)
+    cutOpt.foreach { cut =>
+      if (straddles(cut) == 0)
+        throw new IllegalStateException(
+          "no cut-straddling pair after restart: outer-join buffers " +
+            "did not survive the stop/restart")
+      if (nullsAfterA.exists(_ >= earlyNulls(cut)))
+        throw new IllegalStateException(
+          "lifecycle B emitted no additional null-matched batch-1 " +
+            "purchase: eviction did not run against recovered state")
+    }
+    val phantom = sink.groupBy(col("p_id"))
+      .agg(max(when(col("c_id").isNull, 1).otherwise(0)).as("has_null"),
+        max(when(col("c_id").isNotNull, 1).otherwise(0)).as("has_match"))
+      .filter(col("has_null") === 1 && col("has_match") === 1)
+      .limit(1).count()
+    if (phantom != 0)
+      throw new IllegalStateException(
+        "a purchase appears both matched and null-matched: the matched " +
+          "flag was lost across the restart (phantom outer row)")
+    sink.orderBy("p_id", "c_id")
+  }
+
   def c5StreamRestartJoin(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import java.nio.file.{Files => JFiles}
@@ -2288,6 +2357,11 @@ object EventStream {
         "ON p.user_id = c.user_id " +
         "AND c.ts >= p.ts - INTERVAL '6 hours' AND c.ts <= p.ts " +
         "ORDER BY p_id, c_id"),
+    // Restart twin of the OUTER join: same exact-microsecond replay as
+    // the live twins — it matches only if the buffered rows, the
+    // eviction watermark, AND the per-row matched flags all came back
+    // from the checkpoint (see c5StreamRestartJoinOuter).
+    "c5_stream_restart_outer" -> outerJoinSql,
     // Streaming gap-fill: per-type zero-filled daily counts, restricted
     // to watermark-finalized days (day d final iff (d+1)·86400s ≤ wm; wm
     // is the engine's ms-truncated max-event-time − 2h, replayed exactly
@@ -2386,6 +2460,7 @@ object EventStream {
     "c5_stream_restart" -> (c5StreamRestart _),
     "c5_stream_restart_state" -> (c5StreamRestartState _),
     "c5_stream_restart_join" -> (c5StreamRestartJoin _),
+    "c5_stream_restart_outer" -> (c5StreamRestartJoinOuter _),
     "c5_stream_restart_dedup" -> (c5StreamRestartDedup _),
     "c5_stream_restart_session" -> (c5StreamRestartSession _),
     "c5_stream_gapfill" -> (c5StreamGapfill _),
