@@ -61,6 +61,37 @@ object PipelineOps {
         countDistinct(col("lang")).as("n_langs"))
       .orderBy("split")
 
+  /** C7v: LEAKAGE-SAFE split assignment — the split key is the
+    * duplicate-CLUSTER representative (MinHash-CC transitive closure,
+    * the c2_minhash_cc labels), not the doc id, so every member of a
+    * near-duplicate cluster lands in the SAME split by construction.
+    * The contamination control a per-doc hash split ([[c7SplitAssign]])
+    * cannot give: with per-doc hashing, ~20% of each near-dup cluster's
+    * members leak across the train/test boundary — memorization measured
+    * as generalization. Same portable Knuth bucket, applied to
+    * cluster_rep; the assignment stays a pure function of content
+    * (resume/backfill reproduce it with no stored table).
+    *
+    * Scale posture: the CC assignment is the proven O(n·bands) banding +
+    * min-propagation path (no pair materialization); the split itself is
+    * a narrow projection over the O(n) assignment output. Same int64
+    * id-range bound as every Knuth-bucket consumer (documented at
+    * [[bucketSql]]).
+    */
+  def c7SplitClusterSafe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.MinHash
+    val asg = MinHash.dedupAssignmentsCC(
+      docs(spark, dir), col("doc_id"), col("text"), numHashes = 64, bands = 16)
+    asg.select(col("doc_id"), col("cluster_rep"))
+      .withColumn("bucket", expr("(cluster_rep * 2654435761) % 4294967296"))
+      .withColumn("split",
+        when(col("bucket") < (0.8 * 4294967296L).toLong, "train")
+          .when(col("bucket") < (0.9 * 4294967296L).toLong, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_rep"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** C7j: temperature-based source mixing — the standard "data mixture"
     * operator of a multi-corpus training pipeline: allocate a total doc
     * budget across sources with exponent-α smoothing (quota ∝ n_s^α,
@@ -1266,12 +1297,23 @@ object PipelineOps {
         "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM (" +
         s"SELECT *, CASE WHEN $bucketSql < ${(0.8 * 4294967296L).toLong} THEN 'train' " +
         s"WHEN $bucketSql < ${(0.9 * 4294967296L).toLong} THEN 'val' ELSE 'test' END AS split " +
-        "FROM documents) GROUP BY split ORDER BY split")
+        "FROM documents) GROUP BY split ORDER BY split"),
+    // Cluster-safe split: the c2_minhash_cc closure labels (fixed-round
+    // min-propagation replay), then the Knuth bucket on cluster_rep.
+    "c7_split_cluster_safe" ->
+      (s"WITH ${DedupOps.mhBase}, " + DedupOps.closureChainSql("band") + ", " +
+        "b AS (SELECT doc_id, cluster_rep, " +
+        "(cluster_rep * 2654435761) % 4294967296 AS bucket FROM cl) " +
+        "SELECT doc_id, cluster_rep, " +
+        s"CASE WHEN bucket < ${(0.8 * 4294967296L).toLong} THEN 'train' " +
+        s"WHEN bucket < ${(0.9 * 4294967296L).toLong} THEN 'val' ELSE 'test' END " +
+        "AS split FROM b ORDER BY doc_id")
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c7_sample_strat" -> (c7SampleStrat _),
     "c7_split_assign" -> (c7SplitAssign _),
+    "c7_split_cluster_safe" -> (c7SplitClusterSafe _),
     "c7_token_budget" -> ((s: SparkSession, d: String) => c7TokenBudget(s, d)),
     "c7_decontaminate" -> ((s: SparkSession, d: String) => c7Decontaminate(s, d)),
     "c7_decontaminate_bloom" -> ((s: SparkSession, d: String) => c7DecontaminateBloom(s, d)),

@@ -332,4 +332,57 @@ class PipelineSpec extends SparkSuite {
       }
     }
   }
+
+  test("c7_split_cluster_safe: no near-dup pair straddles a split; per-doc hashing would leak") {
+    import org.apache.spark.sql.functions._
+    val split = PipelineOps.c7SplitClusterSafe(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+    val byDoc = split.toMap
+    // NOTE: on the duplicate-saturated sf corpus the closure may collapse
+    // to a single mega-cluster (one split used) — that IS the correct
+    // leakage-safe answer there; multi-split behavior is asserted on the
+    // synthetic multi-family corpus below.
+    // high-Jaccard pairs from the same LSH machinery the closure consumed
+    val pairs = graft.dedup.MinHash.nearDuplicates(
+      graft.Tables.load(spark, sf, "documents"), col("doc_id"), col("text"))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus has no near-dup pairs; the check would be vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a)._2 == byDoc(b)._2,
+        s"near-dup pair ($a, $b) straddles splits ${byDoc(a)._2}/${byDoc(b)._2}")
+    }
+    // contrast: the per-DOC Knuth split separates at least one of those
+    // same pairs — the cluster keying is what prevents the leak, not
+    // luck of the hash
+    def docSplit(id: Long): String = {
+      val bucket = (id * 2654435761L) % 4294967296L
+      if (bucket < (0.8 * 4294967296L).toLong) "train"
+      else if (bucket < (0.9 * 4294967296L).toLong) "val" else "test"
+    }
+    assert(pairs.exists { case (a, b) => docSplit(a) != docSplit(b) },
+      "per-doc hashing happens not to leak on this corpus; contrast check vacuous")
+    // Synthetic multi-family corpus: 40 disjoint-vocabulary duplicate
+    // families of 3 — the cluster-keyed split must use >= 2 splits AND
+    // keep each family whole.
+    import spark.implicits._
+    val fams = (0 until 40).flatMap { f =>
+      val text = (0 until 12).map(i => s"fam${f}w$i").mkString(" ")
+      Seq((f * 3L, text), (f * 3L + 1, text), (f * 3L + 2, text + s" fam${f}extra"))
+    }.toDF("doc_id", "text")
+    val famSplit = graft.dedup.MinHash.dedupAssignmentsCC(
+        fams, col("doc_id"), col("text"), numHashes = 64, bands = 16)
+      .withColumn("bucket", expr("(cluster_rep * 2654435761) % 4294967296"))
+      .withColumn("split",
+        when(col("bucket") < (0.8 * 4294967296L).toLong, "train")
+          .when(col("bucket") < (0.9 * 4294967296L).toLong, "val")
+          .otherwise("test"))
+      .collect().map(r => r.getLong(0) -> r.getString(4))
+    assert(famSplit.map(_._2).distinct.length >= 2,
+      "40 independent clusters all hashed into one split")
+    famSplit.groupBy(_._1 / 3).foreach { case (f, members) =>
+      assert(members.map(_._2).distinct.length == 1,
+        s"family $f straddles splits: ${members.toSeq}")
+    }
+  }
 }
