@@ -83,7 +83,17 @@ object PipelineOps {
     val asg = MinHash.dedupAssignmentsCC(
       docs(spark, dir), col("doc_id"), col("text"), numHashes = 64, bands = 16)
     asg.select(col("doc_id"), col("cluster_rep"))
-      .withColumn("bucket", expr("(cluster_rep * 2654435761) % 4294967296"))
+      // Overflow-safe Knuth bucket over the FULL int64 rep range — the
+      // same 16/16 split mulmod as [[c7EpochOrder]]: a naive rep·m
+      // overflows int64 once the rep exceeds ~3.47e9 (Spark wraps
+      // silently, DuckDB errors, so engine and oracle would diverge).
+      // Reduce into [0,2^32) sign-safe, then split the multiply; for
+      // in-range reps the value is bit-identical to the naive form.
+      .withColumn("r32",
+        expr("((cluster_rep % 4294967296) + 4294967296) % 4294967296"))
+      .withColumn("bucket",
+        expr("((((r32 div 65536) * 2654435761) % 65536) * 65536 " +
+          "+ (r32 % 65536) * 2654435761) % 4294967296"))
       .withColumn("split",
         when(col("bucket") < (0.8 * 4294967296L).toLong, "train")
           .when(col("bucket") < (0.9 * 4294967296L).toLong, "val")
@@ -1299,11 +1309,16 @@ object PipelineOps {
         s"WHEN $bucketSql < ${(0.9 * 4294967296L).toLong} THEN 'val' ELSE 'test' END AS split " +
         "FROM documents) GROUP BY split ORDER BY split"),
     // Cluster-safe split: the c2_minhash_cc closure labels (fixed-round
-    // min-propagation replay), then the Knuth bucket on cluster_rep.
+    // min-propagation replay), then the Knuth bucket on cluster_rep —
+    // replayed in the engine's overflow-safe 16/16 split-mulmod form
+    // (DuckDB would ERROR on the naive int64 overflow Spark wraps).
     "c7_split_cluster_safe" ->
       (s"WITH ${DedupOps.mhBase}, " + DedupOps.closureChainSql("band") + ", " +
+        "b0 AS (SELECT doc_id, cluster_rep, " +
+        "((cluster_rep % 4294967296) + 4294967296) % 4294967296 AS r32 FROM cl), " +
         "b AS (SELECT doc_id, cluster_rep, " +
-        "(cluster_rep * 2654435761) % 4294967296 AS bucket FROM cl) " +
+        "((((r32 // 65536) * 2654435761) % 65536) * 65536 " +
+        "+ (r32 % 65536) * 2654435761) % 4294967296 AS bucket FROM b0) " +
         "SELECT doc_id, cluster_rep, " +
         s"CASE WHEN bucket < ${(0.8 * 4294967296L).toLong} THEN 'train' " +
         s"WHEN bucket < ${(0.9 * 4294967296L).toLong} THEN 'val' ELSE 'test' END " +

@@ -793,22 +793,46 @@ object EventStream {
     * is O(windows·types)/O(users) — driver-sized by contract — and
     * Update/Complete modes have no file sink anyway.
     */
+  // Sink dirs of COMPLETED runToParquet calls, swept at the next call:
+  // a long bench/verify session runs these queries sequentially and each
+  // result is fully consumed before the next query starts, so the
+  // previous generation's temp sinks are dead disk by then (deleteOnExit
+  // alone accumulated O(session) disk). Contract (scaladoc'd below): the
+  // returned scan is valid until the next streaming-runner invocation.
+  private val spentSinkDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
   private def runToParquet(df: DataFrame, minBatches: Int, exact: Boolean)
       (implicit spark: SparkSession): DataFrame = withStatePartitions(spark) {
     import java.nio.file.{Files => JFiles}
+    // Sweep the PRIOR generation's sinks — their results have been
+    // materialized (the harnesses are sequential); this bounds temp-disk
+    // at one live sink instead of one per query ever run.
+    var dead = spentSinkDirs.poll()
+    while (dead != null) {
+      try org.apache.commons.io.FileUtils.deleteDirectory(dead.toFile)
+      catch { case _: Exception => () }
+      dead = spentSinkDirs.poll()
+    }
     val out = JFiles.createTempDirectory("graft_stream_sink")
     val ckpt = JFiles.createTempDirectory("graft_stream_sink_ckpt")
     org.apache.commons.io.FileUtils.forceDeleteOnExit(out.toFile)
-    org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt.toFile)
     val q = df.writeStream.format("parquet").option("path", out.toString)
       .option("checkpointLocation", ckpt.toString)
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    if (!q.awaitTermination(300000L)) {
-      q.stop()
-      throw new IllegalStateException(
-        s"streaming query to $out did not terminate within 300s; " +
-          "refusing to return a partially-filled sink")
+    try {
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"streaming query to $out did not terminate within 300s; " +
+            "refusing to return a partially-filled sink")
+      }
+    } finally {
+      // The checkpoint is dead the moment the query terminates (these
+      // runners never resume it) — delete it NOW, not at JVM exit.
+      try org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+      catch { case _: Exception => () }
     }
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     if (exact && dataBatches != minBatches)
@@ -819,7 +843,12 @@ object EventStream {
       throw new IllegalStateException(
         s"streaming query to $out ran $dataBatches data micro-batches; " +
           s"this query exists to verify incremental arrival (>= $minBatches)")
-    spark.read.parquet(out.toString)
+    spentSinkDirs.add(out)
+    // Read back with the KNOWN sink schema (the restart runners' form):
+    // an Append query that legitimately emits zero rows leaves a sink
+    // dir with no data files, and schema INFERENCE would fail it with an
+    // unrelated "unable to infer schema" instead of an empty result.
+    spark.read.schema(df.schema).parquet(out.toString)
   }
 
   /** Single-data-batch invariant of [[runAvailableNow]], parquet sink. */

@@ -81,6 +81,27 @@ class PlanAuditSpec extends SparkSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  /** Like [[broadcastSubtrees]] but returns, per BroadcastExchange, the
+    * exchange's OWN output attribute names alongside the printed subtree
+    * — allowances anchored on the broadcast side's output schema are
+    * immune to both plan-cache lineage inlining (the printed subtree
+    * grows) and incidental attribute mentions deep in the lineage text.
+    */
+  private def broadcastOutputs(name: String): Seq[(Set[String], String)] = {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      plan.collect {
+        case e if e.getClass.getSimpleName.startsWith("BroadcastExchange") =>
+          (e.output.map(_.name).toSet, e.toString)
+      }
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("ANN score re-attach never broadcasts the unfiltered embeddings table") {
     // c3_ann_lsh / c3_ann_ivf: every broadcast must be the query subset
     // (carries the `% 100` filter); the corpus re-attach side must come
@@ -312,26 +333,26 @@ class PlanAuditSpec extends SparkSuite {
     // evidence-based choice is correct at every scale and is exactly
     // what this pin does NOT forbid.) Legitimate static broadcasts:
     // the set-sim machinery's driver-built per-partition offset table
-    // (pid/offset), and — for the exact containment pair/best forms on
-    // this ≤64-token fixture — the DISTINCT-SET bitmask side, which is
-    // bounded by maxMaskSets and engages only when the vocabulary
-    // itself bounds it (the c2_ngram_jaccard allowance). A `mask`
-    // attribute is computed ONLY in that bounded distinct-set
-    // construction (token-level relations — the dictionary, the
-    // inverted index — never carry one), so its presence above the
-    // cache boundary identifies the allowed broadcast even when plan
-    // caching inlines the full encode lineage into the printed
-    // subtree. As elsewhere, a cached relation's printed lineage
-    // doesn't count.
+    // (the exchange OUTPUTS pid+offset and nothing corpus-shaped), and
+    // — for the exact containment pair/best forms on this ≤64-token
+    // fixture — the DISTINCT-SET bitmask side, which is bounded by
+    // maxMaskSets and engages only when the vocabulary itself bounds it
+    // (the c2_ngram_jaccard allowance). Both allowances are anchored on
+    // the BroadcastExchange's own OUTPUT attributes — a `mask` column is
+    // produced only by that bounded distinct-set construction
+    // (token-level relations — the dictionary, the inverted index —
+    // never OUTPUT one), and unlike a substring match over the printed
+    // subtree this cannot be satisfied by a corpus-sized relation that
+    // merely has a mask somewhere in its (possibly cache-inlined)
+    // lineage text.
     for (name <- Seq("c2_containment", "c2_containment_best",
         "c2_containment_best_topc")) {
-      val offenders = broadcastSubtrees(name).filterNot { t =>
-        val above = t.split("InMemoryRelation").head
-        (above.contains("pid") && above.contains("offset")) ||
-          above.contains("mask")
+      val offenders = broadcastOutputs(name).filterNot { case (out, _) =>
+        (out.contains("pid") && out.contains("offset")) ||
+          out.exists(n => n == "mask" || n.endsWith("_mask"))
       }
       assert(offenders.isEmpty,
-        s"$name: corpus/vocab-sized broadcast:\n${offenders.mkString("\n")}")
+        s"$name: corpus/vocab-sized broadcast:\n${offenders.map(_._2).mkString("\n")}")
     }
   }
 }
