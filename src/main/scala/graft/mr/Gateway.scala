@@ -123,17 +123,51 @@ final class Gateway(spark: SparkSession, store: JobStore, port: Int = 2335,
       val params = queryParams(ex)
       (params.get("job_id").flatMap(_.toLongOption), params.get("token")) match {
         case (Some(id), Some(token)) =>
-          store.getResult(id, token) match {
-            case Right(results) =>
+          store.fetchResult(id, token) match {
+            case Right(JobStore.InlineResult(results)) =>
               respond(ex, 200,
-                results.map(jstr).mkString(
+                results.iterator.map(jstr).mkString(
                   """{"ok":true,"message":"","result":[""", ",", "]}"))
+            case Right(sp: JobStore.SpilledResult) =>
+              // Size-gated path: the result never materialized on the
+              // driver (it lives in the executor-written spill sink), so
+              // the response must not either — stream it CHUNKED, one
+              // bounded partition at a time (readSpilled/toLocalIterator).
+              // Same body shape as the inline path byte-for-byte: a
+              // client cannot tell which path served it.
+              streamResult(ex, JobStore.readSpilled(spark, sp))
             case Left(msg) =>
               respond(ex, 500, s"""{"ok":false,"message":${jstr(msg)}}""")
           }
         case _ => respond(ex, 400, "", "text/plain")
       }
     }
+
+  /** Chunked `/getresult` body for spilled results: response length 0 =
+    * chunked transfer encoding; rows are escaped and written as they
+    * stream off the sink scan, buffered by the 64 KiB writer — the
+    * gateway's heap holds O(one row + one partition fetch), never the
+    * result.
+    */
+  private def streamResult(ex: HttpExchange, rows: Iterator[String]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, 0)
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      ex.getResponseBody, StandardCharsets.UTF_8), 64 * 1024)
+    try {
+      w.write("""{"ok":true,"message":"","result":[""")
+      var first = true
+      rows.foreach { r =>
+        if (!first) w.write(",")
+        first = false
+        w.write(jstr(r))
+      }
+      w.write("]}")
+    } finally {
+      try w.close() catch { case _: Exception => () }
+      ex.close()
+    }
+  }
 
   /** `POST /cancel?job_id=N&token=T` — the user-facing form of the
     * reference's internal subjob cancel RPC (`master.cc:571-583`; the

@@ -9,11 +9,28 @@ import java.util.concurrent.atomic.AtomicLong
   * master job table + HTTP gateway surface:
   *  - launch validation: mapper/reducer > 0, non-empty input
   *    (`/root/reference/src/tmapreduce/master.cc:530-535`);
+  *  - bounded admission: at most `maxConcurrent` jobs execute at once,
+  *    later launches wait in a FIFO Queued state — the analog of the
+  *    reference queueing subjobs until a worker is idle
+  *    (`master.cc:180-349`: `distribute_tasks` only hands a subjob to an
+  *    idle capable worker and re-queues otherwise). One thread per
+  *    launch would admit an unbounded flood of concurrent Spark job
+  *    groups into a long-lived gateway;
   *  - result fetch by (job_id, token) with exact-match auth
   *    (`master.cc:685-699`, `job.h:93`);
+  *  - size-gated results: the reference holds every finished result in
+  *    master RAM (`job.h:86-88`) — fine for its word-count example,
+  *    a driver-heap scale-killer for a long-lived process serving
+  *    user-sized outputs. Results whose measured byte size exceeds
+  *    `spillBytes` are written to a parquet spill sink by the EXECUTORS
+  *    (the driver never materializes them) and the job state holds a
+  *    pointer; [[JobStore.readSpilled]] streams them back one bounded
+  *    partition at a time (`toLocalIterator`), and the gateway's
+  *    `/getresult` streams that as a chunked response;
   *  - finished results expire after a TTL
   *    (`JOB_RESULT_TIMEOUT_SECOND=3600`, `master.h:27`; scanner
-  *    `master.cc:449-463`).
+  *    `master.cc:449-463`) — eviction also deletes a spilled result's
+  *    sink directory, so the TTL bounds disk exactly as it bounds RAM.
   *
   * The Raft/etcd/brpc machinery around this table is deliberately dropped
   * (SURVEY.md §7.6): Spark's driver is the single coordinator.
@@ -22,9 +39,13 @@ import java.util.concurrent.atomic.AtomicLong
   */
 final class JobStore(
     clock: () => Long = () => System.currentTimeMillis(),
-    ttlMillis: Long = JobStore.DefaultTtlMillis) {
+    ttlMillis: Long = JobStore.DefaultTtlMillis,
+    maxConcurrent: Int = JobStore.DefaultMaxConcurrent,
+    spillBytes: Long = JobStore.DefaultSpillBytes,
+    spillRoot: String = JobStore.defaultSpillRoot()) {
 
   import JobStore._
+  require(maxConcurrent > 0, "maxConcurrent must be > 0")
 
   private val nextId = new AtomicLong(0L)
   private val jobs = new ConcurrentHashMap[Long, JobState]()
@@ -33,6 +54,15 @@ final class JobStore(
   // executor thread — covering the window before the thread has set its
   // job group (or submitted its first Spark job).
   private val threads = new ConcurrentHashMap[Long, Thread]()
+  // Fixed-size admission pool with a FIFO wait queue: Queued jobs run in
+  // launch order as slots free up (the reference's idle-worker queue,
+  // master.cc:180-349). Daemon threads — the store never pins the JVM.
+  private lazy val pool: java.util.concurrent.ExecutorService = {
+    val n = new AtomicLong(0L)
+    java.util.concurrent.Executors.newFixedThreadPool(maxConcurrent,
+      r => { val t = new Thread(r, s"graft-job-worker-${n.getAndIncrement()}")
+        t.setDaemon(true); t })
+  }
 
   /** Validate + run a job of a registered type; returns the job id once
     * the job has completed (synchronous form).
@@ -52,8 +82,11 @@ final class JobStore(
   /** Async form — the reference's actual surface: `/launch` returns a job
     * id immediately and clients poll `/getresult`
     * (`gateway.cc:66-184`, example client polls every 2 s,
-    * `word_count_client.cc:54-57`). The Spark action runs on a daemon
-    * thread; status transitions Running → Finished/Failed.
+    * `word_count_client.cc:54-57`). The job enters the FIFO admission
+    * queue (status Queued) and transitions Queued → Running when one of
+    * the `maxConcurrent` pool slots picks it up — a launch flood holds
+    * at most `maxConcurrent` concurrent Spark job groups, the rest wait
+    * in submission order.
     */
   def launchAsync(
       spark: SparkSession,
@@ -61,11 +94,7 @@ final class JobStore(
       input: Dataset[(String, String)]): Either[String, Long] =
     validate(spark, spec, input).map { fns =>
       val id = register(spec)
-      val t = new Thread(() => execute(spark, id, spec, input, fns),
-        s"graft-job-$id")
-      t.setDaemon(true)
-      threads.put(id, t)
-      t.start()
+      pool.execute(() => execute(spark, id, spec, input, fns))
       id
     }
 
@@ -84,7 +113,7 @@ final class JobStore(
 
   private def register(spec: JobSpec): Long = {
     val id = nextId.getAndIncrement()
-    jobs.put(id, JobState(spec, Running, None, None))
+    jobs.put(id, JobState(spec, Queued, None, None))
     id
   }
 
@@ -95,28 +124,38 @@ final class JobStore(
       input: Dataset[(String, String)],
       fns: JobTypeRegistry.MapReduceFn): Unit =
     try {
+      // Admission: only a still-Queued job starts running — a cancel
+      // that landed while the job waited in the queue transitioned it to
+      // the terminal Cancelled state, and no work may run for it. (A
+      // cancel landing AFTER this transition is covered by the group
+      // kill for submitted stages and the thread interrupt for the gap
+      // between.)
+      var admitted = false
+      jobs.computeIfPresent(id, (_, st) =>
+        if (st.status == Queued) { admitted = true; st.copy(status = Running) }
+        else st)
+      if (!admitted) return
+      threads.put(id, Thread.currentThread())
       // Tag every Spark job this MR job spawns with a per-id group so
       // cancel() can kill the in-flight stages (the analog of the
       // reference unassigning a subjob from its worker, master.cc:571-583
       // — except Spark's cancellation is terminal, not a requeue).
       spark.sparkContext.setJobGroup(jobGroup(id),
         s"graft job $id: ${spec.name}", interruptOnCancel = true)
-      // A cancel that landed before this thread got here transitioned the
-      // state already — do not run work for a terminal job. (A cancel
-      // landing AFTER this check is covered by the group kill for
-      // submitted stages and the thread interrupt for the gap between.)
-      if (Option(jobs.get(id)).exists(_.status != Running)) return
       val out = MRJob
         .run(spark, input, fns.mapFn, fns.reduceFn, spec.mappers,
           spec.reducers, fns.combineFn)
-        .collect()
-      finishIfRunning(id, _.copy(status = Finished, result = Some(out),
+      val result = materialize(spark, id, out)
+      finishIfRunning(id, _.copy(status = Finished, result = Some(result),
         finishedAt = Some(clock())))
     } catch {
       case e: Exception =>
-        // A cancelled job's collect() dies with a SparkException (or the
+        // A cancelled job's action dies with a SparkException (or the
         // interrupt) here; finishIfRunning leaves the Cancelled state in
-        // place — only a still-Running job transitions to Failed.
+        // place — only a still-Running job transitions to Failed. A
+        // partially-written spill sink from the failed/cancelled attempt
+        // is deleted — nothing points at it.
+        deleteDir(spillDir(id))
         finishIfRunning(id, _.copy(status = Failed(e.getMessage),
           finishedAt = Some(clock())))
     } finally {
@@ -130,22 +169,66 @@ final class JobStore(
         spark.sparkContext.cancelJobGroup(jobGroup(id))
       spark.sparkContext.clearJobGroup()
       threads.remove(id)
-      Thread.interrupted() // clear a late interrupt; the thread is done
+      Thread.interrupted() // clear a late interrupt; the pool thread moves on
     }
 
-  /** Terminal-state transition guard: Running is the only non-terminal
-    * status, so Finished/Failed/Cancelled can never clobber each other
-    * regardless of how the executor thread and cancel() interleave.
+  /** O8/O10 result materialization, size-gated: one distributed aggregate
+    * measures the result's byte size WITHOUT bringing a row to the driver
+    * (the lineage's shuffle files are reused, so this reruns only the
+    * final stage); results within `spillBytes` collect inline (the
+    * reference's master-RAM shape, `job.h:86-88`), larger ones write the
+    * parquet spill sink executor-parallel with an order key
+    * (`monotonically_increasing_id` is monotone with the range-partition
+    * order MRJob already established, so the read-back `orderBy(mid)`
+    * restores the reference's key-ordered concatenation, job.cc:68-77).
+    */
+  private def materialize(
+      spark: SparkSession, id: Long, out: Dataset[String]): JobResult = {
+    import org.apache.spark.sql.functions._
+    // DISK_ONLY persist scoped to this method: the sizing aggregate and
+    // the collect/spill are two actions — without it the whole lineage
+    // (including the USER's map/reduce closures) would execute twice,
+    // doubling cost and double-running any side-effecting UDF. Disk, not
+    // heap: the result may be arbitrarily large; unpersisted on exit so
+    // the store leaves no net cached blocks behind.
+    val df = out.toDF("result")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val stats = df.agg(
+        count(lit(1)).cast("long"),
+        coalesce(sum(octet_length(col("result"))), lit(0L)).cast("long")).head()
+      val (rows, bytes) = (stats.getLong(0), stats.getLong(1))
+      if (bytes <= spillBytes)
+        InlineResult(df.collect().map(_.getString(0)))
+      else {
+        val dir = spillDir(id)
+        df.withColumn("mid", monotonically_increasing_id())
+          .select("mid", "result")
+          .write.mode("overwrite").parquet(dir)
+        SpilledResult(dir, rows, bytes)
+      }
+    } finally df.unpersist(blocking = false)
+  }
+
+  private def spillDir(id: Long): String =
+    new java.io.File(spillRoot, s"job-$id").toString
+
+  /** Terminal-state transition guard: Queued/Running are the only
+    * non-terminal statuses and execute() owns the Queued → Running edge,
+    * so Finished/Failed/Cancelled can never clobber each other regardless
+    * of how the pool thread and cancel() interleave.
     */
   private def finishIfRunning(id: Long, f: JobState => JobState): Unit =
     jobs.computeIfPresent(id, (_, st) => if (st.status == Running) f(st) else st)
 
-  /** Cancel a running job: token-authenticated like getResult, kills the
-    * in-flight Spark stages via the job group, and lands the job in the
-    * terminal Cancelled state (TTL-evicted like any finished job). A job
-    * already in a terminal state is not cancellable — mirrors the
-    * reference's guard that only an unfinished subjob can be cancelled
-    * (`master.cc:571-583`).
+  /** Cancel a queued or running job: token-authenticated like getResult,
+    * kills the in-flight Spark stages via the job group, and lands the
+    * job in the terminal Cancelled state (TTL-evicted like any finished
+    * job). A still-Queued job simply never starts — execute()'s admission
+    * check skips terminal jobs, the reference's cancel-before-assignment
+    * case. A job already in a terminal state is not cancellable — mirrors
+    * the reference's guard that only an unfinished subjob can be
+    * cancelled (`master.cc:571-583`).
     */
   def cancel(spark: SparkSession, id: Long, token: String): Either[String, Unit] = {
     evictExpired() // same sweep as getResult: a TTL-expired job is GONE
@@ -155,14 +238,15 @@ final class JobStore(
       case _ =>
         var transitioned = false
         jobs.computeIfPresent(id, (_, st) =>
-          if (st.status == Running) {
+          if (st.status == Running || st.status == Queued) {
             transitioned = true
             st.copy(status = Cancelled, result = None, finishedAt = Some(clock()))
           } else st)
         if (transitioned) {
           // Kill already-submitted stages via the group, and interrupt
-          // the executor thread for the pre-submission window (a group
-          // cancel only reaches jobs that exist when it fires).
+          // the pool thread for the pre-submission window (a group
+          // cancel only reaches jobs that exist when it fires). A
+          // Queued job has neither — both calls are no-ops for it.
           spark.sparkContext.cancelJobGroup(jobGroup(id))
           Option(threads.get(id)).foreach(_.interrupt())
           Right(())
@@ -171,18 +255,34 @@ final class JobStore(
   }
 
   /** Token-authenticated result fetch; mirrors handle_get_result guards
-    * in order: exists → token → finished (`master.cc:685-699`).
+    * in order: exists → token → finished (`master.cc:685-699`). Inline
+    * results only — a spilled result deliberately does NOT round-trip
+    * through the driver heap here; use [[fetchResult]] +
+    * [[JobStore.readSpilled]] to stream it.
     */
-  def getResult(id: Long, token: String): Either[String, Seq[String]] = {
+  def getResult(id: Long, token: String): Either[String, Seq[String]] =
+    fetchResult(id, token).flatMap {
+      case InlineResult(rows) => Right(rows.toSeq)
+      case SpilledResult(dir, rows, bytes) =>
+        Left(s"result spilled ($rows rows, $bytes bytes) to $dir; " +
+          "stream it via fetchResult + JobStore.readSpilled")
+    }
+
+  /** Result fetch returning the size-gated representation: InlineResult
+    * for results within the spill bound, SpilledResult (a pointer to the
+    * executor-written parquet sink) beyond it. Same guard order as
+    * [[getResult]].
+    */
+  def fetchResult(id: Long, token: String): Either[String, JobResult] = {
     evictExpired()
     Option(jobs.get(id)) match {
       case None => Left(s"no such job: $id")
       case Some(st) if st.spec.token != token => Left("wrong token")
-      case Some(JobState(_, Finished, Some(res), _)) => Right(res.toSeq)
+      case Some(JobState(_, Finished, Some(res), _)) => Right(res)
       case Some(JobState(_, Failed(msg), _, _)) => Left(s"job failed: $msg")
-      // Cancelled and Running both answer with the reference's
+      // Cancelled, Queued and Running all answer with the reference's
       // not-finished error shape (master.cc:694-696): a cancelled job
-      // simply never finishes.
+      // simply never finishes, a queued one hasn't started.
       case Some(_) => Left("job not finished")
     }
   }
@@ -191,6 +291,8 @@ final class JobStore(
 
   /** Drop finished/failed jobs older than the TTL; returns eviction count
     * (the BGScaner sweep, `master.cc:449-463` + `master.cc:701-710`).
+    * A spilled result's sink directory is deleted with its job — the TTL
+    * bounds spill DISK exactly as the reference's bounds master RAM.
     */
   def evictExpired(): Int = {
     val now = clock()
@@ -198,17 +300,54 @@ final class JobStore(
     jobs.forEach { (id, st) =>
       if (st.finishedAt.exists(t => now - t >= ttlMillis)) {
         jobs.remove(id); n += 1
+        st.result.foreach {
+          case SpilledResult(dir, _, _) => deleteDir(dir)
+          case _ => ()
+        }
       }
     }
     n
   }
+
+  private def deleteDir(dir: String): Unit =
+    try {
+      val f = new java.io.File(dir)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    } catch { case _: Exception => () }
 }
 
 object JobStore {
   val DefaultTtlMillis: Long = 3600L * 1000L // JOB_RESULT_TIMEOUT_SECOND, master.h:27
+  /** Default admission bound — the "worker pool" a single-driver
+    * deployment exposes; the reference's analog is its registered-worker
+    * count (`master.cc:180-349` re-queues when none is idle).
+    */
+  val DefaultMaxConcurrent: Int = 4
+  /** Inline-result bound: results measured larger than this never land
+    * on the driver heap — they spill to a parquet sink and stream back.
+    * 16 MiB keeps every plausible control-plane result inline while
+    * bounding a long-lived gateway's per-job heap exposure.
+    */
+  val DefaultSpillBytes: Long = 16L * 1024 * 1024
+
+  def defaultSpillRoot(): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-mr-results").toString
 
   /** Spark job-group tag for one MR job's stages. */
   def jobGroup(id: Long): String = s"graft-job-$id"
+
+  /** Stream a spilled result in the original key order, one bounded
+    * partition on the driver at a time (`toLocalIterator`) — the scale
+    * form of `/getresult` (the sort restoring O8's key-ordered concat is
+    * distributed; the driver holds at most one shuffle partition).
+    */
+  def readSpilled(spark: SparkSession, res: SpilledResult): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    spark.read.schema("mid LONG, result STRING").parquet(res.dir)
+      .orderBy("mid").select("result")
+      .toLocalIterator.asScala.map(_.getString(0))
+  }
 
   final case class JobSpec(
       name: String,
@@ -218,14 +357,23 @@ object JobStore {
       reducers: Int = 2)
 
   sealed trait JobStatus
+  case object Queued extends JobStatus
   case object Running extends JobStatus
   case object Finished extends JobStatus
   case object Cancelled extends JobStatus
   final case class Failed(message: String) extends JobStatus
 
+  /** Size-gated result representation (O10): inline for small results,
+    * a sink pointer for large ones.
+    */
+  sealed trait JobResult
+  final case class InlineResult(rows: Array[String]) extends JobResult
+  final case class SpilledResult(dir: String, rows: Long, bytes: Long)
+      extends JobResult
+
   private final case class JobState(
       spec: JobSpec,
       status: JobStatus,
-      result: Option[Array[String]],
+      result: Option[JobResult],
       finishedAt: Option[Long])
 }

@@ -257,6 +257,89 @@ class GatewaySpec extends SparkSuite {
     }
   }
 
+  test("oversized result streams from the spill sink, byte-identical to the inline shape") {
+    // Tiny spill bound: the charcount result (~100 bytes) exceeds it, so
+    // the store never materializes the rows on the driver — /getresult
+    // serves the CHUNKED streamed body, which must be byte-identical to
+    // what the inline path would have served (a client cannot tell), and
+    // TTL eviction must delete the sink directory (O11 bounds disk like
+    // the reference's RAM).
+    @volatile var now = 1000L
+    val root = java.nio.file.Files.createTempDirectory("graft_gw_spill").toString
+    val store = new JobStore(clock = () => now, ttlMillis = 60_000L,
+      spillBytes = 8L, spillRoot = root)
+    val gw = new Gateway(spark, store, port = 0)
+    val port = gw.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      val launch = post(s"$base/launch", launchBody("charcount_example"))
+      assert(launch.statusCode() == 200, launch.body())
+      val id = """"job_id":(\d+)""".r.findFirstMatchIn(launch.body()).get.group(1)
+      var resp = get(s"$base/getresult?job_id=$id&token=ztorchan")
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (resp.statusCode() != 200 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        resp = get(s"$base/getresult?job_id=$id&token=ztorchan")
+      }
+      assert(resp.statusCode() == 200, resp.body())
+      // the job really did spill: the store holds a pointer, not rows
+      val Right(sp: JobStore.SpilledResult) =
+        store.fetchResult(id.toLong, "ztorchan")
+      assert(new java.io.File(sp.dir).isDirectory)
+      // byte-identical to the inline body (the single_node.sh expectation)
+      val expected = vals.flatMap(_.toLowerCase)
+        .filter(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))
+        .groupBy(identity).toSeq.sortBy(_._1)
+        .flatMap { case (c, cs) => Seq(c.toString, cs.length.toString) }
+        .map("\"" + _ + "\"").mkString(
+          """{"ok":true,"message":"","result":[""", ",", "]}")
+      assert(resp.body() == expected)
+      // TTL eviction deletes the sink files
+      now += 61_000L
+      val gone = get(s"$base/getresult?job_id=$id&token=ztorchan")
+      assert(gone.statusCode() == 500 && gone.body().contains("no such job"))
+      assert(!new java.io.File(sp.dir).exists(),
+        "TTL eviction left the spill sink on disk")
+    } finally gw.stop()
+  }
+
+  test("launch flood over HTTP: at most maxConcurrent jobs run; all complete FIFO-fairly") {
+    JobTypeRegistry.register("gw_flood_sleep",
+      (k, v) => { Thread.sleep(400); Iterator.single((k, v)) },
+      (k, vs) => vs.map(v => s"$k\t$v"))
+    val store = new JobStore(maxConcurrent = 2)
+    val gw = new Gateway(spark, store, port = 0)
+    val port = gw.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val launches = Await.result(
+        Future.sequence(Seq.fill(6)(Future(
+          post(s"$base/launch", launchBody("gw_flood_sleep"))))), 60.seconds)
+      assert(launches.forall(_.statusCode() == 200), launches.map(_.body()))
+      val ids = launches.map(l => """"job_id":(\d+)""".r
+        .findFirstMatchIn(l.body()).get.group(1).toLong)
+      // sample the store while the flood drains: Running ≤ 2 throughout
+      var maxRunning = 0
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (ids.exists(id => store.status(id) != Some(JobStore.Finished)) &&
+          System.nanoTime() < deadline) {
+        maxRunning = math.max(maxRunning,
+          ids.count(id => store.status(id) == Some(JobStore.Running)))
+        Thread.sleep(25)
+      }
+      assert(maxRunning <= 2,
+        s"HTTP flood admitted $maxRunning concurrent jobs (bound 2)")
+      ids.foreach { id =>
+        val r = get(s"$base/getresult?job_id=$id&token=ztorchan")
+        assert(r.statusCode() == 200 && r.body().contains(""""ok":true"""),
+          s"job $id: ${r.body()}")
+      }
+    } finally gw.stop()
+  }
+
   test("getresult guards: missing params 400; bad job/token 500 in reference order") {
     withGateway { base =>
       assert(get(s"$base/getresult").statusCode() == 400)

@@ -107,4 +107,159 @@ class JobStoreSpec extends SparkSuite {
     }
     assert(res == Right(Seq("2", "2"))) // x=2, y=2 in key order
   }
+
+  private def awaitStatus(store: JobStore, id: Long, want: JobStore.JobStatus,
+      timeoutMs: Long = 60000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (store.status(id) != Some(want) && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(store.status(id) == Some(want),
+      s"job $id never reached $want (is ${store.status(id)})")
+  }
+
+  test("bounded admission: FIFO Queued → Running order (master.cc:180-349 queue parity)") {
+    // Latch-gated job type: each job's map task blocks until its value's
+    // latch opens, so admission order is observed deterministically — no
+    // timing sampling. maxConcurrent=1 serializes: with A holding the
+    // single slot, B and C must WAIT in Queued, and C must not start
+    // before B even when C's work is ready first (FIFO, not readiness).
+    JobTypeRegistry.register("blocking_gate_spec",
+      (k, v) => {
+        JobStoreSpecBlocker.await(v)
+        Iterator.single((k, v))
+      },
+      (k, vs) => vs.map(v => s"$k=$v"))
+    val store = new JobStore(clock = () => 0L, maxConcurrent = 1)
+    def slow(tag: String) = store.launchAsync(spark,
+      JobSpec(tag, "blocking_gate_spec", "t", mappers = 1, reducers = 1),
+      kv(("k", tag))).toOption.get
+    val a = slow("fifoA"); awaitStatus(store, a, JobStore.Running)
+    val b = slow("fifoB")
+    val c = slow("fifoC")
+    assert(store.status(b) == Some(JobStore.Queued))
+    assert(store.status(c) == Some(JobStore.Queued))
+    // C's work is ready, but FIFO holds it behind B
+    JobStoreSpecBlocker.release("fifoC")
+    Thread.sleep(300)
+    assert(store.status(c) == Some(JobStore.Queued),
+      "C started ahead of B: admission is not FIFO")
+    JobStoreSpecBlocker.release("fifoA")
+    awaitStatus(store, a, JobStore.Finished)
+    awaitStatus(store, b, JobStore.Running) // the freed slot goes to B, not C
+    assert(store.status(c) == Some(JobStore.Queued))
+    JobStoreSpecBlocker.release("fifoB")
+    awaitStatus(store, b, JobStore.Finished)
+    awaitStatus(store, c, JobStore.Finished)
+    assert(store.getResult(a, "t") == Right(Seq("k=fifoA")))
+    assert(store.getResult(c, "t") == Right(Seq("k=fifoC")))
+  }
+
+  test("bounded admission: a launch flood never exceeds maxConcurrent running jobs") {
+    JobTypeRegistry.register("flood_sleep_spec",
+      (k, v) => { Thread.sleep(400); Iterator.single((k, v)) },
+      (k, vs) => vs.map(v => s"$k=$v"))
+    val store = new JobStore(clock = () => 0L, maxConcurrent = 2)
+    val ids = (0 until 8).map { i =>
+      store.launchAsync(spark,
+        JobSpec(s"f$i", "flood_sleep_spec", "t", mappers = 1, reducers = 1),
+        kv(("k", s"v$i"))).toOption.get
+    }
+    // Sample while the flood drains: Running count must never exceed the
+    // admission bound (one unbounded thread per launch would show 8).
+    var maxRunning = 0
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (ids.exists(id => store.status(id) != Some(JobStore.Finished)) &&
+        System.nanoTime() < deadline) {
+      val running = ids.count(id => store.status(id) == Some(JobStore.Running))
+      maxRunning = math.max(maxRunning, running)
+      Thread.sleep(25)
+    }
+    assert(maxRunning <= 2, s"flood admitted $maxRunning concurrent jobs (bound 2)")
+    ids.foreach(awaitStatus(store, _, JobStore.Finished))
+    ids.zipWithIndex.foreach { case (id, i) =>
+      assert(store.getResult(id, "t") == Right(Seq(s"k=v$i")))
+    }
+  }
+
+  test("cancel works in the Queued state: the job never runs") {
+    JobTypeRegistry.register("blocking_gate_qc",
+      (k, v) => { JobStoreSpecBlocker.await(v); JobStoreSpecBlocker.markRan(v)
+        Iterator.single((k, v)) },
+      (k, vs) => vs.map(v => s"$k=$v"))
+    val store = new JobStore(clock = () => 0L, maxConcurrent = 1)
+    val Right(a) = store.launchAsync(spark,
+      JobSpec("hold", "blocking_gate_qc", "t", mappers = 1, reducers = 1),
+      kv(("k", "qcA")))
+    awaitStatus(store, a, JobStore.Running)
+    val Right(b) = store.launchAsync(spark,
+      JobSpec("victim", "blocking_gate_qc", "t", mappers = 1, reducers = 1),
+      kv(("k", "qcB")))
+    assert(store.status(b) == Some(JobStore.Queued))
+    assert(store.cancel(spark, b, "t") == Right(()))
+    assert(store.status(b) == Some(JobStore.Cancelled))
+    // open EVERY latch; B's work must still never run (admission skips
+    // terminal jobs) and the Cancelled state is final
+    JobStoreSpecBlocker.release("qcB")
+    JobStoreSpecBlocker.release("qcA")
+    awaitStatus(store, a, JobStore.Finished)
+    Thread.sleep(500)
+    assert(store.status(b) == Some(JobStore.Cancelled))
+    assert(!JobStoreSpecBlocker.ran("qcB"),
+      "a Queued-cancelled job's map closure executed")
+    assert(store.getResult(b, "t") == Left("job not finished"))
+  }
+
+  test("size-gated result: beyond spillBytes the driver holds a pointer, not the rows") {
+    // Tiny bound forces the spill path on a small job; the streamed
+    // read-back must reproduce the exact key-ordered result, and TTL
+    // eviction must delete the sink directory (disk bounded like RAM).
+    var now = 0L
+    val root = java.nio.file.Files.createTempDirectory("graft_spill_spec").toString
+    val store = new JobStore(clock = () => now, ttlMillis = 1000L,
+      spillBytes = 2L, spillRoot = root)
+    val Right(id) = store.launch(spark,
+      JobSpec("wc", "wordcount", "tok"), kv(("d1", "c a b a"), ("d2", "b z")))
+    // inline fetch refuses: the rows are deliberately NOT on the driver
+    val inline = store.getResult(id, "tok")
+    assert(inline.isLeft && inline.swap.exists(_.contains("spilled")), inline)
+    val Right(sp: JobStore.SpilledResult) = store.fetchResult(id, "tok")
+    assert(sp.rows == 4L && new java.io.File(sp.dir).isDirectory, sp)
+    // key-ordered, exactly the inline semantics: a=2, b=2, c=1, z=1
+    assert(JobStore.readSpilled(spark, sp).toSeq == Seq("2", "2", "1", "1"))
+    // wrong token still guarded
+    assert(store.fetchResult(id, "bad") == Left("wrong token"))
+    // TTL eviction deletes the sink files with the job
+    now = 1000L
+    assert(store.fetchResult(id, "tok") == Left(s"no such job: $id"))
+    assert(!new java.io.File(sp.dir).exists(),
+      "TTL eviction left the spilled result's sink directory behind")
+  }
+
+  test("size-gated result: within the bound stays inline with no spill directory") {
+    val root = java.nio.file.Files.createTempDirectory("graft_spill_spec2").toString
+    val store = new JobStore(clock = () => 0L, spillRoot = root)
+    val Right(id) = store.launch(spark,
+      JobSpec("wc", "wordcount", "tok"), kv(("d", "p q p")))
+    assert(store.getResult(id, "tok") == Right(Seq("2", "1")))
+    val Right(res) = store.fetchResult(id, "tok")
+    assert(res.isInstanceOf[JobStore.InlineResult])
+    assert(Option(new java.io.File(root).list()).forall(_.isEmpty),
+      "an inline result wrote a spill directory")
+  }
+}
+
+/** Shared latch registry for the admission specs — tasks run in-JVM
+  * under local[*], so the map closures gate on these directly.
+  */
+object JobStoreSpecBlocker {
+  private val latches =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CountDownLatch]()
+  private val executed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def latch(key: String) =
+    latches.computeIfAbsent(key, _ => new java.util.concurrent.CountDownLatch(1))
+  def await(key: String): Unit =
+    latch(key).await(120, java.util.concurrent.TimeUnit.SECONDS)
+  def release(key: String): Unit = latch(key).countDown()
+  def markRan(key: String): Unit = { executed.add(key); () }
+  def ran(key: String): Boolean = executed.contains(key)
 }
