@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.text.LangId
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Group C (text) — dedup + text-analysis operators a training-data
@@ -503,7 +503,154 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** C4p: BPE merge training — the tokenizer-pipeline primitive itself
+    * (the [[c4VocabGrowth]]/[[c4Zipf]] curves DIAGNOSE a tokenizer
+    * budget; this computes the byte-pair-encoding merge table a
+    * tokenizer trains from the corpus). K deterministic rounds of the
+    * classic algorithm (Sennrich et al. 2016, public): words become
+    * character sequences + an end-of-word marker; each round counts
+    * adjacent symbol pairs weighted by word frequency, picks the argmax
+    * (ties broken (count desc, left asc, right asc)), and merges every
+    * greedy left-to-right non-overlapping occurrence across the
+    * vocabulary. Output: the merge table (round, lhs, rhs, merged,
+    * pair_count) — exact int64 counts, no floats, hash-stable.
+    *
+    * Scale posture (the 100 TB shape): the corpus is touched ONCE — the
+    * word-frequency aggregate (one partial+final shuffle on the token);
+    * every round thereafter runs on the VOCABULARY table, which is
+    * O(types), not O(tokens) (Heaps: ≪ corpus). Per round: one
+    * partial+final aggregate over vocab·avg_len pair instances, a
+    * TakeOrdered(1) argmax (bounded driver collect — one row), and the
+    * merge applied as a narrow codegen'd fold (`functions.aggregate`
+    * with a (emitted, held) struct state) with the winning pair inlined
+    * as literals — the "broadcast of the merged pair". No window over
+    * the vocab, no driver materialization beyond K argmax rows. Each
+    * round's vocab persists (MEMORY_AND_DISK, O(types)) and all handles
+    * unpersist before returning — net-zero cached blocks.
+    */
+  def c4BpeMerges(spark: SparkSession, dir: String, rounds: Int = 10): DataFrame = {
+    // Greedy left-to-right merge of (a,b) -> ab over the space-joined
+    // symbol sequence, as a codegen'd fold: state = (out, held) where
+    // held is a pending `a` waiting for `b`. Matches the oracle's
+    // taken-parity window replay (a run of k consecutive matches — only
+    // possible when a == b — pairs up from the left).
+    def mergeSeq(a: String, b: String): Column = {
+      val emptyOut = array().cast("array<string>")
+      val nullHeld = lit(null).cast("string")
+      def st(out: Column, held: Column) =
+        struct(out.as("out"), held.as("held"))
+      aggregate(
+        split(col("seq"), " "),
+        st(emptyOut, nullHeld),
+        (s, x) => {
+          val out = s.getField("out"); val held = s.getField("held")
+          when(held.isNotNull && x === lit(b),
+            st(array_append(out, lit(a + b)), nullHeld))
+            .when(held.isNotNull && x === lit(a),
+              st(array_append(out, held), x))
+            .when(held.isNotNull,
+              st(array_append(array_append(out, held), x), nullHeld))
+            .when(x === lit(a), st(out, x))
+            .otherwise(st(array_append(out, x), nullHeld))
+        },
+        s => concat_ws(" ",
+          when(s.getField("held").isNotNull,
+            array_append(s.getField("out"), s.getField("held")))
+            .otherwise(s.getField("out"))))
+    }
+    // One corpus pass: word frequencies, then the char-symbol sequence.
+    // (split on "" can emit empty strings at the boundary — filter.)
+    var vocab = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat_ws(" ", concat(
+        filter(split(col("word"), ""), x => x =!= ""),
+        array(lit("</w>")))).as("seq"))
+    val persisted = scala.collection.mutable.Buffer[DataFrame]()
+    val merges = scala.collection.mutable.Buffer[(Int, String, String, String, Long)]()
+    try {
+      for (k <- 1 to rounds if merges.size == k - 1) {
+        vocab = vocab.persist()
+        persisted += vocab
+        val arr = split(col("seq"), " ")
+        val best = vocab
+          .select(col("freq"), explode(zip_with(
+            slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+            slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1) // TakeOrdered: bounded per-partition heap + 1-row collect
+          .collect()
+        if (best.nonEmpty) {
+          val (a, b, cnt) =
+            (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+          merges += ((k, a, b, a + b, cnt))
+          vocab = vocab.select(col("freq"), mergeSeq(a, b).as("seq"))
+        }
+      }
+    } finally persisted.foreach(_.unpersist(blocking = false))
+    import spark.implicits._
+    merges.toSeq
+      .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("merge_round")
+  }
+
+  /** DuckDB replay of [[c4BpeMerges]]: the same K rounds, with the
+    * greedy merge expressed as a taken-parity window (taken(i) = match
+    * at i AND NOT taken(i-1); within a maximal run of consecutive
+    * matches — only possible when lhs == rhs — the even offsets are
+    * taken). Every round's vocab is MATERIALIZED: the chain references
+    * each prior round once per consumer, and inlining 10 rounds of
+    * window stacks would blow the planner up (the closureChainSql
+    * lesson).
+    */
+  private def bpeChainSql(rounds: Int): String = {
+    val base =
+      "w0 AS MATERIALIZED (" +
+        "SELECT list_aggregate(list_append(string_split(word, ''), '</w>'), 'string_agg', ' ') AS seq, " +
+        "count(*) AS freq " +
+        "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "WHERE length(word) > 0 GROUP BY 1)"
+    val rounds_sql = (1 to rounds).map { k =>
+      val prev = if (k == 1) "w0" else s"w${k - 1}"
+      s"s$k AS (SELECT seq AS w, freq, " +
+        s"unnest(generate_series(1, len(string_split(seq, ' ')))) AS i, " +
+        s"string_split(seq, ' ') AS arr FROM $prev), " +
+        s"y$k AS (SELECT w, freq, i, arr[i] AS sym FROM s$k), " +
+        s"b$k AS MATERIALIZED (SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM (" +
+        s"SELECT l, r, sum(freq) AS cnt FROM (" +
+        s"SELECT sym AS l, lead(sym) OVER (PARTITION BY w ORDER BY i) AS r, freq " +
+        s"FROM y$k) WHERE r IS NOT NULL GROUP BY l, r) " +
+        s"ORDER BY cnt DESC, l, r LIMIT 1), " +
+        s"m$k AS (SELECT w, freq, i, sym, coalesce(" +
+        s"sym = (SELECT l FROM b$k) AND " +
+        s"lead(sym) OVER (PARTITION BY w ORDER BY i) = (SELECT r FROM b$k), " +
+        s"FALSE) AS mt FROM y$k), " +
+        s"g$k AS (SELECT *, CASE WHEN mt AND NOT coalesce(" +
+        s"lag(mt) OVER (PARTITION BY w ORDER BY i), FALSE) THEN 1 ELSE 0 END AS rs " +
+        s"FROM m$k), " +
+        s"h$k AS (SELECT *, sum(rs) OVER (PARTITION BY w ORDER BY i) AS grp FROM g$k), " +
+        s"t$k AS (SELECT *, CASE WHEN mt THEN " +
+        s"((i - min(CASE WHEN mt THEN i END) OVER (PARTITION BY w, grp)) % 2 = 0) " +
+        s"ELSE FALSE END AS taken FROM h$k), " +
+        s"c$k AS (SELECT *, coalesce(lag(taken) OVER (PARTITION BY w ORDER BY i), FALSE) " +
+        s"AS consumed FROM t$k), " +
+        s"w$k AS MATERIALIZED (SELECT string_agg(" +
+        s"CASE WHEN taken THEN (SELECT l || r FROM b$k) ELSE sym END, ' ' ORDER BY i) " +
+        s"AS seq, freq FROM c$k WHERE NOT consumed GROUP BY w, freq)"
+    }.mkString(", ")
+    val unions = (1 to rounds).map { k =>
+      s"SELECT $k AS merge_round, l AS lhs, r AS rhs, l || r AS merged, " +
+        s"cnt AS pair_count FROM b$k"
+    }.mkString(" UNION ALL ")
+    s"WITH $base, $rounds_sql SELECT * FROM ($unions) ORDER BY merge_round"
+  }
+
   val oracle: Map[String, String] = Map(
+    "c4_bpe_merges" -> bpeChainSql(10),
     "c4_zipf" ->
       ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "f AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok), " +
@@ -652,6 +799,7 @@ object TextOps {
     "c4_tfidf" -> ((s: SparkSession, d: String) => c4Tfidf(s, d)),
     "c4_pmi" -> ((s: SparkSession, d: String) => c4Pmi(s, d)),
     "c4_vocab_growth" -> ((s: SparkSession, d: String) => c4VocabGrowth(s, d)),
-    "c4_zipf" -> ((s: SparkSession, d: String) => c4Zipf(s, d))
+    "c4_zipf" -> ((s: SparkSession, d: String) => c4Zipf(s, d)),
+    "c4_bpe_merges" -> ((s: SparkSession, d: String) => c4BpeMerges(s, d))
   )
 }

@@ -120,4 +120,40 @@ class TextMiningSpec extends SparkSuite {
       .map { case ((w1, w2, c, c1, c2, l), i) => (i + 1, w1, w2, c, c1, c2, l) }
     assert(got.toSeq == want)
   }
+
+  test("c4_bpe_merges matches an in-memory reference BPE") {
+    // Plain-Scala Sennrich BPE: word-freq table, then 10 rounds of
+    // (count adjacent pairs weighted by freq, argmax with (count desc,
+    // lhs, rhs) ties, greedy left-to-right non-overlapping merge).
+    val got = TextOps.c4BpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+    assert(got.length == 10)
+    var vocab: Map[Vector[String], Long] = corpus.values
+      .flatten.filter(_.nonEmpty).toSeq
+      .groupBy(identity).map { case (w, xs) =>
+        (w.map(_.toString).toVector :+ "</w>") -> xs.size.toLong
+      }
+    val want = (1 to 10).map { k =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val ((a, b), cnt) = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.head
+      vocab = vocab.groupBy { case (syms, _) =>
+        // greedy left-to-right merge
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }.map { case (merged, entries) => merged -> entries.values.sum }
+      (k, a, b, a + b, cnt)
+    }
+    assert(got.toSeq == want)
+  }
 }
