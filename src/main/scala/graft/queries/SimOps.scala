@@ -1450,7 +1450,86 @@ object SimOps {
         "FROM d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b " +
         "ON b.n_id = d.vec_id " +
         "WHERE d.vec_id % 10 = 7 ORDER BY vec_id"
+    // Staleness-monitor replay: BOTH codebooks embedded as literals —
+    // the stale one is the base-trained coarse quantizer (identical to
+    // the persisted model by training determinism, the same identity the
+    // indexed-PQ oracle rests on), the fresh one retrained here on the
+    // grown corpus's bounded sample exactly as the engine does. The
+    // grown corpus, query twins, per-codebook assignment/probing/
+    // re-scoring, exact ground truth, integer-sum means and the retrain
+    // verdict all replay in SQL.
+    val staleSql = {
+      val grownDf = emb(spark, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
+      val grownAll = grownDf.unionByName(grownDf.select(
+        (col("vec_id") + lit(DriftIdOffset)).as("vec_id"),
+        transform(col("embD"), x => x + lit(2.0d)).as("embD")))
+      val fresh = trainCentroids(boundedSample(grownAll, 100000), 16, iters = 5)
+      val nF = fresh.length
+      def codebook(tag: String, lit: String, nn: Int): String =
+        s"ct$tag AS (SELECT $lit AS c), " +
+          s"d$tag AS MATERIALIZED (SELECT vec_id, v, list_transform(range(1, ${nn + 1}), kk -> " +
+          "list_sum(list_transform(range(1, 65), j -> " +
+          s"(v[j]-c[kk][j])*(v[j]-c[kk][j])))) AS dists FROM g CROSS JOIN ct$tag), " +
+          s"corp$tag AS (SELECT vec_id AS b_id, " +
+          s"list_position(dists, list_min(dists)) AS cell FROM d$tag), " +
+          s"qs$tag AS (SELECT d.vec_id AS q_id, unnest(list_transform(list_slice(" +
+          s"list_sort(list_transform(range(1, ${nn + 1}), kk -> " +
+          s"[dists[kk], CAST(kk AS DOUBLE)])), 1, ${math.min(4, nn)}), " +
+          "s -> CAST(s[2] AS BIGINT))) AS cell " +
+          s"FROM d$tag d JOIN q ON q.q_id = d.vec_id), " +
+          s"cand$tag AS MATERIALIZED (SELECT DISTINCT q_id, b_id FROM corp$tag " +
+          s"JOIN qs$tag ON corp$tag.cell = qs$tag.cell AND qs$tag.q_id <> corp$tag.b_id), " +
+          s"scan$tag AS (SELECT q_id, count(*) AS n_cand FROM cand$tag GROUP BY q_id), " +
+          s"asc$tag AS (SELECT c.q_id, c.b_id, round(list_dot_product(x.v, y.v) / " +
+          "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) " +
+          s"AS cosine FROM cand$tag c JOIN g x ON x.vec_id = c.q_id " +
+          "JOIN g y ON y.vec_id = c.b_id), " +
+          s"ann$tag AS (SELECT q_id, b_id FROM (SELECT q_id, b_id, row_number() OVER " +
+          s"(PARTITION BY q_id ORDER BY cosine DESC, b_id) AS rank FROM asc$tag) " +
+          "WHERE rank <= 5), " +
+          s"hit$tag AS (SELECT q_id, count(*) AS n_hits FROM bf JOIN ann$tag " +
+          "USING (q_id, b_id) GROUP BY q_id)"
+      s"WITH g AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+        "FROM embeddings UNION ALL " +
+        s"SELECT vec_id + $DriftIdOffset, " +
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> x + 2.0) FROM embeddings), " +
+        s"q AS (SELECT vec_id AS q_id, v FROM g " +
+        s"WHERE ${queryPredSql(100, s"(vec_id % $DriftIdOffset)")}), " +
+        "bsc AS (SELECT q.q_id, g.vec_id AS b_id, " +
+        "round(list_dot_product(q.v, g.v) / (sqrt(list_dot_product(q.v, q.v)) * " +
+        "sqrt(list_dot_product(g.v, g.v))), 6) AS cosine " +
+        "FROM q, g WHERE g.vec_id <> q.q_id), " +
+        "bf AS MATERIALIZED (SELECT q_id, b_id FROM (SELECT q_id, b_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, b_id) " +
+        "AS rank FROM bsc) WHERE rank <= 5), " +
+        codebook("sta", matLit(cents), n) + ", " +
+        codebook("fre", matLit(fresh), nF) + ", " +
+        "res AS (SELECT q.q_id, " +
+        "CAST(COALESCE(ssta.n_cand, 0) AS BIGINT) AS n_cand_stale, " +
+        "CAST(COALESCE(sfre.n_cand, 0) AS BIGINT) AS n_cand_fresh, " +
+        "CAST(COALESCE(hsta.n_hits, 0) AS BIGINT) AS n_hits_stale, " +
+        "CAST(COALESCE(hfre.n_hits, 0) AS BIGINT) AS n_hits_fresh, " +
+        "round(COALESCE(hsta.n_hits, 0) / 5.0, 6) AS recall_stale, " +
+        "round(COALESCE(hfre.n_hits, 0) / 5.0, 6) AS recall_fresh, " +
+        "round(sum(COALESCE(hsta.n_hits, 0)) OVER () / (5.0 * count(*) OVER ()), 6) " +
+        "AS mean_recall_stale, " +
+        "round(sum(COALESCE(hfre.n_hits, 0)) OVER () / (5.0 * count(*) OVER ()), 6) " +
+        "AS mean_recall_fresh, " +
+        "round(CAST(sum(COALESCE(ssta.n_cand, 0)) OVER () AS DOUBLE) / count(*) OVER (), 6) " +
+        "AS mean_scan_stale, " +
+        "round(CAST(sum(COALESCE(sfre.n_cand, 0)) OVER () AS DOUBLE) / count(*) OVER (), 6) " +
+        "AS mean_scan_fresh " +
+        "FROM q LEFT JOIN scansta ssta USING (q_id) " +
+        "LEFT JOIN scanfre sfre USING (q_id) " +
+        "LEFT JOIN hitsta hsta USING (q_id) " +
+        "LEFT JOIN hitfre hfre USING (q_id)) " +
+        "SELECT *, (mean_recall_stale + 0.05 < mean_recall_fresh " +
+        "OR mean_scan_stale > 2.0 * mean_scan_fresh) AS retrain " +
+        "FROM res ORDER BY q_id"
+    }
     Map(
+      "c3_ann_staleness" -> staleSql,
       "c3_cluster_profile" -> profileSql,
       "c2_incremental_semantic" -> incSemSql,
       "c2_semantic_dedup" -> semSql,
@@ -1618,6 +1697,145 @@ object SimOps {
     */
   private[queries] val IncSemThreshold = 0.35
 
+  /** Id offset of the staleness monitor's drifted batch: far above every
+    * corpus id AND above the isQuery cap, so the GROWN corpus's query
+    * predicate keys on `vec_id % DriftIdOffset` (base id and drifted
+    * twin share a query slot) while `% queryMod` semantics stay intact.
+    */
+  private[queries] val DriftIdOffset = 1L << 40
+
+  /** C3o: ANN codebook STALENESS monitor — the retrain-trigger question
+    * every production ANN index answers: after batches of appended data,
+    * is the once-trained coarse quantizer still fit for the corpus it
+    * now serves? The monitor builds the GROWN corpus (base ∪ a drifted
+    * batch: ids offset by [[DriftIdOffset]], vectors shifted +2.0 per
+    * dimension — a new dense mode the base distribution never had),
+    * answers the same query set under TWO coarse codebooks — the STORED
+    * one (read back from the persisted index model, trained on base
+    * only) and a FRESHLY trained one (same Lloyd recipe over the grown
+    * corpus's bounded sample) — and scores both against the exact
+    * cosine top-k over the grown corpus. Per query: probed-candidate
+    * count (the scan cost) and recall hits under each codebook; plus
+    * the query-set means and the retrain verdict.
+    *
+    * Retrain threshold (documented operator contract): retrain when the
+    * stale index either loses ≥ 0.05 mean recall@k against fresh, or
+    * scans > 2× the fresh per-query candidates (the degenerate-cell
+    * signal — appended data cramming into few stale cells drives scan
+    * cost toward brute force long before recall collapses, because
+    * exact re-scoring hides truncation until the mode outgrows nprobe
+    * cells). Both signals are measured and hash-checked — the dynamic
+    * oracle replays codebooks, assignment, probing, re-scoring and the
+    * verdict bit-for-bit.
+    *
+    * Scale posture: the monitor is a SAMPLE-SIZED decision loop — fresh
+    * training uses the same bounded driver sample as every codebook
+    * here; assignment is the narrow fused CentroidDists pass; the query
+    * set is bounded (≤ 2·MaxQueries: each base query slot contributes
+    * its drifted twin); candidate re-scoring touches only probed cells;
+    * the only corpus-sized work is the exact ground-truth pass, which
+    * is the price of MEASURING recall (run it on a sampled query set —
+    * exactly what this does — not per production query).
+    */
+  def c3AnnStaleness(spark: SparkSession, dir: String, k: Int = 5,
+      nCells: Int = 16, nprobe: Int = 4, queryMod: Int = 100,
+      maxSample: Int = 100000): DataFrame = {
+    val (_, modelTab) = ensureAnnIndex(spark, dir)
+    val (staleCents, _) = loadPqModel(spark, modelTab, subspaces = 8)
+    val base = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
+    val grown = base.unionByName(base.select(
+        (col("vec_id") + lit(DriftIdOffset)).as("vec_id"),
+        transform(col("embD"), x => x + lit(2.0d)).as("embD")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freshCents =
+      trainCentroids(boundedSample(grown, maxSample), nCells, iters = 5)
+    val queries = grown
+      .filter(isQuery(col("vec_id") % lit(DriftIdOffset), queryMod))
+      .select(col("vec_id").as("q_id"), col("embD").as("q_emb"))
+    val bf = exactCosineTopK(
+      grown.select(col("vec_id").as("b_id"), col("embD").as("b_emb")),
+      queries, k).select(col("q_id"), col("b_id"))
+    // IVF candidate set under one codebook: argmin cell assignment over
+    // the grown corpus, nprobe nearest cells per query, id pairs only.
+    def probeCand(cents: Seq[Seq[Double]]): DataFrame = {
+      val nTrained = cents.length
+      def dists(v: Column): Column =
+        graft.functions.VectorExprs.centroidDists(v, cents)
+      val corp = grown
+        .withColumn("dists", dists(col("embD")))
+        .withColumn("cell",
+          expr("array_position(dists, array_min(dists))").cast("int"))
+        .select(col("vec_id").as("b_id"), col("cell"))
+      val qs = queries
+        .withColumn("dists", dists(col("q_emb")))
+        .withColumn("probes",
+          slice(transform(array_sort(zip_with(
+            col("dists"), sequence(lit(1), lit(nTrained)),
+            (d, i) => struct(d.as("d"), i.as("i")))), s => s.getField("i")),
+            lit(1), lit(math.min(nprobe, nTrained))))
+        .select(col("q_id"),
+          explode(transform(col("probes"), p => p.cast("int"))).as("cell"))
+      corp.join(broadcast(qs), Seq("cell"))
+        .filter(col("q_id") =!= col("b_id"))
+        .select("q_id", "b_id").distinct()
+    }
+    // exact re-score of a candidate set, per-query top-k (id pairs)
+    def annTop(cand: DataFrame): DataFrame = cand
+      .join(grown.select(col("vec_id").as("b_id"), col("embD").as("b_emb"))
+        .hint("shuffle_hash"), "b_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("cosine",
+        round(dotD(col("q_emb"), col("b_emb")) /
+          (normD(col("q_emb")) * normD(col("b_emb"))), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("b_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("b_id"))
+    val candS = probeCand(staleCents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candF = probeCand(freshCents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def scan(cand: DataFrame, as: String): DataFrame =
+      cand.groupBy(col("q_id")).agg(count(lit(1)).as(as))
+    def hits(cand: DataFrame, as: String): DataFrame =
+      recallHits(annTop(cand), bf).withColumnRenamed("n_hits", as)
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val joined = queries.select(col("q_id"))
+      .join(scan(candS, "n_cand_stale"), Seq("q_id"), "left")
+      .join(scan(candF, "n_cand_fresh"), Seq("q_id"), "left")
+      .join(hits(candS, "n_hits_stale"), Seq("q_id"), "left")
+      .join(hits(candF, "n_hits_fresh"), Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_cand_stale"), lit(0L)).as("n_cand_stale"),
+        coalesce(col("n_cand_fresh"), lit(0L)).as("n_cand_fresh"),
+        coalesce(col("n_hits_stale"), lit(0L)).as("n_hits_stale"),
+        coalesce(col("n_hits_fresh"), lit(0L)).as("n_hits_fresh"))
+      // query-set means: integer sums under the window, ONE double
+      // division each (no float fold order in the hash)
+      .withColumn("recall_stale",
+        round(col("n_hits_stale").cast("double") / k, 6))
+      .withColumn("recall_fresh",
+        round(col("n_hits_fresh").cast("double") / k, 6))
+      .withColumn("mean_recall_stale",
+        round(sum(col("n_hits_stale")).over(w).cast("double") /
+          (lit(k) * count(lit(1)).over(w)), 6))
+      .withColumn("mean_recall_fresh",
+        round(sum(col("n_hits_fresh")).over(w).cast("double") /
+          (lit(k) * count(lit(1)).over(w)), 6))
+      .withColumn("mean_scan_stale",
+        round(sum(col("n_cand_stale")).over(w).cast("double") /
+          count(lit(1)).over(w), 6))
+      .withColumn("mean_scan_fresh",
+        round(sum(col("n_cand_fresh")).over(w).cast("double") /
+          count(lit(1)).over(w), 6))
+      .withColumn("retrain",
+        (col("mean_recall_stale") + lit(0.05) < col("mean_recall_fresh")) ||
+          (col("mean_scan_stale") > lit(2.0) * col("mean_scan_fresh")))
+      .orderBy("q_id")
+    graft.util.CacheScope.releaseAfterMaterialize(joined, Seq(grown, candS, candF))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c2_incremental_semantic" ->
       ((s: SparkSession, d: String) => c2IncrementalSemantic(s, d)),
@@ -1633,6 +1851,7 @@ object SimOps {
     "c3_ann_recall" -> ((s: SparkSession, d: String) => c3AnnRecall(s, d)),
     "c3_ann_ivf_recall" -> ((s: SparkSession, d: String) => c3AnnIvfRecall(s, d)),
     "c3_ann_pq_recall" -> ((s: SparkSession, d: String) => c3AnnPqRecall(s, d)),
+    "c3_ann_staleness" -> ((s: SparkSession, d: String) => c3AnnStaleness(s, d)),
     "c3_norm_stats" -> (c3NormStats _),
     "c3_cluster_profile" -> ((s: SparkSession, d: String) => c3ClusterProfile(s, d))
   )

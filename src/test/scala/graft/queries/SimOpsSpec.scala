@@ -467,6 +467,39 @@ class SimOpsSpec extends SparkSuite {
     assert(out.exists(!_._2), "no non-novel resolution on the real corpus?")
   }
 
+  test("c3_ann_staleness: drift signal present, verdict consistent with its thresholds") {
+    val rows = SimOps.c3AnnStaleness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every base query slot contributes its drifted twin
+    val ids = rows.map(_.getLong(0))
+    val (baseQ, driftQ) = ids.partition(_ < (1L << 40))
+    assert(baseQ.length == driftQ.length && driftQ.nonEmpty)
+    assert(driftQ.map(_ - (1L << 40)).sorted.sameElements(baseQ.sorted))
+    // recalls in [0,1]; hit counts bounded by k
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 5) // n_hits_stale
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 5) // n_hits_fresh
+      val (rs, rf) = (r.getDouble(5), r.getDouble(6))
+      assert(rs >= 0.0 && rs <= 1.0 && rf >= 0.0 && rf <= 1.0)
+    }
+    val head = rows.head
+    val (mrs, mrf) = (head.getDouble(7), head.getDouble(8))
+    val (mss, msf) = (head.getDouble(9), head.getDouble(10))
+    val retrain = head.getBoolean(11)
+    // the drifted mode crams into fewer STALE cells, so the stale index
+    // scans strictly more candidates per query than the fresh one (the
+    // degenerate-cell staleness signal this monitor exists to expose)
+    assert(mss > msf,
+      s"stale index should scan more than fresh (stale $mss vs fresh $msf)")
+    // the verdict is exactly the documented threshold rule
+    assert(retrain == ((mrs + 0.05 < mrf) || (mss > 2.0 * msf)))
+    // means are the same on every row (query-set-level verdict)
+    rows.foreach { r =>
+      assert(r.getDouble(7) == mrs && r.getDouble(9) == mss &&
+        r.getBoolean(11) == retrain)
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
