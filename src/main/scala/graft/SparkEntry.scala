@@ -58,7 +58,9 @@ object SparkEntry {
         "c2_incremental_semantic", "c3_ann_staleness").contains(_),
       (s, d) => { SimOps.ensureAnnIndex(s, d); () }),
     Warmup("dedup_index", _ == "c2_incremental_dedup_indexed",
-      (s, d) => { DedupOps.ensureDedupIndex(s, d); () }))
+      (s, d) => { DedupOps.ensureDedupIndex(s, d); () }),
+    Warmup("dedup_labels", _ == "c2_incremental_cc",
+      (s, d) => { DedupOps.ensureDedupLabels(s, d); () }))
 
   /** Oracle SQL whose text depends on data-trained plan literals (e.g.
     * the IVF codebook): generated against the verify-time tables, merged

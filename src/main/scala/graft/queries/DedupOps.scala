@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.dedup.{MinHash, SetSimJoin, SimHash}
+import graft.dedup.{ConnectedComponents, MinHash, SetSimJoin, SimHash}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -737,10 +737,114 @@ object DedupOps {
     * twice would self-match). Returns the number of appended membership
     * rows (docs × bands).
     */
+  /** Persisted CC cluster LABELS over the indexed corpus — the third leg
+    * of the dedup layout: [[ensureDedupIndex]] gives memberships (the
+    * candidate join) and token sets (the confirm); this gives the
+    * transitive-closure labels the curation consumers key on
+    * (`c7_split_cluster_safe`, `c7_dedup_keep_best` shapes). Built ONCE
+    * at ingest (the same O(n·bands) star CC as c2_minhash_cc, over the
+    * index banding), PARTITIONED BY `lp = pmod(cluster_rep, 64)` so the
+    * incremental maintenance path ([[appendDedupIndex]]) rewrites only
+    * the partitions whose clusters a batch actually touched — dynamic
+    * partition overwrite, never an O(n) label rewrite per batch.
+    */
+  private[graft] def ensureDedupLabels(spark: SparkSession, dir: String,
+      numHashes: Int = IncHashes, bands: Int = IncBands): String = {
+    import graft.sources.Storage.{dropStaleLayouts, sourceFingerprint}
+    val (memTab, _) = ensureDedupIndex(spark, dir, numHashes, bands)
+    val suffix = sourceFingerprint(s"$dir/documents.parquet") +
+      s"_${numHashes}h${bands}b"
+    val labTab = s"graft_mh_lab_$suffix"
+    if (spark.catalog.tableExists(labTab)) return labTab
+    dropStaleLayouts(spark, "graft_mh_lab_", suffix)
+    ConnectedComponents.assignmentsFromMemberships(spark.table(memTab))
+      .select(col("doc_id"), col("cluster_rep"),
+        pmod(col("cluster_rep"), lit(64L)).as("lp"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("lp").saveAsTable(labTab)
+    labTab
+  }
+
+  /** Union-by-min-rep of a batch against the persisted labels — the
+    * CONTRACTED incremental CC: existing clusters participate only as
+    * their representative (one node per cluster, via the labels table),
+    * batch docs as themselves; edges exist only in buckets the batch
+    * touches (bounded O(batch·bands) bucket set), each bucket
+    * contributing member→bucket-min star edges over the contracted
+    * node ids. The star CC then runs on a graph of O(batch + touched
+    * clusters) nodes — never the corpus — and the merged label of a
+    * component is min(batch ids, old reps) = the true min member id,
+    * because each old rep IS the min of its cluster. Returns the FULL
+    * post-merge label set (corpus ∪ batch).
+    */
+  private def mergedLabels(spark: SparkSession, labTab: String,
+      memTab: String, batchMem: DataFrame, batchIds: DataFrame): DataFrame = {
+    val labels = spark.table(labTab).select(col("doc_id"), col("cluster_rep"))
+    val touched = batchMem.select("band", "bucket").distinct()
+    // corpus members of touched buckets, contracted to their reps (the
+    // inner labels join also drops any non-indexed ids from memTab)
+    val members = spark.table(memTab)
+      .join(touched, Seq("band", "bucket"))
+      .join(labels, "doc_id")
+      .select(col("band"), col("bucket"), col("cluster_rep").as("lab"))
+      .unionByName(batchMem
+        .select(col("band"), col("bucket"), col("doc_id").as("lab")))
+    val bmin = members.groupBy("band", "bucket").agg(min(col("lab")).as("bmin"))
+    val edges = members.join(bmin, Seq("band", "bucket"))
+      .filter(col("lab") =!= col("bmin"))
+      .select(col("lab").as("u"), col("bmin").as("v")).distinct()
+    val repMap = ConnectedComponents.starRoots(edges)
+      .select(col("doc_id").as("node"), col("rep"))
+    val corpusNew = labels
+      .join(repMap.withColumnRenamed("node", "cluster_rep"),
+        Seq("cluster_rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("cluster_rep")).as("cluster_rep"))
+    val batchNew = batchIds.select(col("doc_id"))
+      .join(repMap.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+    corpusNew.unionByName(batchNew)
+  }
+
+  /** C2s: INCREMENTAL cluster labels — the ingest-loop READ path: the
+    * batch (`doc_id % 10 == 7`, the incremental-dedup convention) is
+    * banded in-plan and resolved against the persisted index via the
+    * contracted union-by-min-rep ([[mergedLabels]]); output is the full
+    * grown-corpus label set, which equals from-scratch CC over the same
+    * banding BY CONSTRUCTION (contracting already-connected components
+    * preserves connectivity; the oracle replays the from-scratch closure
+    * and the hash pins the equality). The write path — maintaining the
+    * persisted labels as batches land — is [[appendDedupIndex]],
+    * spec-pinned to the same from-scratch equality.
+    *
+    * Scale posture: no corpus re-banding (memberships and labels are
+    * the persisted layout), the contracted CC runs on O(batch + touched
+    * clusters) nodes, and the corpus-side label pass is one narrow
+    * left join against an O(changed clusters) rep map.
+    */
+  def c2IncrementalCc(spark: SparkSession, dir: String): DataFrame = {
+    val labTab = ensureDedupLabels(spark, dir)
+    val (memTab, _) = ensureDedupIndex(spark, dir)
+    val batch = docs(spark, dir).filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), MinHash.tokenSet(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchMem = MinHash.membershipsFromSets(
+      batch, col("doc_id"), col("toks"), IncHashes, IncBands)
+    graft.util.CacheScope.releaseAfterMaterialize(
+      mergedLabels(spark, labTab, memTab, batchMem, batch.select("doc_id"))
+        .withColumn("is_kept", col("doc_id") === col("cluster_rep"))
+        .orderBy("doc_id"),
+      Seq(batch))
+  }
+
   private[graft] def appendDedupIndex(spark: SparkSession, dir: String,
       newDocs: DataFrame, numHashes: Int = IncHashes,
       bands: Int = IncBands): Long = {
     val (memTab, toksTab) = ensureDedupIndex(spark, dir, numHashes, bands)
+    // Labels BEFORE the appends: they must describe the pre-batch corpus
+    // for the contracted merge below to be sound.
+    val labTab = ensureDedupLabels(spark, dir, numHashes, bands)
     // Persisted: the token sets feed the dup checks, the toks append,
     // and the signature pass — one tokenization, not three.
     val base = newDocs
@@ -771,10 +875,43 @@ object DedupOps {
           Seq("doc_id"), "left_anti")
         .select(spark.table(toksTab).columns.map(col).toIndexedSeq: _*)
         .write.mode("append").insertInto(toksTab)
-      MinHash.membershipsFromSets(
+      val batchMem = MinHash.membershipsFromSets(
         base, col("doc_id"), col("toks"), numHashes, bands)
+      batchMem
         .select(spark.table(memTab).columns.map(col).toIndexedSeq: _*)
         .write.mode("append").insertInto(memTab)
+      // Incremental label maintenance: contracted union-by-min-rep, then
+      // DYNAMIC overwrite of only the label partitions a touched cluster
+      // lives in (old rep's partition loses rows, new rep's gains; both
+      // are in the touched set). The merge reads memTab post-append, but
+      // batch ids contract out of the corpus side automatically — they
+      // have no labels row yet (inner join). The bounded collect is the
+      // ≤64 distinct partition values, never rows.
+      val merged = mergedLabels(spark, labTab, memTab, batchMem,
+        base.select(col("doc_id")))
+        .withColumn("lp", pmod(col("cluster_rep"), lit(64L)))
+      val old = spark.table(labTab)
+        .select(col("doc_id"), col("cluster_rep").as("old_rep"),
+          col("lp").as("old_lp"))
+      val touchedLp = merged.join(old, Seq("doc_id"), "left")
+        .filter(col("old_rep").isNull || col("old_rep") =!= col("cluster_rep"))
+        .select(explode(array(col("lp"), col("old_lp"))).as("p"))
+        .filter(col("p").isNotNull).distinct()
+        .collect().map(_.getLong(0))
+      if (touchedLp.nonEmpty) {
+        // Sever lineage from labTab before overwriting it (Spark refuses
+        // to overwrite a table an input of the same plan reads).
+        val writeRows = merged
+          .filter(col("lp").isin(touchedLp.map(Long.box).toIndexedSeq: _*))
+          .select(col("doc_id"), col("cluster_rep"), col("lp"))
+          .localCheckpoint(true)
+        val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try {
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          writeRows.write.mode("overwrite").insertInto(labTab)
+        } finally
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      }
       nDocs * bands
     } finally base.unpersist(blocking = false)
   }
@@ -1053,6 +1190,14 @@ object DedupOps {
     // family, same banding, corpus side persisted at ingest), so it is
     // held to the SAME full replay — a stale layout breaks the hash.
     "c2_incremental_dedup_indexed" -> incrementalSql,
+    // Incremental CC labels equal from-scratch CC over the index
+    // banding (IncBands × IncRows) by construction — the oracle replays
+    // the from-scratch closure on the FULL corpus and the hash pins the
+    // incremental == from-scratch equality.
+    "c2_incremental_cc" ->
+      ("WITH base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) " +
+        "AS toks FROM documents), " +
+        mhChainSql(IncBands, IncRows) + ", " + closureSql("band")),
     "c2_embed_neardup" ->
       (s"WITH ${SimOps.sketchCte(tables = 8, bits = 12)}, " +
         "aa AS (SELECT vec_id AS a_id, rt.t AS tbl, " +
@@ -1126,6 +1271,7 @@ object DedupOps {
     "c2_containment_best_topc" -> ((s: SparkSession, d: String) => c2ContainmentBestTopC(s, d)),
     "c2_minhash_lsh" -> (c2MinHashLsh _),
     "c2_minhash_cc" -> (c2MinHashCc _),
+    "c2_incremental_cc" -> (c2IncrementalCc _),
     "c2_cc_stats" -> (c2CcStats _),
     "c2_simhash" -> (c2SimHash _),
     "c2_simhash_cc" -> (c2SimHashCc _),

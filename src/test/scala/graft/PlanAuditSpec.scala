@@ -31,6 +31,9 @@ class PlanAuditSpec extends SparkSuite {
     "c3_knn_classify",   // same broadcast-query theta join as c3_cosine_topk
     "c3_ann_recall",     // composes c3_cosine_topk: same intentional BNLJ
     "c3_ann_ivf_recall", // composes c3_cosine_topk: same intentional BNLJ
+    "c3_ann_staleness",  // exact ground-truth pass over the grown corpus:
+                         // same broadcast-query theta join (bounded
+                         // <=2·MaxQueries side) as c3_cosine_topk
     "c5_gapfill",        // date-spine x distinct-types cross product:
                          // both sides bounded by construction
                          // (O(days), O(types)), never corpus-sized
@@ -285,6 +288,37 @@ class PlanAuditSpec extends SparkSuite {
       // its printed lineage legitimately mentions the documents file it
       // was built from. Only a DIRECT file scan under a signature node
       // means the corpus is being re-banded in-plan.
+      val subLeaves = n.collectLeaves().map(_.toString)
+      assert(!subLeaves.exists(l =>
+          l.startsWith("FileScan") && l.contains("documents")),
+        s"signature computed over a raw documents scan (corpus re-banding):\n$n")
+    }
+  }
+
+  test("incremental CC reads persisted labels; the corpus never re-bands or re-labels in-plan") {
+    // c2_incremental_cc's contract: the corpus participates only through
+    // the persisted layout — the labels table carries the contracted
+    // nodes, and the contracted star CC runs at construction over the
+    // O(batch + touched clusters) edge set (its checkpoint appears here
+    // as an ExistingRDD leaf — the evidence the CC was contracted, not
+    // an in-plan corpus CC). The final plan may therefore contain NO
+    // raw documents FileScan (the batch slice is cached) and no MinHash
+    // signature over anything but the cached batch.
+    val plan = graft.SparkEntry.queries("c2_incremental_cc")(spark, sf)
+      .queryExecution.sparkPlan
+    val leaves = plan.collectLeaves().map(_.toString)
+    assert(leaves.exists(_.contains("graft_mh_lab_")),
+      s"no persisted labels-table scan in the plan:\n$plan")
+    assert(leaves.exists(_.startsWith("Scan ExistingRDD")),
+      s"no checkpointed contracted-CC leaf in the plan:\n$plan")
+    val docScans = leaves.filter(l =>
+      l.startsWith("FileScan") && l.contains("documents"))
+    assert(docScans.isEmpty,
+      s"raw documents FileScan in the incremental-CC plan:\n${docScans.mkString("\n")}")
+    plan.collect {
+      case n if n.expressions.exists(_.find(
+        _.isInstanceOf[graft.functions.MinHashSig]).isDefined) => n
+    }.foreach { n =>
       val subLeaves = n.collectLeaves().map(_.toString)
       assert(!subLeaves.exists(l =>
           l.startsWith("FileScan") && l.contains("documents")),

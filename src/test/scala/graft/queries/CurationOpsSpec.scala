@@ -333,6 +333,55 @@ class CurationOpsSpec extends SparkSuite {
     assert(e2.getMessage.contains("duplicate doc_ids"))
   }
 
+  test("appendDedupIndex maintains cluster labels: incremental == from-scratch CC on the grown corpus") {
+    import spark.implicits._
+    // Labels over the CURRENT index state (whatever earlier tests
+    // appended — the invariant under test is state-independent).
+    val labTab = DedupOps.ensureDedupLabels(spark, sf)
+    val (memTab, _) = DedupOps.ensureDedupIndex(spark, sf)
+    // A batch engineered to exercise every merge case: two docs copying
+    // an existing corpus text (join an existing cluster), two twins with
+    // IDENTICAL token sets (equal signatures → guaranteed co-bucket → a
+    // NEW cluster; a merely-similar pair at j≈0.78 has only ~90% band
+    // recall under the 16×8 banding and flaked), one novel text
+    // (isolated). Ids far outside the corpus AND the earlier test's.
+    val seed = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 10 =!= 7)
+      .orderBy("doc_id").select("text").head().getString(0)
+    val batch = Seq(
+      (9100001L, seed),
+      (9100002L, seed),
+      (9100003L, "omega psi chi phi upsilon tau sigma rho"),
+      (9100004L, "rho omega psi chi phi upsilon tau sigma"),
+      (9100005L, "completely novel isolated zzz document qqq")
+    ).toDF("doc_id", "text")
+    DedupOps.appendDedupIndex(spark, sf, batch)
+    // incremental labels (the persisted table after the append) ...
+    val got = spark.table(labTab)
+      .select(col("doc_id"), col("cluster_rep")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // ... must equal from-scratch CC over the grown membership table
+    val want = graft.dedup.ConnectedComponents
+      .assignmentsFromMemberships(spark.table(memTab))
+      .select(col("doc_id"), col("cluster_rep")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == want.keySet,
+      s"label universe diverged: ${(got.keySet diff want.keySet).take(5)} / " +
+        s"${(want.keySet diff got.keySet).take(5)}")
+    val diff = got.collect { case (id, rep) if want(id) != rep =>
+      (id, rep, want(id))
+    }
+    assert(diff.isEmpty,
+      s"incremental labels diverged from from-scratch CC: ${diff.take(10)}")
+    // the engineered merges actually happened
+    assert(got(9100002L) == got(9100001L), "copies did not join one cluster")
+    assert(got(9100004L) == got(9100003L), "near-dup twins did not cluster")
+    assert(got(9100005L) == 9100005L, "novel doc should be its own rep")
+    // the copies joined the seed text's EXISTING cluster (rep is a
+    // corpus id, far below the batch id range)
+    assert(got(9100001L) < 9100001L, "copy batch should join a corpus cluster")
+  }
+
   test("c3_knn_classify: prediction is the plurality label of the exact top-5") {
     val preds = SimOps.c3KnnClassify(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
