@@ -750,7 +750,27 @@ object EventStream {
       val prev = spark.conf.get(key)
       spark.conf.set(key,
         spark.conf.get("spark.graft.stream.statePartitions", "8"))
-      try body finally spark.conf.set(key, prev)
+      try {
+        // SPARK_GRAFT_STATE_PROVIDER=rocksdb flips EVERY streaming runner
+        // onto the RocksDB state store — the provider a 100 TB deployment
+        // runs (state larger than executor heap, changelog
+        // checkpointing). The tws family always uses it (OSS Spark gates
+        // transformWithState on it); this switch exists so a bench pass
+        // can measure the other five state families on the deployment
+        // provider and pin that results are provider-independent
+        // (EventStreamSpec). Default stays the HDFS-backed store: faster
+        // on the bench corpus (BASELINE.md records the measured delta).
+        if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb")) {
+          val pk = "spark.sql.streaming.stateStore.providerClass"
+          val prevP = spark.conf.getOption(pk)
+          spark.conf.set(pk, "org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")
+          try body finally prevP match {
+            case Some(v) => spark.conf.set(pk, v)
+            case None => spark.conf.unset(pk)
+          }
+        } else body
+      } finally spark.conf.set(key, prev)
     } finally statePartitionsLock.unlock()
   }
 
