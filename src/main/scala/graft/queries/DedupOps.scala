@@ -147,10 +147,17 @@ object DedupOps {
     // plan broadcast-free under cluster confs); at runtime AQE may
     // still broadcast a side its measured size proves small, which is
     // the correct call at every scale.
+    // Per-stage observed counters (r12 verdict #4): candidates generated
+    // after the posting cap, pairs surviving the top-c rerank, pairs
+    // confirmed — the three numbers that name the growing stage of a
+    // scale decade in one run (CollectMetrics rides the plan, no second
+    // scan).
     val agree = pref
       .join(pb, Seq("tok"))
       .filter(col("a_id") =!= col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("agree"))
+      .observe("graft_containment_agree",
+        count(lit(1)).as("agree_pairs"))
     val topk = new graft.functions.TopKAggregator[(Double, Long)](
       cCap, _._1, _._2).toColumn.name("topc")
     val cand = agree
@@ -162,6 +169,8 @@ object DedupOps {
       .toDF("a_id", "topc")
       .select(col("a_id"), explode(col("topc")).as("p"))
       .select(col("a_id"), col("p._2").as("b_id"))
+      .observe("graft_containment_topc",
+        count(lit(1)).as("reranked_pairs"))
     val conf = cand
       .join(base.select(col("doc_id").as("a_id"), col("toks").as("a_toks"),
         size(col("toks")).as("n")), "a_id")
@@ -170,6 +179,8 @@ object DedupOps {
       .filter(col("common") * 10 >= col("n") * 9)
       .withColumn("containment",
         round(col("common").cast("double") / col("n").cast("double"), 6))
+      .observe("graft_containment_confirmed",
+        count(lit(1)).as("confirmed_pairs"))
     val best = conf.groupBy(col("a_id").as("doc_id"))
       .agg(min(struct((-col("containment")).as("nc"), col("b_id").as("bid"))).as("b"))
       .select(col("doc_id"), col("b.bid").as("container_id"),
@@ -430,7 +441,8 @@ object DedupOps {
     */
   private[queries] def resolveBatch(cand: DataFrame, newToks: DataFrame,
       corpToks: DataFrame, threshold: Double,
-      maxMaskVocab: Int = 64): DataFrame = {
+      maxMaskVocab: Int = 64,
+      confirmMetric: Option[String] = None): DataFrame = {
     val sampleVocab =
       if (maxMaskVocab <= 0) Long.MaxValue
       else newToks
@@ -466,7 +478,11 @@ object DedupOps {
         .withColumn("jaccard", round(col("common").cast("double") /
           (size(col("n_toks")) + size(col("c_toks")) - col("common")).cast("double"), 6))
         .filter(col("jaccard") >= threshold)
-    val best = confirmed.groupBy(col("n_id"))
+    // Optional per-stage confirm counter (r12 verdict #4): pairs that
+    // passed the exact-Jaccard threshold, observed on the existing plan.
+    val counted = confirmMetric.fold(confirmed)(m =>
+      confirmed.observe(m, count(lit(1)).as("confirmed_pairs")))
+    val best = counted.groupBy(col("n_id"))
       .agg(min(struct((-col("jaccard")).as("nj"), col("c_id").as("cid"))).as("b"))
       .select(col("n_id").as("doc_id"), col("b.cid").as("match_id"),
         (-col("b.nj")).as("match_jaccard"))
@@ -1250,15 +1266,31 @@ object DedupOps {
   // the BoundedMinIds order), then band-agreement counts over the
   // surviving memberships, then the (agreement desc, c_id asc) rank —
   // the exact total orders the two bounded heaps implement.
-  private[queries] def topCCandidateSql(corpusCte: String): String =
+  /** Bounded-candidate replay: per-bucket corpus cap, band-agreement
+    * counts, (agreement desc, c_id asc) top-64 rank. `capNewSide` also
+    * caps the NEW/train side per bucket (the c7_decontaminate_fuzzy_topc
+    * form — see its scaladoc for why both sides must be bounded on a
+    * dense corpus); the incremental-dedup form leaves it off because
+    * its new side is a batch, small by contract.
+    */
+  private[queries] def topCCandidateSql(corpusCte: String,
+      capNewSide: Boolean = false): String = {
+    val newCte =
+      if (!capNewSide) ""
+      else s"nwc AS (SELECT n_id, band, bucket FROM (SELECT n_id, band, bucket, " +
+        s"row_number() OVER (PARTITION BY band, bucket ORDER BY n_id) AS brn " +
+        s"FROM nw) WHERE brn <= $IncBucketCap), "
+    val newSide = if (capNewSide) "nwc" else "nw"
     s"cpc AS (SELECT c_id, band, bucket FROM (SELECT c_id, band, bucket, " +
       s"row_number() OVER (PARTITION BY band, bucket ORDER BY c_id) AS brn " +
       s"FROM $corpusCte) WHERE brn <= $IncBucketCap), " +
-      "ag AS (SELECT n_id, c_id, count(*) AS bandsc FROM nw JOIN cpc " +
+      newCte +
+      s"ag AS (SELECT n_id, c_id, count(*) AS bandsc FROM $newSide JOIN cpc " +
       "USING (band, bucket) GROUP BY n_id, c_id), " +
       "cand AS (SELECT n_id, c_id FROM (SELECT n_id, c_id, row_number() " +
       "OVER (PARTITION BY n_id ORDER BY bandsc DESC, c_id) AS rn FROM ag) " +
       "WHERE rn <= 64)"
+  }
 
   private lazy val incrementalTopCSql: String =
     incrementalSqlWith(topCCandidateSql("cp"))

@@ -418,15 +418,17 @@ object PipelineOps {
     * the full variant's exact confirm went 5.1 → 111 s for 10× docs
     * (candidate-pair growth on a high-baseline-similarity corpus —
     * Ω(candidates) is inherent to the exact confirm). Both super-linear
-    * stages are bounded: candidate GENERATION by the per-band-bucket
-    * held-out-side cap (DedupOps.IncBucketCap smallest ids per bucket,
-    * drops logged loudly — O(train·bands·cap) pairs at any duplication
-    * density), and the confirm by the per-train-doc top-`c` rerank on
-    * LSH band-agreement count (deterministic (agreement desc, c_id asc)
-    * order through the bounded-heap TopKAggregator) — O(train · c)
-    * exact Jaccards. Bucket cap and agreement rank are replayed
-    * verbatim by the oracle, so the approximation itself is
-    * hash-checked.
+    * stages are bounded: candidate GENERATION by per-band-bucket caps
+    * on BOTH sides (DedupOps.IncBucketCap smallest ids per bucket,
+    * drops logged loudly — O(buckets·cap²) pairs at any duplication
+    * density; round 13's per-stage counters showed the test-side-only
+    * form still grew 13.6× per dense decade because uncapped train
+    * occupancy multiplies the cap), and the confirm by the
+    * per-train-doc top-`c` rerank on LSH band-agreement count
+    * (deterministic (agreement desc, c_id asc) order through the
+    * bounded-heap TopKAggregator) — O(train · c) exact Jaccards.
+    * Bucket caps and agreement rank are replayed verbatim by the
+    * oracle, so the approximation itself is hash-checked.
     */
   def c7DecontaminateFuzzyTopC(spark: SparkSession, dir: String,
       threshold: Double = 0.8, c: Int = 64): DataFrame =
@@ -459,11 +461,31 @@ object PipelineOps {
         val testCapped = DedupOps.capBuckets(
           memOf(testToks), DedupOps.IncBucketCap,
           "graft_fuzzy_decontam_bucket_cap")
-        val agree = memOf(trainToks).withColumnRenamed("doc_id", "n_id")
+        // BOTH sides of the candidate join are bucket-capped. The r13
+        // per-stage counters caught the test-side-only form's growing
+        // stage red-handed: on the dense sf10 decade, agree pairs grew
+        // 13.6× per 10× docs (Σ_buckets train_members · cap — the
+        // uncapped train occupancy multiplies the cap), while every
+        // capped stage grew ≤6×. With the train side capped too, the
+        // candidate stage is O(buckets · cap²) — bounded per bucket at
+        // any duplication density; a train doc capped out of one
+        // oversized bucket keeps its 15 other bands, the same recall
+        // argument as the test-side cap. The oracle replays both caps.
+        val trainCapped = DedupOps.capBuckets(
+          memOf(trainToks), DedupOps.IncBucketCap,
+          "graft_fuzzy_decontam_train_cap")
+        // Per-stage observed counters (r12 verdict #4): pairs surviving
+        // the bucket caps (candidate generation) and pairs surviving the
+        // top-c rerank — with the caps' own drop counters and the
+        // confirm counter in resolveBatch, every stage of a scale
+        // decade is named from one run's stderr.
+        val agree = trainCapped.withColumnRenamed("doc_id", "n_id")
           .join(testCapped.withColumnRenamed("doc_id", "c_id"),
             Seq("band", "bucket"))
           .groupBy("n_id", "c_id")
           .agg(count(lit(1)).as("bandsc"))
+          .observe("graft_fuzzy_decontam_agree",
+            count(lit(1)).as("agree_pairs"))
         val session = spark
         import session.implicits._
         val topk = new graft.functions.TopKAggregator[(Double, Long)](
@@ -477,9 +499,13 @@ object PipelineOps {
           .toDF("n_id", "topc")
           .select(col("n_id"), explode(col("topc")).as("p"))
           .select(col("n_id"), col("p._2").as("c_id"))
+          .observe("graft_fuzzy_decontam_topc",
+            count(lit(1)).as("reranked_pairs"))
     }
     graft.util.CacheScope.releaseAfterMaterialize(
-      DedupOps.resolveBatch(cand, trainToks, testToks, threshold)
+      DedupOps.resolveBatch(cand, trainToks, testToks, threshold,
+        confirmMetric =
+          if (topC.isDefined) Some("graft_fuzzy_decontam_confirmed") else None)
         .select(col("doc_id"), (!col("is_novel")).as("contaminated"),
           col("match_id").as("test_match_id"), col("match_jaccard")),
       Seq(trainToks, testToks))
@@ -1103,12 +1129,13 @@ object PipelineOps {
     // as the batch/corpus partition.
     "c7_decontaminate_fuzzy" -> fuzzySqlWith(
       "cand AS (SELECT DISTINCT n_id, c_id FROM nw JOIN cp USING (band, bucket))"),
-    // Top-C replay: the shared bounded-candidate chain (per-bucket
-    // held-out cap, band-agreement counts, (agreement desc, c_id asc)
-    // rank — the exact total orders the two bounded heaps implement),
-    // verbatim from the incremental-dedup replay.
+    // Top-C replay: the shared bounded-candidate chain (per-bucket caps
+    // on BOTH sides — train occupancy would otherwise multiply the
+    // test cap on a dense corpus, the r13 decade finding — then
+    // band-agreement counts and the (agreement desc, c_id asc) rank,
+    // the exact total orders the bounded heaps implement).
     "c7_decontaminate_fuzzy_topc" -> fuzzySqlWith(
-      DedupOps.topCCandidateSql("cp")),
+      DedupOps.topCCandidateSql("cp", capNewSide = true)),
     // Fixed-round min-propagation closure over the replayed MinHash
     // memberships (the c2_minhash_cc oracle chain — linear per round,
     // so this replays above the sf0.01 gate too), then the
