@@ -529,9 +529,10 @@ object TextOps {
     * unpersist before returning — net-zero cached blocks.
     */
   def c4BpeMerges(spark: SparkSession, dir: String, rounds: Int = 10): DataFrame = {
-    // Greedy left-to-right merge of (a,b) -> ab over the space-joined
-    // symbol sequence, as a codegen'd fold: state = (out, held) where
-    // held is a pending `a` waiting for `b`. Matches the oracle's
+    // Greedy left-to-right merge of (a,b) -> ab over the symbol ARRAY
+    // (the seq column stays an array between rounds — no per-round
+    // string join/split), as a codegen'd fold: state = (out, held)
+    // where held is a pending `a` waiting for `b`. Matches the oracle's
     // taken-parity window replay (a run of k consecutive matches — only
     // possible when a == b — pairs up from the left).
     def mergeSeq(a: String, b: String): Column = {
@@ -540,7 +541,7 @@ object TextOps {
       def st(out: Column, held: Column) =
         struct(out.as("out"), held.as("held"))
       aggregate(
-        split(col("seq"), " "),
+        col("seq"),
         st(emptyOut, nullHeld),
         (s, x) => {
           val out = s.getField("out"); val held = s.getField("held")
@@ -553,10 +554,9 @@ object TextOps {
             .when(x === lit(a), st(out, x))
             .otherwise(st(array_append(out, x), nullHeld))
         },
-        s => concat_ws(" ",
-          when(s.getField("held").isNotNull,
-            array_append(s.getField("out"), s.getField("held")))
-            .otherwise(s.getField("out"))))
+        s => when(s.getField("held").isNotNull,
+          array_append(s.getField("out"), s.getField("held")))
+          .otherwise(s.getField("out")))
     }
     // One corpus pass: word frequencies, then the char-symbol sequence.
     // (split on "" can emit empty strings at the boundary — filter.)
@@ -564,16 +564,22 @@ object TextOps {
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), concat_ws(" ", concat(
+      .select(col("freq"), concat(
         filter(split(col("word"), ""), x => x =!= ""),
-        array(lit("</w>")))).as("seq"))
+        array(lit("</w>"))).as("seq"))
+    // At most TWO rounds' vocab tables are ever cached: round k's persist
+    // fills during its pair-count action, after which round k−1's blocks
+    // are dead weight — on a big-vocab corpus (the sparse derived sf10s:
+    // 8.2M types) keeping all K rounds alive OOMed the 8 g heap, the
+    // exact defect this unpersist-as-you-go closes (decade-tested).
+    var prevRound: Option[DataFrame] = None
     val persisted = scala.collection.mutable.Buffer[DataFrame]()
     val merges = scala.collection.mutable.Buffer[(Int, String, String, String, Long)]()
     try {
       for (k <- 1 to rounds if merges.size == k - 1) {
         vocab = vocab.persist()
         persisted += vocab
-        val arr = split(col("seq"), " ")
+        val arr = col("seq")
         val best = vocab
           .select(col("freq"), explode(zip_with(
             slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
@@ -584,6 +590,10 @@ object TextOps {
           .orderBy(col("cnt").desc, col("l"), col("r"))
           .limit(1) // TakeOrdered: bounded per-partition heap + 1-row collect
           .collect()
+        // round k is materialized (the argmax action above) — the
+        // previous round's cached blocks are no longer reachable work
+        prevRound.foreach(_.unpersist(blocking = false))
+        prevRound = Some(vocab)
         if (best.nonEmpty) {
           val (a, b, cnt) =
             (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
