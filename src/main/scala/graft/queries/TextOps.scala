@@ -529,6 +529,23 @@ object TextOps {
     * unpersist before returning — net-zero cached blocks.
     */
   def c4BpeMerges(spark: SparkSession, dir: String, rounds: Int = 10): DataFrame = {
+    val (merges, _, lastCached) = bpeTrain(spark, dir, rounds)
+    lastCached.foreach(_.unpersist(blocking = false))
+    import spark.implicits._
+    merges
+      .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("merge_round")
+  }
+
+  /** The shared BPE training loop: returns the merge table, the FINAL
+    * per-word vocab (word, freq, seq — the symbol array after all K
+    * merges), and the still-cached last-round handle the CALLER must
+    * release (the final vocab's lineage runs one fold over it; encode
+    * keeps it cached until its result materializes, the merge-table
+    * query drops it immediately).
+    */
+  private def bpeTrain(spark: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame, Option[DataFrame]) = {
     // Greedy left-to-right merge of (a,b) -> ab over the symbol ARRAY
     // (the seq column stays an array between rounds — no per-round
     // string join/split), as a codegen'd fold: state = (out, held)
@@ -564,7 +581,7 @@ object TextOps {
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), concat(
+      .select(col("word"), col("freq"), concat(
         filter(split(col("word"), ""), x => x =!= ""),
         array(lit("</w>"))).as("seq"))
     // At most TWO rounds' vocab tables are ever cached: round k's persist
@@ -598,14 +615,54 @@ object TextOps {
           val (a, b, cnt) =
             (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
           merges += ((k, a, b, a + b, cnt))
-          vocab = vocab.select(col("freq"), mergeSeq(a, b).as("seq"))
+          vocab = vocab.select(col("word"), col("freq"), mergeSeq(a, b).as("seq"))
         }
       }
-    } finally persisted.foreach(_.unpersist(blocking = false))
-    import spark.implicits._
-    merges.toSeq
-      .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
-      .orderBy("merge_round")
+    } catch {
+      case e: Throwable =>
+        persisted.foreach(_.unpersist(blocking = false))
+        throw e
+    }
+    (merges.toSeq, vocab, prevRound)
+  }
+
+  /** C4q: BPE ENCODE — apply the trained merge table ([[c4BpeMerges]]'s
+    * 10 rounds) to the corpus and report per-document BPE token counts
+    * (plus tokens-per-word, the compression signal a tokenizer budget
+    * is set from). This is the APPLY half of the tokenizer loop: train
+    * produces the merge table, encode prices every document in the
+    * trained vocabulary's units — the token accounting that feeds
+    * `c7_token_budget`-style curation at the BPE level rather than the
+    * whitespace level.
+    *
+    * Scale posture: encoding is performed ONCE PER WORD TYPE, not per
+    * token — the trained final vocab (word → merged symbol count) is
+    * O(types), and the corpus pass is a narrow explode + equi-join on
+    * the word (shuffle on the word key, partial-agg counts per doc).
+    * A 100 TB corpus pays one token-explode pass + an O(types) join —
+    * never a per-occurrence re-merge. Every count is exact int64; the
+    * single per-doc double (bpe_per_word) is one division rounded 6dp.
+    */
+  def c4BpeEncode(spark: SparkSession, dir: String, rounds: Int = 10): DataFrame = {
+    val (_, finalVocab, lastCached) = bpeTrain(spark, dir, rounds)
+    val enc = finalVocab.select(col("word"), size(col("seq")).as("n_bpe"))
+    val words = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val perDoc = words.join(enc, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_bpe")).cast("long").as("n_bpe_tokens"))
+    val out = docs(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+      .withColumn("bpe_per_word",
+        when(col("n_words") > 0,
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)))
+      .orderBy("doc_id")
+    graft.util.CacheScope.releaseAfterMaterialize(out, lastCached.toSeq)
   }
 
   /** DuckDB replay of [[c4BpeMerges]]: the same K rounds, with the
@@ -617,16 +674,27 @@ object TextOps {
     * window stacks would blow the planner up (the closureChainSql
     * lesson).
     */
-  private def bpeChainSql(rounds: Int): String = {
+  private def bpeChainSql(rounds: Int): String =
+    s"WITH ${bpeChainCtes(rounds)} " +
+      (1 to rounds).map { k =>
+        s"SELECT $k AS merge_round, l AS lhs, r AS rhs, l || r AS merged, " +
+          s"cnt AS pair_count FROM b$k"
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY merge_round")
+
+  /** The shared CTE chain (w0 … w`rounds`, b1 … b`rounds`) without a
+    * final SELECT — composed by both the merge-table and encode replays.
+    */
+  private def bpeChainCtes(rounds: Int): String = {
     val base =
       "w0 AS MATERIALIZED (" +
-        "SELECT list_aggregate(list_append(string_split(word, ''), '</w>'), 'string_agg', ' ') AS seq, " +
+        "SELECT word, " +
+        "list_aggregate(list_append(string_split(word, ''), '</w>'), 'string_agg', ' ') AS seq, " +
         "count(*) AS freq " +
         "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
         "WHERE length(word) > 0 GROUP BY 1)"
     val rounds_sql = (1 to rounds).map { k =>
       val prev = if (k == 1) "w0" else s"w${k - 1}"
-      s"s$k AS (SELECT seq AS w, freq, " +
+      s"s$k AS (SELECT word AS w, freq, " +
         s"unnest(generate_series(1, len(string_split(seq, ' ')))) AS i, " +
         s"string_split(seq, ' ') AS arr FROM $prev), " +
         s"y$k AS (SELECT w, freq, i, arr[i] AS sym FROM s$k), " +
@@ -648,19 +716,34 @@ object TextOps {
         s"ELSE FALSE END AS taken FROM h$k), " +
         s"c$k AS (SELECT *, coalesce(lag(taken) OVER (PARTITION BY w ORDER BY i), FALSE) " +
         s"AS consumed FROM t$k), " +
-        s"w$k AS MATERIALIZED (SELECT string_agg(" +
+        s"w$k AS MATERIALIZED (SELECT w AS word, string_agg(" +
         s"CASE WHEN taken THEN (SELECT l || r FROM b$k) ELSE sym END, ' ' ORDER BY i) " +
         s"AS seq, freq FROM c$k WHERE NOT consumed GROUP BY w, freq)"
     }.mkString(", ")
-    val unions = (1 to rounds).map { k =>
-      s"SELECT $k AS merge_round, l AS lhs, r AS rhs, l || r AS merged, " +
-        s"cnt AS pair_count FROM b$k"
-    }.mkString(" UNION ALL ")
-    s"WITH $base, $rounds_sql SELECT * FROM ($unions) ORDER BY merge_round"
+    s"$base, $rounds_sql"
   }
+
+  /** DuckDB replay of [[c4BpeEncode]]: the same chain (the per-word
+    * final seq after all K rounds), per-word BPE length, the word
+    * explode + join, and the left-join re-attach to the doc universe.
+    */
+  private def bpeEncodeSql(rounds: Int): String =
+    s"WITH ${bpeChainCtes(rounds)}, " +
+      s"enc AS (SELECT word, len(string_split(seq, ' ')) AS n_bpe FROM w$rounds), " +
+      "wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word " +
+      "FROM documents), " +
+      "pd AS (SELECT doc_id, count(*) AS n_words, " +
+      "CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens " +
+      "FROM wd JOIN enc USING (word) WHERE length(word) > 0 GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(COALESCE(pd.n_words, 0) AS BIGINT) AS n_words, " +
+      "CAST(COALESCE(pd.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens, " +
+      "CASE WHEN pd.n_words > 0 THEN " +
+      "round(CAST(pd.n_bpe_tokens AS DOUBLE) / pd.n_words, 6) END AS bpe_per_word " +
+      "FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"
 
   val oracle: Map[String, String] = Map(
     "c4_bpe_merges" -> bpeChainSql(10),
+    "c4_bpe_encode" -> bpeEncodeSql(10),
     "c4_zipf" ->
       ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "f AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok), " +
@@ -810,6 +893,7 @@ object TextOps {
     "c4_pmi" -> ((s: SparkSession, d: String) => c4Pmi(s, d)),
     "c4_vocab_growth" -> ((s: SparkSession, d: String) => c4VocabGrowth(s, d)),
     "c4_zipf" -> ((s: SparkSession, d: String) => c4Zipf(s, d)),
-    "c4_bpe_merges" -> ((s: SparkSession, d: String) => c4BpeMerges(s, d))
+    "c4_bpe_merges" -> ((s: SparkSession, d: String) => c4BpeMerges(s, d)),
+    "c4_bpe_encode" -> ((s: SparkSession, d: String) => c4BpeEncode(s, d))
   )
 }

@@ -156,4 +156,45 @@ class TextMiningSpec extends SparkSuite {
     }
     assert(got.toSeq == want)
   }
+
+  test("c4_bpe_encode matches an in-memory apply of the learned merges") {
+    // Re-learn the merge table with the same plain-Scala BPE, apply it
+    // word-by-word, and price every document.
+    val words = corpus.values.flatten.filter(_.nonEmpty).toSeq
+    var wordSyms: Map[String, Vector[String]] = words.distinct
+      .map(w => w -> (w.map(_.toString).toVector :+ "</w>")).toMap
+    val freqs = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (_ <- 1 to 10) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, syms) <- wordSyms; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + freqs(w)
+      val ((a, b), _) = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.head
+      wordSyms = wordSyms.view.mapValues { syms =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }.toMap
+    }
+    val want = corpus.toSeq.map { case (id, toks) =>
+      val ws = toks.filter(_.nonEmpty)
+      val bpe = ws.map(w => wordSyms(w).length.toLong).sum
+      val ratio =
+        if (ws.isEmpty) null
+        else BigDecimal(bpe.toDouble / ws.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, ws.length.toLong, bpe, ratio)
+    }.sortBy(_._1)
+    val got = TextOps.c4BpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+  }
 }
