@@ -626,6 +626,48 @@ object TextOps {
     (merges.toSeq, vocab, prevRound)
   }
 
+  /** C4r: sliding-window token CHUNKING — the segmentation primitive a
+    * retrieval or pretraining pipeline runs before embedding/packing:
+    * each document becomes overlapping windows of `window` tokens with
+    * stride `stride` (overlap = window − stride), every chunk carrying
+    * its 1-based start offset, token count, and the md5 of its
+    * space-joined text (the content fingerprint downstream dedup/
+    * embedding stages key on — the oracle pins chunk CONTENT through
+    * it without shipping chunk strings). A document shorter than one
+    * window is a single chunk; chunk starts are 1, 1+stride, …, the
+    * last start chosen so the final window reaches the end (ceil
+    * integer math, exact in both engines).
+    *
+    * Scale posture: one narrow per-row pass — split, a bounded
+    * `sequence` explode (O(n_tokens/stride) chunks per doc), slice +
+    * hash inside whole-stage codegen; output is O(total_tokens/stride)
+    * rows of scalars. No shuffle at all until the caller aggregates;
+    * the final ORDER BY is the driver-check convention.
+    */
+  def c4Chunk(spark: SparkSession, dir: String,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && window >= stride, "need 0 < stride <= window")
+    val arr = split(col("text"), " ")
+    docs(spark, dir)
+      .select(col("doc_id"), arr.as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      // k = 0 .. ceil(max(n-window,0)/stride): the last window reaches
+      // the document end; shorter docs get exactly one chunk
+      .withColumn("k", explode(sequence(lit(0),
+        expr(s"CAST((greatest(n - $window, 0) + ${stride - 1}) " +
+          s"div $stride AS INT)"))))
+      .select(col("doc_id"),
+        (col("k") + 1).cast("int").as("chunk_idx"),
+        (col("k") * stride + 1).cast("int").as("start_tok"),
+        least(lit(window), col("n") - col("k") * stride).cast("int")
+          .as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("k") * stride + 1, lit(window))))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** C4q: BPE ENCODE — apply the trained merge table ([[c4BpeMerges]]'s
     * 10 rounds) to the corpus and report per-document BPE token counts
     * (plus tokens-per-word, the compression signal a tokenizer budget
@@ -744,6 +786,21 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "c4_bpe_merges" -> bpeChainSql(10),
     "c4_bpe_encode" -> bpeEncodeSql(10),
+    // Chunking replay: same ceil window count, same 1-based slices,
+    // same md5 content fingerprint (both engines hash the identical
+    // space-joined UTF-8 bytes).
+    "c4_chunk" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
+        "len(string_split(text, ' ')) AS n FROM documents), " +
+        "e AS (SELECT doc_id, toks, n, " +
+        "unnest(generate_series(0, CAST((greatest(n - 64, 0) + 47) // 48 AS INT))) " +
+        "AS k FROM t WHERE n > 0) " +
+        "SELECT doc_id, CAST(k + 1 AS INT) AS chunk_idx, " +
+        "CAST(k * 48 + 1 AS INT) AS start_tok, " +
+        "CAST(least(64, n - k * 48) AS INT) AS n_tokens, " +
+        "md5(array_to_string(list_slice(toks, k * 48 + 1, k * 48 + 64), ' ')) " +
+        "AS chunk_hash " +
+        "FROM e ORDER BY doc_id, chunk_idx"),
     "c4_zipf" ->
       ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "f AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok), " +
@@ -894,6 +951,7 @@ object TextOps {
     "c4_vocab_growth" -> ((s: SparkSession, d: String) => c4VocabGrowth(s, d)),
     "c4_zipf" -> ((s: SparkSession, d: String) => c4Zipf(s, d)),
     "c4_bpe_merges" -> ((s: SparkSession, d: String) => c4BpeMerges(s, d)),
-    "c4_bpe_encode" -> ((s: SparkSession, d: String) => c4BpeEncode(s, d))
+    "c4_bpe_encode" -> ((s: SparkSession, d: String) => c4BpeEncode(s, d)),
+    "c4_chunk" -> ((s: SparkSession, d: String) => c4Chunk(s, d))
   )
 }

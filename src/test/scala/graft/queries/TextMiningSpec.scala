@@ -157,6 +157,41 @@ class TextMiningSpec extends SparkSuite {
     assert(got.toSeq == want)
   }
 
+  test("c4_chunk matches an in-memory sliding window and covers every token") {
+    val got = TextOps.c4Chunk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(got.nonEmpty)
+    val (window, stride) = (64, 48)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = corpus.toSeq.sortBy(_._1).flatMap { case (id, toks) =>
+      if (toks.isEmpty) Seq.empty
+      else {
+        val n = toks.length
+        val lastK = math.max(0, (math.max(n - window, 0) + stride - 1) / stride)
+        (0 to lastK).map { k =>
+          val chunk = toks.slice(k * stride, math.min(k * stride + window, n))
+          (id, k + 1, k * stride + 1, chunk.length, md5hex(chunk.mkString(" ")))
+        }
+      }
+    }
+    assert(got.toSeq == want)
+    // coverage: consecutive chunks overlap or touch, and the final chunk
+    // reaches the document end — no token escapes every window
+    corpus.foreach { case (id, toks) =>
+      if (toks.nonEmpty) {
+        val ch = want.filter(_._1 == id)
+        assert(ch.head._3 == 1)
+        ch.sliding(2).foreach {
+          case Seq(a, b) => assert(b._3 <= a._3 + a._4, s"gap in doc $id")
+          case _ => ()
+        }
+        assert(ch.last._3 + ch.last._4 - 1 == toks.length)
+      }
+    }
+  }
+
   test("c4_bpe_encode matches an in-memory apply of the learned merges") {
     // Re-learn the merge table with the same plain-Scala BPE, apply it
     // word-by-word, and price every document.
