@@ -668,6 +668,33 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** C4s: chunk-level exact dedup — the boilerplate report at the
+    * CHUNK granularity ([[c4Chunk]]'s windows grouped by content
+    * fingerprint): every chunk occurring in ≥2 places, with its copy
+    * count, distinct-document spread, and the first (doc, offset)
+    * occurrence. Document-level dedup ([[c1ExactDedup]]) misses shared
+    * paragraphs inside otherwise-distinct documents; this is the
+    * operator that finds them — the within-corpus analog of the
+    * shingle-level decontamination family.
+    *
+    * Scale posture: the chunk pass is [[c4Chunk]]'s narrow zero-shuffle
+    * projection; the only shuffle is ONE partial+final aggregate keyed
+    * by the 128-bit fingerprint (never chunk text), output O(distinct
+    * repeated chunks).
+    */
+  def c4ChunkDedup(spark: SparkSession, dir: String,
+      window: Int = 64, stride: Int = 48): DataFrame =
+    c4Chunk(spark, dir, window, stride)
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+      .filter(col("n_copies") >= 2)
+      .select(col("chunk_hash"), col("n_copies"), col("n_docs"),
+        col("f.doc_id").as("first_doc_id"),
+        col("f.chunk_idx").as("first_chunk_idx"))
+      .orderBy("first_doc_id", "first_chunk_idx", "chunk_hash")
+
   /** C4q: BPE ENCODE — apply the trained merge table ([[c4BpeMerges]]'s
     * 10 rounds) to the corpus and report per-document BPE token counts
     * (plus tokens-per-word, the compression signal a tokenizer budget
@@ -801,6 +828,27 @@ object TextOps {
         "md5(array_to_string(list_slice(toks, k * 48 + 1, k * 48 + 64), ' ')) " +
         "AS chunk_hash " +
         "FROM e ORDER BY doc_id, chunk_idx"),
+    // Chunk-dedup replay: the same chunk chain grouped by fingerprint,
+    // min-(doc, offset) first occurrence, copies >= 2.
+    "c4_chunk_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
+        "len(string_split(text, ' ')) AS n FROM documents), " +
+        "e AS (SELECT doc_id, toks, n, " +
+        "unnest(generate_series(0, CAST((greatest(n - 64, 0) + 47) // 48 AS INT))) " +
+        "AS k FROM t WHERE n > 0), " +
+        "c AS (SELECT doc_id, CAST(k + 1 AS INT) AS chunk_idx, " +
+        "md5(array_to_string(list_slice(toks, k * 48 + 1, k * 48 + 64), ' ')) " +
+        "AS chunk_hash FROM e), " +
+        "g AS (SELECT chunk_hash, count(*) AS n_copies, " +
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "min(doc_id) AS first_doc_id FROM c GROUP BY chunk_hash " +
+        "HAVING count(*) >= 2) " +
+        "SELECT g.chunk_hash, g.n_copies, g.n_docs, g.first_doc_id, " +
+        "CAST(min(c.chunk_idx) AS INT) AS first_chunk_idx " +
+        "FROM g JOIN c ON c.chunk_hash = g.chunk_hash " +
+        "AND c.doc_id = g.first_doc_id " +
+        "GROUP BY g.chunk_hash, g.n_copies, g.n_docs, g.first_doc_id " +
+        "ORDER BY first_doc_id, first_chunk_idx, g.chunk_hash"),
     "c4_zipf" ->
       ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "f AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok), " +
@@ -952,6 +1000,7 @@ object TextOps {
     "c4_zipf" -> ((s: SparkSession, d: String) => c4Zipf(s, d)),
     "c4_bpe_merges" -> ((s: SparkSession, d: String) => c4BpeMerges(s, d)),
     "c4_bpe_encode" -> ((s: SparkSession, d: String) => c4BpeEncode(s, d)),
-    "c4_chunk" -> ((s: SparkSession, d: String) => c4Chunk(s, d))
+    "c4_chunk" -> ((s: SparkSession, d: String) => c4Chunk(s, d)),
+    "c4_chunk_dedup" -> ((s: SparkSession, d: String) => c4ChunkDedup(s, d))
   )
 }
