@@ -751,16 +751,20 @@ object EventStream {
       spark.conf.set(key,
         spark.conf.get("spark.graft.stream.statePartitions", "8"))
       try {
-        // SPARK_GRAFT_STATE_PROVIDER=rocksdb flips EVERY streaming runner
-        // onto the RocksDB state store — the provider a 100 TB deployment
-        // runs (state larger than executor heap, changelog
-        // checkpointing). The tws family always uses it (OSS Spark gates
+        // SPARK_GRAFT_STATE_PROVIDER=rocksdb (env; or the system property
+        // spark.graft.stream.provider, which the provider-independence
+        // spec flips in-process) moves EVERY streaming runner onto the
+        // RocksDB state store — the provider a 100 TB deployment runs
+        // (state larger than executor heap, changelog checkpointing).
+        // The tws family always uses it (OSS Spark gates
         // transformWithState on it); this switch exists so a bench pass
         // can measure the other five state families on the deployment
         // provider and pin that results are provider-independent
         // (EventStreamSpec). Default stays the HDFS-backed store: faster
         // on the bench corpus (BASELINE.md records the measured delta).
-        if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb")) {
+        if (sys.props.get("spark.graft.stream.provider")
+            .orElse(sys.env.get("SPARK_GRAFT_STATE_PROVIDER"))
+            .contains("rocksdb")) {
           val pk = "spark.sql.streaming.stateStore.providerClass"
           val prevP = spark.conf.getOption(pk)
           spark.conf.set(pk, "org.apache.spark.sql.execution.streaming." +

@@ -703,4 +703,31 @@ class EventStreamSpec extends SparkSuite {
     assert(unmatched.nonEmpty, "corpus yields no watermark-cleared matchless purchase")
     assert(got == inner ++ unmatched)
   }
+
+  test("state-store provider independence: RocksDB results == default-store results") {
+    // One representative query per non-tws state family (tws is ALWAYS
+    // RocksDB), each run under both providers in-process: windowed
+    // aggregation state, dedup-key state, flatMapGroupsWithState
+    // arbitrary state, and stream-stream join buffers. A provider-
+    // dependent result (e.g. an iteration-order assumption that the
+    // on-heap map satisfies and the sorted RocksDB layout does not)
+    // breaks here, not only in a round's one-off RocksDB pass. The
+    // full 34-query equivalence at sf0.01 is in BASELINE.md round 13.
+    val fams = Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)](
+      "tumbling" -> (EventStream.c5StreamTumbling(_, _)),
+      "dedup" -> (EventStream.c5StreamDedup(_, _)),
+      "session_state" -> (EventStream.c5StreamSessionizeState(_, _)),
+      "join" -> (EventStream.c5StreamJoin(_, _)))
+    fams.foreach { case (name, q) =>
+      val base = q(spark, sf).collect().map(_.toString).sorted
+      sys.props("spark.graft.stream.provider") = "rocksdb"
+      try {
+        val rocks = q(spark, sf).collect().map(_.toString).sorted
+        assert(rocks.sameElements(base),
+          s"$name: RocksDB provider changed the result " +
+            s"(${base.length} vs ${rocks.length} rows)")
+      } finally sys.props.remove("spark.graft.stream.provider")
+    }
+  }
 }
