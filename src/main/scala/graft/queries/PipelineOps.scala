@@ -230,6 +230,36 @@ object PipelineOps {
       .orderBy("lang", "doc_id")
   }
 
+  /** C7b': [[c7TokenBudget]] priced in BPE TOKENS — the budget unit a
+    * real pipeline allocates in (compute cost is tokenizer tokens, not
+    * whitespace words): per-doc counts come from the trained tokenizer
+    * ([[TextOps.bpeTrain]]'s final vocab, priced once per word TYPE and
+    * joined — the c4_bpe_encode shape), then the same per-lang greedy
+    * prefix selection through the two-phase bounded-partition running
+    * sum. Budget default 20000 ≈ the whitespace query's 5000-word
+    * budget at the corpus's ~4 BPE tokens/word.
+    */
+  def c7TokenBudgetBpe(spark: SparkSession, dir: String,
+      budget: Long = 20000L, rounds: Int = 10): DataFrame = {
+    val (_, finalVocab, lastCached) = TextOps.bpeTrain(spark, dir, rounds)
+    val enc = finalVocab.select(col("word"), size(col("seq")).as("n_bpe"))
+    val perDoc = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(enc, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_bpe")).cast("long").as("n_bpe_tokens"))
+    val base = docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("lang"), col("doc_id"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+    val out = withRunningSum(base, "n_bpe_tokens", "cum_bpe")
+      .filter(col("cum_bpe") <= budget)
+      .select(col("lang"), col("doc_id"), col("n_bpe_tokens"), col("cum_bpe"))
+      .orderBy("lang", "doc_id")
+    graft.util.CacheScope.releaseAfterMaterialize(out, lastCached.toSeq)
+  }
+
   /** C7d: train/test decontamination — flag training documents sharing
     * any word k-gram with the held-out test split (the standard n-gram
     * benchmark-decontamination pass). Both splits come from the same
@@ -1288,6 +1318,23 @@ object PipelineOps {
         "CAST(SUM(len(string_split(text, ' '))) OVER " +
         "(PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_tokens " +
         "FROM documents) WHERE cum_tokens <= 5000 ORDER BY lang, doc_id"),
+    // BPE-priced budget: the c4_bpe_encode chain (word-type pricing)
+    // then the same per-lang prefix-sum selection.
+    "c7_token_budget_bpe" ->
+      (s"WITH ${TextOps.bpeChainCtes(10)}, " +
+        "enc AS (SELECT word, len(string_split(seq, ' ')) AS n_bpe FROM w10), " +
+        "wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word " +
+        "FROM documents), " +
+        "pd AS (SELECT doc_id, CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens " +
+        "FROM wd JOIN enc USING (word) WHERE length(word) > 0 GROUP BY doc_id), " +
+        "b AS (SELECT d.lang, d.doc_id, " +
+        "CAST(COALESCE(pd.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens " +
+        "FROM documents d LEFT JOIN pd USING (doc_id)), " +
+        "r AS (SELECT lang, doc_id, n_bpe_tokens, " +
+        "CAST(SUM(n_bpe_tokens) OVER (PARTITION BY lang ORDER BY doc_id) " +
+        "AS BIGINT) AS cum_bpe FROM b) " +
+        "SELECT lang, doc_id, n_bpe_tokens, cum_bpe FROM r " +
+        "WHERE cum_bpe <= 20000 ORDER BY lang, doc_id"),
     // Identical SQL to c7_decontaminate by design: the bloom prefilter
     // must not change the result (no false negatives; the exact join
     // removes false positives).
@@ -1357,6 +1404,7 @@ object PipelineOps {
     "c7_split_assign" -> (c7SplitAssign _),
     "c7_split_cluster_safe" -> (c7SplitClusterSafe _),
     "c7_token_budget" -> ((s: SparkSession, d: String) => c7TokenBudget(s, d)),
+    "c7_token_budget_bpe" -> ((s: SparkSession, d: String) => c7TokenBudgetBpe(s, d)),
     "c7_decontaminate" -> ((s: SparkSession, d: String) => c7Decontaminate(s, d)),
     "c7_decontaminate_bloom" -> ((s: SparkSession, d: String) => c7DecontaminateBloom(s, d)),
     "c7_curate" -> ((s: SparkSession, d: String) => c7Curate(s, d)),

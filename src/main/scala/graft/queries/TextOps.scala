@@ -544,7 +544,7 @@ object TextOps {
     * keeps it cached until its result materializes, the merge-table
     * query drops it immediately).
     */
-  private def bpeTrain(spark: SparkSession, dir: String, rounds: Int)
+  private[queries] def bpeTrain(spark: SparkSession, dir: String, rounds: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame, Option[DataFrame]) = {
     // Greedy left-to-right merge of (a,b) -> ab over the symbol ARRAY
     // (the seq column stays an array between rounds — no per-round
@@ -753,7 +753,7 @@ object TextOps {
   /** The shared CTE chain (w0 … w`rounds`, b1 … b`rounds`) without a
     * final SELECT — composed by both the merge-table and encode replays.
     */
-  private def bpeChainCtes(rounds: Int): String = {
+  private[queries] def bpeChainCtes(rounds: Int): String = {
     val base =
       "w0 AS MATERIALIZED (" +
         "SELECT word, " +
