@@ -123,7 +123,11 @@ final class Gateway(spark: SparkSession, store: JobStore, port: Int = 2335,
       val params = queryParams(ex)
       (params.get("job_id").flatMap(_.toLongOption), params.get("token")) match {
         case (Some(id), Some(token)) =>
-          store.fetchResult(id, token) match {
+          // Leased fetch: a spilled result's sink holds a read lease for
+          // the duration of the chunked stream, so a concurrent TTL
+          // sweep (another request, the 10 s sweeper) can never delete
+          // the parquet mid-stream — the delete defers to releaseSpill.
+          store.fetchResultLeased(id, token) match {
             case Right(JobStore.InlineResult(results)) =>
               respond(ex, 200,
                 results.iterator.map(jstr).mkString(
@@ -135,7 +139,8 @@ final class Gateway(spark: SparkSession, store: JobStore, port: Int = 2335,
               // bounded partition at a time (readSpilled/toLocalIterator).
               // Same body shape as the inline path byte-for-byte: a
               // client cannot tell which path served it.
-              streamResult(ex, JobStore.readSpilled(spark, sp))
+              try streamResult(ex, JobStore.readSpilled(spark, sp))
+              finally store.releaseSpill(sp)
             case Left(msg) =>
               respond(ex, 500, s"""{"ok":false,"message":${jstr(msg)}}""")
           }
@@ -148,6 +153,12 @@ final class Gateway(spark: SparkSession, store: JobStore, port: Int = 2335,
     * stream off the sink scan, buffered by the 64 KiB writer — the
     * gateway's heap holds O(one row + one partition fetch), never the
     * result.
+    *
+    * Mid-stream failure (the 200 status is already committed, chunked
+    * bodies cannot change it): the closing `]}` is deliberately NOT
+    * written — the body ends as unparseable JSON, so any client that
+    * parses the document reliably detects the truncation instead of
+    * consuming a silently-shortened result array.
     */
   private def streamResult(ex: HttpExchange, rows: Iterator[String]): Unit = {
     ex.getResponseHeaders.set("Content-Type", "application/json")

@@ -54,6 +54,24 @@ final class JobStore(
   // executor thread — covering the window before the thread has set its
   // job group (or submitted its first Spark job).
   private val threads = new ConcurrentHashMap[Long, Thread]()
+  // Makes interrupt DELIVERY (cancel: threads.get + interrupt) mutually
+  // exclusive with teardown (execute's finally: threads.remove +
+  // Thread.interrupted). Without it, cancel() can read the thread before
+  // the finally removes the mapping and deliver the interrupt AFTER
+  // Thread.interrupted() cleared the flag — the pending interrupt would
+  // land in the pool thread's NEXT job and spuriously fail an unrelated
+  // queued job. Under the lock the interleaving is either
+  // interrupt-then-clear (flag consumed with the job it targeted) or
+  // remove-then-no-interrupt.
+  private val interruptGate = new Object
+  // Spilled-result read leases: a dir with an active lease (a gateway
+  // response streaming it) is never deleted out from under the scan —
+  // TTL eviction defers the delete to the last release. Guarded by
+  // leaseGate so a lease can never be taken on a dir the sweeper is
+  // concurrently deciding to delete.
+  private val leaseGate = new Object
+  private val spillLeases = new ConcurrentHashMap[String, Integer]()
+  private val pendingDelete = ConcurrentHashMap.newKeySet[String]()
   // Fixed-size admission pool with a FIFO wait queue: Queued jobs run in
   // launch order as slots free up (the reference's idle-worker queue,
   // master.cc:180-349). Daemon threads — the store never pins the JVM.
@@ -148,6 +166,12 @@ final class JobStore(
       val result = materialize(spark, id, out)
       finishIfRunning(id, _.copy(status = Finished, result = Some(result),
         finishedAt = Some(clock())))
+      // A cancel that won the race AFTER materialize() wrote a spill sink
+      // left the job terminally Cancelled with result=None — nothing
+      // would ever point at (or delete) the sink. If the Finished
+      // transition did not take effect, the sink is orphaned: delete it.
+      if (!Option(jobs.get(id)).exists(_.status == Finished))
+        deleteDir(spillDir(id))
     } catch {
       case e: Exception =>
         // A cancelled job's action dies with a SparkException (or the
@@ -168,8 +192,10 @@ final class JobStore(
       if (Option(jobs.get(id)).exists(_.status == Cancelled))
         spark.sparkContext.cancelJobGroup(jobGroup(id))
       spark.sparkContext.clearJobGroup()
-      threads.remove(id)
-      Thread.interrupted() // clear a late interrupt; the pool thread moves on
+      interruptGate.synchronized {
+        threads.remove(id)
+        Thread.interrupted() // clear a late interrupt; the pool thread moves on
+      }
     }
 
   /** O8/O10 result materialization, size-gated: one distributed aggregate
@@ -248,7 +274,13 @@ final class JobStore(
           // cancel only reaches jobs that exist when it fires). A
           // Queued job has neither — both calls are no-ops for it.
           spark.sparkContext.cancelJobGroup(jobGroup(id))
-          Option(threads.get(id)).foreach(_.interrupt())
+          // Atomic with execute()'s teardown (see interruptGate): the
+          // interrupt is delivered only while the id→thread mapping is
+          // still live, so it can never leak into the pool thread's next
+          // job after Thread.interrupted() has already run.
+          interruptGate.synchronized {
+            Option(threads.get(id)).foreach(_.interrupt())
+          }
           Right(())
         } else Left("job not running")
     }
@@ -287,6 +319,31 @@ final class JobStore(
     }
   }
 
+  /** [[fetchResult]] that additionally takes a READ LEASE on a spilled
+    * result's sink, atomically with the TTL sweep — a concurrent
+    * `evictExpired` (another request, the gateway's 10 s sweeper) can
+    * then never delete the parquet sink while a chunked response is
+    * mid-stream (it defers the delete to [[releaseSpill]]). Callers MUST
+    * release the lease when the stream ends, success or failure.
+    */
+  def fetchResultLeased(id: Long, token: String): Either[String, JobResult] =
+    leaseGate.synchronized {
+      fetchResult(id, token) match {
+        case r @ Right(SpilledResult(dir, _, _)) =>
+          spillLeases.merge(dir, 1, (a, b) => a + b); r
+        case other => other
+      }
+    }
+
+  /** Release a [[fetchResultLeased]] lease; performs a delete the TTL
+    * sweep deferred while the stream was active.
+    */
+  def releaseSpill(res: SpilledResult): Unit = leaseGate.synchronized {
+    val left = spillLeases.compute(res.dir,
+      (_, v) => if (v == null || v <= 1) null else v - 1)
+    if (left == null && pendingDelete.remove(res.dir)) hadoopDelete(res.dir)
+  }
+
   def status(id: Long): Option[JobStatus] = Option(jobs.get(id)).map(_.status)
 
   /** Drop finished/failed jobs older than the TTL; returns eviction count
@@ -306,14 +363,61 @@ final class JobStore(
         }
       }
     }
+    sweepOrphanSpills()
     n
   }
 
-  private def deleteDir(dir: String): Unit =
+  /** Delete spill sink dirs no live job points at — leftovers of a
+    * crashed materialize (the process died mid-write: the job never
+    * reached a terminal state, or a previous JVM's jobs are simply gone
+    * from this store's registry). Runs with the TTL sweep so a
+    * long-lived gateway's spill disk is bounded by its LIVE jobs, not
+    * its crash history. Guards: only `job-<id>` dirs whose id belongs to
+    * no registered job (Queued/Running included — materialize may be
+    * mid-write) AND whose modification time has aged past the TTL — the
+    * same retention finished results get, and the age gate keeps a
+    * second store sharing the root (or an id this store hasn't reached
+    * yet) safe from a premature sweep.
+    */
+  private def sweepOrphanSpills(): Unit =
     try {
-      val f = new java.io.File(dir)
-      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+      val root = new org.apache.hadoop.fs.Path(spillRoot)
+      val fs = root.getFileSystem(hadoopConf)
+      val now = clock()
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("job-"))
+          name.stripPrefix("job-").toLongOption.foreach { id =>
+            if (!jobs.containsKey(id) &&
+                now - st.getModificationTime >= ttlMillis)
+              deleteDir(st.getPath.toString)
+          }
+      }
     } catch { case _: Exception => () }
+
+  /** Lease-aware spill-sink delete through the Hadoop filesystem the
+    * sink was WRITTEN with (Spark's default FS) — `java.io.File` would
+    * silently never delete on any deployment whose default FS is not the
+    * driver-local disk, unbounding spill disk despite the TTL. A dir
+    * with an active read lease is deferred to [[releaseSpill]].
+    */
+  private def deleteDir(dir: String): Unit = leaseGate.synchronized {
+    if (spillLeases.containsKey(dir)) { pendingDelete.add(dir); () }
+    else hadoopDelete(dir)
+  }
+
+  private def hadoopDelete(dir: String): Unit =
+    try {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(hadoopConf)
+      if (fs.exists(path)) fs.delete(path, true)
+      ()
+    } catch { case _: Exception => () }
+
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 }
 
 object JobStore {

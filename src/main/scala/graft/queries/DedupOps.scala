@@ -927,6 +927,22 @@ object DedupOps {
           writeRows.write.mode("overwrite").insertInto(labTab)
         } finally
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        // Dynamic overwrite only rewrites partitions PRESENT in the
+        // written data: a touched partition every one of whose clusters
+        // merged into another partition (old rep's residue class fully
+        // vacated) has no writeRows rows, so its stale label rows would
+        // survive and a doc would carry two conflicting reps. Clear each
+        // vacated partition explicitly with a STATIC empty overwrite
+        // (static INSERT OVERWRITE PARTITION deletes the partition's
+        // files even when the incoming relation is empty).
+        val presentLp =
+          writeRows.select("lp").distinct().collect().map(_.getLong(0)).toSet
+        touchedLp.filterNot(presentLp).foreach { p =>
+          spark.sql(
+            s"INSERT OVERWRITE TABLE $labTab PARTITION (lp=$p) " +
+              "SELECT CAST(NULL AS BIGINT) AS doc_id, " +
+              "CAST(NULL AS BIGINT) AS cluster_rep WHERE false")
+        }
       }
       nDocs * bands
     } finally base.unpersist(blocking = false)

@@ -237,12 +237,16 @@ object EventOps {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       // FLOOR-safe decade bucket: Spark `div` truncates toward zero
       // while DuckDB `//` floors, so a plain `k div 10` diverges on
-      // negative k (and -1 would collide with the missing-key bucket).
-      // Subtract the sign-safe positive mod first — the quotient is then
-      // exact, so truncation and floor agree for ALL int64 k, and the
-      // oracle replays the identical form.
+      // negative k. Subtract the sign-safe positive mod first — the
+      // quotient is then exact, so truncation and floor agree for ALL
+      // int64 k, and the oracle replays the identical form. The
+      // missing-key sentinel is Long.MinValue — provably OUTSIDE the
+      // reachable bucket range (floor(k/10) ≥ MinValue/10 > MinValue for
+      // every int64 k), so null-k events can never conflate with a real
+      // small-negative decade the way a -1 sentinel would.
       .withColumn("k_bucket",
-        coalesce(expr("(k - (((k % 10) + 10) % 10)) div 10"), lit(-1L)))
+        coalesce(expr("(k - (((k % 10) + 10) % 10)) div 10"),
+          lit(Long.MinValue)))
       .groupBy(col("event_type"), col("k_bucket"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("k")).as("sum_k"),
@@ -284,7 +288,8 @@ object EventOps {
       ("WITH e AS (SELECT event_type, user_id, " +
         "CAST(props->>'k' AS BIGINT) AS k FROM events) " +
         "SELECT event_type, " +
-        "COALESCE((k - (((k % 10) + 10) % 10)) // 10, -1) AS k_bucket, " +
+        "COALESCE((k - (((k % 10) + 10) % 10)) // 10, " +
+        "-9223372036854775807 - 1) AS k_bucket, " +
         "count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k, " +
         "min(k) AS min_k, max(k) AS max_k, " +
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +

@@ -235,6 +235,61 @@ class JobStoreSpec extends SparkSuite {
       "TTL eviction left the spilled result's sink directory behind")
   }
 
+  test("leased spill sink survives a mid-stream TTL eviction; delete defers to release") {
+    // The gateway's chunked /getresult reads the sink AFTER committing a
+    // 200 — a concurrent sweep (another request, the 10 s sweeper)
+    // deleting the parquet mid-stream would hand the client a truncated
+    // body. The leased fetch pins the sink: eviction removes the JOB but
+    // defers the directory delete to the last release.
+    var now = 0L
+    val root = java.nio.file.Files.createTempDirectory("graft_lease_spec").toString
+    val store = new JobStore(clock = () => now, ttlMillis = 1000L,
+      spillBytes = 2L, spillRoot = root)
+    val Right(id) = store.launch(spark,
+      JobSpec("wc", "wordcount", "tok"), kv(("d1", "c a b a"), ("d2", "b z")))
+    val Right(sp: JobStore.SpilledResult) = store.fetchResultLeased(id, "tok")
+    // TTL boundary fires mid-stream: the job evicts, the sink must not
+    now = 1000L
+    assert(store.evictExpired() >= 1)
+    assert(store.fetchResult(id, "tok") == Left(s"no such job: $id"))
+    assert(new java.io.File(sp.dir).isDirectory,
+      "eviction deleted a leased spill sink out from under its stream")
+    // the full stream still serves the exact key-ordered result
+    assert(JobStore.readSpilled(spark, sp).toSeq == Seq("2", "2", "1", "1"))
+    // the deferred delete lands on release
+    store.releaseSpill(sp)
+    assert(!new java.io.File(sp.dir).exists(),
+      "release did not perform the deferred eviction delete")
+  }
+
+  test("orphan spill dirs (crashed materialize) are swept once aged past the TTL") {
+    // A JVM that died mid-materialize leaves a partial parquet dir with
+    // no terminal job pointing at it; a fresh store's TTL sweep must
+    // bound that disk. Age gate: a RECENT dir (a sibling store's live
+    // write, an id this store hasn't reached) survives.
+    val root = java.nio.file.Files.createTempDirectory("graft_orphan_spec").toString
+    val orphan = new java.io.File(root, "job-7")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.writeString(
+      orphan.toPath.resolve("part-00000.parquet"), "partial")
+    val foreign = new java.io.File(root, "not-a-job-dir")
+    assert(foreign.mkdirs())
+    // clock far ahead of the dir's real mtime → aged out
+    val store = new JobStore(
+      clock = () => System.currentTimeMillis() + 10_000L,
+      ttlMillis = 1000L, spillRoot = root)
+    store.evictExpired()
+    assert(!orphan.exists(), "aged orphan spill dir was not swept")
+    assert(foreign.exists(), "sweep touched a non-job directory")
+    // a recent dir survives (clock behind mtime + ttl)
+    val fresh = new java.io.File(root, "job-8")
+    assert(fresh.mkdirs())
+    val store2 = new JobStore(clock = () => System.currentTimeMillis(),
+      ttlMillis = 3600_000L, spillRoot = root)
+    store2.evictExpired()
+    assert(fresh.exists(), "sweep deleted a recent (possibly live) spill dir")
+  }
+
   test("size-gated result: within the bound stays inline with no spill directory") {
     val root = java.nio.file.Files.createTempDirectory("graft_spill_spec2").toString
     val store = new JobStore(clock = () => 0L, spillRoot = root)

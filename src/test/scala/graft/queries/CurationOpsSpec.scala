@@ -382,6 +382,42 @@ class CurationOpsSpec extends SparkSuite {
     assert(got(9100001L) < 9100001L, "copy batch should join a corpus cluster")
   }
 
+  test("appendDedupIndex clears fully-vacated label partitions (no conflicting duplicate labels)") {
+    import spark.implicits._
+    // Synthetic corpus in its own dir: exactly two singleton clusters,
+    // rep 100 (lp = 100 % 64 = 36) and rep 5 (lp = 5). The batch doc 64
+    // has doc 100's IDENTICAL token set (equal signatures → guaranteed
+    // co-bucket) and a smaller id, so the merged cluster's rep becomes
+    // 64 (lp = 0) and partition lp=36 is left with NO post-merge
+    // clusters at all. Dynamic partition overwrite alone would leave the
+    // stale (100 → 100) row in lp=36 alive alongside the new (100 → 64)
+    // row in lp=0 — the exact double-label corruption under test.
+    val dir = java.nio.file.Files.createTempDirectory("graft_vacate").toString
+    Seq(
+      (100L, "aaa bbb ccc ddd eee"),
+      (5L, "fff ggg hhh iii jjj")
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val labTab = DedupOps.ensureDedupLabels(spark, dir)
+    val before = spark.table(labTab).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(before == Set((100L, 100L, 36L), (5L, 5L, 5L)))
+    DedupOps.appendDedupIndex(spark, dir,
+      Seq((64L, "aaa bbb ccc ddd eee")).toDF("doc_id", "text"))
+    val after = spark.table(labTab).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly one row per doc — the stale lp=36 row must be GONE
+    assert(after.groupBy(_._1).forall(_._2.size == 1),
+      s"conflicting duplicate label rows: ${after.sortBy(_._1).mkString(", ")}")
+    assert(after.toSet == Set((100L, 64L, 0L), (64L, 64L, 0L), (5L, 5L, 5L)))
+    // and the incremental table equals from-scratch CC on the grown corpus
+    val (memTab, _) = DedupOps.ensureDedupIndex(spark, dir)
+    val want = graft.dedup.ConnectedComponents
+      .assignmentsFromMemberships(spark.table(memTab))
+      .select(col("doc_id"), col("cluster_rep")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.map(t => (t._1, t._2)).toSet == want)
+  }
+
   test("c3_knn_classify: prediction is the plurality label of the exact top-5") {
     val preds = SimOps.c3KnnClassify(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
