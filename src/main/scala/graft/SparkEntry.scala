@@ -60,7 +60,9 @@ object SparkEntry {
     Warmup("dedup_index", _ == "c2_incremental_dedup_indexed",
       (s, d) => { DedupOps.ensureDedupIndex(s, d); () }),
     Warmup("dedup_labels", _ == "c2_incremental_cc",
-      (s, d) => { DedupOps.ensureDedupLabels(s, d); () }))
+      (s, d) => { DedupOps.ensureDedupLabels(s, d); () }),
+    Warmup("quality_model", _ == "c4_quality_model",
+      (s, d) => { TextOps.ensureQualityModel(s, d); () }))
 
   /** Oracle SQL whose text depends on data-trained plan literals (e.g.
     * the IVF codebook): generated against the verify-time tables, merged

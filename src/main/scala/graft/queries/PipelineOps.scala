@@ -240,8 +240,9 @@ object PipelineOps {
     * budget at the corpus's ~4 BPE tokens/word.
     */
   def c7TokenBudgetBpe(spark: SparkSession, dir: String,
-      budget: Long = 20000L, rounds: Int = 10): DataFrame = {
-    val (_, finalVocab, lastCached) = TextOps.bpeTrain(spark, dir, rounds)
+      budget: Long = 20000L, rounds: Int = TextOps.BpeRounds,
+      cap: Int = TextOps.BpeBatchCap): DataFrame = {
+    val (_, finalVocab, lastCached) = TextOps.bpeTrain(spark, dir, rounds, cap)
     val enc = finalVocab.select(col("word"), size(col("seq")).as("n_bpe"))
     val perDoc = docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -1321,8 +1322,9 @@ object PipelineOps {
     // BPE-priced budget: the c4_bpe_encode chain (word-type pricing)
     // then the same per-lang prefix-sum selection.
     "c7_token_budget_bpe" ->
-      (s"WITH ${TextOps.bpeChainCtes(10)}, " +
-        "enc AS (SELECT word, len(string_split(seq, ' ')) AS n_bpe FROM w10), " +
+      (s"WITH RECURSIVE ${TextOps.bpeChainCtes()}, " +
+        "enc AS (SELECT word, len(string_split(seq, ' ')) AS n_bpe " +
+        s"FROM w${TextOps.BpeRounds}), " +
         "wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word " +
         "FROM documents), " +
         "pd AS (SELECT doc_id, CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens " +

@@ -503,56 +503,91 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Round caps for the batched BPE trainer: each round scans the top
+    * [[BpeCandCap]] pairs in rank order and accepts up to [[BpeBatchCap]]
+    * symbol-disjoint merges (the top-64 candidates alone are dominated
+    * by pairs sharing the most frequent symbols — scanning 4× deeper
+    * roughly triples the accepted batch on a realistic vocabulary), so
+    * 24 rounds support ≥100 effective merges on the gate corpora (which
+    * exhaust — every word one token — at ~111) and up to 1536 on a real
+    * vocabulary. Shared by the engine loop and the oracle replay; they
+    * must agree.
+    */
+  private[queries] val BpeRounds = 24
+  private[queries] val BpeBatchCap = 64
+  private[queries] val BpeCandCap = 256
+
   /** C4p: BPE merge training — the tokenizer-pipeline primitive itself
     * (the [[c4VocabGrowth]]/[[c4Zipf]] curves DIAGNOSE a tokenizer
     * budget; this computes the byte-pair-encoding merge table a
-    * tokenizer trains from the corpus). K deterministic rounds of the
-    * classic algorithm (Sennrich et al. 2016, public): words become
-    * character sequences + an end-of-word marker; each round counts
-    * adjacent symbol pairs weighted by word frequency, picks the argmax
-    * (ties broken (count desc, left asc, right asc)), and merges every
-    * greedy left-to-right non-overlapping occurrence across the
-    * vocabulary. Output: the merge table (round, lhs, rhs, merged,
-    * pair_count) — exact int64 counts, no floats, hash-stable.
+    * tokenizer trains from the corpus). BATCHED rounds of the classic
+    * algorithm (Sennrich et al. 2016; batching multiple compatible
+    * merges per iteration is the public scale variant — one round-trip
+    * over the vocabulary can apply many merges): words become character
+    * sequences + an end-of-word marker; each round counts adjacent
+    * symbol pairs weighted by word frequency, ranks the top
+    * [[BpeBatchCap]] (count desc, left asc, right asc), greedily keeps
+    * the rank-order subset whose SYMBOLS are pairwise disjoint (two
+    * accepted pairs sharing any symbol could contest the same
+    * occurrence — disjointness makes the simultaneous application
+    * order-free), and merges every accepted pair's greedy left-to-right
+    * non-overlapping occurrences in ONE pass. Output: the merge table
+    * (round, rank-within-round, lhs, rhs, merged, pair_count) — exact
+    * int64 counts, no floats, hash-stable.
     *
     * Scale posture (the 100 TB shape): the corpus is touched ONCE — the
     * word-frequency aggregate (one partial+final shuffle on the token);
     * every round thereafter runs on the VOCABULARY table, which is
     * O(types), not O(tokens) (Heaps: ≪ corpus). Per round: one
     * partial+final aggregate over vocab·avg_len pair instances, a
-    * TakeOrdered(1) argmax (bounded driver collect — one row), and the
-    * merge applied as a narrow codegen'd fold (`functions.aggregate`
-    * with a (emitted, held) struct state) with the winning pair inlined
-    * as literals — the "broadcast of the merged pair". No window over
-    * the vocab, no driver materialization beyond K argmax rows. Each
-    * round's vocab persists (MEMORY_AND_DISK, O(types)) and all handles
-    * unpersist before returning — net-zero cached blocks.
+    * TakeOrdered(cap) top-k (bounded driver collect — ≤cap rows), the
+    * pure-driver disjointness scan over those ≤cap rows, and the batch
+    * applied as a narrow codegen'd fold (`functions.aggregate` with a
+    * (emitted, held) struct state) with the accepted pairs inlined as a
+    * map literal — the "broadcast of the merge batch". A real
+    * tokenizer's ~30k merges cost ~30k/cap round-trips instead of 30k:
+    * the per-merge price is the round cost divided by the batch size.
+    * No window over the vocab, no driver materialization beyond cap
+    * rows per round. Each round's vocab persists (MEMORY_AND_DISK,
+    * O(types)) with the two-round unpersist window — net-zero cached
+    * blocks on return.
     */
-  def c4BpeMerges(spark: SparkSession, dir: String, rounds: Int = 10): DataFrame = {
-    val (merges, _, lastCached) = bpeTrain(spark, dir, rounds)
+  def c4BpeMerges(spark: SparkSession, dir: String,
+      rounds: Int = BpeRounds, cap: Int = BpeBatchCap): DataFrame = {
+    val (merges, _, lastCached) = bpeTrain(spark, dir, rounds, cap)
     lastCached.foreach(_.unpersist(blocking = false))
     import spark.implicits._
     merges
-      .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
-      .orderBy("merge_round")
+      .toDF("merge_round", "merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("merge_round", "merge_rank")
   }
 
-  /** The shared BPE training loop: returns the merge table, the FINAL
-    * per-word vocab (word, freq, seq — the symbol array after all K
-    * merges), and the still-cached last-round handle the CALLER must
-    * release (the final vocab's lineage runs one fold over it; encode
-    * keeps it cached until its result materializes, the merge-table
-    * query drops it immediately).
+  /** The shared BPE training loop: returns the merge table (round,
+    * rank-within-round, lhs, rhs, merged, count), the FINAL per-word
+    * vocab (word, freq, seq — the symbol array after all rounds), and
+    * the still-cached last-round handle the CALLER must release (the
+    * final vocab's lineage runs one fold over it; encode keeps it
+    * cached until its result materializes, the merge-table query drops
+    * it immediately).
     */
-  private[queries] def bpeTrain(spark: SparkSession, dir: String, rounds: Int)
-      : (Seq[(Int, String, String, String, Long)], DataFrame, Option[DataFrame]) = {
-    // Greedy left-to-right merge of (a,b) -> ab over the symbol ARRAY
-    // (the seq column stays an array between rounds — no per-round
-    // string join/split), as a codegen'd fold: state = (out, held)
-    // where held is a pending `a` waiting for `b`. Matches the oracle's
-    // taken-parity window replay (a run of k consecutive matches — only
-    // possible when a == b — pairs up from the left).
-    def mergeSeq(a: String, b: String): Column = {
+  private[queries] def bpeTrain(spark: SparkSession, dir: String,
+      rounds: Int = BpeRounds, cap: Int = BpeBatchCap)
+      : (Seq[(Int, Int, String, String, String, Long)], DataFrame, Option[DataFrame]) = {
+    // Greedy left-to-right simultaneous merge of a BATCH of
+    // symbol-disjoint pairs over the symbol ARRAY (the seq column stays
+    // an array between rounds — no per-round string join/split), as a
+    // codegen'd fold: state = (out, held) where held is a pending
+    // symbol that is the LEFT of some accepted pair, waiting for its
+    // right. Disjointness makes this order-free: no occurrence can
+    // match two different accepted pairs (that would need a shared
+    // symbol), so a run of consecutive matches is only possible within
+    // one (a,a) pair and pairs up from the left — exactly the oracle's
+    // taken-parity window replay.
+    def mergeSeqBatch(accepted: Seq[(String, String)]): Column = {
+      val Sep = " " // symbols are split-on-space tokens: never contain a space
+      val pairMap = map(accepted.flatMap { case (a, b) =>
+        Seq(lit(a + Sep + b), lit(a + b)) }: _*)
+      val leftArr = typedlit(accepted.map(_._1).distinct)
       val emptyOut = array().cast("array<string>")
       val nullHeld = lit(null).cast("string")
       def st(out: Column, held: Column) =
@@ -562,14 +597,14 @@ object TextOps {
         st(emptyOut, nullHeld),
         (s, x) => {
           val out = s.getField("out"); val held = s.getField("held")
-          when(held.isNotNull && x === lit(b),
-            st(array_append(out, lit(a + b)), nullHeld))
-            .when(held.isNotNull && x === lit(a),
-              st(array_append(out, held), x))
-            .when(held.isNotNull,
-              st(array_append(array_append(out, held), x), nullHeld))
-            .when(x === lit(a), st(out, x))
-            .otherwise(st(array_append(out, x), nullHeld))
+          // null held → null key → null lookup (try_: ANSI-safe)
+          val m = try_element_at(pairMap, concat(held, lit(Sep), x))
+          val flushed = when(held.isNotNull, array_append(out, held))
+            .otherwise(out)
+          when(held.isNotNull && m.isNotNull,
+            st(array_append(out, m), nullHeld))
+            .when(array_contains(leftArr, x), st(flushed, x))
+            .otherwise(st(array_append(flushed, x), nullHeld))
         },
         s => when(s.getField("held").isNotNull,
           array_append(s.getField("out"), s.getField("held")))
@@ -591,13 +626,28 @@ object TextOps {
     // exact defect this unpersist-as-you-go closes (decade-tested).
     var prevRound: Option[DataFrame] = None
     val persisted = scala.collection.mutable.Buffer[DataFrame]()
-    val merges = scala.collection.mutable.Buffer[(Int, String, String, String, Long)]()
+    val merges =
+      scala.collection.mutable.Buffer[(Int, Int, String, String, String, Long)]()
+    // AQE OFF for the round loop: each round persists a plan whose
+    // InMemoryRelation nests the previous round's, and an
+    // AdaptiveSparkPlanExec prints BOTH its initial and final plans —
+    // the cached-plan string then DOUBLES per round (2^24 at full
+    // depth: observed OOM building tree strings at persist time, 8 g
+    // heap). Without AQE the nested prints are linear. The loop's
+    // per-round shuffles are O(types) vocabulary aggregates where AQE
+    // has nothing to win; the corpus-sized w0 pass is one partial+final
+    // aggregate with a fixed fan-in.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      for (k <- 1 to rounds if merges.size == k - 1) {
+      var k = 0
+      var exhausted = false
+      while (k < rounds && !exhausted) {
+        k += 1
         vocab = vocab.persist()
         persisted += vocab
         val arr = col("seq")
-        val best = vocab
+        val top = vocab
           .select(col("freq"), explode(zip_with(
             slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
             slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
@@ -605,24 +655,38 @@ object TextOps {
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum(col("freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1) // TakeOrdered: bounded per-partition heap + 1-row collect
+          .limit(BpeCandCap) // TakeOrdered: bounded heap, ≤candCap rows
           .collect()
-        // round k is materialized (the argmax action above) — the
+        // round k is materialized (the top-cap action above) — the
         // previous round's cached blocks are no longer reachable work
         prevRound.foreach(_.unpersist(blocking = false))
         prevRound = Some(vocab)
-        if (best.nonEmpty) {
-          val (a, b, cnt) =
-            (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
-          merges += ((k, a, b, a + b, cnt))
-          vocab = vocab.select(col("word"), col("freq"), mergeSeq(a, b).as("seq"))
+        // Rank-order greedy disjointness scan: accept a pair iff neither
+        // symbol appears in any earlier-accepted pair, stopping at `cap`
+        // accepted. Pure driver logic over ≤candCap rows — replayed
+        // verbatim by the oracle's linear recursive CTE.
+        val used = scala.collection.mutable.Set[String]()
+        var nAcc = 0
+        val accepted = top.iterator
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .filter { case (l, r, _) =>
+            if (nAcc >= cap || used(l) || used(r)) false
+            else { used += l; used += r; nAcc += 1; true }
+          }.toSeq
+        if (accepted.isEmpty) exhausted = true
+        else {
+          accepted.zipWithIndex.foreach { case ((l, r, c), i) =>
+            merges += ((k, i + 1, l, r, l + r, c))
+          }
+          vocab = vocab.select(col("word"), col("freq"),
+            mergeSeqBatch(accepted.map(t => (t._1, t._2))).as("seq"))
         }
       }
     } catch {
       case e: Throwable =>
         persisted.foreach(_.unpersist(blocking = false))
         throw e
-    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     (merges.toSeq, vocab, prevRound)
   }
 
@@ -695,6 +759,179 @@ object TextOps {
         col("f.chunk_idx").as("first_chunk_idx"))
       .orderBy("first_doc_id", "first_chunk_idx", "chunk_hash")
 
+  /** PII detection patterns — deliberately restricted to the regex
+    * subset Java (Spark codegen) and RE2 (DuckDB) interpret identically:
+    * character classes, bounded quantifiers, `\b`, `(?:)` — no
+    * backreferences or lookaround. Scrub REPLACEMENT ORDER is part of
+    * the contract (email → ip → ssn → phone; each later pattern sees the
+    * earlier replacements, whose `<CLASS>` tokens contain no digits, so
+    * the chain cannot cascade).
+    */
+  private[queries] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** C4t: PII REDACTION — the curation pass every production pipeline
+    * runs before releasing or training on a corpus: detect
+    * email/IPv4/SSN/phone-shaped spans, report per-document counts by
+    * class (measured on the RAW text, so classes are independent), and
+    * emit the md5 fingerprint of the scrubbed text (each span replaced
+    * by its `<CLASS>` token in the documented order) — the
+    * [[c4Chunk]] hash-pinning trick: the oracle verifies the exact
+    * scrubbed BYTES without shipping document bodies through the
+    * comparison.
+    *
+    * Scale posture: one narrow whole-stage-codegen pass per document —
+    * four `regexp_count` + a four-step `regexp_replace` chain + one md5;
+    * ZERO shuffles before the driver-check ORDER BY. At 100 TB this is
+    * scan-bound, exactly what a redaction sweep should be.
+    */
+  def c4PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name")
+    }
+    val scrubbed = PiiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    docs(spark, dir)
+      .select(col("doc_id") +: counts :+ md5(scrubbed).as("scrub_hash"): _*)
+      .withColumn("n_pii",
+        PiiPatterns.map(p => col(s"n_${p._1}")).reduce(_ + _))
+      .orderBy("doc_id")
+  }
+
+  /** Feature order of the quality model — scores and the bias fold this
+    * list LEFT TO RIGHT in BOTH engines; changing the order changes the
+    * IEEE result, so the order is part of the contract.
+    */
+  private[queries] val QmFeatures: Seq[String] =
+    Seq("n_tokens", "alpha_chars", "n_types", "n_stop_types", "max_tok_c")
+
+  /** Per-doc INTEGER feature extraction + the narrow rule label, shared
+    * by training and scoring. Every feature is computable in the row
+    * scan (no shuffle): the top-token count folds over the SORTED token
+    * array (O(len log len) codegen, not the banned O(len²) HOF), and the
+    * rule label is the narrow-computable subset of c7_quality_filter's
+    * gates (length bounds, mean-word-length bounds, stopword-diversity
+    * floor).
+    */
+  private def qmFeatures(df: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopArr = array(stopwords.map(lit): _*)
+    // longest run in the sorted array = max occurrence count of any token
+    def maxRun(sorted: Column): Column = {
+      def st(prev: Column, run: Column, best: Column) =
+        struct(prev.as("prev"), run.as("run"), best.as("best"))
+      aggregate(sorted,
+        st(lit(null).cast("string"), lit(0L), lit(0L)),
+        (s, x) => {
+          val run = when(x === s.getField("prev"), s.getField("run") + 1L)
+            .otherwise(lit(1L))
+          st(x, run, greatest(s.getField("best"), run))
+        },
+        s => s.getField("best"))
+    }
+    df.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      length(regexp_replace(col("text"), "[^a-z]", ""))
+        .cast("long").as("alpha_chars"),
+      size(array_distinct(toks)).cast("long").as("n_types"),
+      size(filter(array_distinct(toks), t => array_contains(stopArr, t)))
+        .cast("long").as("n_stop_types"),
+      maxRun(array_sort(toks)).as("max_tok_c"))
+      .withColumn("rule_keep",
+        col("n_tokens").between(30L, 10000L) &&
+          col("alpha_chars") >= col("n_tokens") * 2 &&
+          col("alpha_chars") <= col("n_tokens") * 12 &&
+          col("n_stop_types") >= 2)
+  }
+
+  /** Train-and-persist the centroid quality model (the ANN model-table
+    * posture, `graft.sources.Storage` fingerprint keying): one aggregate
+    * over the corpus produces per-class feature sums (2 bounded rows to
+    * the driver), the class means round to 6 dp (exact int64 sums → one
+    * IEEE division each), and the stored weights are the class-mean
+    * differences — the nearest-class-mean linear classifier, the
+    * closed-form one-pass trainer (no iteration, no matrix inversion,
+    * nothing order-dependent). Idempotent; returns the model table name.
+    */
+  private[graft] def ensureQualityModel(spark: SparkSession, dir: String): String = {
+    import graft.sources.Storage.{dropStaleLayouts, sourceFingerprint}
+    val suffix = sourceFingerprint(s"$dir/documents.parquet")
+    val tab = s"graft_qm_$suffix"
+    if (spark.catalog.tableExists(tab)) return tab
+    dropStaleLayouts(spark, "graft_qm_", suffix)
+    val agg = qmFeatures(docs(spark, dir))
+      .groupBy("rule_keep")
+      .agg(count(lit(1)).as("cnt"), QmFeatures.map(n => sum(col(n)).as(n)): _*)
+      .collect()
+    require(agg.length == 2,
+      "quality-model training needs both keep and drop examples in the corpus")
+    def mus(keep: Boolean): Map[String, Double] = {
+      val r = agg.find(_.getBoolean(0) == keep).get
+      val cnt = r.getLong(1)
+      QmFeatures.zipWithIndex.map { case (n, i) =>
+        // same rounding as round(col, 6): HALF_UP on the IEEE quotient
+        n -> BigDecimal(r.getLong(i + 2).toDouble / cnt)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    val (mk, md) = (mus(true), mus(false))
+    val session = spark
+    import session.implicits._
+    QmFeatures.map(n => (n, mk(n), md(n), mk(n) - md(n)))
+      .toDF("feature", "mu_keep", "mu_drop", "w")
+      .write.mode("overwrite").format("parquet").saveAsTable(tab)
+    tab
+  }
+
+  /** C4u: MODEL-BASED quality scoring — the classifier-shaped companion
+    * to the rule gate (`c7_quality_filter`): a deterministic linear
+    * model (nearest-class-mean over the five integer features, trained
+    * by [[ensureQualityModel]]'s closed-form pass and STORED like the
+    * ANN codebook) scores every document as w·x + b with the weights
+    * embedded as plan literals — the broadcast-weight-vector discipline
+    * with the broadcast optimized away entirely. Output: the features,
+    * the 6 dp score, the model verdict (score > 0), the rule label it
+    * was trained against, and the agreement flag a calibration audit
+    * reads.
+    *
+    * Float discipline: features are exact int64; weights/bias are the
+    * same IEEE doubles in both engines (6 dp class means → differences →
+    * one fixed LEFT-TO-RIGHT fold in [[QmFeatures]] order), so the raw
+    * score is bit-identical and the > 0 verdict can never flip.
+    *
+    * Scale posture: scoring is ONE narrow whole-stage-codegen projection
+    * over the corpus — no join, no aggregate, no exchange but the final
+    * driver-check sort (PlanAuditSpec pins exactly that); training cost
+    * is one partial+final aggregate, paid once per corpus fingerprint.
+    */
+  def c4QualityModel(spark: SparkSession, dir: String): DataFrame = {
+    val tab = ensureQualityModel(spark, dir)
+    val model = spark.table(tab).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // bias of the nearest-mean rule: midpoint projection, same fold order
+    // as the score expression
+    var acc = 0.0
+    QmFeatures.foreach { n =>
+      val (muK, muD, w) = model(n); acc = acc + w * (muK + muD)
+    }
+    val b = -(acc / 2)
+    val score = QmFeatures.foldLeft(lit(0.0)) { (c, n) =>
+      c + lit(model(n)._3) * col(n)
+    } + lit(b)
+    qmFeatures(docs(spark, dir))
+      .withColumn("score_raw", score)
+      .select(col("doc_id") +: QmFeatures.map(col) :+
+        round(col("score_raw"), 6).as("score") :+
+        (col("score_raw") > 0).as("model_keep") :+ col("rule_keep"): _*)
+      .withColumn("agree", col("model_keep") === col("rule_keep"))
+      .orderBy("doc_id")
+  }
+
   /** C4q: BPE ENCODE — apply the trained merge table ([[c4BpeMerges]]'s
     * 10 rounds) to the corpus and report per-document BPE token counts
     * (plus tokens-per-word, the compression signal a tokenizer budget
@@ -712,8 +949,9 @@ object TextOps {
     * never a per-occurrence re-merge. Every count is exact int64; the
     * single per-doc double (bpe_per_word) is one division rounded 6dp.
     */
-  def c4BpeEncode(spark: SparkSession, dir: String, rounds: Int = 10): DataFrame = {
-    val (_, finalVocab, lastCached) = bpeTrain(spark, dir, rounds)
+  def c4BpeEncode(spark: SparkSession, dir: String,
+      rounds: Int = BpeRounds, cap: Int = BpeBatchCap): DataFrame = {
+    val (_, finalVocab, lastCached) = bpeTrain(spark, dir, rounds, cap)
     val enc = finalVocab.select(col("word"), size(col("seq")).as("n_bpe"))
     val words = docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -734,26 +972,33 @@ object TextOps {
     graft.util.CacheScope.releaseAfterMaterialize(out, lastCached.toSeq)
   }
 
-  /** DuckDB replay of [[c4BpeMerges]]: the same K rounds, with the
-    * greedy merge expressed as a taken-parity window (taken(i) = match
-    * at i AND NOT taken(i-1); within a maximal run of consecutive
-    * matches — only possible when lhs == rhs — the even offsets are
-    * taken). Every round's vocab is MATERIALIZED: the chain references
-    * each prior round once per consumer, and inlining 10 rounds of
-    * window stacks would blow the planner up (the closureChainSql
-    * lesson).
+  /** DuckDB replay of [[c4BpeMerges]]: the same batched rounds. Per
+    * round: the top-`cap` pair ranking, the rank-order greedy
+    * disjointness scan as a LINEAR recursive CTE (row k joins row k−1,
+    * carrying the accepted-symbol list — ≤cap steps), and the
+    * simultaneous greedy merge expressed as a taken-parity window
+    * (taken(i) = match at i AND NOT taken(i−1); a run of consecutive
+    * matches is only possible within one lhs==rhs pair — accepted pairs
+    * are symbol-disjoint — and pairs up from the left). Every round's
+    * vocab/candidate/accepted CTE is MATERIALIZED: the chain references
+    * each prior round more than once, and inlining 24 rounds of window
+    * stacks would blow the planner up (the closureChainSql lesson).
     */
-  private def bpeChainSql(rounds: Int): String =
-    s"WITH ${bpeChainCtes(rounds)} " +
+  private def bpeChainSql(rounds: Int, cap: Int): String =
+    s"WITH RECURSIVE ${bpeChainCtes(rounds, cap)} " +
       (1 to rounds).map { k =>
-        s"SELECT $k AS merge_round, l AS lhs, r AS rhs, l || r AS merged, " +
-          s"cnt AS pair_count FROM b$k"
-      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY merge_round")
+        s"SELECT $k AS merge_round, merge_rank, l AS lhs, r AS rhs, " +
+          s"merged, cnt AS pair_count FROM a$k"
+      }.mkString("SELECT * FROM (", " UNION ALL ",
+        ") ORDER BY merge_round, merge_rank")
 
-  /** The shared CTE chain (w0 … w`rounds`, b1 … b`rounds`) without a
-    * final SELECT — composed by both the merge-table and encode replays.
+  /** The shared CTE chain (w0 … w`rounds`, a1 … a`rounds`) without a
+    * final SELECT — composed by both the merge-table and encode
+    * replays. Callers must open with `WITH RECURSIVE` (the per-round
+    * greedy-filter CTEs recurse).
     */
-  private[queries] def bpeChainCtes(rounds: Int): String = {
+  private[queries] def bpeChainCtes(
+      rounds: Int = BpeRounds, cap: Int = BpeBatchCap): String = {
     val base =
       "w0 AS MATERIALIZED (" +
         "SELECT word, " +
@@ -761,21 +1006,39 @@ object TextOps {
         "count(*) AS freq " +
         "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
         "WHERE length(word) > 0 GROUP BY 1)"
+    val okCond = s"p.nacc < $cap AND NOT (list_contains(p.used, c.l) " +
+      "OR list_contains(p.used, c.r))"
     val rounds_sql = (1 to rounds).map { k =>
-      val prev = if (k == 1) "w0" else s"w${k - 1}"
+      val prev = s"w${k - 1}"
       s"s$k AS (SELECT word AS w, freq, " +
         s"unnest(generate_series(1, len(string_split(seq, ' ')))) AS i, " +
         s"string_split(seq, ' ') AS arr FROM $prev), " +
         s"y$k AS (SELECT w, freq, i, arr[i] AS sym FROM s$k), " +
-        s"b$k AS MATERIALIZED (SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM (" +
-        s"SELECT l, r, sum(freq) AS cnt FROM (" +
-        s"SELECT sym AS l, lead(sym) OVER (PARTITION BY w ORDER BY i) AS r, freq " +
-        s"FROM y$k) WHERE r IS NOT NULL GROUP BY l, r) " +
-        s"ORDER BY cnt DESC, l, r LIMIT 1), " +
-        s"m$k AS (SELECT w, freq, i, sym, coalesce(" +
-        s"sym = (SELECT l FROM b$k) AND " +
-        s"lead(sym) OVER (PARTITION BY w ORDER BY i) = (SELECT r FROM b$k), " +
-        s"FALSE) AS mt FROM y$k), " +
+        s"z$k AS MATERIALIZED (SELECT w, freq, i, sym, " +
+        s"lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt FROM y$k), " +
+        // top-candCap candidates in the engine's (cnt desc, l, r) order
+        s"cand$k AS MATERIALIZED (SELECT l, r, cnt, " +
+        s"CAST(row_number() OVER (ORDER BY cnt DESC, l, r) AS INT) AS rank FROM (" +
+        s"SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt " +
+        s"FROM z$k WHERE nxt IS NOT NULL GROUP BY 1, 2 " +
+        s"ORDER BY cnt DESC, l, r LIMIT $BpeCandCap)), " +
+        // rank-order greedy disjointness scan: linear recursion over the
+        // ranked list, carrying the accepted-symbol set as a list and
+        // the accepted count (the batch stops at `cap` accepted)
+        s"rec$k AS (SELECT rank, l, r, cnt, TRUE AS acc, [l, r] AS used, " +
+        s"1 AS nacc FROM cand$k WHERE rank = 1 " +
+        s"UNION ALL SELECT c.rank, c.l, c.r, c.cnt, " +
+        s"($okCond) AS acc, " +
+        s"CASE WHEN $okCond THEN list_concat(p.used, [c.l, c.r]) " +
+        s"ELSE p.used END AS used, " +
+        s"p.nacc + CASE WHEN $okCond THEN 1 ELSE 0 END AS nacc " +
+        s"FROM cand$k c JOIN rec$k p ON c.rank = p.rank + 1), " +
+        s"a$k AS MATERIALIZED (SELECT " +
+        s"CAST(row_number() OVER (ORDER BY rank) AS INT) AS merge_rank, " +
+        s"l, r, l || r AS merged, cnt FROM rec$k WHERE acc), " +
+        s"m$k AS (SELECT z.w, z.freq, z.i, z.sym, a.merged, " +
+        s"(a.merged IS NOT NULL) AS mt " +
+        s"FROM z$k z LEFT JOIN a$k a ON a.l = z.sym AND a.r = z.nxt), " +
         s"g$k AS (SELECT *, CASE WHEN mt AND NOT coalesce(" +
         s"lag(mt) OVER (PARTITION BY w ORDER BY i), FALSE) THEN 1 ELSE 0 END AS rs " +
         s"FROM m$k), " +
@@ -786,7 +1049,7 @@ object TextOps {
         s"c$k AS (SELECT *, coalesce(lag(taken) OVER (PARTITION BY w ORDER BY i), FALSE) " +
         s"AS consumed FROM t$k), " +
         s"w$k AS MATERIALIZED (SELECT w AS word, string_agg(" +
-        s"CASE WHEN taken THEN (SELECT l || r FROM b$k) ELSE sym END, ' ' ORDER BY i) " +
+        s"CASE WHEN taken THEN merged ELSE sym END, ' ' ORDER BY i) " +
         s"AS seq, freq FROM c$k WHERE NOT consumed GROUP BY w, freq)"
     }.mkString(", ")
     s"$base, $rounds_sql"
@@ -796,8 +1059,8 @@ object TextOps {
     * final seq after all K rounds), per-word BPE length, the word
     * explode + join, and the left-join re-attach to the doc universe.
     */
-  private def bpeEncodeSql(rounds: Int): String =
-    s"WITH ${bpeChainCtes(rounds)}, " +
+  private def bpeEncodeSql(rounds: Int, cap: Int): String =
+    s"WITH RECURSIVE ${bpeChainCtes(rounds, cap)}, " +
       s"enc AS (SELECT word, len(string_split(seq, ' ')) AS n_bpe FROM w$rounds), " +
       "wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word " +
       "FROM documents), " +
@@ -811,8 +1074,67 @@ object TextOps {
       "FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"
 
   val oracle: Map[String, String] = Map(
-    "c4_bpe_merges" -> bpeChainSql(10),
-    "c4_bpe_encode" -> bpeEncodeSql(10),
+    "c4_bpe_merges" -> bpeChainSql(BpeRounds, BpeBatchCap),
+    "c4_bpe_encode" -> bpeEncodeSql(BpeRounds, BpeBatchCap),
+    // Quality-model replay: the full closed-form pipeline — features,
+    // per-class sums, 6 dp class means, weight differences, the fixed
+    // left-to-right bias and score folds — in one static SQL query. The
+    // weights the engine embeds as plan literals are recomputed here
+    // from the identical IEEE expressions, so a drifted stored model
+    // breaks the hash.
+    "c4_quality_model" -> {
+      val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      val featDefs =
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+          "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars, " +
+          "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types, " +
+          "CAST(len(list_filter(list_distinct(string_split(text, ' ')), " +
+          s"t -> list_contains($stopList, t))) AS BIGINT) AS n_stop_types"
+      val muDefs = QmFeatures.map { n =>
+        s"round(CAST(k.$n AS DOUBLE) / k.cnt, 6) AS muk_$n, " +
+          s"round(CAST(d.$n AS DOUBLE) / d.cnt, 6) AS mud_$n, " +
+          s"muk_$n - mud_$n AS w_$n"
+      }.mkString(", ")
+      val biasFold = QmFeatures.foldLeft("0.0") { (acc, n) =>
+        s"($acc + w_$n * (muk_$n + mud_$n))"
+      }
+      val scoreFold = QmFeatures.foldLeft("0.0") { (acc, n) =>
+        s"($acc + w.w_$n * f.$n)"
+      }
+      "WITH tc AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tok_c FROM (" +
+        "SELECT doc_id, tok, count(*) AS c FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY doc_id, tok) GROUP BY doc_id), " +
+        s"f AS (SELECT d.doc_id, $featDefs, tc.max_tok_c, " +
+        "(n_tokens BETWEEN 30 AND 10000 AND alpha_chars >= n_tokens * 2 " +
+        "AND alpha_chars <= n_tokens * 12 AND n_stop_types >= 2) AS rule_keep " +
+        "FROM documents d JOIN tc USING (doc_id)), " +
+        "m AS (SELECT rule_keep, count(*) AS cnt, " +
+        QmFeatures.map(n => s"CAST(sum($n) AS BIGINT) AS $n").mkString(", ") +
+        " FROM f GROUP BY rule_keep), " +
+        s"w AS (SELECT $muDefs, -($biasFold / 2) AS b " +
+        "FROM (SELECT * FROM m WHERE rule_keep) k, " +
+        "(SELECT * FROM m WHERE NOT rule_keep) d) " +
+        "SELECT f.doc_id, " + QmFeatures.map(n => s"f.$n").mkString(", ") +
+        s", round($scoreFold + w.b, 6) AS score, " +
+        s"($scoreFold + w.b) > 0 AS model_keep, f.rule_keep, " +
+        s"(($scoreFold + w.b) > 0) = f.rule_keep AS agree " +
+        "FROM f, w ORDER BY f.doc_id"
+    },
+    // PII replay: same patterns (Java/RE2-common subset), same counts on
+    // the raw text, same ordered replacement chain under the md5.
+    "c4_pii_scrub" -> {
+      val scrub = PiiPatterns.foldLeft("text") { case (e, (_, pat, repl)) =>
+        s"regexp_replace($e, '$pat', '$repl', 'g')"
+      }
+      "SELECT doc_id, " +
+        PiiPatterns.map { case (name, pat, _) =>
+          s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+        }.mkString(", ") + ", " +
+        s"md5($scrub) AS scrub_hash, " +
+        PiiPatterns.map(p => s"n_${p._1}").mkString(" + ") + " AS n_pii " +
+        "FROM documents ORDER BY doc_id"
+    },
     // Chunking replay: same ceil window count, same 1-based slices,
     // same md5 content fingerprint (both engines hash the identical
     // space-joined UTF-8 bytes).
@@ -1000,6 +1322,8 @@ object TextOps {
     "c4_zipf" -> ((s: SparkSession, d: String) => c4Zipf(s, d)),
     "c4_bpe_merges" -> ((s: SparkSession, d: String) => c4BpeMerges(s, d)),
     "c4_bpe_encode" -> ((s: SparkSession, d: String) => c4BpeEncode(s, d)),
+    "c4_pii_scrub" -> ((s: SparkSession, d: String) => c4PiiScrub(s, d)),
+    "c4_quality_model" -> ((s: SparkSession, d: String) => c4QualityModel(s, d)),
     "c4_chunk" -> ((s: SparkSession, d: String) => c4Chunk(s, d)),
     "c4_chunk_dedup" -> ((s: SparkSession, d: String) => c4ChunkDedup(s, d))
   )

@@ -121,40 +121,76 @@ class TextMiningSpec extends SparkSuite {
     assert(got.toSeq == want)
   }
 
-  test("c4_bpe_merges matches an in-memory reference BPE") {
-    // Plain-Scala Sennrich BPE: word-freq table, then 10 rounds of
-    // (count adjacent pairs weighted by freq, argmax with (count desc,
-    // lhs, rhs) ties, greedy left-to-right non-overlapping merge).
-    val got = TextOps.c4BpeMerges(spark, sf).collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
-        r.getLong(4)))
-    assert(got.length == 10)
-    var vocab: Map[Vector[String], Long] = corpus.values
-      .flatten.filter(_.nonEmpty).toSeq
-      .groupBy(identity).map { case (w, xs) =>
-        (w.map(_.toString).toVector :+ "</w>") -> xs.size.toLong
-      }
-    val want = (1 to 10).map { k =>
+  /** Plain-Scala BATCHED Sennrich BPE reference: per round, count
+    * adjacent pairs weighted by word freq, rank (count desc, lhs, rhs),
+    * take the top `cap`, greedily keep the rank-order symbol-disjoint
+    * subset, and apply all accepted merges in one simultaneous greedy
+    * left-to-right pass. Returns (merge table, final word→symbols map).
+    */
+  private def refBpe(rounds: Int, cap: Int)
+      : (Seq[(Int, Int, String, String, String, Long)], Map[String, Vector[String]]) = {
+    val words = corpus.values.flatten.filter(_.nonEmpty).toSeq
+    val freqs = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var wordSyms: Map[String, Vector[String]] = words.distinct
+      .map(w => w -> (w.map(_.toString).toVector :+ "</w>")).toMap
+    val merges = Seq.newBuilder[(Int, Int, String, String, String, Long)]
+    var k = 0
+    var exhausted = false
+    while (k < rounds && !exhausted) {
+      k += 1
       val counts = scala.collection.mutable.Map[(String, String), Long]()
-      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+      for ((w, syms) <- wordSyms; i <- 0 until syms.length - 1)
         counts((syms(i), syms(i + 1))) =
-          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
-      val ((a, b), cnt) = counts.toSeq
-        .sortBy { case ((l, r), c) => (-c, l, r) }.head
-      vocab = vocab.groupBy { case (syms, _) =>
-        // greedy left-to-right merge
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-            out += (a + b); i += 2
-          } else { out += syms(i); i += 1 }
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + freqs(w)
+      val top = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.take(TextOps.BpeCandCap)
+      val used = scala.collection.mutable.Set[String]()
+      var nAcc = 0
+      val accepted = top.filter { case ((l, r), _) =>
+        if (nAcc >= cap || used(l) || used(r)) false
+        else { used += l; used += r; nAcc += 1; true }
+      }
+      if (accepted.isEmpty) exhausted = true
+      else {
+        accepted.zipWithIndex.foreach { case (((l, r), c), i) =>
+          merges += ((k, i + 1, l, r, l + r, c))
         }
-        out.result()
-      }.map { case (merged, entries) => merged -> entries.values.sum }
-      (k, a, b, a + b, cnt)
+        val pairSet = accepted.map { case ((l, r), _) => (l, r) -> (l + r) }.toMap
+        wordSyms = wordSyms.view.mapValues { syms =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && pairSet.contains((syms(i), syms(i + 1)))) {
+              out += pairSet((syms(i), syms(i + 1))); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result()
+        }.toMap
+      }
     }
+    (merges.result(), wordSyms)
+  }
+
+  test("c4_bpe_merges matches an in-memory reference batched BPE; >= 100 effective merges") {
+    val got = TextOps.c4BpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+    val (want, finalSyms) = refBpe(TextOps.BpeRounds, TextOps.BpeBatchCap)
     assert(got.toSeq == want)
+    // the batched loop delivers production-scale merge counts: at least
+    // 100 effective merges (the gate corpus exhausts — every word a
+    // single token — at ~111)
+    assert(got.length >= 100, s"only ${got.length} effective merges")
+    assert(finalSyms.values.forall(_.length == 1),
+      "gate corpus should train to full exhaustion")
+    // disjointness within every round: no symbol appears in two
+    // DIFFERENT accepted pairs (an (a,a) pair legitimately repeats its
+    // own symbol)
+    got.groupBy(_._1).foreach { case (round, ms) =>
+      val syms = ms.flatMap(m => Seq(m._3, m._4).distinct)
+      assert(syms.distinct.length == syms.length,
+        s"round $round accepted symbol-sharing pairs")
+    }
   }
 
   test("c4_chunk matches an in-memory sliding window and covers every token") {
@@ -192,31 +228,105 @@ class TextMiningSpec extends SparkSuite {
     }
   }
 
-  test("c4_bpe_encode matches an in-memory apply of the learned merges") {
-    // Re-learn the merge table with the same plain-Scala BPE, apply it
-    // word-by-word, and price every document.
-    val words = corpus.values.flatten.filter(_.nonEmpty).toSeq
-    var wordSyms: Map[String, Vector[String]] = words.distinct
-      .map(w => w -> (w.map(_.toString).toVector :+ "</w>")).toMap
-    val freqs = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
-    for (_ <- 1 to 10) {
-      val counts = scala.collection.mutable.Map[(String, String), Long]()
-      for ((w, syms) <- wordSyms; i <- 0 until syms.length - 1)
-        counts((syms(i), syms(i + 1))) =
-          counts.getOrElse((syms(i), syms(i + 1)), 0L) + freqs(w)
-      val ((a, b), _) = counts.toSeq
-        .sortBy { case ((l, r), c) => (-c, l, r) }.head
-      wordSyms = wordSyms.view.mapValues { syms =>
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-            out += (a + b); i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        out.result()
-      }.toMap
+  test("c4_pii_scrub: planted PII is counted and redacted exactly (java.util.regex reference)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    val rows = Seq(
+      (1L, "contact jane.doe+spam@mail.example.org or bob@sub.domain.io today"),
+      (2L, "server at 10.0.0.1 and 192.168.255.254 but not 1.2.3 or v1.2.3.4.5"),
+      (3L, "ssn 123-45-6789 phone 555-123-4567 alt 555.987.6543 mixed 12-34-5678"),
+      (4L, "clean document with no identifiers at all"),
+      (5L, "edge a@b.co 999-99-9999999 trailing 123-45-6789x"),
+      (6L, ""))
+    rows.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.c4PiiScrub(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = rows.map { case (id, text) =>
+      val counts = TextOps.PiiPatterns.map { case (_, pat, _) =>
+        pat.r.findAllMatchIn(text).length.toLong
+      }
+      val scrubbed = TextOps.PiiPatterns.foldLeft(text) {
+        case (t, (_, pat, repl)) =>
+          pat.r.replaceAllIn(t, java.util.regex.Matcher.quoteReplacement(repl))
+      }
+      (id, counts(0), counts(1), counts(2), counts(3), md5hex(scrubbed),
+        counts.sum)
     }
+    assert(got.toSeq == want)
+    // the reference itself behaves as intended on the planted cases
+    val byId = want.map(w => w._1 -> w).toMap
+    assert(byId(1L)._2 == 2L, "two emails")
+    // 10.0.0.1, 192.168.255.254, and the "2.3.4.5" tail of v1.2.3.4.5
+    // (the dot before '2' is a word boundary); "1.2.3" stays unmatched
+    assert(byId(2L)._3 == 3L, "full IPv4 shapes counted, partial excluded")
+    assert(byId(3L)._4 == 1L && byId(3L)._5 == 2L, "one SSN, two phones")
+    assert(byId(4L)._7 == 0L && byId(4L)._6 == md5hex(rows(3)._2),
+      "clean doc untouched")
+  }
+
+  test("c4_quality_model: closed-form training and scoring match an in-memory reference") {
+    val stop = Set("the", "a", "of", "to", "in", "and", "is")
+    def feats(text: String): (Long, Long, Long, Long, Long) = {
+      val toks = text.split(" ", -1)
+      val nTok = toks.length.toLong
+      val alpha = text.count(c => c >= 'a' && c <= 'z').toLong
+      val types = toks.distinct
+      val maxC = toks.groupBy(identity).values.map(_.length).max.toLong
+      (nTok, alpha, types.length.toLong,
+        types.count(stop.contains).toLong, maxC)
+    }
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val f = texts.map { case (id, t) =>
+      val (a, b2, c, d, e) = feats(t)
+      val keep = a >= 30 && a <= 10000 && b2 >= 2 * a && b2 <= 12 * a && d >= 2
+      (id, Array(a, b2, c, d, e), keep)
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def mu(cls: Boolean): Array[Double] = {
+      val rows = f.filter(_._3 == cls)
+      (0 until 5).map(j => round6(rows.map(_._2(j)).sum.toDouble / rows.length))
+        .toArray
+    }
+    val (mk, md) = (mu(true), mu(false))
+    val w = mk.zip(md).map { case (x, y) => x - y }
+    var acc = 0.0
+    (0 until 5).foreach(j => acc = acc + w(j) * (mk(j) + md(j)))
+    val b = -(acc / 2)
+    val want = f.sortBy(_._1).map { case (id, x, keep) =>
+      var s = 0.0
+      (0 until 5).foreach(j => s = s + w(j) * x(j))
+      s = s + b
+      (id, x(0), x(1), x(2), x(3), x(4), round6(s), s > 0, keep, (s > 0) == keep)
+    }
+    val got = TextOps.c4QualityModel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getBoolean(7),
+        r.getBoolean(8), r.getBoolean(9)))
+    assert(got.toSeq == want.toSeq)
+    // the model actually separates: it agrees with the rule label on a
+    // solid majority (the centroid classifier trained ON that label)
+    val agreeFrac = got.count(_._10).toDouble / got.length
+    assert(agreeFrac > 0.7, s"model/rule agreement only $agreeFrac")
+    // scoring plan is one narrow projection: no join/aggregate NODES
+    // (the per-row HOF fold legitimately prints as `aggregate(...)`
+    // inside a Project — only plan-node names are pinned)
+    val nodes = TextOps.c4QualityModel(spark, sf)
+      .queryExecution.optimizedPlan.collect { case n => n.nodeName }
+    assert(!nodes.exists(n => n.contains("Join") || n.contains("Aggregate")),
+      s"scoring plan is not a pure projection: $nodes")
+  }
+
+  test("c4_bpe_encode matches an in-memory apply of the learned merges") {
+    // Re-learn the merge table with the same plain-Scala batched BPE,
+    // apply it word-by-word, and price every document.
+    val (_, wordSyms) = refBpe(TextOps.BpeRounds, TextOps.BpeBatchCap)
     val want = corpus.toSeq.map { case (id, toks) =>
       val ws = toks.filter(_.nonEmpty)
       val bpe = ws.map(w => wordSyms(w).length.toLong).sum
