@@ -685,7 +685,22 @@ object SimOps {
       return (codesTab, modelTab)
     dropStaleLayouts(spark, "graft_ann_codes_", suffix)
     dropStaleLayouts(spark, "graft_ann_model_", suffix)
-    val base = emb(spark, dir)
+    writeAnnLayout(spark, emb(spark, dir).select("vec_id", "embedding", "label"),
+      nCells, subspaces, kSub, maxSample, modelTab, codesTab)
+    (codesTab, modelTab)
+  }
+
+  /** Train a fresh codebook on `corpus`'s bounded sample, encode the
+    * corpus, and land the (model, codes) tables under the given names —
+    * the one layout-building pass shared by [[ensureAnnIndex]] (initial
+    * build) and [[retrainAnnIndex]] (staging build before the swap).
+    * Model first: a crash between the writes leaves at most a model
+    * with no codes table, which existence checks treat as absent.
+    */
+  private def writeAnnLayout(spark: SparkSession, corpus: DataFrame,
+      nCells: Int, subspaces: Int, kSub: Int, maxSample: Int,
+      modelTab: String, codesTab: String): Unit = {
+    val base = corpus
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -693,8 +708,6 @@ object SimOps {
       val (coarse, books) = pqModel(sample, nCells, subspaces, kSub)
       val session = spark
       import session.implicits._
-      // Model first: a crash between the writes leaves at most a model
-      // with no codes table, which the existence check above rebuilds.
       (coarse.zipWithIndex.map { case (v, i) => ("coarse", 0, i + 1, v) } ++
         books.zipWithIndex.flatMap { case (bk, m) =>
           bk.zipWithIndex.map { case (v, j) => ("book", m, j + 1, v) } })
@@ -705,11 +718,70 @@ object SimOps {
       // candidates during the index scan itself, with no id join back to
       // the corpus at query time. The join happens once, at ingest.
       pqEncodeCorpus(base, coarse, books, subspaces, residual = true)
-        .join(emb(spark, dir).select(col("vec_id").as("b_id"), col("label")), "b_id")
+        .join(corpus.select(col("vec_id").as("b_id"), col("label")), "b_id")
         .write.mode("overwrite").format("parquet")
         .partitionBy("cell").saveAsTable(codesTab)
-      (codesTab, modelTab)
     } finally base.unpersist(blocking = false)
+  }
+
+  /** RETRAIN the persisted IVFADC index — the EXECUTION half of the
+    * retrain decision [[c3AnnStaleness]] monitors (the monitor says
+    * WHEN; this performs it): train a fresh codebook on the bounded
+    * sample of the CURRENT corpus (the parquet table, plus
+    * `extraVectors` for growth the index ingested via
+    * [[appendAnnIndex]] whose raw embeddings live outside the parquet),
+    * re-encode the whole corpus through the same shared encode
+    * expressions, land the result as a STAGING layout, then swap:
+    * drop the live tables and rename staging into place — queries
+    * resolve the same catalog names before and after, so the query
+    * path is untouched by a retrain (spec-pinned: c3_ann_pq_indexed is
+    * result-identical under a same-corpus swap, and a grown-corpus
+    * retrain equals a from-scratch [[ensureAnnIndex]] on the grown
+    * corpus).
+    *
+    * Crash ordering: leftover staging tables from a crashed retrain are
+    * dropped up front (and also swept as stale by the next corpus's
+    * ensure); a crash after the live drop but before a rename leaves no
+    * live layout, which the next ensureAnnIndex detects and rebuilds —
+    * never a half-swapped layout serving one table from each
+    * generation, because the model is renamed before the codes and
+    * existence checks require BOTH.
+    *
+    * Scale posture: identical to the initial build — sample-bounded
+    * training, one encode pass over the corpus, cell-partitioned
+    * write; the swap is two catalog renames. Retrain cadence at 100 TB
+    * is the rare, monitor-driven event; this is its cost shape.
+    */
+  private[graft] def retrainAnnIndex(spark: SparkSession, dir: String,
+      extraVectors: Option[DataFrame] = None, nCells: Int = 16,
+      subspaces: Int = 8, kSub: Int = 16,
+      maxSample: Int = 100000): (String, String) = {
+    import graft.sources.Storage.sourceFingerprint
+    val suffix = sourceFingerprint(s"$dir/embeddings.parquet") +
+      s"_${nCells}c${subspaces}s${kSub}k"
+    val (codesTab, modelTab) =
+      (s"graft_ann_codes_$suffix", s"graft_ann_model_$suffix")
+    val (stCodes, stModel) = (s"${codesTab}_rt", s"${modelTab}_rt")
+    spark.sql(s"DROP TABLE IF EXISTS $stCodes")
+    spark.sql(s"DROP TABLE IF EXISTS $stModel")
+    val live = emb(spark, dir).select("vec_id", "embedding", "label")
+    val grown = extraVectors match {
+      case Some(x) => live.unionByName(x.select("vec_id", "embedding", "label"))
+      case None => live
+    }
+    writeAnnLayout(spark, grown, nCells, subspaces, kSub, maxSample,
+      stModel, stCodes)
+    spark.sql(s"DROP TABLE IF EXISTS $modelTab")
+    spark.sql(s"DROP TABLE IF EXISTS $codesTab")
+    spark.sql(s"ALTER TABLE $stModel RENAME TO $modelTab")
+    spark.sql(s"ALTER TABLE $stCodes RENAME TO $codesTab")
+    // The rename moves the managed table's directory but the catalog's
+    // PER-PARTITION locations still point at the staging path — recover
+    // them from the filesystem or every cell scan comes back empty.
+    spark.sql(s"MSCK REPAIR TABLE $codesTab")
+    spark.catalog.refreshTable(modelTab)
+    spark.catalog.refreshTable(codesTab)
+    (codesTab, modelTab)
   }
 
   /** C3h: [[c3AnnPq]] answered from the PERSISTED index — the query path

@@ -802,6 +802,65 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** C4v: ARBITRARY-OFFSET repeated-substring dedup — the Lee et al.
+    * "Deduplicating Training Data" analytic [[c4ChunkDedup]] cannot see:
+    * a copied paragraph at an unaligned offset hides from stride-aligned
+    * windows, while here EVERY token offset anchors a `window`-token
+    * span. Anchors hash with the portable 60-bit md5 prefix (8-byte
+    * keys shuffle, never span text), occurrences group per hash,
+    * and adjacent matched anchors merge per doc pair along their
+    * alignment DIAGONAL (o2−o1) into MAXIMAL repeated spans via
+    * gaps-and-islands integer interval algebra. Output: one row per
+    * maximal repeated span pair — (doc_a, start_a, doc_b, start_b,
+    * span_len ≥ window, anchor count).
+    *
+    * Scale posture: anchor hashing is a narrow per-row explode
+    * (O(n_tokens) windows/doc); the only shuffles key on the 8-byte
+    * hash and the bounded (d1, d2, diag) island partition (≤ span
+    * length rows). Pair expansion is capped: only anchors with
+    * 2..`maxOcc` occurrences expand (Σcnt² ≤ maxOcc·Σcnt — LINEAR in
+    * anchors at any duplication density; an ultra-frequent span is
+    * boilerplate, the chunk-level report's job — the same
+    * frequent-shingle skip the published suffix-array pipeline applies,
+    * and the oracle replays the cap verbatim). A span crossing a
+    * skipped ultra-frequent interior window splits into two reported
+    * spans — the documented approximation.
+    */
+  def c4SubstringDup(spark: SparkSession, dir: String,
+      window: Int = 16, maxOcc: Int = 16): DataFrame = {
+    val toks = split(col("text"), " ")
+    val anchors = docs(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= window)
+      .withColumn("off", explode(sequence(lit(1), col("n") - (window - 1))))
+      .select(col("doc_id"), col("off"),
+        expr(s"CAST(conv(substr(md5(concat_ws(' ', " +
+          s"slice(toks, off, $window))),1,15),16,10) AS BIGINT)").as("h"))
+    val cnt = anchors.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(2, maxOcc))
+    val elig = anchors.join(cnt, "h")
+    val pairs = elig.select(col("h"), col("doc_id").as("d1"), col("off").as("o1"))
+      .join(elig.select(col("h"), col("doc_id").as("d2"), col("off").as("o2")),
+        Seq("h"))
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("o1") < col("o2")))
+      .withColumn("diag", col("o2") - col("o1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("d1", "d2", "diag").orderBy("o1")
+    pairs
+      .withColumn("isl", col("o1") - row_number().over(w))
+      .groupBy("d1", "d2", "diag", "isl")
+      .agg(min(col("o1")).as("a0"), max(col("o1")).as("a1"),
+        count(lit(1)).as("n_anchors"))
+      .select(col("d1").as("doc_a"), col("a0").cast("int").as("start_a"),
+        col("d2").as("doc_b"),
+        (col("a0") + col("diag")).cast("int").as("start_b"),
+        (col("a1") - col("a0") + window).cast("int").as("span_len"),
+        col("n_anchors"))
+      .orderBy("doc_a", "start_a", "doc_b", "start_b")
+  }
+
   /** Feature order of the quality model — scores and the bias fold this
     * list LEFT TO RIGHT in BOTH engines; changing the order changes the
     * IEEE result, so the order is part of the contract.
@@ -1076,6 +1135,29 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "c4_bpe_merges" -> bpeChainSql(BpeRounds, BpeBatchCap),
     "c4_bpe_encode" -> bpeEncodeSql(BpeRounds, BpeBatchCap),
+    // Substring-dup replay: same portable anchor hash, same 2..maxOcc
+    // cap, same diagonal gaps-and-islands merge.
+    "c4_substring_dup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
+        "len(string_split(text, ' ')) AS n FROM documents), " +
+        "a AS (SELECT doc_id, unnest(generate_series(1, n - 15)) AS off, " +
+        "toks FROM t WHERE n >= 16), " +
+        "h AS (SELECT doc_id, off, ('0x'||substr(md5(array_to_string(" +
+        "list_slice(toks, off, off + 15), ' ')),1,15))::BIGINT AS h FROM a), " +
+        "c AS (SELECT h, count(*) AS cnt FROM h GROUP BY h " +
+        "HAVING count(*) BETWEEN 2 AND 16), " +
+        "e AS (SELECT h.doc_id, h.off, h.h FROM h JOIN c USING (h)), " +
+        "p AS (SELECT e1.doc_id AS d1, e1.off AS o1, e2.doc_id AS d2, " +
+        "e2.off - e1.off AS diag FROM e e1 JOIN e e2 USING (h) " +
+        "WHERE e1.doc_id < e2.doc_id OR " +
+        "(e1.doc_id = e2.doc_id AND e1.off < e2.off)), " +
+        "i AS (SELECT *, o1 - row_number() OVER (PARTITION BY d1, d2, diag " +
+        "ORDER BY o1) AS isl FROM p) " +
+        "SELECT d1 AS doc_a, CAST(min(o1) AS INT) AS start_a, d2 AS doc_b, " +
+        "CAST(min(o1) + diag AS INT) AS start_b, " +
+        "CAST(max(o1) - min(o1) + 16 AS INT) AS span_len, " +
+        "count(*) AS n_anchors FROM i GROUP BY d1, d2, diag, isl " +
+        "ORDER BY doc_a, start_a, doc_b, start_b"),
     // Quality-model replay: the full closed-form pipeline — features,
     // per-class sums, 6 dp class means, weight differences, the fixed
     // left-to-right bias and score folds — in one static SQL query. The
@@ -1324,6 +1406,7 @@ object TextOps {
     "c4_bpe_encode" -> ((s: SparkSession, d: String) => c4BpeEncode(s, d)),
     "c4_pii_scrub" -> ((s: SparkSession, d: String) => c4PiiScrub(s, d)),
     "c4_quality_model" -> ((s: SparkSession, d: String) => c4QualityModel(s, d)),
+    "c4_substring_dup" -> ((s: SparkSession, d: String) => c4SubstringDup(s, d)),
     "c4_chunk" -> ((s: SparkSession, d: String) => c4Chunk(s, d)),
     "c4_chunk_dedup" -> ((s: SparkSession, d: String) => c4ChunkDedup(s, d))
   )

@@ -290,6 +290,59 @@ class SimOpsSpec extends SparkSuite {
     }
   }
 
+  test("retrainAnnIndex: grown retrain == from-scratch build; same-corpus swap leaves the query path unchanged") {
+    import org.apache.spark.sql.functions.col
+    val full = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ann-rt-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ann-rt-b").toString
+    try {
+      full.filter(col("vec_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dirA/embeddings.parquet")
+      full.write.mode("overwrite").parquet(s"$dirB/embeddings.parquet")
+      val (codesA, modelA) = SimOps.ensureAnnIndex(spark, dirA)
+      def results(dir: String) = SimOps.c3AnnPqIndexed(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      // 1. SAME-corpus retrain: deterministic training → identical
+      // codebook → the swap is invisible to the query path
+      val before = results(dirA)
+      SimOps.retrainAnnIndex(spark, dirA)
+      assert(results(dirA) == before,
+        "same-corpus retrain changed c3_ann_pq_indexed results")
+      // staging tables are gone after the swap
+      assert(!spark.catalog.tableExists(s"${codesA}_rt") &&
+        !spark.catalog.tableExists(s"${modelA}_rt"))
+      // 2. GROWN-corpus retrain: append the odd ids (old model), then
+      // retrain with them — must equal a from-scratch ensureAnnIndex
+      // over the full corpus, model and codes both
+      val batch = full.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      SimOps.appendAnnIndex(spark, dirA, batch)
+      SimOps.retrainAnnIndex(spark, dirA, Some(batch))
+      def codesContent(t: String) = spark.table(t)
+        .select(col("b_id"), col("cell").cast("int"), col("codes"), col("label"))
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getSeq[Int](2).toSeq, r.getInt(3))).toSet
+      def modelContent(t: String) = spark.table(t).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+          r.getSeq[Double](3).toSeq)).toSet
+      // capture BEFORE building dirB's layout: ensureAnnIndex enforces
+      // one live configuration and sweeps dirA's tables as stale
+      val (retrainedCodes, retrainedModel, retrainedResults) =
+        (codesContent(codesA), modelContent(modelA), results(dirA))
+      val (codesB, modelB) = SimOps.ensureAnnIndex(spark, dirB)
+      assert(retrainedModel == modelContent(modelB),
+        "retrained codebook diverged from the from-scratch model")
+      assert(retrainedCodes == codesContent(codesB),
+        "retrained codes diverged from the from-scratch encode")
+      // and the served results equal the from-scratch index's results
+      assert(retrainedResults == results(dirB))
+    } finally {
+      Seq(dirA, dirB).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("deleteFromAnnIndex: append+delete equals a from-scratch rebuild; only affected cells rewritten") {
     // Lifecycle contract: after appending the odd ids and then deleting
     // a subset of ids (odd AND even, including one whole cell's worth),

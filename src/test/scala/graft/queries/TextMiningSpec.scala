@@ -268,6 +268,72 @@ class TextMiningSpec extends SparkSuite {
       "clean doc untouched")
   }
 
+  /** In-memory reference for [[TextOps.c4SubstringDup]]: exact window
+    * strings as keys (no hashing — a 60-bit collision in the engine
+    * would surface as a divergence here), same 2..maxOcc cap, same
+    * diagonal run merging.
+    */
+  private def refSubstringDup(texts: Seq[(Long, String)], window: Int = 16,
+      maxOcc: Int = 16): Seq[(Long, Int, Long, Int, Int, Long)] = {
+    val occ = scala.collection.mutable.Map[String, Vector[(Long, Int)]]()
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      for (o <- 1 to toks.length - window + 1)
+        occ(toks.slice(o - 1, o - 1 + window).mkString(" ")) =
+          occ.getOrElse(toks.slice(o - 1, o - 1 + window).mkString(" "),
+            Vector.empty) :+ (id, o)
+    }
+    val pairs = occ.values.filter(v => v.size >= 2 && v.size <= maxOcc)
+      .flatMap { v =>
+        for {
+          (a, i) <- v.zipWithIndex; (b, j) <- v.zipWithIndex
+          if a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+        } yield (a._1, b._1, b._2 - a._2, a._2)
+      }.toSeq
+    pairs.groupBy(p => (p._1, p._2, p._3)).toSeq.flatMap {
+      case ((d1, d2, diag), ps) =>
+        val os = ps.map(_._4).distinct.sorted
+        // split into maximal consecutive runs
+        val runs = os.foldLeft(Vector.empty[Vector[Int]]) { (acc, o) =>
+          if (acc.nonEmpty && acc.last.last == o - 1)
+            acc.init :+ (acc.last :+ o)
+          else acc :+ Vector(o)
+        }
+        runs.map(r => (d1, r.head, d2, r.head + diag,
+          r.last - r.head + window, r.size.toLong))
+    }.sortBy(t => (t._1, t._2, t._3, t._4))
+  }
+
+  test("c4_substring_dup matches the in-memory maximal-span reference on the corpus") {
+    val got = TextOps.c4SubstringDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getLong(5)))
+    assert(got.nonEmpty, "gate corpus should contain repeated 16-token spans")
+    val texts = corpus.toSeq.map { case (id, toks) => id -> toks.mkString(" ") }
+    assert(got.toSeq == refSubstringDup(texts))
+  }
+
+  test("c4_substring_dup finds an UNALIGNED copied paragraph that chunk dedup misses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssdup").toString
+    val p = (1 to 20).map(i => s"p$i")
+    val doc1 = ((1 to 10).map(i => s"f$i") ++ p ++ (1 to 10).map(i => s"g$i"))
+      .mkString(" ")
+    val doc2 = ((1 to 13).map(i => s"h$i") ++ p ++ (1 to 7).map(i => s"k$i"))
+      .mkString(" ")
+    Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // stride-aligned chunk dedup sees nothing (both docs are single
+    // sub-64-token chunks that differ)...
+    assert(TextOps.c4ChunkDedup(spark, dir).collect().isEmpty)
+    // ...the every-offset analytic recovers the exact copied span:
+    // doc1 positions 11..30, doc2 positions 14..33, 5 anchors of 16
+    val got = TextOps.c4SubstringDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getLong(5)))
+    assert(got.toSeq == Seq((1L, 11, 2L, 14, 20, 5L)))
+  }
+
   test("c4_quality_model: closed-form training and scoring match an in-memory reference") {
     val stop = Set("the", "a", "of", "to", "in", "and", "is")
     def feats(text: String): (Long, Long, Long, Long, Long) = {
