@@ -78,8 +78,37 @@ object Bench {
     * job group.
     */
   private final case class Tel(r: Long = 0, w: Long = 0, spill: Long = 0,
-      peak: Long = 0, in: Long = 0, tasks: Long = 0)
+      peak: Long = 0, in: Long = 0, tasks: Long = 0,
+      srows: Long = 0, sbytes: Long = 0)
   private val queryTel = new TrieMap[String, Tel]()
+
+  /** Streaming STATE-SIZE telemetry (round-13 verdict ask #7): at 100 TB
+    * unbounded state growth is the streaming failure mode, and wall time
+    * cannot see it. Per bench query the record carries the MAX across
+    * all micro-batches (and lifecycles — restart queries run two) of the
+    * summed per-operator state rows and state memory bytes, read off the
+    * StreamingQueryProgress events that fire while the query's builder
+    * runs. Batch queries report 0/0. Under the RocksDB provider
+    * memoryUsedBytes is the provider's own accounting; rows are
+    * provider-independent.
+    */
+  private final class StateTelemetryListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    @volatile private var maxRows = 0L
+    @volatile private var maxBytes = 0L
+    def reset(): Unit = { maxRows = 0L; maxBytes = 0L }
+    def snapshot: (Long, Long) = (maxRows, maxBytes)
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val ops = e.progress.stateOperators
+      if (ops.nonEmpty) synchronized {
+        maxRows = math.max(maxRows, ops.map(_.numRowsTotal).sum)
+        maxBytes = math.max(maxBytes, ops.map(_.memoryUsedBytes).sum)
+      }
+    }
+  }
 
   /** Accumulates task metrics per job group off task-end events (task
     * metrics there are reliably populated, unlike StageInfo.taskMetrics
@@ -135,7 +164,8 @@ object Bench {
     val sh = queryTel.toSeq.sortBy(_._1).map { case (k, t) =>
       "\"" + k + "\":{\"r\":" + t.r + ",\"w\":" + t.w +
         ",\"spill\":" + t.spill + ",\"peak\":" + t.peak +
-        ",\"in\":" + t.in + ",\"tasks\":" + t.tasks + "}"
+        ",\"in\":" + t.in + ",\"tasks\":" + t.tasks +
+        ",\"srows\":" + t.srows + ",\"sbytes\":" + t.sbytes + "}"
     }.mkString("{", ",", "}")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reruns":$rr,"shuffle":$sh,"sf":"$sfDirForLine"}"""
@@ -163,7 +193,8 @@ object Bench {
       val rows = results.map(_._1).sorted.map { k =>
         val t = queryTel.getOrElse(k, Tel())
         "  \"" + k + f"""\": {"sec":${secs(k)}%.3f,"r":${t.r},"w":${t.w}""" +
-          s""","spill":${t.spill},"peak":${t.peak},"in":${t.in},"tasks":${t.tasks}}"""
+          s""","spill":${t.spill},"peak":${t.peak},"in":${t.in},"tasks":${t.tasks}""" +
+          s""","srows":${t.srows},"sbytes":${t.sbytes}}"""
       }
       val metricsPath =
         sys.env.getOrElse("SPARK_GRAFT_BENCH_METRICS", "BENCH_METRICS.json")
@@ -224,6 +255,8 @@ object Bench {
 
     val shuffleListener = new GroupTelemetryListener
     spark.sparkContext.addSparkListener(shuffleListener)
+    val stateListener = new StateTelemetryListener
+    spark.streams.addListener(stateListener)
 
     // Optional dev filter: SPARK_GRAFT_ONLY=<regex> times a subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
@@ -288,6 +321,7 @@ object Bench {
       // otherwise land after the reset and contaminate this run's bytes.
       org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
       shuffleListener.reset(group)
+      stateListener.reset()
       spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
       val cancelled = new AtomicBoolean(false)
       val cancel = new java.util.TimerTask {
@@ -323,7 +357,9 @@ object Bench {
         // run's numbers are authoritative, so last-completed-wins. Drain
         // the (async) listener bus first so trailing task-end events land.
         org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
-        queryTel.put(name, shuffleListener.tel(group))
+        val (srows, sbytes) = stateListener.snapshot
+        queryTel.put(name,
+          shuffleListener.tel(group).copy(srows = srows, sbytes = sbytes))
         Some(sec)
       } else {
         System.err.println(s"[bench] $name NOT recorded (" +

@@ -622,6 +622,45 @@ class EventStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming state is O(keys): per-user operators hold at most ~users state rows") {
+    import graft.streaming.EventStream
+    val users = Tables.load(spark, sf, "events")
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    @volatile var maxRows = 0L
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops.nonEmpty)
+          maxRows = math.max(maxRows, ops.map(_.numRowsTotal).sum)
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      def measure(key: String): Long = {
+        maxRows = 0L
+        EventStream.queries(key)(spark, sf).collect()
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        maxRows
+      }
+      // mapGroupsWithState running stats: exactly one state row per user
+      val statsRows = measure("c5_stream_user_stats")
+      assert(statsRows > 0L && statsRows <= users,
+        s"user-stats state $statsRows rows exceeds $users distinct users")
+      // transformWithState inactivity timers: one ValueState + one
+      // re-armed timer per user — bounded by a small constant × users,
+      // NEVER by events (the 100 TB growth mode this telemetry watches)
+      val inactiveRows = measure("c5_stream_inactive")
+      assert(inactiveRows > 0L && inactiveRows <= 4 * users,
+        s"inactive-user state $inactiveRows rows not O(users=$users)")
+      val nEvents = Tables.load(spark, sf, "events").count()
+      assert(inactiveRows < nEvents,
+        "state grew with events, not keys")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("batch sessionization query is internally consistent on testdata") {
     val s = EventOps.c5Sessionize(spark, sf).collect()
     assert(s.nonEmpty)
