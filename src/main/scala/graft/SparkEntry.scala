@@ -62,7 +62,13 @@ object SparkEntry {
     Warmup("dedup_labels", _ == "c2_incremental_cc",
       (s, d) => { DedupOps.ensureDedupLabels(s, d); () }),
     Warmup("quality_model", _ == "c4_quality_model",
-      (s, d) => { TextOps.ensureQualityModel(s, d); () }))
+      (s, d) => { TextOps.ensureQualityModel(s, d); () }),
+    // The trained-tokenizer layout: encode/budget queries APPLY a
+    // tokenizer (trained once per corpus, the production shape); the
+    // training cost itself stays timed in c4_bpe_merges.
+    Warmup("bpe_vocab",
+      Set("c4_bpe_encode", "c7_token_budget_bpe").contains(_),
+      (s, d) => { TextOps.ensureBpeVocab(s, d); () }))
 
   /** Oracle SQL whose text depends on data-trained plan literals (e.g.
     * the IVF codebook): generated against the verify-time tables, merged

@@ -242,23 +242,21 @@ object PipelineOps {
   def c7TokenBudgetBpe(spark: SparkSession, dir: String,
       budget: Long = 20000L, rounds: Int = TextOps.BpeRounds,
       cap: Int = TextOps.BpeBatchCap): DataFrame = {
-    val (_, finalVocab, lastCached) = TextOps.bpeTrain(spark, dir, rounds, cap)
-    val enc = finalVocab.select(col("word"), size(col("seq")).as("n_bpe"))
+    val enc = spark.table(TextOps.ensureBpeVocab(spark, dir, rounds, cap))
     val perDoc = docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
-      .join(enc, "word")
+      .join(enc.select("word", "n_bpe"), "word")
       .groupBy(col("doc_id"))
       .agg(sum(col("n_bpe")).cast("long").as("n_bpe_tokens"))
     val base = docs(spark, dir).select(col("doc_id"), col("lang"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("lang"), col("doc_id"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
-    val out = withRunningSum(base, "n_bpe_tokens", "cum_bpe")
+    withRunningSum(base, "n_bpe_tokens", "cum_bpe")
       .filter(col("cum_bpe") <= budget)
       .select(col("lang"), col("doc_id"), col("n_bpe_tokens"), col("cum_bpe"))
       .orderBy("lang", "doc_id")
-    graft.util.CacheScope.releaseAfterMaterialize(out, lastCached.toSeq)
   }
 
   /** C7d: train/test decontamination — flag training documents sharing
