@@ -826,8 +826,13 @@ object TextOps {
     * skipped ultra-frequent interior window splits into two reported
     * spans — the documented approximation.
     */
-  def c4SubstringDup(spark: SparkSession, dir: String,
-      window: Int = 16, maxOcc: Int = 16): DataFrame = {
+  /** The maximal repeated-span pairs shared by the REPORT
+    * ([[c4SubstringDup]]) and the ACTION ([[c4SubstringScrub]]):
+    * columns (doc_a, start_a, doc_b, start_b, span_len, n_anchors),
+    * (doc_a, start_a) < (doc_b, start_b) lexicographically.
+    */
+  private def substringSpans(spark: SparkSession, dir: String,
+      window: Int, maxOcc: Int): DataFrame = {
     val toks = split(col("text"), " ")
     val anchors = docs(spark, dir)
       .select(col("doc_id"), toks.as("toks"))
@@ -858,7 +863,69 @@ object TextOps {
         (col("a0") + col("diag")).cast("int").as("start_b"),
         (col("a1") - col("a0") + window).cast("int").as("span_len"),
         col("n_anchors"))
+  }
+
+  def c4SubstringDup(spark: SparkSession, dir: String,
+      window: Int = 16, maxOcc: Int = 16): DataFrame =
+    substringSpans(spark, dir, window, maxOcc)
       .orderBy("doc_a", "start_a", "doc_b", "start_b")
+
+  /** C4w: repeated-substring SCRUB — the ACTION half of the Lee et al.
+    * analytic ([[c4SubstringDup]] reports the spans; this removes them):
+    * for every maximal repeated span, the LATER occurrence (larger
+    * (doc, offset) — the keep-first policy curation applies) becomes a
+    * removal interval; per document the intervals merge (classic
+    * running-max interval union) and the covered tokens drop. Output
+    * per document: original/removed token counts, merged-interval
+    * count, and the md5 of the space-joined SURVIVING tokens in
+    * original order (NULL when nothing survives) — the fingerprint
+    * pins the exact scrubbed bytes without shipping text.
+    *
+    * Scale posture: on top of the span analysis (see
+    * [[c4SubstringDup]]), one window over each doc's OWN removal
+    * intervals (bounded by doc length), one anti join of exploded
+    * token positions against the broadcast-scale merged intervals
+    * keyed by doc_id, and one per-doc ordered reassembly aggregate.
+    */
+  def c4SubstringScrub(spark: SparkSession, dir: String,
+      window: Int = 16, maxOcc: Int = 16): DataFrame = {
+    val rem = substringSpans(spark, dir, window, maxOcc)
+      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        (col("start_b") + col("span_len") - 1).as("e"))
+      .distinct()
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("s", "e")
+    val merged = rem
+      .withColumn("maxe", max(col("e")).over(
+        wDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("maxe").isNull || col("s") > col("maxe"), 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(wDoc))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val kept = toks.join(merged,
+      toks("doc_id") === merged("doc_id") &&
+        col("pos") >= col("s") && col("pos") <= col("e"),
+      "left_anti")
+    val keptAgg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")))).as("scrub_hash"))
+    val nIv = merged.groupBy("doc_id").agg(count(lit(1)).as("n_intervals"))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .join(nIv, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("n_intervals"), lit(0L)).as("n_intervals"),
+        col("scrub_hash"))
+      .orderBy("doc_id")
   }
 
   /** Feature order of the quality model — scores and the bias fold this
@@ -1153,32 +1220,67 @@ object TextOps {
       "round(CAST(pd.n_bpe_tokens AS DOUBLE) / pd.n_words, 6) END AS bpe_per_word " +
       "FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"
 
+  /** Shared span-analysis CTE chain of the substring-dup/scrub replays
+    * (t → anchors → cap → pairs → diagonal islands `i`).
+    */
+  private val ssdupChain: String =
+    "t AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
+      "len(string_split(text, ' ')) AS n FROM documents), " +
+      "a AS (SELECT doc_id, unnest(generate_series(1, n - 15)) AS off, " +
+      "toks FROM t WHERE n >= 16), " +
+      "h AS (SELECT doc_id, off, ('0x'||substr(md5(array_to_string(" +
+      "list_slice(toks, off, off + 15), ' ')),1,15))::BIGINT AS h FROM a), " +
+      "c AS (SELECT h, count(*) AS cnt FROM h GROUP BY h " +
+      "HAVING count(*) BETWEEN 2 AND 16), " +
+      "e AS (SELECT h.doc_id, h.off, h.h FROM h JOIN c USING (h)), " +
+      "p AS (SELECT e1.doc_id AS d1, e1.off AS o1, e2.doc_id AS d2, " +
+      "e2.off - e1.off AS diag FROM e e1 JOIN e e2 USING (h) " +
+      "WHERE e1.doc_id < e2.doc_id OR " +
+      "(e1.doc_id = e2.doc_id AND e1.off < e2.off)), " +
+      "i AS (SELECT *, o1 - row_number() OVER (PARTITION BY d1, d2, diag " +
+      "ORDER BY o1) AS isl FROM p)"
+
   val oracle: Map[String, String] = Map(
     "c4_bpe_merges" -> bpeChainSql(BpeRounds, BpeBatchCap),
     "c4_bpe_encode" -> bpeEncodeSql(BpeRounds, BpeBatchCap),
     // Substring-dup replay: same portable anchor hash, same 2..maxOcc
     // cap, same diagonal gaps-and-islands merge.
     "c4_substring_dup" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
-        "len(string_split(text, ' ')) AS n FROM documents), " +
-        "a AS (SELECT doc_id, unnest(generate_series(1, n - 15)) AS off, " +
-        "toks FROM t WHERE n >= 16), " +
-        "h AS (SELECT doc_id, off, ('0x'||substr(md5(array_to_string(" +
-        "list_slice(toks, off, off + 15), ' ')),1,15))::BIGINT AS h FROM a), " +
-        "c AS (SELECT h, count(*) AS cnt FROM h GROUP BY h " +
-        "HAVING count(*) BETWEEN 2 AND 16), " +
-        "e AS (SELECT h.doc_id, h.off, h.h FROM h JOIN c USING (h)), " +
-        "p AS (SELECT e1.doc_id AS d1, e1.off AS o1, e2.doc_id AS d2, " +
-        "e2.off - e1.off AS diag FROM e e1 JOIN e e2 USING (h) " +
-        "WHERE e1.doc_id < e2.doc_id OR " +
-        "(e1.doc_id = e2.doc_id AND e1.off < e2.off)), " +
-        "i AS (SELECT *, o1 - row_number() OVER (PARTITION BY d1, d2, diag " +
-        "ORDER BY o1) AS isl FROM p) " +
+      (s"WITH $ssdupChain " +
         "SELECT d1 AS doc_a, CAST(min(o1) AS INT) AS start_a, d2 AS doc_b, " +
         "CAST(min(o1) + diag AS INT) AS start_b, " +
         "CAST(max(o1) - min(o1) + 16 AS INT) AS span_len, " +
         "count(*) AS n_anchors FROM i GROUP BY d1, d2, diag, isl " +
         "ORDER BY doc_a, start_a, doc_b, start_b"),
+    // Scrub replay: the same span chain, later-occurrence removal
+    // intervals, the identical running-max interval union, NOT-EXISTS
+    // token removal, and the ordered string_agg under md5.
+    "c4_substring_scrub" ->
+      (s"WITH $ssdupChain, " +
+        "sp AS (SELECT d1, d2, diag, min(o1) AS a0, max(o1) AS a1 " +
+        "FROM i GROUP BY d1, d2, diag, isl), " +
+        "rem AS (SELECT DISTINCT d2 AS doc_id, a0 + diag AS s, " +
+        "a0 + diag + (a1 - a0 + 16) - 1 AS e FROM sp), " +
+        "mx AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe FROM rem), " +
+        "g AS (SELECT *, sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 " +
+        "ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp FROM mx), " +
+        "mi AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM g " +
+        "GROUP BY doc_id, grp), " +
+        "tk0 AS (SELECT doc_id, unnest(generate_series(1, n)) AS pos, " +
+        "toks FROM t), " +
+        "tk AS (SELECT doc_id, pos, toks[pos] AS tok FROM tk0), " +
+        "kp AS (SELECT tk.* FROM tk WHERE NOT EXISTS (SELECT 1 FROM mi " +
+        "WHERE mi.doc_id = tk.doc_id AND tk.pos BETWEEN mi.s AND mi.e)), " +
+        "ka AS (SELECT doc_id, count(*) AS n_kept, " +
+        "md5(string_agg(tok, ' ' ORDER BY pos)) AS scrub_hash " +
+        "FROM kp GROUP BY doc_id), " +
+        "ni AS (SELECT doc_id, count(*) AS n_intervals FROM mi GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens, " +
+        "CAST(t.n - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed, " +
+        "CAST(COALESCE(ni.n_intervals, 0) AS BIGINT) AS n_intervals, " +
+        "ka.scrub_hash FROM t LEFT JOIN ka USING (doc_id) " +
+        "LEFT JOIN ni USING (doc_id) ORDER BY doc_id"),
     // Quality-model replay: the full closed-form pipeline — features,
     // per-class sums, 6 dp class means, weight differences, the fixed
     // left-to-right bias and score folds — in one static SQL query. The
@@ -1428,6 +1530,7 @@ object TextOps {
     "c4_pii_scrub" -> ((s: SparkSession, d: String) => c4PiiScrub(s, d)),
     "c4_quality_model" -> ((s: SparkSession, d: String) => c4QualityModel(s, d)),
     "c4_substring_dup" -> ((s: SparkSession, d: String) => c4SubstringDup(s, d)),
+    "c4_substring_scrub" -> ((s: SparkSession, d: String) => c4SubstringScrub(s, d)),
     "c4_chunk" -> ((s: SparkSession, d: String) => c4Chunk(s, d)),
     "c4_chunk_dedup" -> ((s: SparkSession, d: String) => c4ChunkDedup(s, d))
   )

@@ -334,6 +334,67 @@ class TextMiningSpec extends SparkSuite {
     assert(got.toSeq == Seq((1L, 11, 2L, 14, 20, 5L)))
   }
 
+  /** In-memory scrub reference on top of [[refSubstringDup]]: remove
+    * each span's LATER occurrence, merge intervals per doc, drop covered
+    * tokens.
+    */
+  private def refScrub(texts: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Long, Option[String])] = {
+    val spans = refSubstringDup(texts)
+    val byDoc = spans.map { case (_, _, db, sb, len, _) => (db, sb, sb + len - 1) }
+      .distinct.groupBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    texts.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val ivs = byDoc.getOrElse(id, Seq.empty).map(t => (t._2, t._3))
+        .sortBy(identity)
+      val merged = ivs.foldLeft(Vector.empty[(Int, Int)]) { (acc, iv) =>
+        if (acc.nonEmpty && iv._1 <= acc.last._2)
+          acc.init :+ (acc.last._1, math.max(acc.last._2, iv._2))
+        else acc :+ iv
+      }
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !merged.exists(m => i + 1 >= m._1 && i + 1 <= m._2) => t
+      }
+      id -> (toks.length.toLong, (toks.length - kept.length).toLong,
+        merged.length.toLong,
+        if (kept.isEmpty) None else Some(md5hex(kept.mkString(" "))))
+    }.toMap
+  }
+
+  test("c4_substring_scrub: keep-first removal matches the in-memory reference; planted case") {
+    val texts = corpus.toSeq.map { case (id, toks) => id -> toks.mkString(" ") }
+    val want = refScrub(texts)
+    val got = TextOps.c4SubstringScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getString(4)))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._2 > 0), "corpus should have removals")
+    // planted: doc2's copied paragraph is removed, doc1 keeps it
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sscrub").toString
+    val p = (1 to 20).map(i => s"p$i")
+    val doc1 = ((1 to 10).map(i => s"f$i") ++ p ++ (1 to 10).map(i => s"g$i"))
+      .mkString(" ")
+    val doc2 = ((1 to 13).map(i => s"h$i") ++ p ++ (1 to 7).map(i => s"k$i"))
+      .mkString(" ")
+    Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = TextOps.c4SubstringScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getString(4)))).toMap
+    assert(out(1L) == ((40L, 0L, 0L, Some(md5hex(doc1)))), "first copy must survive intact")
+    val doc2Scrubbed =
+      ((1 to 13).map(i => s"h$i") ++ (1 to 7).map(i => s"k$i")).mkString(" ")
+    assert(out(2L) == ((40L, 20L, 1L, Some(md5hex(doc2Scrubbed)))),
+      "later copy's paragraph must be removed exactly")
+  }
+
   test("c4_quality_model: closed-form training and scoring match an in-memory reference") {
     val stop = Set("the", "a", "of", "to", "in", "and", "is")
     def feats(text: String): (Long, Long, Long, Long, Long) = {
