@@ -259,6 +259,49 @@ object PipelineOps {
       .orderBy("lang", "doc_id")
   }
 
+  /** C7d'': SUBSTRING-level decontamination — the published
+    * "contiguous ≥L-token overlap" rule (the form the k-gram report
+    * approximates): a training document is contaminated when it shares
+    * a MAXIMAL repeated span of ≥16 tokens with any held-out test
+    * document, at ANY offset. Reuses [[TextOps.substringSpans]] (the
+    * Lee et al. machinery) filtered to pairs straddling the portable
+    * train/test split; per contaminated train doc: span count, the
+    * longest shared span, total shared-span tokens, and the worst
+    * (longest-span, smallest-id) test doc as evidence.
+    *
+    * Scale: the span analysis's linear occurrence-capped cost (see
+    * c4_substring_dup) plus one partial aggregate keyed by the train
+    * doc — the cross-split filter is a narrow predicate on the span
+    * stream, never a second corpus pass.
+    */
+  def c7DecontaminateSpan(spark: SparkSession, dir: String,
+      window: Int = 16, maxOcc: Int = 16): DataFrame = {
+    val lo = (0.8 * 4294967296L).toLong
+    val hi = (0.9 * 4294967296L).toLong
+    def bucket(c: Column) = pmod(c * 2654435761L, lit(4294967296L))
+    val spans = TextOps.substringSpans(spark, dir, window, maxOcc)
+      .withColumn("a_train", bucket(col("doc_a")) < lo)
+      .withColumn("a_test", bucket(col("doc_a")) >= hi)
+      .withColumn("b_train", bucket(col("doc_b")) < lo)
+      .withColumn("b_test", bucket(col("doc_b")) >= hi)
+      .filter((col("a_train") && col("b_test")) ||
+        (col("a_test") && col("b_train")))
+      .select(
+        when(col("a_train"), col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_id"),
+        when(col("a_train"), col("doc_b")).otherwise(col("doc_a"))
+          .as("test_doc"),
+        col("span_len"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("span_len")).as("max_span_len"),
+        sum(col("span_len")).cast("long").as("sum_span_len"),
+        max(struct(col("span_len"), (-col("test_doc")).as("negid"))).as("b"))
+      .select(col("doc_id"), col("n_spans"), col("max_span_len"),
+        col("sum_span_len"), (-col("b.negid")).as("worst_test_doc"))
+      .orderBy("doc_id")
+  }
+
   /** C7d: train/test decontamination — flag training documents sharing
     * any word k-gram with the held-out test split (the standard n-gram
     * benchmark-decontamination pass). Both splits come from the same
@@ -1335,6 +1378,25 @@ object PipelineOps {
         "AS BIGINT) AS cum_bpe FROM b) " +
         "SELECT lang, doc_id, n_bpe_tokens, cum_bpe FROM r " +
         "WHERE cum_bpe <= 20000 ORDER BY lang, doc_id"),
+    // Substring-decontamination replay: the shared span chain filtered
+    // to cross-split pairs, same argmax tie-break via struct max.
+    "c7_decontaminate_span" -> {
+      val b = (c: String) => s"($c * 2654435761) % 4294967296"
+      val (lo, hi) = ((0.8 * 4294967296L).toLong, (0.9 * 4294967296L).toLong)
+      s"WITH ${TextOps.ssdupChain}, " +
+        "sp AS (SELECT d1, d2, min(o1) AS a0, " +
+        "CAST(max(o1) - min(o1) + 16 AS INT) AS span_len " +
+        "FROM i GROUP BY d1, d2, diag, isl), " +
+        s"cx AS (SELECT CASE WHEN ${b("d1")} < $lo THEN d1 ELSE d2 END AS doc_id, " +
+        s"CASE WHEN ${b("d1")} < $lo THEN d2 ELSE d1 END AS test_doc, span_len " +
+        s"FROM sp WHERE (${b("d1")} < $lo AND ${b("d2")} >= $hi) " +
+        s"OR (${b("d1")} >= $hi AND ${b("d2")} < $lo)) " +
+        "SELECT doc_id, count(*) AS n_spans, max(span_len) AS max_span_len, " +
+        "CAST(sum(span_len) AS BIGINT) AS sum_span_len, " +
+        "-struct_extract(max({'s': span_len, 'n': -test_doc}), 'n') " +
+        "AS worst_test_doc " +
+        "FROM cx GROUP BY doc_id ORDER BY doc_id"
+    },
     // Identical SQL to c7_decontaminate by design: the bloom prefilter
     // must not change the result (no false negatives; the exact join
     // removes false positives).
@@ -1406,6 +1468,8 @@ object PipelineOps {
     "c7_token_budget" -> ((s: SparkSession, d: String) => c7TokenBudget(s, d)),
     "c7_token_budget_bpe" -> ((s: SparkSession, d: String) => c7TokenBudgetBpe(s, d)),
     "c7_decontaminate" -> ((s: SparkSession, d: String) => c7Decontaminate(s, d)),
+    "c7_decontaminate_span" ->
+      ((s: SparkSession, d: String) => c7DecontaminateSpan(s, d)),
     "c7_decontaminate_bloom" -> ((s: SparkSession, d: String) => c7DecontaminateBloom(s, d)),
     "c7_curate" -> ((s: SparkSession, d: String) => c7Curate(s, d)),
     "c7_pack_sequences" -> ((s: SparkSession, d: String) => c7PackSequences(s, d)),

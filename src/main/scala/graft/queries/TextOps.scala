@@ -831,7 +831,7 @@ object TextOps {
     * columns (doc_a, start_a, doc_b, start_b, span_len, n_anchors),
     * (doc_a, start_a) < (doc_b, start_b) lexicographically.
     */
-  private def substringSpans(spark: SparkSession, dir: String,
+  private[queries] def substringSpans(spark: SparkSession, dir: String,
       window: Int, maxOcc: Int): DataFrame = {
     val toks = split(col("text"), " ")
     val anchors = docs(spark, dir)
@@ -1223,7 +1223,7 @@ object TextOps {
   /** Shared span-analysis CTE chain of the substring-dup/scrub replays
     * (t → anchors → cap → pairs → diagonal islands `i`).
     */
-  private val ssdupChain: String =
+  private[queries] val ssdupChain: String =
     "t AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
       "len(string_split(text, ' ')) AS n FROM documents), " +
       "a AS (SELECT doc_id, unnest(generate_series(1, n - 15)) AS off, " +

@@ -145,6 +145,31 @@ class GatewaySpec extends SparkSuite {
     } finally gw.stop()
   }
 
+  test("crashed-materialize orphan spill dir is swept by the gateway's background TTL sweeper") {
+    // Crash injection: a previous process died mid-materialize, leaving
+    // a partial parquet dir under the spill root with NO job pointing at
+    // it (the job never reached a terminal state). A long-lived gateway
+    // must bound that disk: the 10 s sweeper's evictExpired also sweeps
+    // aged job-* dirs no registered job owns.
+    val root = java.nio.file.Files.createTempDirectory("graft_gw_orphan").toString
+    val orphan = new java.io.File(root, "job-42")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.writeString(
+      orphan.toPath.resolve("part-00000.parquet"), "partial write")
+    // clock ahead of the dir's real mtime by more than the TTL → aged
+    val store = new JobStore(
+      clock = () => System.currentTimeMillis() + 10_000L,
+      ttlMillis = 1000L, spillRoot = root)
+    val gw = new Gateway(spark, store, port = 0, sweepIntervalMillis = 50L)
+    gw.start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (orphan.exists() && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!orphan.exists(),
+        "background sweeper left the crashed-materialize orphan dir on disk")
+    } finally gw.stop()
+  }
+
   test("background sweep evicts an expired job that is NEVER polled (BGScaner parity)") {
     // The lazy sweep above runs inside getResult; the reference ALSO
     // runs a detached 10 s scanner (master.cc:114,436-463) so a job

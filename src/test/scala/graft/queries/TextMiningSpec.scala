@@ -395,6 +395,32 @@ class TextMiningSpec extends SparkSuite {
       "later copy's paragraph must be removed exactly")
   }
 
+  test("c7_decontaminate_span: cross-split shared spans match the in-memory reference") {
+    val texts = corpus.toSeq.map { case (id, toks) => id -> toks.mkString(" ") }
+    val spans = refSubstringDup(texts)
+    val (lo, hi) = ((0.8 * 4294967296L).toLong, (0.9 * 4294967296L).toLong)
+    def bucket(id: Long) = (id * 2654435761L) % 4294967296L
+    val cross = spans.flatMap { case (da, _, db, _, len, _) =>
+      val (ba, bb) = (bucket(da), bucket(db))
+      if (ba < lo && bb >= hi) Some((da, db, len))
+      else if (ba >= hi && bb < lo) Some((db, da, len))
+      else None
+    }
+    val want = cross.groupBy(_._1).toSeq.map { case (doc, xs) =>
+      val worst = xs.minBy { case (_, td, len) => (-len, td) }._2
+      (doc, xs.size.toLong, xs.map(_._3).max, xs.map(_._3.toLong).sum, worst)
+    }.sortBy(_._1)
+    val got = PipelineOps.c7DecontaminateSpan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == want)
+    assert(got.nonEmpty, "gate corpus should show cross-split span leakage")
+    // every reported doc is really train-side, every evidence doc test-side
+    got.foreach { case (d, _, _, _, t) =>
+      assert(bucket(d) < lo && bucket(t) >= hi)
+    }
+  }
+
   test("c4_quality_model: closed-form training and scoring match an in-memory reference") {
     val stop = Set("the", "a", "of", "to", "in", "and", "is")
     def feats(text: String): (Long, Long, Long, Long, Long) = {
