@@ -65,7 +65,7 @@ final class Gateway(spark: SparkSession, store: JobStore, port: Int = 2335,
     sweeper = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       r => { val t = new Thread(r, "graft-gateway-sweep"); t.setDaemon(true); t })
     sweeper.scheduleWithFixedDelay(
-      () => try store.evictExpired() catch { case _: Exception => () },
+      () => try store.sweep() catch { case _: Exception => () },
       sweepIntervalMillis, sweepIntervalMillis,
       java.util.concurrent.TimeUnit.MILLISECONDS)
     server.getAddress.getPort

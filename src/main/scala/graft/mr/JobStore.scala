@@ -72,6 +72,10 @@ final class JobStore(
   private val leaseGate = new Object
   private val spillLeases = new ConcurrentHashMap[String, Integer]()
   private val pendingDelete = ConcurrentHashMap.newKeySet[String]()
+  // Last lazy-path orphan sweep (injectable-clock time); MinValue =
+  // never, so a fresh store's first lazy sweep still covers crash
+  // leftovers even before any gateway scanner runs.
+  @volatile private var lastOrphanSweep: Long = Long.MinValue
   // Fixed-size admission pool with a FIFO wait queue: Queued jobs run in
   // launch order as slots free up (the reference's idle-worker queue,
   // master.cc:180-349). Daemon threads — the store never pins the JVM.
@@ -338,10 +342,16 @@ final class JobStore(
   /** Release a [[fetchResultLeased]] lease; performs a delete the TTL
     * sweep deferred while the stream was active.
     */
-  def releaseSpill(res: SpilledResult): Unit = leaseGate.synchronized {
-    val left = spillLeases.compute(res.dir,
-      (_, v) => if (v == null || v <= 1) null else v - 1)
-    if (left == null && pendingDelete.remove(res.dir)) hadoopDelete(res.dir)
+  def releaseSpill(res: SpilledResult): Unit = {
+    // Decide under leaseGate, delete OUTSIDE it: hadoopDelete is a
+    // recursive remote-FS call, and fetchResultLeased also takes this
+    // gate — a slow delete must never serialize concurrent fetches.
+    val doDelete = leaseGate.synchronized {
+      val left = spillLeases.compute(res.dir,
+        (_, v) => if (v == null || v <= 1) null else v - 1)
+      left == null && pendingDelete.remove(res.dir)
+    }
+    if (doDelete) hadoopDelete(res.dir)
   }
 
   def status(id: Long): Option[JobStatus] = Option(jobs.get(id)).map(_.status)
@@ -352,6 +362,32 @@ final class JobStore(
     * bounds spill DISK exactly as the reference's bounds master RAM.
     */
   def evictExpired(): Int = {
+    val n = evictExpiredJobs()
+    // Hot-path guard: every fetchResult/cancel runs this sweep, but the
+    // orphan sweep lists the spill ROOT — a per-call remote-FS RPC on
+    // deployments whose default filesystem is not local disk. Rate-limit
+    // it to at most once per TTL on the lazy path; the gateway's 10 s
+    // background sweeper runs it unconditionally via [[sweep]].
+    val now = clock()
+    if (lastOrphanSweep == Long.MinValue || now - lastOrphanSweep >= ttlMillis) {
+      lastOrphanSweep = now
+      sweepOrphanSpills()
+    }
+    n
+  }
+
+  /** Full background sweep (the gateway's 10 s scanner): TTL job
+    * eviction plus an UNCONDITIONAL orphan-spill sweep — the detached
+    * scanner is the one place the spill-root listing belongs.
+    */
+  def sweep(): Int = {
+    val n = evictExpiredJobs()
+    lastOrphanSweep = clock()
+    sweepOrphanSpills()
+    n
+  }
+
+  private def evictExpiredJobs(): Int = {
     val now = clock()
     var n = 0
     jobs.forEach { (id, st) =>
@@ -363,7 +399,6 @@ final class JobStore(
         }
       }
     }
-    sweepOrphanSpills()
     n
   }
 
@@ -401,9 +436,17 @@ final class JobStore(
     * driver-local disk, unbounding spill disk despite the TTL. A dir
     * with an active read lease is deferred to [[releaseSpill]].
     */
-  private def deleteDir(dir: String): Unit = leaseGate.synchronized {
-    if (spillLeases.containsKey(dir)) { pendingDelete.add(dir); () }
-    else hadoopDelete(dir)
+  private def deleteDir(dir: String): Unit = {
+    // Decide under leaseGate (lease vs delete is the race the gate
+    // exists for), but run the remote-FS delete outside it so a slow
+    // delete never blocks fetchResultLeased. Safe: deleteDir is only
+    // reached for dirs whose job is already gone from `jobs` (or that
+    // never had one), so no new lease on this dir can be taken.
+    val doDelete = leaseGate.synchronized {
+      if (spillLeases.containsKey(dir)) { pendingDelete.add(dir); false }
+      else true
+    }
+    if (doDelete) hadoopDelete(dir)
   }
 
   private def hadoopDelete(dir: String): Unit =

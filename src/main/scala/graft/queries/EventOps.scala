@@ -238,14 +238,22 @@ object EventOps {
       // FLOOR-safe decade bucket: Spark `div` truncates toward zero
       // while DuckDB `//` floors, so a plain `k div 10` diverges on
       // negative k. Subtract the sign-safe positive mod first — the
-      // quotient is then exact, so truncation and floor agree for ALL
-      // int64 k, and the oracle replays the identical form. The
-      // missing-key sentinel is Long.MinValue — provably OUTSIDE the
-      // reachable bucket range (floor(k/10) ≥ MinValue/10 > MinValue for
-      // every int64 k), so null-k events can never conflate with a real
-      // small-negative decade the way a -1 sentinel would.
+      // quotient is then exact, so truncation and floor agree. The
+      // subtraction itself underflows int64 for the partial lowest
+      // decade (k ≤ MinValue+7: k − pmod(k,10) < MinValue, where Spark
+      // wraps silently but DuckDB raises BIGINT overflow), so that
+      // decade is special-cased to its closed-form bucket
+      // floor(MinValue/10) = MinValue/10 − 1 in BOTH engines — the
+      // arithmetic branch then provably never underflows for the ks
+      // that reach it. The missing-key sentinel is Long.MinValue —
+      // outside the reachable bucket range (min bucket is
+      // MinValue/10 − 1 > MinValue), so null-k events can never
+      // conflate with a real small-negative decade.
       .withColumn("k_bucket",
-        coalesce(expr("(k - (((k % 10) + 10) % 10)) div 10"),
+        coalesce(
+          when(col("k") <= lit(Long.MinValue + 7L),
+            lit(Long.MinValue / 10L - 1L))
+            .otherwise(expr("(k - (((k % 10) + 10) % 10)) div 10")),
           lit(Long.MinValue)))
       .groupBy(col("event_type"), col("k_bucket"))
       .agg(count(lit(1)).as("n_events"),
@@ -288,7 +296,9 @@ object EventOps {
       ("WITH e AS (SELECT event_type, user_id, " +
         "CAST(props->>'k' AS BIGINT) AS k FROM events) " +
         "SELECT event_type, " +
-        "COALESCE((k - (((k % 10) + 10) % 10)) // 10, " +
+        "COALESCE(CASE WHEN k <= (-9223372036854775807 - 1) + 7 " +
+        "THEN -922337203685477581 " +
+        "ELSE (k - (((k % 10) + 10) % 10)) // 10 END, " +
         "-9223372036854775807 - 1) AS k_bucket, " +
         "count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k, " +
         "min(k) AS min_k, max(k) AS max_k, " +

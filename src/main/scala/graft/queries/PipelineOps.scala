@@ -278,7 +278,20 @@ object PipelineOps {
       window: Int = 16, maxOcc: Int = 16): DataFrame = {
     val lo = (0.8 * 4294967296L).toLong
     val hi = (0.9 * 4294967296L).toLong
-    def bucket(c: Column) = pmod(c * 2654435761L, lit(4294967296L))
+    // Overflow-safe Knuth bucket over the FULL int64 doc-id range — the
+    // 16/16 split mulmod of [[c7SplitClusterSafe]]: a naive id·m
+    // overflows int64 past ~3.47e9 (Spark wraps silently, DuckDB raises
+    // BIGINT overflow, so engine and oracle would diverge exactly at the
+    // 100 TB id scale this operator targets). Reduce sign-safe into
+    // [0,2^32), split the multiply at 2^16 (each partial product
+    // < 2^16·m ≈ 1.7e14 ≪ 2^63); bit-identical to the naive form for
+    // in-range ids.
+    def bucket(c: Column): Column = {
+      val r = pmod(c, lit(4294967296L))
+      pmod(pmod(shiftright(r, 16) * lit(2654435761L), lit(65536L)) *
+        lit(65536L) + pmod(r, lit(65536L)) * lit(2654435761L),
+        lit(4294967296L))
+    }
     val spans = TextOps.substringSpans(spark, dir, window, maxOcc)
       .withColumn("a_train", bucket(col("doc_a")) < lo)
       .withColumn("a_test", bucket(col("doc_a")) >= hi)
@@ -1381,7 +1394,14 @@ object PipelineOps {
     // Substring-decontamination replay: the shared span chain filtered
     // to cross-split pairs, same argmax tie-break via struct max.
     "c7_decontaminate_span" -> {
-      val b = (c: String) => s"($c * 2654435761) % 4294967296"
+      // Same overflow-safe split mulmod as the engine (sign-safe reduce
+      // into [0,2^32) then 16/16 split) — a naive d·m errors in DuckDB
+      // past ~3.47e9; bit-identical for in-range ids.
+      val b = (c: String) => {
+        val r = s"((($c % 4294967296) + 4294967296) % 4294967296)"
+        s"(((($r // 65536) * 2654435761) % 65536) * 65536 " +
+          s"+ ($r % 65536) * 2654435761) % 4294967296"
+      }
       val (lo, hi) = ((0.8 * 4294967296L).toLong, (0.9 * 4294967296L).toLong)
       s"WITH ${TextOps.ssdupChain}, " +
         "sp AS (SELECT d1, d2, min(o1) AS a0, " +

@@ -290,6 +290,35 @@ class JobStoreSpec extends SparkSuite {
     assert(fresh.exists(), "sweep deleted a recent (possibly live) spill dir")
   }
 
+  test("lazy-path orphan sweep is rate-limited; background sweep() is not") {
+    // The hot path (every fetchResult/cancel → evictExpired) must not
+    // list the spill root per call — at most once per TTL. The gateway's
+    // background sweep() stays unconditional.
+    val root = java.nio.file.Files.createTempDirectory("graft_orphan_rate").toString
+    var now = 100_000L
+    val store = new JobStore(clock = () => now, ttlMillis = 1000L, spillRoot = root)
+    def orphan(id: Int): java.io.File = {
+      val d = new java.io.File(root, s"job-$id")
+      assert(d.mkdirs())
+      // age the dir past the TTL relative to the fake clock
+      assert(d.setLastModified(now - 10_000L))
+      d
+    }
+    val o1 = orphan(1)
+    store.evictExpired() // first lazy call: never swept before → sweeps
+    assert(!o1.exists(), "first lazy sweep did not run")
+    val o2 = orphan(2)
+    now += 500L // within the TTL window of the last sweep
+    store.evictExpired()
+    assert(o2.exists(), "lazy path listed the spill root within the rate window")
+    store.sweep() // background scanner path is unconditional
+    assert(!o2.exists(), "sweep() did not sweep orphans unconditionally")
+    val o3 = orphan(3)
+    now += 1000L // past the TTL since sweep() stamped the clock
+    store.evictExpired()
+    assert(!o3.exists(), "lazy sweep did not resume after the rate window")
+  }
+
   test("size-gated result: within the bound stays inline with no spill directory") {
     val root = java.nio.file.Files.createTempDirectory("graft_spill_spec2").toString
     val store = new JobStore(clock = () => 0L, spillRoot = root)
