@@ -1058,6 +1058,75 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** C4s: N-GRAM LM PERPLEXITY scoring — the CCNet/Gopher-style
+    * model-based quality signal: train an order-2 (bigram) add-1 LM on
+    * the corpus and score every document by its mean per-event negative
+    * log-likelihood (and perplexity) under that model. Documents whose
+    * token transitions are typical of the corpus score low; a
+    * `nll <= threshold` filter is the standard perplexity-based curation
+    * pass. (CCNet trains on a REFERENCE corpus and scores the crawl;
+    * with one corpus on hand the self-scored variant is the identical
+    * machinery — the model side is a parameter.)
+    *
+    * Model: events are consecutive in-document token pairs (u, w);
+    * p(w|u) = (c(u,w) + 1) / (c(u) + V) with V = |vocabulary| and
+    * c(u) = Σ_w c(u,w) (derived from the bigram table, no second corpus
+    * pass). No BOS sentinel — only real transitions are scored, so
+    * single-token documents get nll = 0 / ppl = 1 by definition.
+    *
+    * Cross-engine float discipline (the c4_pmi/b2_agg_var family): each
+    * event's log-prob is scaled to an INT64 micro-log
+    * `round(1e6 · ln p)` so the per-doc accumulation is an EXACT integer
+    * sum — order-free, no float drift at any corpus size. The only
+    * per-event transcendental is one `ln` on bit-identical IEEE inputs
+    * in both engines; Java `Math.log` and DuckDB/glibc `ln` disagree by
+    * 1 ulp on ~1.3e-4 of inputs (measured over 102k count ratios), and a
+    * 1-ulp flip only crosses the micro-int boundary when 1e6·ln p sits
+    * within ~2e-9 of a half-integer — joint probability ~3e-13 per
+    * DISTINCT count pair, negligible at any SF. Per doc: one exact
+    * int64/int64 division rounded 6 dp (nll), one `exp` of that already-
+    * rounded double, rounded 4 dp (ppl) — the c6_mm_features precedent.
+    *
+    * Scale posture: one corpus-sized partial+final aggregate builds the
+    * bigram table, context counts are a MODEL-sized aggregate over it,
+    * c_u attaches to the bigram rows model-side (model-sized join), and
+    * scoring is ONE corpus-sized shuffle join of the event stream
+    * against the model keyed by the bigram, then a per-doc partial
+    * aggregate. Never all-pairs; the known 100 TB lever is xxhash64
+    * bigram join keys (8-byte shuffle instead of pair strings, the
+    * c7_decontaminate posture) at the cost of a documented collision
+    * bound.
+    */
+  def c4LmPpl(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val d = docs(spark, dir).select(col("doc_id"), toks.as("toks"))
+    val ev = d.select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("u"), b.as("w")))).as("e"))
+      .select(col("doc_id"), col("e.u").as("u"), col("e.w").as("w"))
+    val bg = ev.groupBy("u", "w").agg(count(lit(1)).as("c_uw"))
+    val cx = bg.groupBy("u").agg(sum(col("c_uw")).as("c_u"))
+    val vocab = d.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val model = bg.join(cx.hint("shuffle_hash"), "u")
+    val scored = ev.join(model.hint("shuffle_hash"), Seq("u", "w"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("li", round(lit(1000000.0) * log(
+        (col("c_uw") + 1).cast("double") /
+          (col("c_u") + col("v")).cast("double")), 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("li")).as("s"))
+      .withColumn("nll", round((lit(0.0) - col("s").cast("double")) /
+        (col("n_events").cast("double") * lit(1000000.0)), 6))
+    d.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("nll"), lit(0.0)).as("nll"),
+        coalesce(round(exp(col("nll")), 4), lit(1.0)).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** C4q: BPE ENCODE — apply the trained merge table ([[c4BpeMerges]]'s
     * 10 rounds) to the corpus and report per-document BPE token counts
     * (plus tokens-per-word, the compression signal a tokenizer budget
@@ -1502,6 +1571,31 @@ object TextOps {
         "(ORDER BY lift DESC, w1, w2) AS INT) AS rk FROM sc) " +
         "SELECT rk, w1, w2, c_ab, c_w1, c_w2, lift FROM rk WHERE rk <= 50 " +
         "ORDER BY rk"),
+    // Bigram add-1 LM replay: identical event stream, identical count
+    // tables, the same per-event int64 micro-log and the same two final
+    // roundings — see c4LmPpl's float-discipline note.
+    "c4_lm_ppl" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "ev AS (SELECT doc_id, toks[i] AS u, toks[i + 1] AS w " +
+        "FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g), " +
+        "bg AS (SELECT u, w, count(*) AS c_uw FROM ev GROUP BY u, w), " +
+        "cx AS (SELECT u, CAST(sum(c_uw) AS BIGINT) AS c_u FROM bg GROUP BY u), " +
+        "vv AS (SELECT count(DISTINCT tok) AS v FROM " +
+        "(SELECT unnest(toks) AS tok FROM t)), " +
+        "sc AS (SELECT e.doc_id, CAST(round(1000000.0 * " +
+        "ln(CAST(b.c_uw + 1 AS DOUBLE) / CAST(c.c_u + vv.v AS DOUBLE)), 0) " +
+        "AS BIGINT) AS li " +
+        "FROM ev e JOIN bg b ON b.u = e.u AND b.w = e.w " +
+        "JOIN cx c ON c.u = e.u CROSS JOIN vv), " +
+        "ag AS (SELECT doc_id, count(*) AS n_events, " +
+        "CAST(sum(li) AS BIGINT) AS s FROM sc GROUP BY doc_id), " +
+        "ag2 AS (SELECT doc_id, n_events, " +
+        "round((0.0 - CAST(s AS DOUBLE)) / (n_events * 1000000.0), 6) AS nll " +
+        "FROM ag) " +
+        "SELECT t.doc_id, COALESCE(ag2.n_events, 0) AS n_events, " +
+        "COALESCE(ag2.nll, 0.0) AS nll, " +
+        "COALESCE(round(exp(ag2.nll), 4), 1.0) AS ppl " +
+        "FROM t LEFT JOIN ag2 USING (doc_id) ORDER BY doc_id"),
     "c4_rolling_hash" ->
       ("SELECT doc_id, list_reduce(" +
         "list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))), " +
@@ -1529,6 +1623,7 @@ object TextOps {
     "c4_bpe_encode" -> ((s: SparkSession, d: String) => c4BpeEncode(s, d)),
     "c4_pii_scrub" -> ((s: SparkSession, d: String) => c4PiiScrub(s, d)),
     "c4_quality_model" -> ((s: SparkSession, d: String) => c4QualityModel(s, d)),
+    "c4_lm_ppl" -> (c4LmPpl _),
     "c4_substring_dup" -> ((s: SparkSession, d: String) => c4SubstringDup(s, d)),
     "c4_substring_scrub" -> ((s: SparkSession, d: String) => c4SubstringScrub(s, d)),
     "c4_chunk" -> ((s: SparkSession, d: String) => c4Chunk(s, d)),

@@ -421,6 +421,45 @@ class TextMiningSpec extends SparkSuite {
     }
   }
 
+  test("c4_lm_ppl matches an in-memory bigram add-1 LM reference") {
+    val got = TextOps.c4LmPpl(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // brute-force model: bigram counts, context counts, vocab size
+    val events = corpus.toSeq.flatMap { case (id, toks) =>
+      toks.sliding(2).filter(_.length == 2).map(p => (id, (p(0), p(1)))).toSeq
+    }
+    val cUW = events.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+    val cU = cUW.toSeq.groupBy(_._1._1)
+      .map { case (u, xs) => u -> xs.map(_._2).sum }
+    val v = corpus.values.flatten.toSet.size.toLong
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sums = events.groupBy(_._1).map { case (id, evs) =>
+      // Spark round() is HALF_UP (away from zero) on the double's
+      // BigDecimal image — replay it exactly, not via rint (half-even)
+      val s = evs.map { case (_, p) =>
+        BigDecimal(1e6 * math.log(
+          (cUW(p) + 1).toDouble / (cU(p._1) + v).toDouble))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      id -> (evs.size.toLong, s)
+    }
+    val want = corpus.keys.toSeq.sorted.map { id =>
+      sums.get(id) match {
+        case Some((n, s)) =>
+          val nll = round6((0.0 - s.toDouble) / (n.toDouble * 1e6))
+          (id, n, nll, round4(math.exp(nll)))
+        case None => (id, 0L, 0.0, 1.0)
+      }
+    }
+    assert(got.toSeq == want)
+    // the signal orders documents: repeated/templated text scores lower
+    // nll than the corpus median (sanity, not a hash property)
+    val nlls = got.map(_._3)
+    assert(nlls.distinct.length > 1, "perplexity is constant across docs")
+  }
+
   test("c4_quality_model: closed-form training and scoring match an in-memory reference") {
     val stop = Set("the", "a", "of", "to", "in", "and", "is")
     def feats(text: String): (Long, Long, Long, Long, Long) = {
