@@ -598,16 +598,32 @@ object DedupOps {
     * not this layout); stale/differently-parameterized layouts are
     * swept. Idempotent; returns (membershipTable, tokenTable).
     */
+  /** Fingerprint+params key shared by every table of one dedup layout. */
+  private def dedupSuffix(dir: String, numHashes: Int, bands: Int): String =
+    graft.sources.Storage.sourceFingerprint(s"$dir/documents.parquet") +
+      s"_${numHashes}h${bands}b"
+
+  /** The layout's TOMBSTONE table (`doc_id` rows appended by
+    * [[deleteFromDedupIndex]], cleared by [[compactDedupIndex]]) — absent
+    * until the first delete; readers treat absence as empty.
+    */
+  private def tombstoneTab(suffix: String): String = s"graft_mh_del_$suffix"
+
+  private def tombstones(spark: SparkSession, suffix: String): Option[DataFrame] = {
+    val t = tombstoneTab(suffix)
+    if (spark.catalog.tableExists(t)) Some(spark.table(t)) else None
+  }
+
   private[graft] def ensureDedupIndex(spark: SparkSession, dir: String,
       numHashes: Int = IncHashes, bands: Int = IncBands): (String, String) = {
-    import graft.sources.Storage.{dropStaleLayouts, sourceFingerprint}
-    val suffix = sourceFingerprint(s"$dir/documents.parquet") +
-      s"_${numHashes}h${bands}b"
+    import graft.sources.Storage.dropStaleLayouts
+    val suffix = dedupSuffix(dir, numHashes, bands)
     val (memTab, toksTab) = (s"graft_mh_mem_$suffix", s"graft_mh_toks_$suffix")
     if (spark.catalog.tableExists(memTab) && spark.catalog.tableExists(toksTab))
       return (memTab, toksTab)
     dropStaleLayouts(spark, "graft_mh_mem_", suffix)
     dropStaleLayouts(spark, "graft_mh_toks_", suffix)
+    dropStaleLayouts(spark, "graft_mh_del_", suffix)
     val corpus = docs(spark, dir).filter(col("doc_id") % 10 =!= 7)
       .select(col("doc_id"), MinHash.tokenSet(col("text")).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -645,10 +661,19 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newMem = MinHash.membershipsFromSets(
       newBase, col("doc_id"), col("toks"), IncHashes, IncBands)
-    val cand = newMem.withColumnRenamed("doc_id", "n_id")
+    val cand0 = newMem.withColumnRenamed("doc_id", "n_id")
       .join(spark.table(memTab).withColumnRenamed("doc_id", "c_id"),
         Seq("band", "bucket"))
       .select("n_id", "c_id").distinct()
+    // Tombstoned (takedown-deleted) docs stay in the raw membership
+    // table until compaction — they must never surface as match
+    // candidates. Takedown-sized broadcast anti-join; absent table =
+    // no deletes = plan unchanged.
+    val cand = tombstones(spark, dedupSuffix(dir, IncHashes, IncBands)) match {
+      case Some(d) => cand0.join(
+        broadcast(d.select(col("doc_id").as("c_id"))), Seq("c_id"), "left_anti")
+      case None => cand0
+    }
     graft.util.CacheScope.releaseAfterMaterialize(
       resolveBatch(cand, newBase, spark.table(toksTab), threshold),
       Seq(newBase))
@@ -766,10 +791,9 @@ object DedupOps {
     */
   private[graft] def ensureDedupLabels(spark: SparkSession, dir: String,
       numHashes: Int = IncHashes, bands: Int = IncBands): String = {
-    import graft.sources.Storage.{dropStaleLayouts, sourceFingerprint}
+    import graft.sources.Storage.dropStaleLayouts
     val (memTab, _) = ensureDedupIndex(spark, dir, numHashes, bands)
-    val suffix = sourceFingerprint(s"$dir/documents.parquet") +
-      s"_${numHashes}h${bands}b"
+    val suffix = dedupSuffix(dir, numHashes, bands)
     val labTab = s"graft_mh_lab_$suffix"
     if (spark.catalog.tableExists(labTab)) return labTab
     dropStaleLayouts(spark, "graft_mh_lab_", suffix)
@@ -914,38 +938,226 @@ object DedupOps {
         .select(explode(array(col("lp"), col("old_lp"))).as("p"))
         .filter(col("p").isNotNull).distinct()
         .collect().map(_.getLong(0))
-      if (touchedLp.nonEmpty) {
-        // Sever lineage from labTab before overwriting it (Spark refuses
-        // to overwrite a table an input of the same plan reads).
-        val writeRows = merged
-          .filter(col("lp").isin(touchedLp.map(Long.box).toIndexedSeq: _*))
-          .select(col("doc_id"), col("cluster_rep"), col("lp"))
-          .localCheckpoint(true)
-        val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        try {
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          writeRows.write.mode("overwrite").insertInto(labTab)
-        } finally
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        // Dynamic overwrite only rewrites partitions PRESENT in the
-        // written data: a touched partition every one of whose clusters
-        // merged into another partition (old rep's residue class fully
-        // vacated) has no writeRows rows, so its stale label rows would
-        // survive and a doc would carry two conflicting reps. Clear each
-        // vacated partition explicitly with a STATIC empty overwrite
-        // (static INSERT OVERWRITE PARTITION deletes the partition's
-        // files even when the incoming relation is empty).
-        val presentLp =
-          writeRows.select("lp").distinct().collect().map(_.getLong(0)).toSet
-        touchedLp.filterNot(presentLp).foreach { p =>
-          spark.sql(
-            s"INSERT OVERWRITE TABLE $labTab PARTITION (lp=$p) " +
-              "SELECT CAST(NULL AS BIGINT) AS doc_id, " +
-              "CAST(NULL AS BIGINT) AS cluster_rep WHERE false")
-        }
-      }
+      overwriteLabelPartitions(spark, labTab, merged, touchedLp)
       nDocs * bands
     } finally base.unpersist(blocking = false)
+  }
+
+  /** Rewrite exactly the `touchedLp` label partitions with the matching
+    * slice of `rows` (the full post-change content of those partitions,
+    * carrying an `lp` column) — the shared write tail of
+    * [[appendDedupIndex]] and [[deleteFromDedupIndex]].
+    *
+    * Dynamic overwrite only rewrites partitions PRESENT in the written
+    * data: a touched partition every one of whose clusters moved to
+    * another partition (its residue class fully VACATED) has no rows, so
+    * its stale labels would survive and a doc would carry two
+    * conflicting reps. Each vacated partition is cleared explicitly with
+    * a STATIC empty overwrite (static INSERT OVERWRITE PARTITION deletes
+    * the partition's files even when the incoming relation is empty).
+    */
+  private def overwriteLabelPartitions(spark: SparkSession, labTab: String,
+      rows: DataFrame, touchedLp: Seq[Long]): Unit = {
+    if (touchedLp.isEmpty) return
+    // Sever lineage from labTab before overwriting it (Spark refuses
+    // to overwrite a table an input of the same plan reads).
+    val writeRows = rows
+      .filter(col("lp").isin(touchedLp.map(Long.box).toIndexedSeq: _*))
+      .select(col("doc_id"), col("cluster_rep"), col("lp"))
+      .localCheckpoint(true)
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      writeRows.write.mode("overwrite").insertInto(labTab)
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val presentLp =
+      writeRows.select("lp").distinct().collect().map(_.getLong(0)).toSet
+    touchedLp.filterNot(presentLp).foreach { p =>
+      spark.sql(
+        s"INSERT OVERWRITE TABLE $labTab PARTITION (lp=$p) " +
+          "SELECT CAST(NULL AS BIGINT) AS doc_id, " +
+          "CAST(NULL AS BIGINT) AS cluster_rep WHERE false")
+    }
+  }
+
+  /** Bounded post-takedown relabel pieces shared by the pure query
+    * ([[relabelAfterDelete]]) and the write path
+    * ([[deleteFromDedupIndex]]): the reps of every cluster containing a
+    * deleted doc, those clusters' members, and the re-resolved labels of
+    * the SURVIVING members (connected components over their surviving
+    * co-bucket edges — deleting a doc can split its cluster, so survivors
+    * are re-CC'd, not just re-repped).
+    *
+    * Boundedness: the deleted-id and touched-rep sides are
+    * takedown-sized (broadcast); members/survivors are bounded by the
+    * touched clusters' sizes — the c2_incremental_cc contraction in
+    * reverse. Co-bucket docs are same-cluster BY the CC definition, so
+    * restricting the membership table to survivor docs loses no edge
+    * that could reconnect them to the rest of the corpus.
+    */
+  private def deleteRelabelParts(spark: SparkSession, labTab: String,
+      memTab: String, del: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val labels = spark.table(labTab).select(col("doc_id"), col("cluster_rep"))
+    val delIds = broadcast(del.select(col("doc_id")).distinct())
+    val touchedReps = broadcast(labels.join(delIds, "doc_id")
+      .select(col("cluster_rep")).distinct())
+    val members = labels.join(touchedReps, Seq("cluster_rep"), "left_semi")
+      .select(col("doc_id"))
+    val survivors = members.join(delIds, Seq("doc_id"), "left_anti")
+    val memSurv = spark.table(memTab)
+      .join(survivors, Seq("doc_id"), "left_semi")
+    val newSurv = ConnectedComponents.assignmentsFromMemberships(memSurv)
+      .select(col("doc_id"), col("cluster_rep"))
+    (touchedReps, members, newSurv)
+  }
+
+  /** The post-takedown label set as a PURE QUERY (no table mutated):
+    * labels of clusters untouched by the takedown pass through; touched
+    * clusters contribute their re-CC'd survivors; deleted docs vanish.
+    * Equals from-scratch CC over the surviving corpus by construction
+    * (removing a node removes exactly its incident co-bucket edges;
+    * c2_cc_delete's oracle replays the from-scratch closure and the
+    * hash pins the equality).
+    */
+  private[graft] def relabelAfterDelete(spark: SparkSession, labTab: String,
+      memTab: String, del: DataFrame): DataFrame = {
+    val (_, members, newSurv) = deleteRelabelParts(spark, labTab, memTab, del)
+    spark.table(labTab).select(col("doc_id"), col("cluster_rep"))
+      .join(broadcast(members), Seq("doc_id"), "left_anti")
+      .unionByName(newSurv)
+  }
+
+  /** C2t: takedown relabel — the READ shape of the dedup-label DELETE
+    * lifecycle: the deterministic takedown slice `doc_id % 97 == 13` is
+    * removed from the standing corpus and the surviving labels are
+    * computed via the BOUNDED re-resolution (touched clusters only,
+    * [[relabelAfterDelete]]), never a corpus-wide re-CC. The oracle runs
+    * from-scratch CC over the surviving corpus, pinning the equality the
+    * whole lifecycle rests on. The WRITE path ([[deleteFromDedupIndex]])
+    * persists the same relabel into the partitioned labels table and is
+    * spec-pinned to the same from-scratch equality.
+    */
+  def c2CcDelete(spark: SparkSession, dir: String): DataFrame = {
+    val labTab = ensureDedupLabels(spark, dir)
+    val (memTab, _) = ensureDedupIndex(spark, dir)
+    val del = docs(spark, dir)
+      .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 97 === 13)
+      .select(col("doc_id"))
+    relabelAfterDelete(spark, labTab, memTab, del)
+      .withColumn("is_kept", col("doc_id") === col("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
+  /** Takedown/right-to-be-forgotten DELETE from the persisted dedup
+    * layout — the WRITE half of the lifecycle (append:
+    * [[appendDedupIndex]]; delete: here; compaction:
+    * [[compactDedupIndex]]):
+    *
+    *  1. the ids land in the layout's TOMBSTONE table (takedown-sized
+    *     append — the raw membership/token tables are NOT rewritten per
+    *     delete; index readers anti-join the tombstones, and the labels
+    *     join of the incremental-CC path drops tombstoned memberships
+    *     inherently once their label rows are gone);
+    *  2. the labels table is re-resolved BOUNDEDLY: only clusters
+    *     containing a deleted doc are touched — their survivors are
+    *     re-CC'd over surviving edges (a delete can SPLIT a cluster) and
+    *     exactly the touched `lp` partitions are rewritten, vacated
+    *     partitions cleared (the shared [[overwriteLabelPartitions]]
+    *     machinery).
+    *
+    * A deleted id stays "present" in the raw membership table until
+    * [[compactDedupIndex]] physically drops it, so re-appending a
+    * deleted id is rejected by [[appendDedupIndex]]'s duplicate check
+    * until a compaction runs — documented, loud, and safe (silent
+    * re-append would duplicate membership rows).
+    *
+    * Returns the number of docs deleted. Loud on unknown ids — a
+    * takedown that silently no-ops hides an unhonored removal.
+    */
+  private[graft] def deleteFromDedupIndex(spark: SparkSession, dir: String,
+      ids: DataFrame, numHashes: Int = IncHashes,
+      bands: Int = IncBands): Long = {
+    val (memTab, _) = ensureDedupIndex(spark, dir, numHashes, bands)
+    val labTab = ensureDedupLabels(spark, dir, numHashes, bands)
+    val suffix = dedupSuffix(dir, numHashes, bands)
+    val del = ids.select(col("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDel = del.count()
+      require(nDel > 0L, "deleteFromDedupIndex: empty takedown batch")
+      val missing = del.join(spark.table(labTab).select(col("doc_id")),
+        Seq("doc_id"), "left_anti").limit(1).count()
+      require(missing == 0L,
+        s"deleteFromDedupIndex: batch contains ids not present in $labTab " +
+          "(unknown, or already deleted) — an unhonored removal must be loud")
+      // Tombstones first: a crash after this write leaves a tombstoned id
+      // with stale label rows — re-running the same delete is rejected by
+      // the labels check only AFTER labels are rewritten, so the repair
+      // for a mid-delete crash is re-running the delete (the tombstone
+      // append below is idempotent via the anti-join).
+      val delTab = tombstoneTab(suffix)
+      if (!spark.catalog.tableExists(delTab))
+        del.write.mode("overwrite").format("parquet").saveAsTable(delTab)
+      else
+        del.join(spark.table(delTab), Seq("doc_id"), "left_anti")
+          .write.mode("append").insertInto(delTab)
+      // Bounded label re-resolution + partition rewrite.
+      val (touchedReps, _, newSurv0) =
+        deleteRelabelParts(spark, labTab, memTab, del)
+      val newSurv = newSurv0
+        .withColumn("lp", pmod(col("cluster_rep"), lit(64L)))
+        .localCheckpoint(true)
+      val oldLp = touchedReps
+        .select(pmod(col("cluster_rep"), lit(64L)).as("lp"))
+        .distinct().collect().map(_.getLong(0))
+      val newLp = newSurv.select("lp").distinct().collect().map(_.getLong(0))
+      val touchedLp = (oldLp ++ newLp).distinct.toIndexedSeq
+      // Full post-delete content of the touched partitions: their
+      // untouched clusters pass through, touched clusters contribute
+      // only their re-CC'd survivors.
+      val keepRows = spark.table(labTab)
+        .filter(col("lp").isin(touchedLp.map(Long.box): _*))
+        .join(touchedReps, Seq("cluster_rep"), "left_anti")
+        .select(col("doc_id"), col("cluster_rep"), col("lp"))
+      overwriteLabelPartitions(spark, labTab,
+        keepRows.unionByName(newSurv.select("doc_id", "cluster_rep", "lp")),
+        touchedLp)
+      nDel
+    } finally del.unpersist(blocking = false)
+  }
+
+  /** Physically drop tombstoned rows from the raw membership/token
+    * tables and clear the tombstone table — the periodic maintenance
+    * rewrite of the delete lifecycle (corpus-sized by design; the
+    * per-takedown cost stays bounded in [[deleteFromDedupIndex]]).
+    * Staging-table + atomic drop/rename swap (the retrainAnnIndex
+    * machinery) — never an overwrite from a plan reading the same
+    * table; unpartitioned tables need no MSCK after the rename.
+    * Returns the tombstone count compacted away.
+    */
+  private[graft] def compactDedupIndex(spark: SparkSession, dir: String,
+      numHashes: Int = IncHashes, bands: Int = IncBands): Long = {
+    val (memTab, toksTab) = ensureDedupIndex(spark, dir, numHashes, bands)
+    val suffix = dedupSuffix(dir, numHashes, bands)
+    val delTab = tombstoneTab(suffix)
+    if (!spark.catalog.tableExists(delTab)) return 0L
+    val del = spark.table(delTab).select(col("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = del.count()
+      Seq(memTab, toksTab).foreach { tab =>
+        val st = s"${tab}_ct"
+        spark.sql(s"DROP TABLE IF EXISTS $st")
+        spark.table(tab).join(del, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").format("parquet").saveAsTable(st)
+        spark.sql(s"DROP TABLE IF EXISTS $tab")
+        spark.sql(s"ALTER TABLE $st RENAME TO $tab")
+        spark.catalog.refreshTable(tab)
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $delTab")
+      n
+    } finally del.unpersist(blocking = false)
   }
 
   /** DuckDB replay of the portable MinHash pipeline (same family as
@@ -1230,6 +1442,13 @@ object DedupOps {
       ("WITH base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) " +
         "AS toks FROM documents), " +
         mhChainSql(IncBands, IncRows) + ", " + closureSql("band")),
+    // From-scratch CC over the SURVIVING corpus (standing slice minus
+    // the takedown) — the equality c2CcDelete's bounded re-resolution
+    // must reproduce.
+    "c2_cc_delete" ->
+      ("WITH base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) " +
+        "AS toks FROM documents WHERE doc_id % 10 <> 7 AND doc_id % 97 <> 13), " +
+        mhChainSql(IncBands, IncRows) + ", " + closureSql("band")),
     "c2_embed_neardup" ->
       (s"WITH ${SimOps.sketchCte(tables = 8, bits = 12)}, " +
         "aa AS (SELECT vec_id AS a_id, rt.t AS tbl, " +
@@ -1320,6 +1539,7 @@ object DedupOps {
     "c2_minhash_lsh" -> (c2MinHashLsh _),
     "c2_minhash_cc" -> (c2MinHashCc _),
     "c2_incremental_cc" -> (c2IncrementalCc _),
+    "c2_cc_delete" -> (c2CcDelete _),
     "c2_cc_stats" -> (c2CcStats _),
     "c2_simhash" -> (c2SimHash _),
     "c2_simhash_cc" -> (c2SimHashCc _),

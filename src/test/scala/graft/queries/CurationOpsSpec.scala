@@ -418,6 +418,109 @@ class CurationOpsSpec extends SparkSuite {
     assert(after.map(t => (t._1, t._2)).toSet == want)
   }
 
+  test("deleteFromDedupIndex: split relabel == from-scratch CC; tombstones; vacate; compaction") {
+    import spark.implicits._
+    // ---- engineer an A–B–C chain whose bridge B, when deleted, SPLITS
+    // the cluster: A ~ B and B ~ C co-bucket under the 16x8 banding but
+    // A and C do not (j(A,C) = 7/9 co-buckets for ~90% of random word
+    // choices are AVOIDED by searching seeds — deterministic once found)
+    def chain(s: Int): Seq[(Long, Seq[String])] = {
+      val w = (1 to 9).map(i => s"w${s}x$i")
+      Seq((s * 10L + 1, w.take(7)), (s * 10L + 2, w.take(8)),
+        (s * 10L + 3, w.take(9)))
+    }
+    val cands = (0 until 64).flatMap(chain).toDF("doc_id", "toks")
+    val mems = graft.dedup.MinHash
+      .membershipsFromSets(cands, col("doc_id"), col("toks"), 128, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(m => (m._2, m._3)).toSet).toMap
+    def cob(x: Long, y: Long) = mems(x).intersect(mems(y)).nonEmpty
+    val seed = (0 until 64).find { s =>
+      cob(s * 10L + 1, s * 10L + 2) && cob(s * 10L + 2, s * 10L + 3) &&
+        !cob(s * 10L + 1, s * 10L + 3)
+    }.getOrElse(fail("no split-chain seed found in 64 tries"))
+    val Seq((_, ta), (_, tb), (_, tc)) = chain(seed)
+
+    // ---- synthetic corpus in its own dir:
+    //  chain 11(A)-12(B)-13(C): one cluster, rep 11; deleting 12 splits it
+    //  trio 21,22,23 (identical): rep 21; deleting the REP leaves {22,23}
+    //  singleton 31
+    //  pair {64,100} (identical): rep 64 (lp 0); deleting 64 moves the
+    //    cluster to rep 100 (lp 36) and VACATES lp 0
+    //  17 (%10==7): the incremental-dedup batch doc, copy of 64's text
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_lc").toString
+    Seq(
+      11L -> ta.mkString(" "), 12L -> tb.mkString(" "), 13L -> tc.mkString(" "),
+      21L -> "p1 p2 p3 p4 p5", 22L -> "p1 p2 p3 p4 p5", 23L -> "p1 p2 p3 p4 p5",
+      31L -> "q1 q2 q3 q4 q5",
+      64L -> "r1 r2 r3 r4 r5", 100L -> "r1 r2 r3 r4 r5",
+      17L -> "r1 r2 r3 r4 r5"
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val labTab = DedupOps.ensureDedupLabels(spark, dir)
+    val (memTab, toksTab) = DedupOps.ensureDedupIndex(spark, dir)
+    def labels() = spark.table(labTab).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels() == Map(11L -> 11L, 12L -> 11L, 13L -> 11L,
+      21L -> 21L, 22L -> 21L, 23L -> 21L, 31L -> 31L, 64L -> 64L, 100L -> 64L))
+    // pre-delete read path: the batch doc's best match is 64 (min id tie)
+    def bestMatch() = DedupOps.c2IncrementalDedupIndexed(spark, dir)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(bestMatch()(17L) == 64L)
+
+    // ---- the takedown: bridge 12 (split), rep 21 (rep reassignment),
+    // singleton 31, and 64 (vacates lp 0)
+    val n = DedupOps.deleteFromDedupIndex(spark, dir,
+      Seq(12L, 21L, 31L, 64L).toDF("doc_id"))
+    assert(n == 4L)
+    val after = spark.table(labTab).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly one label row per doc, no deleted ids, the split happened
+    assert(after.groupBy(_._1).forall(_._2.size == 1),
+      s"conflicting labels: ${after.sortBy(_._1).mkString(", ")}")
+    assert(after.map(t => (t._1, t._2)).toSet == Set(
+      (11L, 11L), (13L, 13L), // SPLIT: A and C no longer connected
+      (22L, 22L), (23L, 22L), // survivors re-repped to min survivor
+      (100L, 100L)))
+    // lp partition 0 (old rep 64's) must be vacated on disk
+    assert(!after.exists(_._3 == 0L), "vacated lp=0 still has rows")
+    // incremental == from-scratch CC over the surviving memberships
+    val delIds = Set(12L, 21L, 31L, 64L)
+    val want = graft.dedup.ConnectedComponents
+      .assignmentsFromMemberships(spark.table(memTab)
+        .filter(!col("doc_id").isin(delIds.toSeq.map(Long.box): _*)))
+      .select(col("doc_id"), col("cluster_rep")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.map(t => (t._1, t._2)).toSet == want)
+
+    // ---- tombstone semantics: raw tables still hold the ids, but the
+    // read path never surfaces them; re-append is rejected until compact
+    assert(spark.table(memTab).filter(col("doc_id") === 64L).count() > 0)
+    assert(bestMatch()(17L) == 100L, "tombstoned doc surfaced as a match")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.appendDedupIndex(spark, dir,
+        Seq((64L, "r1 r2 r3 r4 r5")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("already present"))
+    // deleting an unknown (or already-deleted) id is loud
+    val e2 = intercept[IllegalArgumentException] {
+      DedupOps.deleteFromDedupIndex(spark, dir, Seq(64L).toDF("doc_id"))
+    }
+    assert(e2.getMessage.contains("not present"))
+
+    // ---- compaction: physical removal, tombstones cleared, re-append ok
+    assert(DedupOps.compactDedupIndex(spark, dir) == 4L)
+    assert(spark.table(memTab).filter(
+      col("doc_id").isin(delIds.toSeq.map(Long.box): _*)).count() == 0L)
+    assert(spark.table(toksTab).filter(
+      col("doc_id").isin(delIds.toSeq.map(Long.box): _*)).count() == 0L)
+    assert(DedupOps.compactDedupIndex(spark, dir) == 0L, "tombstones survived")
+    DedupOps.appendDedupIndex(spark, dir,
+      Seq((64L, "r1 r2 r3 r4 r5")).toDF("doc_id", "text"))
+    assert(labels() == Map(11L -> 11L, 13L -> 13L, 22L -> 22L, 23L -> 22L,
+      64L -> 64L, 100L -> 64L), "re-appended doc did not rejoin its cluster")
+    assert(bestMatch()(17L) == 64L)
+  }
+
   test("c3_knn_classify: prediction is the plurality label of the exact top-5") {
     val preds = SimOps.c3KnnClassify(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
