@@ -1133,6 +1133,71 @@ object SimOps {
       Seq(base))
   }
 
+  /** C3r: FILTERED-search recall monitor — recall of the pre-filtered
+    * IVFADC search ([[c3AnnPqFiltered]]) against the exact
+    * LABEL-RESTRICTED top-k over the WHOLE corpus. This measures the
+    * known failure mode of pre-filtered IVF that the unfiltered recall
+    * matrix (LSH / coarse IVF / ADC) cannot see: under label
+    * selectivity the nprobe cells may simply not HOLD k candidates of
+    * the query's label, so filtered recall can starve even when
+    * unfiltered recall is healthy. Per query: `n_exact` (size of the
+    * exact label-restricted top-k, < k when the label itself has fewer
+    * members), `n_ann` (how many labeled candidates the probed cells
+    * actually yielded — the starvation diagnostic), `n_hits`, and
+    * recall with the HONEST denominator n_exact (a tiny label must not
+    * read as a recall failure). The query-set mean rides in-plan via
+    * integer sums (the c3_ann_ivf_recall construction — no float fold
+    * order), and the dynamic oracle replays search, exact ranking and
+    * the recall join bit-for-bit.
+    *
+    * Scale posture: the ANN side is the indexed filtered plan itself;
+    * the exact side blocks on the label (query side broadcast — bounded
+    * by queryMod — against a narrow corpus projection), so the monitor
+    * costs O(|queries| · label frequency), never all-pairs.
+    */
+  def c3AnnFilteredRecall(spark: SparkSession, dir: String, k: Int = 5,
+      nCells: Int = 16, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
+      queryMod: Int = 100): DataFrame = {
+    val ann = c3AnnPqFiltered(
+      spark, dir, k, nCells, nprobe, subspaces, kSub, queryMod)
+      .select(col("q_id"), col("b_id"))
+    val base = emb(spark, dir).select(col("vec_id"),
+      asDouble(col("embedding")).as("embD"), col("label"))
+    val qs = base.filter(isQuery(col("vec_id"), queryMod))
+      .select(col("vec_id").as("q_id"), col("embD").as("q_emb"), col("label"))
+    val exact = base
+      .select(col("vec_id").as("b_id"), col("embD").as("b_emb"), col("label"))
+      .join(broadcast(qs), "label")
+      .filter(col("q_id") =!= col("b_id"))
+      .withColumn("l2sq",
+        round(dotD(col("q_emb"), col("q_emb"))
+          + dotD(col("b_emb"), col("b_emb"))
+          - lit(2.0) * dotD(col("q_emb"), col("b_emb")), 6))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("l2sq").asc, col("b_id"))
+    val exactTopK = exact
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("b_id"))
+    val nExact = exactTopK.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val nAnn = ann.groupBy(col("q_id")).agg(count(lit(1)).as("n_ann"))
+    val hits = exactTopK.join(ann, Seq("q_id", "b_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    nExact
+      .join(nAnn, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .withColumn("n_ann", coalesce(col("n_ann"), lit(0L)))
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_at_k", round(
+        col("n_hits").cast("double") / col("n_exact").cast("double"), 6))
+      .withColumn("mean_recall", round(
+        sum(col("n_hits")).over(w).cast("double") /
+          sum(col("n_exact")).over(w).cast("double"), 6))
+      .orderBy("q_id")
+  }
+
   /** C3c: pairwise similarity stats per label — exercises the embedding
     * column through a fully SQL-expressible aggregate (mean vector norm
     * per label), oracle-checked.
@@ -1438,6 +1503,36 @@ object SimOps {
       "AS mean_recall, TRUE AS mean_recall_ok " +
       "FROM (SELECT DISTINCT q_id FROM bf) q LEFT JOIN hits h USING (q_id) " +
       "ORDER BY q_id"
+    // Filtered-recall replay: the filtered ADC top-k (pr over the
+    // label-restricted cand set), the exact LABEL-RESTRICTED top-k over
+    // the whole corpus (label-blocked three-dot-product L2, round-6
+    // before rank), per-query n_exact/n_ann/n_hits, honest-denominator
+    // recall and the integer-sum mean.
+    val pqFilteredRecallSql = s"WITH $ivfCandCtesFiltered, $pqCtes, " +
+      "ann AS (SELECT q_id, b_id FROM pr WHERE rank <= 5), " +
+      s"exq AS (SELECT vec_id AS q_id, v FROM e WHERE ${queryPredSql(100)}), " +
+      "exs AS (SELECT exq.q_id, lb.vec_id AS b_id, " +
+      "round(list_dot_product(exq.v, exq.v) + list_dot_product(c.v, c.v) " +
+      "- 2*list_dot_product(exq.v, c.v), 6) AS l2sq " +
+      "FROM exq JOIN lab la ON la.vec_id = exq.q_id " +
+      "JOIN lab lb ON lb.label = la.label AND lb.vec_id <> exq.q_id " +
+      "JOIN e c ON c.vec_id = lb.vec_id), " +
+      "exr AS (SELECT q_id, b_id, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY l2sq ASC, b_id) AS rank FROM exs), " +
+      "exk AS (SELECT q_id, b_id FROM exr WHERE rank <= 5), " +
+      "nex AS (SELECT q_id, count(*) AS n_exact FROM exk GROUP BY q_id), " +
+      "nan AS (SELECT q_id, count(*) AS n_ann FROM ann GROUP BY q_id), " +
+      "hits AS (SELECT q_id, count(*) AS n_hits FROM exk JOIN ann " +
+      "USING (q_id, b_id) GROUP BY q_id) " +
+      "SELECT nex.q_id, nex.n_exact, " +
+      "CAST(COALESCE(na.n_ann, 0) AS BIGINT) AS n_ann, " +
+      "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+      "round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / " +
+      "CAST(nex.n_exact AS DOUBLE), 6) AS recall_at_k, " +
+      "round(CAST(sum(COALESCE(h.n_hits, 0)) OVER () AS DOUBLE) / " +
+      "CAST(sum(nex.n_exact) OVER () AS DOUBLE), 6) AS mean_recall " +
+      "FROM nex LEFT JOIN nan na USING (q_id) LEFT JOIN hits h USING (q_id) " +
+      "ORDER BY q_id"
     // SemDeDup replay (DedupOps.c2SemanticDedup): same trained centroid
     // literal, same argmin cell assignment as the `d` CTE above, then
     // within-cell pairs at round-6 cosine >= 0.35 (the corpus's
@@ -1613,6 +1708,7 @@ object SimOps {
       // the hash.
       "c3_ann_pq_indexed" -> pqSql,
       "c3_ann_pq_filtered" -> pqFilteredSql,
+      "c3_ann_filtered_recall" -> pqFilteredRecallSql,
       "c3_knn_join" -> knnSql,
       "c3_ann_pq_recall" -> pqRecallSql,
       "c3_ann_ivf" -> (s"WITH $ivfCandCtes, " + annScoreTail(5)),
@@ -1923,6 +2019,7 @@ object SimOps {
     "c3_ann_recall" -> ((s: SparkSession, d: String) => c3AnnRecall(s, d)),
     "c3_ann_ivf_recall" -> ((s: SparkSession, d: String) => c3AnnIvfRecall(s, d)),
     "c3_ann_pq_recall" -> ((s: SparkSession, d: String) => c3AnnPqRecall(s, d)),
+    "c3_ann_filtered_recall" -> ((s: SparkSession, d: String) => c3AnnFilteredRecall(s, d)),
     "c3_ann_staleness" -> ((s: SparkSession, d: String) => c3AnnStaleness(s, d)),
     "c3_norm_stats" -> (c3NormStats _),
     "c3_cluster_profile" -> ((s: SparkSession, d: String) => c3ClusterProfile(s, d))

@@ -207,6 +207,55 @@ class SimOpsSpec extends SparkSuite {
     }
   }
 
+  test("c3_ann_filtered_recall: starved rare label reads 0, honest denominators, integer-sum mean") {
+    import spark.implicits._
+    // Two well-separated blobs (A at 0, B at +10 per dim): the 16-cell
+    // codebook splits within blobs, so a blob-A query's 4 probed cells
+    // are all blob-A cells. The RARE label (9) has its query (id 0) in
+    // blob A but every other member planted in blob B — the probed
+    // cells hold ZERO labeled candidates: the exact starvation mode
+    // pre-filtered IVF is known for, invisible to unfiltered recall.
+    val rnd = new scala.util.Random(42)
+    def vec(center: Float) =
+      Array.fill(64)(center + rnd.nextFloat() * 0.5f)
+    val rows = Seq.tabulate(300) { i =>
+      val id = i.toLong
+      val (blob, label) =
+        if (id == 0L) (0f, 9) // the rare-label query, blob A
+        else if (id >= 1L && id <= 3L) (10f, 9) // rare members, blob B
+        else (if (id % 2 == 0) 0f else 10f, (id % 3).toInt)
+      (id, vec(blob), label)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-frec").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SimOps.c3AnnFilteredRecall(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    // rare-label query: exact top-k has its 3 cross-blob members, the
+    // probed cells yield none of them
+    val (nExact0, nAnn0, nHits0, rec0, _) = out(0L)
+    assert(nExact0 == 3L, s"rare label exact top-k should be 3, got $nExact0")
+    assert(nAnn0 == 0L, s"starved query returned $nAnn0 labeled candidates")
+    assert((nHits0, rec0) == (0L, 0.0))
+    // common-label queries (100, 200) have full denominators
+    Seq(100L, 200L).foreach { q =>
+      assert(out(q)._1 == 5L, s"query $q n_exact = ${out(q)._1}")
+      assert(out(q)._2 >= 1L, s"query $q found no labeled candidates at all")
+    }
+    // the in-plan mean is the integer-sum construction
+    val meanWant = BigDecimal(out.values.map(_._3).sum.toDouble /
+      out.values.map(_._1).sum.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.values.foreach { case (_, _, _, _, m) => assert(m == meanWant) }
+    // recall denominators are honest: every recall = n_hits / n_exact
+    out.values.foreach { case (ne, _, nh, rc, _) =>
+      val want = BigDecimal(nh.toDouble / ne.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rc == want)
+    }
+  }
+
   test("c3_knn_join: dense ranks, cell-pure blocking, agrees with naive within-cell top-m") {
     import org.apache.spark.sql.functions.col
     val got = SimOps.c3KnnJoin(spark, sf).collect()
