@@ -695,8 +695,15 @@ object PipelineOps {
     * statement: a user chains these operators and the result is still
     * engine-independent.
     */
-  def c7Pipeline(spark: SparkSession, dir: String, minTokens: Int = 10,
-      seqLen: Long = 2048L): DataFrame = {
+  /** The pipeline's shared doc-level prologue — first-copy MinHash
+    * dedup, langid agreement, length floor, train-split carve-out —
+    * returning survivors WITH text (the span stage needs it).
+    * (minTokens = 10, not c7_curate's 40: the pipeline's length gate is
+    * a floor against fragments, and the corpus's first-copy survivors
+    * skew short — 40 would leave a near-empty train set at sf0.01.)
+    */
+  private def pipelineKept(spark: SparkSession, dir: String,
+      minTokens: Int): DataFrame = {
     val base = docs(spark, dir)
     // 4 bands × 16 rows ⇒ collision threshold ≈ (1/4)^(1/16) ≈ 0.92
     // Jaccard: curation dedup merges only true near-duplicates — the
@@ -706,20 +713,62 @@ object PipelineOps {
     val firstCopy = graft.dedup.MinHash
       .dedupAssignments(base, col("doc_id"), col("text"), numHashes = 64, bands = 4)
       .select(col("doc_id"), col("is_kept").as("first_copy"))
-    val kept = graft.text.LangId.detect(base, col("text"))
+    graft.text.LangId.detect(base, col("text"))
       .select(col("doc_id"), col("lang"), col("detected_lang"), col("text"))
       .join(firstCopy, "doc_id")
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .filter(col("first_copy") && col("detected_lang") === col("lang") &&
         col("n_tokens") >= minTokens &&
         expr(bucketSql) < lit((0.8 * 4294967296L).toLong))
+      .select(col("lang"), col("doc_id"), col("text"), col("n_tokens"))
+  }
+
+  def c7Pipeline(spark: SparkSession, dir: String, minTokens: Int = 10,
+      seqLen: Long = 2048L): DataFrame = {
+    val kept = pipelineKept(spark, dir, minTokens)
       .select(col("lang"), col("doc_id"), col("n_tokens"))
-    // (minTokens = 10, not c7_curate's 40: the pipeline's length gate is
-    // a floor against fragments, and the corpus's first-copy survivors
-    // skew short — 40 would leave a near-empty train set at sf0.01.)
     withRunningSum(kept, "n_tokens", "cum")
       .select(col("lang"), col("doc_id"), col("n_tokens"),
         expr(s"(cum - n_tokens) div $seqLen").as("first_seq"),
+        expr(s"(cum - 1) div $seqLen").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1L)
+      .orderBy("lang", "doc_id")
+  }
+
+  /** C7u: the curation pipeline WITH span-level scrub composed in — the
+    * order real pipelines run: doc-level near-dup dedup and the
+    * langid/length/carve-out gates first ([[pipelineKept]]), THEN
+    * substring-level keep-first scrub among the SURVIVORS (a dropped
+    * duplicate must not scrub the copy that became the first surviving
+    * occurrence — the span analysis runs over the survivor set, not the
+    * raw corpus), the length floor re-applied on the EFFECTIVE
+    * (post-scrub) token count, and sequence packing over effective
+    * tokens. Output adds `n_removed`/`n_eff` per doc so the packed
+    * budget is auditable against the doc-level counts.
+    *
+    * Scale posture: the prologue's banding is O(n·bands); the span
+    * stage is the occurrence-capped linear machinery of
+    * c4_substring_dup over the (smaller) survivor set with a
+    * model-sized interval aggregate (no token explode — the removed
+    * count is Σ interval lengths); packing is the proven partitioned
+    * prefix sum. Every stage composes without a second corpus
+    * tokenization of the raw input.
+    */
+  def c7PipelineV2(spark: SparkSession, dir: String, minTokens: Int = 10,
+      seqLen: Long = 2048L, window: Int = 16, maxOcc: Int = 16): DataFrame = {
+    val kept = pipelineKept(spark, dir, minTokens)
+    val rm = TextOps.scrubRemovedCounts(
+      kept.select(col("doc_id"), col("text")), window, maxOcc)
+    val k2 = kept.join(rm, Seq("doc_id"), "left")
+      .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+      .withColumn("n_eff", col("n_tokens") - col("n_removed"))
+      .filter(col("n_eff") >= minTokens)
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("n_removed"), col("n_eff"))
+    withRunningSum(k2, "n_eff", "cum")
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("n_removed"), col("n_eff"),
+        expr(s"(cum - n_eff) div $seqLen").as("first_seq"),
         expr(s"(cum - 1) div $seqLen").as("last_seq"))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1L)
       .orderBy("lang", "doc_id")
@@ -1336,6 +1385,52 @@ object PipelineOps {
         "(cum - 1) // 2048 AS last_seq, " +
         "((cum - 1) // 2048) - ((cum - n_tokens) // 2048) + 1 AS n_seqs " +
         "FROM p ORDER BY lang, doc_id"),
+    // V2 replay: the v1 prologue (kept now carries text), the span
+    // chain over kept (z-prefixed names — langIdCtes already owns
+    // t/s/b), the interval union, Σ-length removed counts, the re-applied
+    // effective-length floor, and packing over n_eff.
+    "c7_pipeline_v2" ->
+      ("WITH base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
+        "FROM documents), " +
+        DedupOps.mhChainSql(bands = 4, rows = 16) + ", " +
+        "mm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) " +
+        "AS bucket_min FROM mem), " +
+        "asg AS (SELECT doc_id, doc_id = min(bucket_min) AS first_copy " +
+        "FROM mm GROUP BY doc_id), " +
+        TextOps.langIdCtes + ", " +
+        "det AS (SELECT doc_id, struct_extract(best, 'code') AS detected_lang FROM b), " +
+        "kept AS (SELECT d.lang, d.doc_id, d.text, " +
+        "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM documents d JOIN asg USING (doc_id) JOIN det USING (doc_id) " +
+        "WHERE asg.first_copy AND det.detected_lang = d.lang " +
+        "AND len(string_split(d.text, ' ')) >= 10 " +
+        s"AND $bucketSql < ${(0.8 * 4294967296L).toLong}), " +
+        TextOps.ssdupChainOver("kept", "z") + ", " +
+        "zsp AS (SELECT d1, d2, diag, min(o1) AS a0, max(o1) AS a1 " +
+        "FROM zi GROUP BY d1, d2, diag, isl), " +
+        "zrem AS (SELECT DISTINCT d2 AS doc_id, a0 + diag AS s, " +
+        "a0 + diag + (a1 - a0 + 16) - 1 AS e FROM zsp), " +
+        "zmx AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe FROM zrem), " +
+        "zg AS (SELECT *, sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 " +
+        "ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp FROM zmx), " +
+        "zmi AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM zg " +
+        "GROUP BY doc_id, grp), " +
+        "zrm AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_removed " +
+        "FROM zmi GROUP BY doc_id), " +
+        "k2 AS (SELECT kept.lang, kept.doc_id, kept.n_tokens, " +
+        "CAST(COALESCE(zrm.n_removed, 0) AS BIGINT) AS n_removed, " +
+        "kept.n_tokens - COALESCE(zrm.n_removed, 0) AS n_eff " +
+        "FROM kept LEFT JOIN zrm USING (doc_id) " +
+        "WHERE kept.n_tokens - COALESCE(zrm.n_removed, 0) >= 10), " +
+        "p2 AS (SELECT lang, doc_id, n_tokens, n_removed, n_eff, " +
+        "CAST(SUM(n_eff) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) " +
+        "AS cum FROM k2) " +
+        "SELECT lang, doc_id, n_tokens, n_removed, CAST(n_eff AS BIGINT) AS n_eff, " +
+        "(cum - n_eff) // 2048 AS first_seq, " +
+        "(cum - 1) // 2048 AS last_seq, " +
+        "((cum - 1) // 2048) - ((cum - n_eff) // 2048) + 1 AS n_seqs " +
+        "FROM p2 ORDER BY lang, doc_id"),
     "c7_pack_sequences" ->
       ("SELECT lang, doc_id, n_tokens, " +
         "(cum - n_tokens) // 2048 AS first_seq, " +
@@ -1494,6 +1589,7 @@ object PipelineOps {
     "c7_curate" -> ((s: SparkSession, d: String) => c7Curate(s, d)),
     "c7_pack_sequences" -> ((s: SparkSession, d: String) => c7PackSequences(s, d)),
     "c7_pipeline" -> ((s: SparkSession, d: String) => c7Pipeline(s, d)),
+    "c7_pipeline_v2" -> ((s: SparkSession, d: String) => c7PipelineV2(s, d)),
     "c7_sample_topk" -> ((s: SparkSession, d: String) => c7SampleTopk(s, d)),
     "c7_mix_sources" -> ((s: SparkSession, d: String) => c7MixSources(s, d)),
     "c7_quality_filter" -> (c7QualityFilter _),

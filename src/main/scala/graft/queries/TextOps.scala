@@ -832,9 +832,19 @@ object TextOps {
     * (doc_a, start_a) < (doc_b, start_b) lexicographically.
     */
   private[queries] def substringSpans(spark: SparkSession, dir: String,
+      window: Int, maxOcc: Int): DataFrame =
+    substringSpansOf(docs(spark, dir), window, maxOcc)
+
+  /** [[substringSpans]] over an arbitrary `(doc_id, text)` set — the
+    * composition point: the curation pipeline (c7_pipeline_v2) runs the
+    * span analysis over its doc-level-dedup SURVIVORS, not the raw
+    * corpus (a dropped duplicate must not scrub the copy that became
+    * the first surviving occurrence).
+    */
+  private[queries] def substringSpansOf(base: DataFrame,
       window: Int, maxOcc: Int): DataFrame = {
     val toks = split(col("text"), " ")
-    val anchors = docs(spark, dir)
+    val anchors = base
       .select(col("doc_id"), toks.as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") >= window)
@@ -887,15 +897,20 @@ object TextOps {
     * token positions against the broadcast-scale merged intervals
     * keyed by doc_id, and one per-doc ordered reassembly aggregate.
     */
-  def c4SubstringScrub(spark: SparkSession, dir: String,
-      window: Int = 16, maxOcc: Int = 16): DataFrame = {
-    val rem = substringSpans(spark, dir, window, maxOcc)
+  /** Merged keep-first removal intervals `(doc_id, s, e)` of the span
+    * analysis over `base` — the classic running-max interval union per
+    * doc (bounded by doc length), shared by the scrub ACTION and the
+    * pipeline's effective-token accounting.
+    */
+  private def mergedScrubIntervals(base: DataFrame,
+      window: Int, maxOcc: Int): DataFrame = {
+    val rem = substringSpansOf(base, window, maxOcc)
       .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
         (col("start_b") + col("span_len") - 1).as("e"))
       .distinct()
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("s", "e")
-    val merged = rem
+    rem
       .withColumn("maxe", max(col("e")).over(
         wDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
       .withColumn("brk",
@@ -903,6 +918,23 @@ object TextOps {
       .withColumn("grp", sum(col("brk")).over(wDoc))
       .groupBy("doc_id", "grp")
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+  }
+
+  /** Per-doc REMOVED-token counts of the substring scrub over an
+    * arbitrary `(doc_id, text)` set: Σ(e−s+1) of the merged intervals —
+    * the count needs no token explode (intervals are within-doc by
+    * construction), so the pipeline pays only the span analysis plus a
+    * model-sized aggregate.
+    */
+  private[queries] def scrubRemovedCounts(base: DataFrame,
+      window: Int = 16, maxOcc: Int = 16): DataFrame =
+    mergedScrubIntervals(base, window, maxOcc)
+      .groupBy("doc_id")
+      .agg(sum(col("e") - col("s") + 1).as("n_removed"))
+
+  def c4SubstringScrub(spark: SparkSession, dir: String,
+      window: Int = 16, maxOcc: Int = 16): DataFrame = {
+    val merged = mergedScrubIntervals(docs(spark, dir), window, maxOcc)
     val toks = docs(spark, dir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
@@ -1292,22 +1324,30 @@ object TextOps {
   /** Shared span-analysis CTE chain of the substring-dup/scrub replays
     * (t → anchors → cap → pairs → diagonal islands `i`).
     */
-  private[queries] val ssdupChain: String =
-    "t AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
-      "len(string_split(text, ' ')) AS n FROM documents), " +
-      "a AS (SELECT doc_id, unnest(generate_series(1, n - 15)) AS off, " +
-      "toks FROM t WHERE n >= 16), " +
-      "h AS (SELECT doc_id, off, ('0x'||substr(md5(array_to_string(" +
-      "list_slice(toks, off, off + 15), ' ')),1,15))::BIGINT AS h FROM a), " +
-      "c AS (SELECT h, count(*) AS cnt FROM h GROUP BY h " +
+  /** The span-analysis CTE chain over relation `rel`, with every CTE
+    * name prefixed by `pfx` so the chain composes into oracles whose
+    * other fragments already use t/s/b (langIdCtes) — pfx "" over
+    * `documents` is the original standalone chain.
+    */
+  private[queries] def ssdupChainOver(rel: String, pfx: String): String =
+    s"${pfx}t AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
+      s"len(string_split(text, ' ')) AS n FROM $rel), " +
+      s"${pfx}a AS (SELECT doc_id, unnest(generate_series(1, n - 15)) AS off, " +
+      s"toks FROM ${pfx}t WHERE n >= 16), " +
+      s"${pfx}h AS (SELECT doc_id, off, ('0x'||substr(md5(array_to_string(" +
+      s"list_slice(toks, off, off + 15), ' ')),1,15))::BIGINT AS h FROM ${pfx}a), " +
+      s"${pfx}c AS (SELECT h, count(*) AS cnt FROM ${pfx}h GROUP BY h " +
       "HAVING count(*) BETWEEN 2 AND 16), " +
-      "e AS (SELECT h.doc_id, h.off, h.h FROM h JOIN c USING (h)), " +
-      "p AS (SELECT e1.doc_id AS d1, e1.off AS o1, e2.doc_id AS d2, " +
-      "e2.off - e1.off AS diag FROM e e1 JOIN e e2 USING (h) " +
+      s"${pfx}e AS (SELECT h.doc_id, h.off, h.h " +
+      s"FROM ${pfx}h h JOIN ${pfx}c c USING (h)), " +
+      s"${pfx}p AS (SELECT e1.doc_id AS d1, e1.off AS o1, e2.doc_id AS d2, " +
+      s"e2.off - e1.off AS diag FROM ${pfx}e e1 JOIN ${pfx}e e2 USING (h) " +
       "WHERE e1.doc_id < e2.doc_id OR " +
       "(e1.doc_id = e2.doc_id AND e1.off < e2.off)), " +
-      "i AS (SELECT *, o1 - row_number() OVER (PARTITION BY d1, d2, diag " +
-      "ORDER BY o1) AS isl FROM p)"
+      s"${pfx}i AS (SELECT *, o1 - row_number() OVER (PARTITION BY d1, d2, diag " +
+      s"ORDER BY o1) AS isl FROM ${pfx}p)"
+
+  private[queries] val ssdupChain: String = ssdupChainOver("documents", "")
 
   val oracle: Map[String, String] = Map(
     "c4_bpe_merges" -> bpeChainSql(BpeRounds, BpeBatchCap),

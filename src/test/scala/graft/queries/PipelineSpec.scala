@@ -153,6 +153,59 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("c7_pipeline_v2: dedup-then-scrub ordering; planted span scrubbed; packing over n_eff") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Engineered corpus (ids chosen with Knuth bucket < 0.8·2^32 so the
+    // carve-out keeps them; en function words so langid agrees):
+    //  doc 2 (d_f): P's tokens SCATTERED (no contiguous 16-run) — the
+    //    first copy of {2,4}'s shared token set
+    //  doc 4 (d_a): SAME token set as doc 2 but with P contiguous —
+    //    dropped by doc-level dedup (identical set ⇒ identical
+    //    signature ⇒ co-bucket in all 4 bands)
+    //  doc 6 (d_b): unique prefix + P contiguous — survives
+    //  doc 10 (d_dup2): unique prefix + P contiguous — survives, LATER
+    // Among survivors P occurs contiguously in {6, 10} only ⇒ doc 10 is
+    // scrubbed, doc 6 is NOT. A raw-corpus scrub (spans before dedup)
+    // would have scrubbed doc 6 too, via the dropped doc 4 — the
+    // composition-order property under test.
+    val p = (1 to 20).map(i => s"p${i}x")
+    val q = (1 to 10).map(i => s"q${i}x")
+    val u = (1 to 13).map(i => s"u${i}x")
+    val v = (1 to 13).map(i => s"v${i}x")
+    val stopA = Seq("of", "the", "is", "and", "to", "it", "in")
+    val stopB = Seq("the", "of", "and", "is", "to", "it", "in")
+    val stopC = stopB.reverse
+    val dF = (p.take(10) zip q).flatMap { case (a, b) => Seq(a, b) } ++
+      Seq(p(10), "the", p(11), "of", p(12), "and", p(13), "is", p(14), "to",
+        p(15), "it", p(16), "in", p(17), p(18), p(19))
+    val dA = stopA ++ q ++ p
+    val dB = u ++ stopB ++ p
+    val dD = v ++ stopC ++ p
+    assert(dF.toSet == dA.toSet, "docs 2/4 must share one token set")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe_v2").toString
+    Seq((2L, dF), (4L, dA), (6L, dB), (10L, dD))
+      .map { case (id, ts) => (id, ts.mkString(" "), "en") }
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = PipelineOps.c7PipelineV2(spark, dir).collect()
+      .map(r => (r.getLong(1), (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // doc 4 deduped away; doc 6 intact; doc 10 scrubbed by exactly P
+    assert(got.keySet == Set(2L, 6L, 10L), s"survivors: ${got.keySet}")
+    assert(got(2L) == (("en", 37L, 0L, 37L, 0L, 0L, 1L)))
+    assert(got(6L) == (("en", 40L, 0L, 40L, 0L, 0L, 1L)),
+      "doc 6 was scrubbed — span analysis leaked the dropped duplicate")
+    assert(got(10L) == (("en", 40L, 20L, 20L, 0L, 0L, 1L)))
+    // the naive order (spans over the RAW corpus) WOULD have scrubbed
+    // the surviving doc 6 through the dropped doc 4
+    val naive = TextOps.scrubRemovedCounts(
+      graft.Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(naive.get(6L).contains(20L) && naive.get(10L).contains(20L),
+      s"raw-corpus scrub expectation drifted: $naive")
+  }
+
   test("c7_mix_sources: budget respected, rates capped, small sources upweighted") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
