@@ -661,6 +661,64 @@ class EventStreamSpec extends SparkSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("dedup state holds DISTINCT in-horizon keys only: eviction bounds it below total keys and events") {
+    // The gate corpus can't show this (its 24 h horizon covers the whole
+    // corpus, so srows ≈ events there): a stream engineered so distinct
+    // keys ≪ events AND the horizon ≪ the stream's time span must show
+    // state bounded by keys-per-horizon — neither all events (dedup
+    // collapses duplicates to one state row) nor all keys ever seen
+    // (watermark eviction drops keys the horizon has passed). This is
+    // the O(keys-in-horizon) bound the 100 TB forever-running claim
+    // rests on.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val epochs = 8; val k = 25; val d = 8
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = for {
+      e <- 0 until epochs; key <- 0 until k; dup <- 0 until d
+    } yield Ev(
+      event_id = ((e * k + key) * d + dup).toLong,
+      // epochs 6 h apart — 3× the 2 h dedup horizon, so earlier epochs'
+      // keys MUST evict; duplicates arrive seconds apart (in-horizon)
+      ts = new Timestamp(base + e * 6L * 3600 * 1000 + dup * 1000L),
+      user_id = (e * k + key).toLong, // fresh keys every epoch
+      event_type = "view", value = 1.0, props = "{}")
+    @volatile var maxRows = 0L
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops.nonEmpty)
+          maxRows = math.max(maxRows, ops.map(_.numRowsTotal).sum)
+      }
+    }
+    spark.streams.addListener(listener)
+    val mem = MemoryStream[Ev]
+    val q = graft.streaming.EventStream.dedupWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_state_bound")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      rows.grouped(k * d).foreach { epoch =>
+        mem.addData(epoch); q.processAllAvailable()
+      }
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      // every distinct payload emitted exactly once
+      assert(spark.table("dedup_state_bound").count() == (epochs * k).toLong)
+      assert(maxRows > 0L, "no state telemetry observed")
+      // DISTINCT keys, not events: duplicates collapse to one state row
+      assert(maxRows < (k * d).toLong,
+        s"state $maxRows ≥ one epoch's events ${k * d} — dedup state is per-event")
+      // IN-HORIZON keys, not all keys: eviction must cap the peak at the
+      // keys of the few epochs the watermark lag keeps live (≤ 3 of 8)
+      assert(maxRows <= 3L * k,
+        s"state $maxRows exceeds 3 epochs of keys (${3 * k}) — eviction lagging")
+      assert(maxRows < (epochs * k).toLong,
+        s"state $maxRows accumulated every key ever seen — eviction dead")
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+  }
+
   test("batch sessionization query is internally consistent on testdata") {
     val s = EventOps.c5Sessionize(spark, sf).collect()
     assert(s.nonEmpty)
