@@ -1139,14 +1139,17 @@ object TextOps {
       .select(col("doc_id"), col("e.u").as("u"), col("e.w").as("w"))
     val bg = ev.groupBy("u", "w").agg(count(lit(1)).as("c_uw"))
     val cx = bg.groupBy("u").agg(sum(col("c_uw")).as("c_u"))
-    val vocab = d.select(explode(col("toks")).as("tok"))
-      .agg(countDistinct(col("tok")).as("v"))
+    // V collected to the driver — ONE bounded row (the quality-model
+    // stored-weights posture): the smoothing denominator embeds as a
+    // plan literal, so the scoring join carries no 1-row broadcast
+    // nest (PlanAuditSpec bans un-allowlisted BNLJ).
+    val v = d.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
     val model = bg.join(cx.hint("shuffle_hash"), "u")
     val scored = ev.join(model.hint("shuffle_hash"), Seq("u", "w"))
-      .crossJoin(broadcast(vocab))
       .withColumn("li", round(lit(1000000.0) * log(
         (col("c_uw") + 1).cast("double") /
-          (col("c_u") + col("v")).cast("double")), 0).cast("long"))
+          (col("c_u") + lit(v)).cast("double")), 0).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_events"), sum(col("li")).as("s"))
       .withColumn("nll", round((lit(0.0) - col("s").cast("double")) /
