@@ -962,6 +962,62 @@ object SimOps {
     adcTopK(corpus, queries, k, subspaces, matchCols = Seq("cell", "label"))
   }
 
+  /** C3h'': ADAPTIVE filtered search — [[c3AnnPqFiltered]] with the
+    * starvation fallback production filtered-ANN serving uses: queries
+    * whose nprobe cells hold FEWER than k candidates of their label
+    * (the pre-filtered-IVF failure mode `c3_ann_filtered_recall`
+    * measures) escalate to probing EVERY cell — a label-restricted scan
+    * of the codes table for exactly the starved query subset, still
+    * codes-only (never raw vectors). Non-starved queries return the
+    * plain filtered results unchanged; starved queries are guaranteed
+    * min(k, |label|−1) results.
+    *
+    * Scale posture: the starvation test is one aggregate over the probe
+    * pass's own candidate join; the escalation builds lookup tables for
+    * |starved|·nCells (query-bounded) probes and joins them against the
+    * label-matched codes — the full-scan cost is paid ONLY by queries
+    * the probe pass failed, the adaptive contract. Dynamic oracle
+    * replays detection, escalation and the merged ADC ranking.
+    */
+  def c3AnnPqFilteredAdaptive(spark: SparkSession, dir: String, k: Int = 5,
+      nCells: Int = 16, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
+      queryMod: Int = 100): DataFrame = {
+    val (codesTab, modelTab) =
+      ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
+    val (coarse, books) = loadPqModel(spark, modelTab, subspaces)
+    val base = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
+    val qLab = emb(spark, dir).select(col("vec_id").as("q_id"), col("label"))
+    val q1 = pqQueryTables(
+      base, coarse, books, subspaces, nCells, nprobe, queryMod,
+      residual = true)
+      .join(qLab, "q_id")
+    val corpus = spark.table(codesTab)
+      .select(col("b_id"), col("cell").cast("int").as("cell"),
+        col("codes"), col("label"))
+    // labeled candidates the probed cells actually hold, per query
+    val n1 = corpus
+      .join(broadcast(q1.select(col("q_id"), col("cell"), col("label"))),
+        Seq("cell", "label"))
+      .filter(col("q_id") =!= col("b_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n1"))
+    val starved = q1.select("q_id").distinct()
+      .join(n1, Seq("q_id"), "left")
+      .filter(coalesce(col("n1"), lit(0L)) < k)
+      .select("q_id")
+    // escalated probe set: starved queries get lookup tables for EVERY
+    // cell (nprobe = nCells), so the candidate join below reaches the
+    // whole label slice of the codes table for them
+    val q2 = pqQueryTables(
+      base, coarse, books, subspaces, nCells, nCells, queryMod,
+      residual = true)
+      .join(broadcast(starved), "q_id")
+      .join(qLab, "q_id")
+    val merged = q1.join(broadcast(starved), Seq("q_id"), "left_anti")
+      .unionByName(q2)
+    adcTopK(corpus, merged, k, subspaces, matchCols = Seq("cell", "label"))
+  }
+
   /** C3i: k-NN GRAPH construction — every vector's top-m neighbors by
     * exact cosine, candidates blocked by the trained IVF cell (the same
     * deterministic codebook as the whole C3/SemDeDup family). This is
@@ -1427,7 +1483,7 @@ object SimOps {
         s"list_transform(range(1, ${kSub + 1}), kk -> " +
         s"list_sum(list_transform(range(1, ${sub + 1}), j -> " +
         s"($r[(m-1)*$sub+j]-b[m][kk][j])*($r[(m-1)*$sub+j]-b[m][kk][j])))))"
-    val pqCtes =
+    def pqCtesOver(qsRel: String, candRel: String): String =
       s"bks AS (SELECT ${books.map(matLit).mkString("[", ",", "]")} AS b), " +
         // corpus residual v − c[cell] and its argmin codes
         "rc AS (SELECT corp.b_id AS vec_id, corp.cell, " +
@@ -1440,7 +1496,7 @@ object SimOps {
         // query residual per PROBED cell and its lookup table
         "qr AS (SELECT qs.q_id, qs.cell, " +
         "list_transform(range(1, 65), j -> d.v[j] - c[qs.cell][j]) AS r " +
-        "FROM qs JOIN d ON d.vec_id = qs.q_id CROSS JOIN ct), " +
+        s"FROM $qsRel qs JOIN d ON d.vec_id = qs.q_id CROSS JOIN ct), " +
         s"qsd AS (SELECT q_id, cell, ${sdistsOf("r")} AS sdists " +
         "FROM qr CROSS JOIN bks), " +
         // round-6 BEFORE the rank window, matching the Spark side — the
@@ -1449,10 +1505,11 @@ object SimOps {
         "psc AS (SELECT cand.q_id, cand.b_id, " +
         s"round(list_sum(list_transform(range(1, ${mSub + 1}), m -> " +
         "qsd.sdists[m][rcd.codes[m]])), 6) AS adc " +
-        "FROM cand JOIN rcd ON rcd.vec_id = cand.b_id " +
+        s"FROM $candRel cand JOIN rcd ON rcd.vec_id = cand.b_id " +
         "JOIN qsd ON qsd.q_id = cand.q_id AND qsd.cell = rcd.cell), " +
         "pr AS (SELECT q_id, b_id, adc, CAST(row_number() OVER " +
         "(PARTITION BY q_id ORDER BY adc ASC, b_id) AS INT) AS rank FROM psc)"
+    val pqCtes = pqCtesOver("qs", "cand")
     val pqSql = s"WITH $ivfCandCtes, $pqCtes " +
       "SELECT q_id, rank, b_id, adc FROM pr " +
       "WHERE rank <= 5 ORDER BY q_id, rank"
@@ -1503,6 +1560,26 @@ object SimOps {
       "AS mean_recall, TRUE AS mean_recall_ok " +
       "FROM (SELECT DISTINCT q_id FROM bf) q LEFT JOIN hits h USING (q_id) " +
       "ORDER BY q_id"
+    // Adaptive-filtered replay: the probe pass's candidate counts decide
+    // starvation (< k labeled candidates in the probed cells), starved
+    // queries escalate to all-cell probes and the full label slice; the
+    // merged probe/candidate sets ride the SAME ADC chain via
+    // pqCtesOver. Non-starved queries reproduce pqFilteredSql exactly.
+    val pqFilteredAdaptiveSql = s"WITH $ivfCandCtesFiltered, " +
+      "n1 AS (SELECT q_id, count(*) AS n1 FROM cand GROUP BY q_id), " +
+      "qq AS (SELECT DISTINCT q_id FROM qs), " +
+      "starved AS (SELECT qq.q_id FROM qq LEFT JOIN n1 USING (q_id) " +
+      "WHERE COALESCE(n1.n1, 0) < 5), " +
+      "qsA AS (SELECT qs.q_id, qs.cell FROM qs ANTI JOIN starved USING (q_id) " +
+      "UNION ALL SELECT s.q_id, g.cell FROM starved s CROSS JOIN " +
+      s"(SELECT unnest(generate_series(1, $n)) AS cell) g), " +
+      "candA AS (SELECT cand.q_id, cand.b_id FROM cand " +
+      "ANTI JOIN starved USING (q_id) " +
+      "UNION SELECT s.q_id, lb.vec_id AS b_id FROM starved s " +
+      "JOIN lab la ON la.vec_id = s.q_id " +
+      "JOIN lab lb ON lb.label = la.label AND lb.vec_id <> s.q_id), " +
+      pqCtesOver("qsA", "candA") +
+      " SELECT q_id, rank, b_id, adc FROM pr WHERE rank <= 5 ORDER BY q_id, rank"
     // Filtered-recall replay: the filtered ADC top-k (pr over the
     // label-restricted cand set), the exact LABEL-RESTRICTED top-k over
     // the whole corpus (label-blocked three-dot-product L2, round-6
@@ -1709,6 +1786,7 @@ object SimOps {
       "c3_ann_pq_indexed" -> pqSql,
       "c3_ann_pq_filtered" -> pqFilteredSql,
       "c3_ann_filtered_recall" -> pqFilteredRecallSql,
+      "c3_ann_pq_filtered_adaptive" -> pqFilteredAdaptiveSql,
       "c3_knn_join" -> knnSql,
       "c3_ann_pq_recall" -> pqRecallSql,
       "c3_ann_ivf" -> (s"WITH $ivfCandCtes, " + annScoreTail(5)),
@@ -2020,6 +2098,7 @@ object SimOps {
     "c3_ann_ivf_recall" -> ((s: SparkSession, d: String) => c3AnnIvfRecall(s, d)),
     "c3_ann_pq_recall" -> ((s: SparkSession, d: String) => c3AnnPqRecall(s, d)),
     "c3_ann_filtered_recall" -> ((s: SparkSession, d: String) => c3AnnFilteredRecall(s, d)),
+    "c3_ann_pq_filtered_adaptive" -> ((s: SparkSession, d: String) => c3AnnPqFilteredAdaptive(s, d)),
     "c3_ann_staleness" -> ((s: SparkSession, d: String) => c3AnnStaleness(s, d)),
     "c3_norm_stats" -> (c3NormStats _),
     "c3_cluster_profile" -> ((s: SparkSession, d: String) => c3ClusterProfile(s, d))

@@ -256,6 +256,42 @@ class SimOpsSpec extends SparkSuite {
     }
   }
 
+  test("c3_ann_pq_filtered_adaptive: starved query escalates to its full label slice; others unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same two-blob construction as the filtered-recall spec: query 0's
+    // rare label (9) lives only in the far blob, outside every probed cell
+    val rnd = new scala.util.Random(42)
+    def vec(center: Float) = Array.fill(64)(center + rnd.nextFloat() * 0.5f)
+    val rows = Seq.tabulate(300) { i =>
+      val id = i.toLong
+      val (blob, label) =
+        if (id == 0L) (0f, 9)
+        else if (id >= 1L && id <= 3L) (10f, 9)
+        else (if (id % 2 == 0) 0f else 10f, (id % 3).toInt)
+      (id, vec(blob), label)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-adapt").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def byQ(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1)
+    val plain = byQ(SimOps.c3AnnPqFiltered(spark, dir))
+    val adapt = byQ(SimOps.c3AnnPqFilteredAdaptive(spark, dir))
+    // the starved rare-label query returns nothing under plain filtered
+    // search, and ALL THREE of its labeled neighbors under adaptive
+    assert(!plain.contains(0L), "probe pass unexpectedly reached the far blob")
+    assert(adapt.contains(0L) &&
+      adapt(0L).map(_._3).toSet == Set(1L, 2L, 3L),
+      s"escalation missed label members: ${adapt.get(0L).map(_.toSeq)}")
+    // non-starved queries are bit-identical to the plain filtered search
+    plain.keys.filter(q => plain(q).length >= 5).foreach { q =>
+      assert(adapt(q).toSeq.sortBy(_._2) == plain(q).toSeq.sortBy(_._2),
+        s"adaptive changed a non-starved query $q")
+    }
+  }
+
   test("c3_knn_join: dense ranks, cell-pure blocking, agrees with naive within-cell top-m") {
     import org.apache.spark.sql.functions.col
     val got = SimOps.c3KnnJoin(spark, sf).collect()
