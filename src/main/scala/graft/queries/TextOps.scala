@@ -1162,6 +1162,73 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The narrow-computable rule gate shared with the quality model's
+    * training label (the c7_quality_filter subset): length bounds,
+    * mean-word-length bounds, stopword-diversity floor.
+    */
+  private def ruleKeep: Column = {
+    val toks = split(col("text"), " ")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nTokens = size(toks).cast("long")
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    val nStop = size(filter(array_distinct(toks),
+      t => array_contains(stopArr, t))).cast("long")
+    nTokens.between(30L, 10000L) &&
+      alpha >= nTokens * 2 && alpha <= nTokens * 12 && nStop >= 2L
+  }
+
+  /** C4s': REFERENCE-trained LM perplexity — the actual CCNet shape:
+    * the bigram add-1 LM trains on the CLEAN slice only (the
+    * [[ruleKeep]] rule gate, the same label the quality model trains
+    * against) and scores EVERY document under that reference model.
+    * Unlike the self-scored [[c4LmPpl]], unseen bigrams now exist:
+    * the scoring joins are LEFT joins with c(u,w)=0 / c(u)=0 fallbacks
+    * (add-1 handles them: p = 1/(c(u)+V)), and `n_oov_events` counts
+    * them per doc — high nll + high OOV share is exactly the
+    * "out-of-reference-distribution" signal CCNet buckets on.
+    * Float discipline and scale posture are [[c4LmPpl]]'s; the second
+    * corpus-sized join (context counts attach per event, since a
+    * missed pair still needs its context count) is keyed and linear.
+    */
+  def c4LmPplRef(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val all = docs(spark, dir)
+    val dAll = all.select(col("doc_id"), toks.as("toks"))
+    def evOf(dd: DataFrame) = dd.select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("u"), b.as("w")))).as("e"))
+      .select(col("doc_id"), col("e.u").as("u"), col("e.w").as("w"))
+    val dRef = all.filter(ruleKeep).select(col("doc_id"), toks.as("toks"))
+    val ev = evOf(dAll)
+    val bg = evOf(dRef).groupBy("u", "w").agg(count(lit(1)).as("c_uw"))
+    val cx = bg.groupBy("u").agg(sum(col("c_uw")).as("c_u"))
+    val v = dRef.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    require(v > 0L,
+      "c4_lm_ppl_ref: the rule-keep reference slice is empty — no model")
+    val scored = ev
+      .join(bg.hint("shuffle_hash"), Seq("u", "w"), "left")
+      .join(cx.hint("shuffle_hash"), Seq("u"), "left")
+      .withColumn("oov", when(col("c_uw").isNull, 1L).otherwise(0L))
+      .withColumn("li", round(lit(1000000.0) * log(
+        (coalesce(col("c_uw"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c_u"), lit(0L)) + lit(v)).cast("double")), 0)
+        .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("oov")).as("n_oov_events"),
+        sum(col("li")).as("s"))
+      .withColumn("nll", round((lit(0.0) - col("s").cast("double")) /
+        (col("n_events").cast("double") * lit(1000000.0)), 6))
+    dAll.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_oov_events"), lit(0L)).as("n_oov_events"),
+        coalesce(col("nll"), lit(0.0)).as("nll"),
+        coalesce(round(exp(col("nll")), 4), lit(1.0)).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** C4q: BPE ENCODE — apply the trained merge table ([[c4BpeMerges]]'s
     * 10 rounds) to the corpus and report per-document BPE token counts
     * (plus tokens-per-word, the compression signal a tokenizer budget
@@ -1639,6 +1706,49 @@ object TextOps {
         "COALESCE(ag2.nll, 0.0) AS nll, " +
         "COALESCE(round(exp(ag2.nll), 4), 1.0) AS ppl " +
         "FROM t LEFT JOIN ag2 USING (doc_id) ORDER BY doc_id"),
+    // Reference-trained LM replay: the rule-keep slice trains, LEFT
+    // joins with add-1 fallbacks score every doc, same micro-log and
+    // final roundings as c4_lm_ppl.
+    "c4_lm_ppl_ref" -> {
+      val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      val rule =
+        "len(string_split(text, ' ')) BETWEEN 30 AND 10000 " +
+          "AND length(regexp_replace(text, '[^a-z]', '', 'g')) " +
+          ">= len(string_split(text, ' ')) * 2 " +
+          "AND length(regexp_replace(text, '[^a-z]', '', 'g')) " +
+          "<= len(string_split(text, ' ')) * 12 " +
+          "AND len(list_filter(list_distinct(string_split(text, ' ')), " +
+          s"t -> list_contains($stopList, t))) >= 2"
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        s"tr AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+        s"FROM documents WHERE $rule), " +
+        "ev AS (SELECT doc_id, toks[i] AS u, toks[i + 1] AS w " +
+        "FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g), " +
+        "evt AS (SELECT doc_id, toks[i] AS u, toks[i + 1] AS w " +
+        "FROM tr, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g), " +
+        "bg AS (SELECT u, w, count(*) AS c_uw FROM evt GROUP BY u, w), " +
+        "cx AS (SELECT u, CAST(sum(c_uw) AS BIGINT) AS c_u FROM bg GROUP BY u), " +
+        "vv AS (SELECT count(DISTINCT tok) AS v FROM " +
+        "(SELECT unnest(toks) AS tok FROM tr)), " +
+        "sc AS (SELECT e.doc_id, " +
+        "CASE WHEN b.c_uw IS NULL THEN 1 ELSE 0 END AS oov, " +
+        "CAST(round(1000000.0 * " +
+        "ln(CAST(COALESCE(b.c_uw, 0) + 1 AS DOUBLE) / " +
+        "CAST(COALESCE(c.c_u, 0) + vv.v AS DOUBLE)), 0) AS BIGINT) AS li " +
+        "FROM ev e LEFT JOIN bg b ON b.u = e.u AND b.w = e.w " +
+        "LEFT JOIN cx c ON c.u = e.u CROSS JOIN vv), " +
+        "ag AS (SELECT doc_id, count(*) AS n_events, " +
+        "CAST(sum(oov) AS BIGINT) AS n_oov_events, " +
+        "CAST(sum(li) AS BIGINT) AS s FROM sc GROUP BY doc_id), " +
+        "ag2 AS (SELECT doc_id, n_events, n_oov_events, " +
+        "round((0.0 - CAST(s AS DOUBLE)) / (n_events * 1000000.0), 6) AS nll " +
+        "FROM ag) " +
+        "SELECT t.doc_id, COALESCE(ag2.n_events, 0) AS n_events, " +
+        "COALESCE(ag2.n_oov_events, 0) AS n_oov_events, " +
+        "COALESCE(ag2.nll, 0.0) AS nll, " +
+        "COALESCE(round(exp(ag2.nll), 4), 1.0) AS ppl " +
+        "FROM t LEFT JOIN ag2 USING (doc_id) ORDER BY doc_id"
+    },
     "c4_rolling_hash" ->
       ("SELECT doc_id, list_reduce(" +
         "list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))), " +
@@ -1667,6 +1777,7 @@ object TextOps {
     "c4_pii_scrub" -> ((s: SparkSession, d: String) => c4PiiScrub(s, d)),
     "c4_quality_model" -> ((s: SparkSession, d: String) => c4QualityModel(s, d)),
     "c4_lm_ppl" -> (c4LmPpl _),
+    "c4_lm_ppl_ref" -> (c4LmPplRef _),
     "c4_substring_dup" -> ((s: SparkSession, d: String) => c4SubstringDup(s, d)),
     "c4_substring_scrub" -> ((s: SparkSession, d: String) => c4SubstringScrub(s, d)),
     "c4_chunk" -> ((s: SparkSession, d: String) => c4Chunk(s, d)),

@@ -460,6 +460,56 @@ class TextMiningSpec extends SparkSuite {
     assert(nlls.distinct.length > 1, "perplexity is constant across docs")
   }
 
+  test("c4_lm_ppl_ref: reference-trained LM matches brute force; OOV events score the add-1 floor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Corpus: two clean docs (pass the rule gate: >=30 tokens, alpha
+    // bounds, >=2 stopword types) that form the reference model, plus a
+    // junk doc that FAILS the rule (short) and consists of tokens the
+    // reference never saw — every one of its events must take the
+    // add-1 OOV fallback p = 1/(0 + V).
+    val stop = Seq("the", "of", "and", "to", "in", "is")
+    def clean(seed: Int): String =
+      (1 to 15).flatMap(i => Seq(s"tok${seed}x$i", stop(i % stop.length)))
+        .mkString(" ") // 30 tokens, alternating content/stopword
+    val junk = "zzq1 zzq2 zzq3 zzq4 zzq5"
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_ref").toString
+    Seq((1L, clean(1), "en"), (2L, clean(2), "en"), (3L, junk, "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.c4LmPplRef(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    // brute force: model from docs 1,2 only
+    val refToks = Seq(clean(1), clean(2)).map(_.split(" ").toSeq)
+    val events = refToks.flatMap(ts => ts.sliding(2).map(p => (p(0), p(1))))
+    val cUW = events.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val cU = cUW.toSeq.groupBy(_._1._1).map { case (u, xs) => u -> xs.map(_._2).sum }
+    val v = refToks.flatten.toSet.size.toLong
+    def li(p: (String, String)): Long =
+      BigDecimal(1e6 * math.log(
+        (cUW.getOrElse(p, 0L) + 1).toDouble /
+          (cU.getOrElse(p._1, 0L) + v).toDouble))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def round6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def round4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq(1L -> clean(1), 2L -> clean(2), 3L -> junk).foreach { case (id, text) =>
+      val evs = text.split(" ").toSeq.sliding(2).map(p => (p(0), p(1))).toSeq
+      val nOov = evs.count(p => !cUW.contains(p)).toLong
+      val s = evs.map(li).sum
+      val nll = round6(-s.toDouble / (evs.size * 1e6))
+      assert(got(id) == ((evs.size.toLong, nOov, nll, round4(math.exp(nll)))),
+        s"doc $id: got ${got(id)}")
+    }
+    // the junk doc is 100% OOV and scores strictly worse (higher nll)
+    // than the in-reference docs — the CCNet bucketing signal
+    assert(got(3L)._2 == 4L, "junk doc events were not all OOV")
+    assert(got(3L)._3 > got(1L)._3 && got(3L)._3 > got(2L)._3,
+      "out-of-reference doc did not score worse than reference docs")
+  }
+
   test("c4_quality_model: closed-form training and scoring match an in-memory reference") {
     val stop = Set("the", "a", "of", "to", "in", "and", "is")
     def feats(text: String): (Long, Long, Long, Long, Long) = {
