@@ -774,6 +774,36 @@ object PipelineOps {
       .orderBy("lang", "doc_id")
   }
 
+  /** C7w: PERPLEXITY-bucketED curation — the CCNet head/middle/tail
+    * pass: every document's nll under the reference-trained LM
+    * ([[TextOps.c4LmPplRef]]) ranks within its language, the rank
+    * splits into exact terciles by INTEGER arithmetic
+    * (`bucket = (3·(rank−1)) div n` — no float percentile can
+    * hash-flip a boundary), and head+middle survive (`keep = bucket ≤
+    * 1`), the published CCNet selection. Ranking is deterministic
+    * ((nll, doc_id) order), so the buckets are portable across
+    * engines and partitionings like every other C7 carve-out.
+    *
+    * Scale posture: the per-lang rank is the proven two-phase
+    * partitioned prefix sum ([[withRunningSum]] over ones — no
+    * single-partition window over a language's full mass); per-lang
+    * totals are a tiny broadcast join.
+    */
+  def c7PplFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ppl = TextOps.c4LmPplRef(spark, dir).select(col("doc_id"), col("nll"))
+    val j = docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(ppl, "doc_id")
+      .withColumn("one", lit(1L))
+    val ranked = withRunningSum(j, "one", "rk", keyCol = "lang",
+      orderCols = Seq("nll", "doc_id"))
+    val totals = ranked.groupBy("lang").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(totals), "lang")
+      .withColumn("bucket", expr("(3 * (rk - 1)) div n"))
+      .withColumn("keep", col("bucket") <= 1)
+      .select("lang", "doc_id", "nll", "bucket", "keep")
+      .orderBy("lang", "doc_id")
+  }
+
   /** C7i: exact-QUOTA stratified sampling — exactly min(k, |lang|) docs
     * per language, chosen as the k SMALLEST portable hash buckets (the
     * same Knuth bucket as c7_sample_strat, so the quota sample is
@@ -1385,6 +1415,19 @@ object PipelineOps {
         "(cum - 1) // 2048 AS last_seq, " +
         "((cum - 1) // 2048) - ((cum - n_tokens) // 2048) + 1 AS n_seqs " +
         "FROM p ORDER BY lang, doc_id"),
+    // CCNet tercile replay: the shared lm chain's per-doc nll, the
+    // deterministic (nll, doc_id) per-lang rank, integer tercile split.
+    "c7_ppl_filter" ->
+      (s"WITH ${TextOps.lmPplRefCtes}, " +
+        "j AS (SELECT d.lang, p.doc_id, p.nll " +
+        "FROM lmres p JOIN documents d USING (doc_id)), " +
+        "r AS (SELECT lang, doc_id, nll, " +
+        "CAST(row_number() OVER (PARTITION BY lang ORDER BY nll, doc_id) " +
+        "AS BIGINT) AS rk, " +
+        "count(*) OVER (PARTITION BY lang) AS n FROM j) " +
+        "SELECT lang, doc_id, nll, (3 * (rk - 1)) // n AS bucket, " +
+        "((3 * (rk - 1)) // n) <= 1 AS keep " +
+        "FROM r ORDER BY lang, doc_id"),
     // V2 replay: the v1 prologue (kept now carries text), the span
     // chain over kept (z-prefixed names — langIdCtes already owns
     // t/s/b), the interval union, Σ-length removed counts, the re-applied
@@ -1590,6 +1633,7 @@ object PipelineOps {
     "c7_pack_sequences" -> ((s: SparkSession, d: String) => c7PackSequences(s, d)),
     "c7_pipeline" -> ((s: SparkSession, d: String) => c7Pipeline(s, d)),
     "c7_pipeline_v2" -> ((s: SparkSession, d: String) => c7PipelineV2(s, d)),
+    "c7_ppl_filter" -> (c7PplFilter _),
     "c7_sample_topk" -> ((s: SparkSession, d: String) => c7SampleTopk(s, d)),
     "c7_mix_sources" -> ((s: SparkSession, d: String) => c7MixSources(s, d)),
     "c7_quality_filter" -> (c7QualityFilter _),

@@ -1419,6 +1419,52 @@ object TextOps {
 
   private[queries] val ssdupChain: String = ssdupChainOver("documents", "")
 
+  /** The c4_lm_ppl_ref replay as a reusable CTE chain ending in
+    * `lmres(doc_id, n_events, n_oov_events, nll, ppl)` — shared with
+    * the perplexity-bucketed curation pass (PipelineOps.c7_ppl_filter),
+    * whose oracle composes on the per-doc nll.
+    */
+  private[queries] def lmPplRefCtes: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    val rule =
+      "len(string_split(text, ' ')) BETWEEN 30 AND 10000 " +
+        "AND length(regexp_replace(text, '[^a-z]', '', 'g')) " +
+        ">= len(string_split(text, ' ')) * 2 " +
+        "AND length(regexp_replace(text, '[^a-z]', '', 'g')) " +
+        "<= len(string_split(text, ' ')) * 12 " +
+        "AND len(list_filter(list_distinct(string_split(text, ' ')), " +
+        s"t -> list_contains($stopList, t))) >= 2"
+    "lmt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      s"lmtr AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+      s"FROM documents WHERE $rule), " +
+      "lmev AS (SELECT doc_id, toks[i] AS u, toks[i + 1] AS w " +
+      "FROM lmt, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g), " +
+      "lmevt AS (SELECT doc_id, toks[i] AS u, toks[i + 1] AS w " +
+      "FROM lmtr, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g), " +
+      "lmbg AS (SELECT u, w, count(*) AS c_uw FROM lmevt GROUP BY u, w), " +
+      "lmcx AS (SELECT u, CAST(sum(c_uw) AS BIGINT) AS c_u FROM lmbg GROUP BY u), " +
+      "lmvv AS (SELECT count(DISTINCT tok) AS v FROM " +
+      "(SELECT unnest(toks) AS tok FROM lmtr)), " +
+      "lmsc AS (SELECT e.doc_id, " +
+      "CASE WHEN b.c_uw IS NULL THEN 1 ELSE 0 END AS oov, " +
+      "CAST(round(1000000.0 * " +
+      "ln(CAST(COALESCE(b.c_uw, 0) + 1 AS DOUBLE) / " +
+      "CAST(COALESCE(c.c_u, 0) + lmvv.v AS DOUBLE)), 0) AS BIGINT) AS li " +
+      "FROM lmev e LEFT JOIN lmbg b ON b.u = e.u AND b.w = e.w " +
+      "LEFT JOIN lmcx c ON c.u = e.u CROSS JOIN lmvv), " +
+      "lmag AS (SELECT doc_id, count(*) AS n_events, " +
+      "CAST(sum(oov) AS BIGINT) AS n_oov_events, " +
+      "CAST(sum(li) AS BIGINT) AS s FROM lmsc GROUP BY doc_id), " +
+      "lmag2 AS (SELECT doc_id, n_events, n_oov_events, " +
+      "round((0.0 - CAST(s AS DOUBLE)) / (n_events * 1000000.0), 6) AS nll " +
+      "FROM lmag), " +
+      "lmres AS (SELECT lmt.doc_id, COALESCE(lmag2.n_events, 0) AS n_events, " +
+      "COALESCE(lmag2.n_oov_events, 0) AS n_oov_events, " +
+      "COALESCE(lmag2.nll, 0.0) AS nll, " +
+      "COALESCE(round(exp(lmag2.nll), 4), 1.0) AS ppl " +
+      "FROM lmt LEFT JOIN lmag2 USING (doc_id))"
+  }
+
   val oracle: Map[String, String] = Map(
     "c4_bpe_merges" -> bpeChainSql(BpeRounds, BpeBatchCap),
     "c4_bpe_encode" -> bpeEncodeSql(BpeRounds, BpeBatchCap),
@@ -1709,46 +1755,10 @@ object TextOps {
     // Reference-trained LM replay: the rule-keep slice trains, LEFT
     // joins with add-1 fallbacks score every doc, same micro-log and
     // final roundings as c4_lm_ppl.
-    "c4_lm_ppl_ref" -> {
-      val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
-      val rule =
-        "len(string_split(text, ' ')) BETWEEN 30 AND 10000 " +
-          "AND length(regexp_replace(text, '[^a-z]', '', 'g')) " +
-          ">= len(string_split(text, ' ')) * 2 " +
-          "AND length(regexp_replace(text, '[^a-z]', '', 'g')) " +
-          "<= len(string_split(text, ' ')) * 12 " +
-          "AND len(list_filter(list_distinct(string_split(text, ' ')), " +
-          s"t -> list_contains($stopList, t))) >= 2"
-      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        s"tr AS (SELECT doc_id, string_split(text, ' ') AS toks " +
-        s"FROM documents WHERE $rule), " +
-        "ev AS (SELECT doc_id, toks[i] AS u, toks[i + 1] AS w " +
-        "FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g), " +
-        "evt AS (SELECT doc_id, toks[i] AS u, toks[i + 1] AS w " +
-        "FROM tr, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g), " +
-        "bg AS (SELECT u, w, count(*) AS c_uw FROM evt GROUP BY u, w), " +
-        "cx AS (SELECT u, CAST(sum(c_uw) AS BIGINT) AS c_u FROM bg GROUP BY u), " +
-        "vv AS (SELECT count(DISTINCT tok) AS v FROM " +
-        "(SELECT unnest(toks) AS tok FROM tr)), " +
-        "sc AS (SELECT e.doc_id, " +
-        "CASE WHEN b.c_uw IS NULL THEN 1 ELSE 0 END AS oov, " +
-        "CAST(round(1000000.0 * " +
-        "ln(CAST(COALESCE(b.c_uw, 0) + 1 AS DOUBLE) / " +
-        "CAST(COALESCE(c.c_u, 0) + vv.v AS DOUBLE)), 0) AS BIGINT) AS li " +
-        "FROM ev e LEFT JOIN bg b ON b.u = e.u AND b.w = e.w " +
-        "LEFT JOIN cx c ON c.u = e.u CROSS JOIN vv), " +
-        "ag AS (SELECT doc_id, count(*) AS n_events, " +
-        "CAST(sum(oov) AS BIGINT) AS n_oov_events, " +
-        "CAST(sum(li) AS BIGINT) AS s FROM sc GROUP BY doc_id), " +
-        "ag2 AS (SELECT doc_id, n_events, n_oov_events, " +
-        "round((0.0 - CAST(s AS DOUBLE)) / (n_events * 1000000.0), 6) AS nll " +
-        "FROM ag) " +
-        "SELECT t.doc_id, COALESCE(ag2.n_events, 0) AS n_events, " +
-        "COALESCE(ag2.n_oov_events, 0) AS n_oov_events, " +
-        "COALESCE(ag2.nll, 0.0) AS nll, " +
-        "COALESCE(round(exp(ag2.nll), 4), 1.0) AS ppl " +
-        "FROM t LEFT JOIN ag2 USING (doc_id) ORDER BY doc_id"
-    },
+    "c4_lm_ppl_ref" ->
+      (s"WITH $lmPplRefCtes " +
+        "SELECT doc_id, n_events, n_oov_events, nll, ppl " +
+        "FROM lmres ORDER BY doc_id"),
     "c4_rolling_hash" ->
       ("SELECT doc_id, list_reduce(" +
         "list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))), " +

@@ -206,6 +206,29 @@ class PipelineSpec extends SparkSuite {
       s"raw-corpus scrub expectation drifted: $naive")
   }
 
+  test("c7_ppl_filter: exact per-lang terciles ordered by nll; head+middle kept") {
+    val rows = PipelineOps.c7PplFilter(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      val byBucket = docs.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(byBucket.keySet.subsetOf(Set(0L, 1L, 2L)), s"$lang: $byBucket")
+      // exact integer terciles: sizes differ by at most 1
+      val sizes = (0L to 2L).map(b => byBucket.getOrElse(b, 0))
+      assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes $sizes")
+      // buckets are ordered by nll: max(head) <= min(middle), etc.
+      def nlls(b: Long) = docs.filter(_._4 == b).map(_._3)
+      (0L to 1L).foreach { b =>
+        if (nlls(b).nonEmpty && nlls(b + 1).nonEmpty)
+          assert(nlls(b).max <= nlls(b + 1).min,
+            s"$lang: bucket $b nll overlaps bucket ${b + 1}")
+      }
+    }
+    // CCNet selection: exactly head+middle survive
+    rows.foreach { case (_, _, _, b, keep) => assert(keep == (b <= 1)) }
+  }
+
   test("c7_mix_sources: budget respected, rates capped, small sources upweighted") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
