@@ -1229,6 +1229,98 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** C4s'': ORDER-3 LM perplexity with STUPID BACKOFF — the
+    * higher-order form of the reference-trained scorer: trigram
+    * relative frequencies where seen, backing off (fixed α = 0.4, the
+    * published "stupid backoff" of Brants et al., the recipe web-scale
+    * LMs actually shipped because it needs no discount fitting) to the
+    * bigram, then to the add-1 unigram floor (which also absorbs OOV
+    * tokens). Scores every document under the rule-keep reference
+    * model; per-doc `n_backoff_bi`/`n_backoff_uni` report how often
+    * each level fired — the model-coverage diagnostic. Float
+    * discipline: one CASE per event with a fixed op order in both
+    * engines, then the int64 micro-log sum of [[c4LmPpl]].
+    *
+    * Scale posture: count tables are partial+final aggregates over the
+    * reference slice; scoring is five keyed LEFT joins on the event
+    * stream (trigram, both bigram roles, both unigram roles) — all
+    * linear, never all-pairs; T and V are two bounded driver scalars
+    * embedded as literals.
+    */
+  def c4LmPpl3(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val all = docs(spark, dir)
+    val dAll = all.select(col("doc_id"), toks.as("toks"))
+    val dRef = all.filter(ruleKeep).select(col("doc_id"), toks.as("toks"))
+    def ev3Of(dd: DataFrame) = {
+      val n = greatest(size(col("toks")) - 2, lit(0))
+      dd.select(col("doc_id"), explode(zip_with(
+          zip_with(
+            slice(col("toks"), lit(1), n), slice(col("toks"), lit(2), n),
+            (a, b) => struct(a.as("u"), b.as("v"))),
+          slice(col("toks"), lit(3), n),
+          (p, c) => struct(p.getField("u").as("u"),
+            p.getField("v").as("v"), c.as("w")))).as("e"))
+        .select(col("doc_id"), col("e.u").as("u"), col("e.v").as("v"),
+          col("e.w").as("w"))
+    }
+    def ev2Of(dd: DataFrame) = {
+      val n = greatest(size(col("toks")) - 1, lit(0))
+      dd.select(explode(zip_with(
+          slice(col("toks"), lit(1), n), slice(col("toks"), lit(2), n),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+    }
+    val tg = ev3Of(dRef).groupBy("u", "v", "w").agg(count(lit(1)).as("c3"))
+    val bg = ev2Of(dRef).groupBy("a", "b").agg(count(lit(1)).as("c2"))
+    val un = dRef.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val tv = dRef.select(explode(col("toks")).as("tok"))
+      .agg(count(lit(1)).as("t"), countDistinct(col("tok")).as("v")).head()
+    val (tTot, vSize) = (tv.getLong(0), tv.getLong(1))
+    require(vSize > 0L,
+      "c4_lm_ppl3: the rule-keep reference slice is empty — no model")
+    val scored = ev3Of(dAll)
+      .join(tg.hint("shuffle_hash"), Seq("u", "v", "w"), "left")
+      .join(bg.select(col("a").as("u"), col("b").as("v"),
+        col("c2").as("c2uv")).hint("shuffle_hash"), Seq("u", "v"), "left")
+      .join(bg.select(col("a").as("v"), col("b").as("w"),
+        col("c2").as("c2vw")).hint("shuffle_hash"), Seq("v", "w"), "left")
+      .join(un.select(col("tok").as("v"), col("c1").as("c1v"))
+        .hint("shuffle_hash"), Seq("v"), "left")
+      .join(un.select(col("tok").as("w"), col("c1").as("c1w"))
+        .hint("shuffle_hash"), Seq("w"), "left")
+      // c3 > 0 implies c2uv > 0 and c2vw > 0 implies c1v > 0 (counts of
+      // sub-grams dominate), so no CASE branch can divide by null/zero
+      .withColumn("sprob",
+        when(col("c3").isNotNull,
+          col("c3").cast("double") / col("c2uv").cast("double"))
+          .when(col("c2vw").isNotNull,
+            lit(0.4) * (col("c2vw").cast("double") / col("c1v").cast("double")))
+          .otherwise(lit(0.4) * lit(0.4) *
+            ((coalesce(col("c1w"), lit(0L)) + 1).cast("double") /
+              lit((tTot + vSize).toDouble))))
+      .withColumn("li",
+        round(lit(1000000.0) * log(col("sprob")), 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("c3").isNull && col("c2vw").isNotNull, 1L)
+          .otherwise(0L)).as("n_backoff_bi"),
+        sum(when(col("c3").isNull && col("c2vw").isNull, 1L)
+          .otherwise(0L)).as("n_backoff_uni"),
+        sum(col("li")).as("s"))
+      .withColumn("nll", round((lit(0.0) - col("s").cast("double")) /
+        (col("n_events").cast("double") * lit(1000000.0)), 6))
+    dAll.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_backoff_bi"), lit(0L)).as("n_backoff_bi"),
+        coalesce(col("n_backoff_uni"), lit(0L)).as("n_backoff_uni"),
+        coalesce(col("nll"), lit(0.0)).as("nll"),
+        coalesce(round(exp(col("nll")), 4), lit(1.0)).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** C4q: BPE ENCODE — apply the trained merge table ([[c4BpeMerges]]'s
     * 10 rounds) to the corpus and report per-document BPE token counts
     * (plus tokens-per-word, the compression signal a tokenizer budget
@@ -1759,6 +1851,64 @@ object TextOps {
       (s"WITH $lmPplRefCtes " +
         "SELECT doc_id, n_events, n_oov_events, nll, ppl " +
         "FROM lmres ORDER BY doc_id"),
+    // Order-3 stupid-backoff replay: same reference slice, three count
+    // tables, the identical CASE op order under the micro-log.
+    "c4_lm_ppl3" -> {
+      val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      val rule =
+        "len(string_split(text, ' ')) BETWEEN 30 AND 10000 " +
+          "AND length(regexp_replace(text, '[^a-z]', '', 'g')) " +
+          ">= len(string_split(text, ' ')) * 2 " +
+          "AND length(regexp_replace(text, '[^a-z]', '', 'g')) " +
+          "<= len(string_split(text, ' ')) * 12 " +
+          "AND len(list_filter(list_distinct(string_split(text, ' ')), " +
+          s"t -> list_contains($stopList, t))) >= 2"
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        s"tr AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+        s"FROM documents WHERE $rule), " +
+        "e3 AS (SELECT doc_id, toks[i] AS u, toks[i + 1] AS v, toks[i + 2] AS w " +
+        "FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g), " +
+        "e3t AS (SELECT toks[i] AS u, toks[i + 1] AS v, toks[i + 2] AS w " +
+        "FROM tr, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g), " +
+        "e2t AS (SELECT toks[i] AS a, toks[i + 1] AS b " +
+        "FROM tr, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g), " +
+        "tg AS (SELECT u, v, w, count(*) AS c3 FROM e3t GROUP BY u, v, w), " +
+        "bg AS (SELECT a, b, count(*) AS c2 FROM e2t GROUP BY a, b), " +
+        "un AS (SELECT tok, count(*) AS c1 FROM " +
+        "(SELECT unnest(toks) AS tok FROM tr) GROUP BY tok), " +
+        "tv AS (SELECT CAST(count(*) AS BIGINT) AS t, " +
+        "count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM tr)), " +
+        "sc AS (SELECT e.doc_id, " +
+        "CASE WHEN tg.c3 IS NULL AND b2.c2 IS NOT NULL THEN 1 ELSE 0 END AS bo1, " +
+        "CASE WHEN tg.c3 IS NULL AND b2.c2 IS NULL THEN 1 ELSE 0 END AS bo2, " +
+        "CAST(round(1000000.0 * ln(" +
+        "CASE WHEN tg.c3 IS NOT NULL " +
+        "THEN CAST(tg.c3 AS DOUBLE) / CAST(b1.c2 AS DOUBLE) " +
+        "WHEN b2.c2 IS NOT NULL " +
+        "THEN 0.4 * (CAST(b2.c2 AS DOUBLE) / CAST(uv.c1 AS DOUBLE)) " +
+        "ELSE 0.4 * 0.4 * (CAST(COALESCE(uw.c1, 0) + 1 AS DOUBLE) / " +
+        "CAST(tv.t + tv.v AS DOUBLE)) END), 0) AS BIGINT) AS li " +
+        "FROM e3 e " +
+        "LEFT JOIN tg ON tg.u = e.u AND tg.v = e.v AND tg.w = e.w " +
+        "LEFT JOIN bg b1 ON b1.a = e.u AND b1.b = e.v " +
+        "LEFT JOIN bg b2 ON b2.a = e.v AND b2.b = e.w " +
+        "LEFT JOIN un uv ON uv.tok = e.v " +
+        "LEFT JOIN un uw ON uw.tok = e.w " +
+        "CROSS JOIN tv), " +
+        "ag AS (SELECT doc_id, count(*) AS n_events, " +
+        "CAST(sum(bo1) AS BIGINT) AS n_backoff_bi, " +
+        "CAST(sum(bo2) AS BIGINT) AS n_backoff_uni, " +
+        "CAST(sum(li) AS BIGINT) AS s FROM sc GROUP BY doc_id), " +
+        "ag2 AS (SELECT doc_id, n_events, n_backoff_bi, n_backoff_uni, " +
+        "round((0.0 - CAST(s AS DOUBLE)) / (n_events * 1000000.0), 6) AS nll " +
+        "FROM ag) " +
+        "SELECT t.doc_id, COALESCE(ag2.n_events, 0) AS n_events, " +
+        "COALESCE(ag2.n_backoff_bi, 0) AS n_backoff_bi, " +
+        "COALESCE(ag2.n_backoff_uni, 0) AS n_backoff_uni, " +
+        "COALESCE(ag2.nll, 0.0) AS nll, " +
+        "COALESCE(round(exp(ag2.nll), 4), 1.0) AS ppl " +
+        "FROM t LEFT JOIN ag2 USING (doc_id) ORDER BY doc_id"
+    },
     "c4_rolling_hash" ->
       ("SELECT doc_id, list_reduce(" +
         "list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))), " +
@@ -1788,6 +1938,7 @@ object TextOps {
     "c4_quality_model" -> ((s: SparkSession, d: String) => c4QualityModel(s, d)),
     "c4_lm_ppl" -> (c4LmPpl _),
     "c4_lm_ppl_ref" -> (c4LmPplRef _),
+    "c4_lm_ppl3" -> (c4LmPpl3 _),
     "c4_substring_dup" -> ((s: SparkSession, d: String) => c4SubstringDup(s, d)),
     "c4_substring_scrub" -> ((s: SparkSession, d: String) => c4SubstringScrub(s, d)),
     "c4_chunk" -> ((s: SparkSession, d: String) => c4Chunk(s, d)),

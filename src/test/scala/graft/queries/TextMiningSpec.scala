@@ -510,6 +510,62 @@ class TextMiningSpec extends SparkSuite {
       "out-of-reference doc did not score worse than reference docs")
   }
 
+  test("c4_lm_ppl3: stupid backoff matches brute force; every backoff level fires") {
+    import spark.implicits._
+    val stop = Seq("the", "of", "and", "to", "in", "is")
+    def clean(seed: Int): String =
+      (1 to 15).flatMap(i => Seq(s"tok${seed}x$i", stop(i % stop.length)))
+        .mkString(" ")
+    // doc 3: all-OOV (every event takes the unigram floor)
+    // doc 4: novel context around a TRAINED bigram (tok1x1 of) — its
+    // first event backs off to the bigram level, the rest to unigram
+    val junk = "zzq1 zzq2 zzq3 zzq4 zzq5"
+    val mixed = "zza tok1x1 of zzb zzc"
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm3").toString
+    Seq((1L, clean(1), "en"), (2L, clean(2), "en"),
+      (3L, junk, "en"), (4L, mixed, "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.c4LmPpl3(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    // brute-force model over the rule-keep slice {1, 2}
+    val ref = Seq(clean(1), clean(2)).map(_.split(" ").toSeq)
+    val c3 = ref.flatMap(_.sliding(3).filter(_.length == 3).map(s => (s(0), s(1), s(2))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c2 = ref.flatMap(_.sliding(2).filter(_.length == 2).map(s => (s(0), s(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = ref.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tTot = ref.map(_.size).sum.toLong
+    val v = ref.flatten.toSet.size.toLong
+    def round6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def round4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq(1L -> clean(1), 2L -> clean(2), 3L -> junk, 4L -> mixed).foreach {
+      case (id, text) =>
+        val evs = text.split(" ").toSeq.sliding(3).filter(_.length == 3)
+          .map(s => (s(0), s(1), s(2))).toSeq
+        var (bo1, bo2) = (0L, 0L)
+        val s = evs.map { case (u, vv, w) =>
+          val p =
+            if (c3.contains((u, vv, w))) c3((u, vv, w)).toDouble / c2((u, vv)).toDouble
+            else if (c2.contains((vv, w))) { bo1 += 1
+              0.4 * (c2((vv, w)).toDouble / c1(vv).toDouble) }
+            else { bo2 += 1
+              0.4 * 0.4 * ((c1.getOrElse(w, 0L) + 1).toDouble / (tTot + v).toDouble) }
+          BigDecimal(1e6 * math.log(p))
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }.sum
+        val nll = round6(-s.toDouble / (evs.size * 1e6))
+        assert(got(id) == ((evs.size.toLong, bo1, bo2, nll, round4(math.exp(nll)))),
+          s"doc $id: got ${got(id)}")
+    }
+    // every backoff level actually fired where engineered
+    assert(got(1L)._2 == 0L && got(1L)._3 == 0L, "in-reference doc backed off")
+    assert(got(3L)._3 == 3L, "all-OOV doc did not take the unigram floor")
+    assert(got(4L)._2 >= 1L && got(4L)._3 >= 1L,
+      s"mixed doc missed a backoff level: ${got(4L)}")
+  }
+
   test("c4_quality_model: closed-form training and scoring match an in-memory reference") {
     val stop = Set("the", "a", "of", "to", "in", "and", "is")
     def feats(text: String): (Long, Long, Long, Long, Long) = {
