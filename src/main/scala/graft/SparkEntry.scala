@@ -68,7 +68,14 @@ object SparkEntry {
     // training cost itself stays timed in c4_bpe_merges.
     Warmup("bpe_vocab",
       Set("c4_bpe_encode", "c7_token_budget_bpe").contains(_),
-      (s, d) => { TextOps.ensureBpeVocab(s, d); () }))
+      (s, d) => { TextOps.ensureBpeVocab(s, d); () }),
+    // The reference n-gram model layout (unigram/bigram/trigram counts
+    // + (T, V) over the rule-keep slice): trained once per corpus, read
+    // by every reference-model scorer. The self-scored c4_lm_ppl keeps
+    // its training timed in-query (the train loop is its subject).
+    Warmup("lm_ref_model",
+      Set("c4_lm_ppl_ref", "c4_lm_ppl3", "c7_ppl_filter").contains(_),
+      (s, d) => { TextOps.ensureLmRefModel(s, d); () }))
 
   /** Oracle SQL whose text depends on data-trained plan literals (e.g.
     * the IVF codebook): generated against the verify-time tables, merged
