@@ -562,6 +562,49 @@ object TextOps {
       .orderBy("merge_round", "merge_rank")
   }
 
+  /** Built-ins twin of the native BpeMergeSeq expression — the greedy
+    * left-to-right simultaneous merge of a BATCH of symbol-disjoint
+    * pairs over the symbol ARRAY, as a codegen'd fold: state =
+    * (out, held) where held is a pending symbol that is the LEFT of
+    * some accepted pair, waiting for its right. Disjointness makes this
+    * order-free: no occurrence can match two different accepted pairs
+    * (that would need a shared symbol), so a run of consecutive matches
+    * is only possible within one (a,a) pair and pairs up from the
+    * left — exactly the oracle's taken-parity window replay. Kept (and
+    * spec-compared on corpus + adversarial inputs) as the executable
+    * semantics the native expression must match bit-for-bit; the
+    * trainer itself runs the native pass (the HOF's per-symbol
+    * array_append copies are quadratic per word).
+    */
+  private[graft] def mergeSeqBatchHof(seq: Column,
+      accepted: Seq[(String, String)]): Column = {
+    val Sep = " " // symbols are split-on-space tokens: never contain a space
+    val pairMap = map(accepted.flatMap { case (a, b) =>
+      Seq(lit(a + Sep + b), lit(a + b)) }: _*)
+    val leftArr = typedlit(accepted.map(_._1).distinct)
+    val emptyOut = array().cast("array<string>")
+    val nullHeld = lit(null).cast("string")
+    def st(out: Column, held: Column) =
+      struct(out.as("out"), held.as("held"))
+    aggregate(
+      seq,
+      st(emptyOut, nullHeld),
+      (s, x) => {
+        val out = s.getField("out"); val held = s.getField("held")
+        // null held → null key → null lookup (try_: ANSI-safe)
+        val m = try_element_at(pairMap, concat(held, lit(Sep), x))
+        val flushed = when(held.isNotNull, array_append(out, held))
+          .otherwise(out)
+        when(held.isNotNull && m.isNotNull,
+          st(array_append(out, m), nullHeld))
+          .when(array_contains(leftArr, x), st(flushed, x))
+          .otherwise(st(array_append(flushed, x), nullHeld))
+      },
+      s => when(s.getField("held").isNotNull,
+        array_append(s.getField("out"), s.getField("held")))
+        .otherwise(s.getField("out")))
+  }
+
   /** The shared BPE training loop: returns the merge table (round,
     * rank-within-round, lhs, rhs, merged, count), the FINAL per-word
     * vocab (word, freq, seq — the symbol array after all rounds), and
@@ -573,43 +616,11 @@ object TextOps {
   private[queries] def bpeTrain(spark: SparkSession, dir: String,
       rounds: Int = BpeRounds, cap: Int = BpeBatchCap)
       : (Seq[(Int, Int, String, String, String, Long)], DataFrame, Option[DataFrame]) = {
-    // Greedy left-to-right simultaneous merge of a BATCH of
-    // symbol-disjoint pairs over the symbol ARRAY (the seq column stays
-    // an array between rounds — no per-round string join/split), as a
-    // codegen'd fold: state = (out, held) where held is a pending
-    // symbol that is the LEFT of some accepted pair, waiting for its
-    // right. Disjointness makes this order-free: no occurrence can
-    // match two different accepted pairs (that would need a shared
-    // symbol), so a run of consecutive matches is only possible within
-    // one (a,a) pair and pairs up from the left — exactly the oracle's
-    // taken-parity window replay.
-    def mergeSeqBatch(accepted: Seq[(String, String)]): Column = {
-      val Sep = " " // symbols are split-on-space tokens: never contain a space
-      val pairMap = map(accepted.flatMap { case (a, b) =>
-        Seq(lit(a + Sep + b), lit(a + b)) }: _*)
-      val leftArr = typedlit(accepted.map(_._1).distinct)
-      val emptyOut = array().cast("array<string>")
-      val nullHeld = lit(null).cast("string")
-      def st(out: Column, held: Column) =
-        struct(out.as("out"), held.as("held"))
-      aggregate(
-        col("seq"),
-        st(emptyOut, nullHeld),
-        (s, x) => {
-          val out = s.getField("out"); val held = s.getField("held")
-          // null held → null key → null lookup (try_: ANSI-safe)
-          val m = try_element_at(pairMap, concat(held, lit(Sep), x))
-          val flushed = when(held.isNotNull, array_append(out, held))
-            .otherwise(out)
-          when(held.isNotNull && m.isNotNull,
-            st(array_append(out, m), nullHeld))
-            .when(array_contains(leftArr, x), st(flushed, x))
-            .otherwise(st(array_append(flushed, x), nullHeld))
-        },
-        s => when(s.getField("held").isNotNull,
-          array_append(s.getField("out"), s.getField("held")))
-          .otherwise(s.getField("out")))
-    }
+    // The merge automaton is the native BpeMergeSeq expression (one
+    // linear Java pass, O(1) hash probe per symbol); mergeSeqBatchHof
+    // below is the built-ins twin it is spec-pinned bit-identical to.
+    def mergeSeqBatch(accepted: Seq[(String, String)]): Column =
+      graft.functions.BpeMergeExpr.bpeMergeSeq(col("seq"), accepted)
     // One corpus pass: word frequencies, then the char-symbol sequence.
     // (split on "" can emit empty strings at the boundary — filter.)
     var vocab = docs(spark, dir)

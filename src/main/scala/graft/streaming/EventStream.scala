@@ -934,12 +934,24 @@ object EventStream {
 
   private def writeTwoBatchSplitDir(spark: SparkSession, sfDir: String,
       cutUsOpt: Option[Long]): (String, org.apache.spark.sql.types.StructType) = {
-    import java.nio.file.{Files => JFiles, StandardCopyOption}
     val ev = graft.Tables.load(spark, sfDir, "events")
     val bounds = ev.agg(
       min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx")).head()
     val cutUs = cutUsOpt.getOrElse(
       Math.floorDiv(bounds.getLong(0) + bounds.getLong(1), 2L))
+    (writeOrderedSplitDir(
+      ev.filter(unix_micros(col("ts")) <= cutUs),
+      ev.filter(unix_micros(col("ts")) > cutUs)), ev.schema)
+  }
+
+  /** Write `early`/`late` as the two ordered part files of a fresh
+    * stream-source dir; read back with `maxFilesPerTrigger=1` they
+    * arrive as two data micro-batches in that order (file order forced
+    * via modification times). Shared by the event-time split above and
+    * the doc-id split of the streaming dedup gate.
+    */
+  private def writeOrderedSplitDir(early: DataFrame, late: DataFrame): String = {
+    import java.nio.file.{Files => JFiles, StandardCopyOption}
     val stage = JFiles.createTempDirectory("graft_incr_stage")
     val streamDir = JFiles.createTempDirectory("graft_incr_src")
     // Test-harness scaffolding, not an ingest pattern: coalesce(1)
@@ -961,11 +973,39 @@ object EventStream {
           "two-batch arrival order would be undefined")
     }
     val now = System.currentTimeMillis()
-    writeHalf(ev.filter(unix_micros(col("ts")) <= cutUs), "00_early", now - 120000L)
-    writeHalf(ev.filter(unix_micros(col("ts")) > cutUs), "01_late", now - 60000L)
+    writeHalf(early, "00_early", now - 120000L)
+    writeHalf(late, "01_late", now - 60000L)
     // the staged writer dirs are empty shells after the part-file moves
     org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
-    (streamDir.toString, ev.schema)
+    streamDir.toString
+  }
+
+  /** Id-ordered two-file split of the DOCUMENTS table (the dedup-gate
+    * corpus): file 1 = doc_id ≤ floor((min+max)/2), file 2 = the rest —
+    * a production ingest assigns monotone ids, so id order IS arrival
+    * order. Memoized per sfDir like the event split.
+    */
+  private val docSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, org.apache.spark.sql.types.StructType)]()
+
+  private def twoBatchDocStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val cached = docSplitCache.get(sfDir)
+    val valid = cached != null &&
+      new java.io.File(cached._1, "00_early.parquet").isFile &&
+      new java.io.File(cached._1, "01_late.parquet").isFile
+    val (dir, schema) = if (valid) cached else {
+      val d = graft.Tables.load(spark, sfDir, "documents")
+      val b = d.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")).head()
+      val cut = Math.floorDiv(b.getLong(0) + b.getLong(1), 2L)
+      val fresh = (writeOrderedSplitDir(
+        d.filter(col("doc_id") <= cut), d.filter(col("doc_id") > cut)), d.schema)
+      docSplitCache.put(sfDir, fresh)
+      fresh
+    }
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
   }
 
   private def twoBatchEventStream(spark: SparkSession, sfDir: String,
@@ -2072,6 +2112,73 @@ object EventStream {
       .orderBy("user_id", "event_type", "value")
   }
 
+  /** Streaming MinHash-LSH NEAR-dup assignment — the ingest-time dedup
+    * GATE over the documents stream (c5_stream_dedup is the exact-key
+    * twin; this is the near-duplicate form the batch side runs as
+    * c2_minhash_lsh): each arriving doc's 16 band buckets probe and
+    * update per-bucket min-doc-id state (flatMapGroupsWithState keyed
+    * on (band, bucket)), so an admission decision uses every doc that
+    * arrived in this batch or earlier and is NEVER retracted — the
+    * property an ingest gate must have (an admitted doc has already
+    * been written downstream). With id-ordered arrival (the doc split
+    * streams ids ascending; a production ingest assigns monotone ids)
+    * the per-prefix decisions COINCIDE with the batch assignment — a
+    * bucket's prefix min equals its global min once the prefix contains
+    * the min, and id-ordered batches guarantee exactly that — which is
+    * what makes the gate oracle-checkable end to end (oracle =
+    * c2_minhash_lsh's SQL replay, banding and all). The cross-batch
+    * state propagation this rests on is spec-pinned on buckets
+    * straddling the cut (NearDupStreamSpec). State: ONE long per
+    * distinct (band, bucket) — the minimal dedup index, O(corpus
+    * buckets) as any dedup identity index must be; at 100 TB it lives
+    * in RocksDB (the provider c5_stream_restart_state runs on record)
+    * and is exactly the state a batch-built index would bootstrap.
+    */
+  final case class BucketMin(doc_id: Long, bucket_min: Long)
+
+  def docNearDupMins(spark: SparkSession, docStream: DataFrame)
+      : org.apache.spark.sql.Dataset[BucketMin] = {
+    import spark.implicits._
+    graft.dedup.MinHash.membershipsFromSets(docStream, col("doc_id"),
+        graft.dedup.MinHash.tokenSet(col("text")), numHashes = 64, bands = 16)
+      .select(col("doc_id").cast("long"), col("band").cast("int"),
+        col("bucket").cast("long"))
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[Long, BucketMin](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Long]) =>
+          // Batch granularity: every doc in this micro-batch sees the
+          // bucket min over (prior batches ∪ this whole batch) — rows
+          // of one batch arrive together, so intra-batch order carries
+          // no information and must not affect the decision.
+          val ids = rows.map(_._1).toArray
+          var m = state.getOption.getOrElse(Long.MaxValue)
+          var i = 0
+          while (i < ids.length) { if (ids(i) < m) m = ids(i); i += 1 }
+          state.update(m)
+          val bm = m
+          ids.iterator.map(BucketMin(_, bm))
+      }
+  }
+
+  /** c5_stream_neardup: the per-doc assignment read from the gate's
+    * Append sink — min over the doc's 16 emitted bucket mins (all in
+    * the doc's own arrival batch), the c5_stream_topk lambda read-path
+    * pattern. Sink is O(docs·bands) scalars, parquet (never a driver
+    * memory sink).
+    */
+  def c5StreamNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val perMember = runIncrementalToParquet(
+      docNearDupMins(spark, twoBatchDocStream(spark, sfDir)).toDF(),
+      minBatches = 2)
+    perMember.groupBy(col("doc_id"))
+      .agg(min(col("bucket_min")).as("cluster_rep"))
+      .withColumn("is_kept", col("doc_id") === col("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
   /** c5_stream_topk: per-window top-k event types over the STREAMING
     * hourly aggregation — the live-leaderboard serving composition: the
     * stream maintains the windowed counts (state bounded by the
@@ -2295,6 +2402,12 @@ object EventStream {
     "c5_stream_dedup" ->
       ("SELECT DISTINCT user_id, event_type, value FROM events " +
         "ORDER BY user_id, event_type, value"),
+    // Streaming near-dup gate: with id-ordered arrival the per-batch
+    // admission decisions coincide with the batch MinHash-LSH
+    // assignment (a bucket's prefix min equals its global min once the
+    // prefix contains the min), so the oracle IS the c2_minhash_lsh
+    // replay — banding, bucket mins, per-doc min, keep flag.
+    "c5_stream_neardup" -> graft.queries.DedupOps.oracle("c2_minhash_lsh"),
     // Incremental dedup twin: every distinct key exactly once — lazy
     // end-of-batch eviction means a two-batch in-order run never
     // re-admits a key (see c5StreamDedupIncr); a state store that
@@ -2494,6 +2607,7 @@ object EventStream {
     "c5_stream_user_stats_incr" -> (c5StreamUserStatsIncr _),
     "c5_stream_sessionize" -> (c5StreamSessionize _),
     "c5_stream_dedup" -> (c5StreamDedup _),
+    "c5_stream_neardup" -> (c5StreamNearDup _),
     "c5_stream_sliding" -> (c5StreamSliding _),
     "c5_stream_user_stats" -> (c5StreamUserStats _),
     "c5_stream_tws" -> (c5StreamTws _),

@@ -13,6 +13,8 @@ import java.sql.Timestamp
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
+case class DocRow(doc_id: Long, text: String)
+
 /** Structured Streaming twins must agree with the batch operators on the
   * same (fully-arrived) data.
   */
@@ -799,6 +801,58 @@ class EventStreamSpec extends SparkSuite {
       .map(r => (r.getLong(0), None: Option[Long])).toSet
     assert(unmatched.nonEmpty, "corpus yields no watermark-cleared matchless purchase")
     assert(got == inner ++ unmatched)
+  }
+
+  test("stream neardup gate: cross-batch bucket state dedups a later near-dup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocRow]
+    val q = EventStream.docNearDupMins(spark, mem.toDF())
+      .writeStream.format("memory").queryName("neardup_state_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      // Batch 1: the original (doc 1) and an unrelated doc (doc 5).
+      mem.addData(Seq(DocRow(1L, "x y z"), DocRow(5L, "p q r s t")))
+      q.processAllAvailable()
+      // Batch 2: an exact near-dup of doc 1 arrives LATER — every one of
+      // its 16 band buckets must resolve against batch-1 STATE (min = 1),
+      // not just batch-2 rows; and an intra-batch dup pair (7, 9).
+      mem.addData(Seq(DocRow(100L, "x y z"),
+        DocRow(7L, "m n o u v"), DocRow(9L, "m n o u v")))
+      q.processAllAvailable()
+      val assign = spark.table("neardup_state_test")
+        .groupBy("doc_id").agg(min(col("bucket_min")).as("rep"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(assign(1L) === 1L)
+      assert(assign(5L) === 5L)
+      assert(assign(100L) === 1L,  // the cross-batch property
+        s"batch-2 near-dup resolved to ${assign(100L)}, not the batch-1 original")
+      assert(assign(7L) === 7L && assign(9L) === 7L) // intra-batch pair
+    } finally q.stop()
+  }
+
+  test("c5_stream_neardup == batch c2_minhash_lsh assignment on the corpus") {
+    // Id-ordered two-batch arrival makes the streamed per-prefix
+    // decisions coincide with the batch assignment — the equality the
+    // oracle reuse rests on. Run the REAL query (file split, two data
+    // micro-batches, parquet sink, read-side fold) against the batch
+    // machinery it claims to replay.
+    val streamed = EventStream.c5StreamNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val batch = graft.dedup.MinHash.dedupAssignments(
+        Tables.load(spark, sf, "documents"), col("doc_id"), col("text"),
+        numHashes = 64, bands = 16)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(streamed.length === batch.length)
+    assert(streamed.sameElements(batch))
+    // Non-vacuous: at least one admission decision actually crossed the
+    // batch cut (a later doc resolved to an earlier-batch original).
+    val ids = streamed.map(_._1)
+    val cut = Math.floorDiv(ids.min + ids.max, 2L)
+    assert(streamed.exists { case (id, rep, _) => id > cut && rep <= cut },
+      "no duplicate pair straddles the id cut — the corpus no longer " +
+        "exercises cross-batch state; engineer one or move the cut")
   }
 
   test("state-store provider independence: RocksDB results == default-store results") {
