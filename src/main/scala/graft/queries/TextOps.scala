@@ -517,6 +517,27 @@ object TextOps {
   private[queries] val BpeBatchCap = 64
   private[queries] val BpeCandCap = 256
 
+  /** Input-size gate for the trainer's vocab-sizing pre-pass: corpora
+    * whose documents input is smaller than this never need resizing
+    * (the sf1-sparse 0.82M-type corpus, 8.6 MB compressed, trains fine
+    * at 32 partitions / 8 g), so the pre-pass — and any plan change —
+    * is skipped below it and the gate corpora (≤0.6 MB) are untouched.
+    */
+  private[queries] val BpeSizingBytes = 32L * 1024 * 1024
+
+  /** Loop shuffle width for `approxTypes` word types: ~25k types per
+    * partition — the density measured safe at 8 g (sf1-sparse trains at
+    * 26k/partition; 331k/partition OOMs the round-1 cache unroll and
+    * 100k/partition still does: the per-task cost is cache unroll PLUS
+    * the pair-count partial hash map PLUS shuffle buffers, concurrently
+    * on every core — BASELINE.md round 15). Never below the session
+    * setting (small corpora keep their plans), capped at 4096 (the
+    * pair-count reduce fan-in stays bounded; beyond that you grow
+    * executors, not partitions).
+    */
+  private[queries] def bpeShufflePartitions(approxTypes: Long, base: Int): Int =
+    math.min(4096L, math.max(base.toLong, approxTypes / 25000L)).toInt
+
   /** C4p: BPE merge training — the tokenizer-pipeline primitive itself
     * (the [[c4VocabGrowth]]/[[c4Zipf]] curves DIAGNOSE a tokenizer
     * budget; this computes the byte-pair-encoding merge table a
@@ -621,6 +642,35 @@ object TextOps {
     // below is the built-ins twin it is spec-pinned bit-identical to.
     def mergeSeqBatch(accepted: Seq[(String, String)]): Column =
       graft.functions.BpeMergeExpr.bpeMergeSeq(col("seq"), accepted)
+    // VOCAB-SIZED partitioning: the loop's per-task structures (the
+    // round-k vocab cache unroll, the pair-count partial hash map) are
+    // O(types / shuffle.partitions), and a session-constant partition
+    // count therefore stops fitting as the vocabulary grows — measured:
+    // 10.6M types over 32 partitions OOMs the default 8 g heap in the
+    // round-1 cache unroll, while the same corpus at ~100k types per
+    // partition completes (BASELINE.md round 15). On a big corpus one
+    // cheap HLL pre-pass (approx_count_distinct over the token stream —
+    // partial-agg, tiny output; the exactness of the type count only
+    // sizes partitions, never results) picks the loop's shuffle width;
+    // small corpora (input below the threshold) skip the pre-pass and
+    // keep the session setting, so the gate-scale plans are unchanged.
+    val sizedParts: Option[Int] = {
+      // Local-FS walk (the sourceFingerprint convention — this harness's
+      // corpora are local); a remote-FS deployment would read the same
+      // size from FileSystem.getContentSummary.
+      def bytes(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(bytes).sum
+        else f.length
+      val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      if (bytes(new java.io.File(s"$dir/documents.parquet")) < BpeSizingBytes) None
+      else {
+        val approxTypes = docs(spark, dir)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .agg(approx_count_distinct(col("word")).as("t")).head().getLong(0)
+        Some(bpeShufflePartitions(approxTypes, base)).filter(_ != base)
+      }
+    }
     // One corpus pass: word frequencies, then the char-symbol sequence.
     // (split on "" can emit empty strings at the boundary — filter.)
     var vocab = docs(spark, dir)
@@ -649,7 +699,12 @@ object TextOps {
     // has nothing to win; the corpus-sized w0 pass is one partial+final
     // aggregate with a fixed fan-in.
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // Shuffle partitions are read at ACTION time, so setting them here
+    // covers the initial w0 aggregate (materialized by round 1's
+    // pair-count action) and every per-round shuffle; restored with AQE.
+    sizedParts.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
     try {
       var k = 0
       var exhausted = false
@@ -697,7 +752,10 @@ object TextOps {
       case e: Throwable =>
         persisted.foreach(_.unpersist(blocking = false))
         throw e
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     (merges.toSeq, vocab, prevRound)
   }
 

@@ -171,6 +171,24 @@ class TextMiningSpec extends SparkSuite {
     (merges.result(), wordSyms)
   }
 
+  test("bpe trainer vocab sizing: clamp function and small-corpus no-op") {
+    // Clamp: never below the session width, ~100k types/partition,
+    // capped at 4096.
+    assert(TextOps.bpeShufflePartitions(0L, 32) === 32)
+    assert(TextOps.bpeShufflePartitions(823000L, 32) === 32)    // sf1 sparse
+    assert(TextOps.bpeShufflePartitions(10580000L, 32) === 423) // sf10 sparse
+    assert(TextOps.bpeShufflePartitions(Long.MaxValue, 32) === 4096)
+    assert(TextOps.bpeShufflePartitions(5000000L, 256) === 256)
+    // Below the sizing threshold the trainer must not touch the session
+    // conf (the gate corpora keep their plans): train once and check the
+    // setting is byte-identical after.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val (m, _, last) = TextOps.bpeTrain(spark, sf, rounds = 2)
+    last.foreach(_.unpersist(blocking = false))
+    assert(m.nonEmpty)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+  }
+
   test("c4_bpe_merges matches an in-memory reference batched BPE; >= 100 effective merges") {
     val got = TextOps.c4BpeMerges(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
