@@ -831,6 +831,52 @@ class EventStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream neardup gate state: one row per DISTINCT bucket, not per doc-band") {
+    // The gate's 100 TB state claim (PLANS.md): one long per distinct
+    // (band, bucket) — near-dups share buckets, so duplicated corpora
+    // collapse instead of growing state by docs×bands. Unlike the
+    // watermarked exact-dedup state this never evicts by design: it IS
+    // the dedup identity index (the batch-built index a takedown would
+    // compact), so the bound to pin is distinct-buckets, not a horizon.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = (0 until 10).map(i => s"alpha$i beta$i gamma$i delta$i")
+    val docs = (0 until 20).map(i => DocRow(i.toLong, texts(i % 10)))
+    val distinctBuckets = graft.dedup.MinHash.membershipsFromSets(
+      docs.toDF(), col("doc_id"), graft.dedup.MinHash.tokenSet(col("text")),
+      numHashes = 64, bands = 16)
+      .select("band", "bucket").distinct().count()
+    @volatile var maxRows = 0L
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops.nonEmpty)
+          maxRows = math.max(maxRows, ops.map(_.numRowsTotal).sum)
+      }
+    }
+    spark.streams.addListener(listener)
+    val mem = MemoryStream[DocRow]
+    val q = EventStream.docNearDupMins(spark, mem.toDF())
+      .writeStream.format("memory").queryName("neardup_state_bound")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      docs.grouped(10).foreach { b => mem.addData(b); q.processAllAvailable() }
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      spark.streams.removeListener(listener)
+      // every (doc, band) membership emitted exactly once
+      assert(spark.table("neardup_state_bound").count() === 20L * 16)
+      assert(maxRows > 0L, "no state telemetry observed")
+      assert(maxRows === distinctBuckets,
+        s"state $maxRows != distinct buckets $distinctBuckets — " +
+          "gate state is not the per-bucket index the scale claim pins")
+      // and distinctly NOT docs×bands (the duplicates must collapse)
+      assert(distinctBuckets < 20L * 16)
+    } finally q.stop()
+  }
+
   test("c5_stream_neardup == batch c2_minhash_lsh assignment on the corpus") {
     // Id-ordered two-batch arrival makes the streamed per-prefix
     // decisions coincide with the batch assignment — the equality the
