@@ -2128,11 +2128,16 @@ object EventStream {
     * what makes the gate oracle-checkable end to end (oracle =
     * c2_minhash_lsh's SQL replay, banding and all). The cross-batch
     * state propagation this rests on is spec-pinned on buckets
-    * straddling the cut (NearDupStreamSpec). State: ONE long per
-    * distinct (band, bucket) — the minimal dedup index, O(corpus
-    * buckets) as any dedup identity index must be; at 100 TB it lives
-    * in RocksDB (the provider c5_stream_restart_state runs on record)
-    * and is exactly the state a batch-built index would bootstrap.
+    * straddling the cut (EventStreamSpec, plus the state-bound
+    * telemetry spec: one state row per DISTINCT bucket). State: ONE
+    * long per distinct (band, bucket) — the minimal dedup index,
+    * O(corpus buckets) as any dedup identity index must be; at 100 TB
+    * it lives in RocksDB (the provider c5_stream_restart_state runs on
+    * record) and is exactly the state a batch-built index would
+    * bootstrap. Per-task transient memory is one id array per
+    * (bucket ∩ micro-batch) — a boilerplate mega-bucket is bounded by
+    * the trigger's batch size (maxFilesPerTrigger / maxBytesPerTrigger),
+    * the knob that already bounds every per-batch structure here.
     */
   final case class BucketMin(doc_id: Long, bucket_min: Long)
 
