@@ -702,7 +702,7 @@ object PipelineOps {
     * a floor against fragments, and the corpus's first-copy survivors
     * skew short — 40 would leave a near-empty train set at sf0.01.)
     */
-  private def pipelineKept(spark: SparkSession, dir: String,
+  private[queries] def pipelineKept(spark: SparkSession, dir: String,
       minTokens: Int): DataFrame = {
     val base = docs(spark, dir)
     // 4 bands × 16 rows ⇒ collision threshold ≈ (1/4)^(1/16) ≈ 0.92
@@ -767,6 +767,55 @@ object PipelineOps {
         col("n_removed"), col("n_eff"))
     withRunningSum(k2, "n_eff", "cum")
       .select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("n_removed"), col("n_eff"),
+        expr(s"(cum - n_eff) div $seqLen").as("first_seq"),
+        expr(s"(cum - 1) div $seqLen").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1L)
+      .orderBy("lang", "doc_id")
+  }
+
+  /** C7x: the FULL CCNet-shaped curation pipeline — [[pipelineKept]]'s
+    * dedup/langid/length/carve-out prologue, THEN the reference-LM
+    * perplexity tercile among the SURVIVORS (per-lang (nll, doc_id)
+    * rank, exact integer tercile, head+middle kept — the c7_ppl_filter
+    * selection applied where CCNet applies it: AFTER dedup, so a
+    * dropped duplicate can neither occupy a tercile slot nor shift a
+    * boundary), THEN substring scrub among the ppl-kept survivors, the
+    * effective-length floor re-applied, and packing over effective
+    * tokens. Output carries nll next to the packing columns so the
+    * selection is auditable per doc.
+    *
+    * Scale posture: every stage is the proven machinery of its
+    * standalone query — the prologue's O(n·bands) banding, the LM
+    * scoring join against the fingerprint-keyed reference layout
+    * (model-sized; never retrained in-pipeline), the per-lang rank via
+    * the partitioned prefix sum (no global window), the
+    * occurrence-capped span chain over the (twice-shrunk) survivor
+    * set, and the two-phase packing sum. Nothing re-tokenizes the raw
+    * corpus a second time.
+    */
+  def c7PipelineV3(spark: SparkSession, dir: String, minTokens: Int = 10,
+      seqLen: Long = 2048L, window: Int = 16, maxOcc: Int = 16): DataFrame = {
+    val kept = pipelineKept(spark, dir, minTokens)
+    val ppl = TextOps.c4LmPplRef(spark, dir).select(col("doc_id"), col("nll"))
+    val jk = kept.join(ppl, "doc_id").withColumn("one", lit(1L))
+    val ranked = withRunningSum(jk, "one", "rk", keyCol = "lang",
+      orderCols = Seq("nll", "doc_id"))
+    val totals = ranked.groupBy("lang").agg(count(lit(1)).as("n"))
+    val pplKept = ranked.join(broadcast(totals), "lang")
+      .filter(expr("(3 * (rk - 1)) div n") <= 1)
+      .select(col("lang"), col("doc_id"), col("text"), col("n_tokens"),
+        col("nll"))
+    val rm = TextOps.scrubRemovedCounts(
+      pplKept.select(col("doc_id"), col("text")), window, maxOcc)
+    val k2 = pplKept.join(rm, Seq("doc_id"), "left")
+      .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+      .withColumn("n_eff", col("n_tokens") - col("n_removed"))
+      .filter(col("n_eff") >= minTokens)
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("nll"),
+        col("n_removed"), col("n_eff"))
+    withRunningSum(k2, "n_eff", "cum")
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("nll"),
         col("n_removed"), col("n_eff"),
         expr(s"(cum - n_eff) div $seqLen").as("first_seq"),
         expr(s"(cum - 1) div $seqLen").as("last_seq"))
@@ -1474,6 +1523,61 @@ object PipelineOps {
         "(cum - 1) // 2048 AS last_seq, " +
         "((cum - 1) // 2048) - ((cum - n_eff) // 2048) + 1 AS n_seqs " +
         "FROM p2 ORDER BY lang, doc_id"),
+    // V3 replay: the v1 prologue, the lm-prefixed reference-LM chain
+    // (names disjoint by prefix), the per-lang tercile over the kept
+    // slice, then v2's z-chain/floor/packing over the ppl-kept
+    // survivors.
+    "c7_pipeline_v3" ->
+      ("WITH base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
+        "FROM documents), " +
+        DedupOps.mhChainSql(bands = 4, rows = 16) + ", " +
+        "mm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) " +
+        "AS bucket_min FROM mem), " +
+        "asg AS (SELECT doc_id, doc_id = min(bucket_min) AS first_copy " +
+        "FROM mm GROUP BY doc_id), " +
+        TextOps.langIdCtes + ", " +
+        "det AS (SELECT doc_id, struct_extract(best, 'code') AS detected_lang FROM b), " +
+        "kept AS (SELECT d.lang, d.doc_id, d.text, " +
+        "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM documents d JOIN asg USING (doc_id) JOIN det USING (doc_id) " +
+        "WHERE asg.first_copy AND det.detected_lang = d.lang " +
+        "AND len(string_split(d.text, ' ')) >= 10 " +
+        s"AND $bucketSql < ${(0.8 * 4294967296L).toLong}), " +
+        TextOps.lmPplRefCtes + ", " +
+        "pj AS (SELECT k.lang, k.doc_id, k.text, k.n_tokens, p.nll " +
+        "FROM kept k JOIN lmres p USING (doc_id)), " +
+        "pr AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang " +
+        "ORDER BY nll, doc_id) AS BIGINT) AS rk, " +
+        "count(*) OVER (PARTITION BY lang) AS n FROM pj), " +
+        "pk AS (SELECT lang, doc_id, text, n_tokens, nll FROM pr " +
+        "WHERE (3 * (rk - 1)) // n <= 1), " +
+        TextOps.ssdupChainOver("pk", "z") + ", " +
+        "zsp AS (SELECT d1, d2, diag, min(o1) AS a0, max(o1) AS a1 " +
+        "FROM zi GROUP BY d1, d2, diag, isl), " +
+        "zrem AS (SELECT DISTINCT d2 AS doc_id, a0 + diag AS s, " +
+        "a0 + diag + (a1 - a0 + 16) - 1 AS e FROM zsp), " +
+        "zmx AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe FROM zrem), " +
+        "zg AS (SELECT *, sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 " +
+        "ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp FROM zmx), " +
+        "zmi AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM zg " +
+        "GROUP BY doc_id, grp), " +
+        "zrm AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_removed " +
+        "FROM zmi GROUP BY doc_id), " +
+        "k2 AS (SELECT pk.lang, pk.doc_id, pk.n_tokens, pk.nll, " +
+        "CAST(COALESCE(zrm.n_removed, 0) AS BIGINT) AS n_removed, " +
+        "pk.n_tokens - COALESCE(zrm.n_removed, 0) AS n_eff " +
+        "FROM pk LEFT JOIN zrm USING (doc_id) " +
+        "WHERE pk.n_tokens - COALESCE(zrm.n_removed, 0) >= 10), " +
+        "p2 AS (SELECT lang, doc_id, n_tokens, nll, n_removed, n_eff, " +
+        "CAST(SUM(n_eff) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) " +
+        "AS cum FROM k2) " +
+        "SELECT lang, doc_id, n_tokens, nll, n_removed, " +
+        "CAST(n_eff AS BIGINT) AS n_eff, " +
+        "(cum - n_eff) // 2048 AS first_seq, " +
+        "(cum - 1) // 2048 AS last_seq, " +
+        "((cum - 1) // 2048) - ((cum - n_eff) // 2048) + 1 AS n_seqs " +
+        "FROM p2 ORDER BY lang, doc_id"),
     "c7_pack_sequences" ->
       ("SELECT lang, doc_id, n_tokens, " +
         "(cum - n_tokens) // 2048 AS first_seq, " +
@@ -1633,6 +1737,7 @@ object PipelineOps {
     "c7_pack_sequences" -> ((s: SparkSession, d: String) => c7PackSequences(s, d)),
     "c7_pipeline" -> ((s: SparkSession, d: String) => c7Pipeline(s, d)),
     "c7_pipeline_v2" -> ((s: SparkSession, d: String) => c7PipelineV2(s, d)),
+    "c7_pipeline_v3" -> ((s: SparkSession, d: String) => c7PipelineV3(s, d)),
     "c7_ppl_filter" -> (c7PplFilter _),
     "c7_sample_topk" -> ((s: SparkSession, d: String) => c7SampleTopk(s, d)),
     "c7_mix_sources" -> ((s: SparkSession, d: String) => c7MixSources(s, d)),

@@ -229,6 +229,55 @@ class PipelineSpec extends SparkSuite {
     rows.foreach { case (_, _, _, b, keep) => assert(keep == (b <= 1)) }
   }
 
+  test("c7_pipeline_v3: tercile over SURVIVORS; composed set matches in-memory reference") {
+    // The composed semantics v3 adds over v2: the per-lang perplexity
+    // tercile is computed among the DEDUP SURVIVORS, not the raw
+    // corpus — a dropped duplicate must neither occupy a tercile slot
+    // nor shift a boundary. Reference: rank pipelineKept's survivors
+    // by (nll, doc_id) per lang in memory, keep bucket <= 1, and the
+    // composed query's doc set must equal it exactly.
+    import org.apache.spark.sql.functions._
+    val kept = PipelineOps.pipelineKept(spark, sf, 10)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nll = TextOps.c4LmPplRef(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val expectKeep = kept.groupBy(_._1).toSeq.flatMap { case (_, ds) =>
+      val ranked = ds.map(d => (nll(d._2), d._2)).sortBy(identity).toSeq
+      val n = ranked.length
+      ranked.zipWithIndex.collect {
+        case ((_, id), i) if (3L * i) / n <= 1 => id
+      }
+    }.toSet
+    val got = PipelineOps.c7PipelineV3(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4),
+        r.getLong(5)))
+    // v3's output = survivor-tercile keeps minus effective-length-floor
+    // drops; on the gate corpus the floor drops nothing (min doc is
+    // well above 10 tokens post-scrub), so the sets match exactly. If
+    // the corpus changes shape, the subset assert still holds and the
+    // equality assert localizes the floor's effect.
+    val gotIds = got.map(_._2).toSet
+    assert(gotIds.subsetOf(expectKeep), "v3 kept a doc outside the survivor tercile")
+    assert(gotIds === expectKeep,
+      s"${expectKeep.size - gotIds.size} survivor-tercile docs missing from v3")
+    // Non-vacuity of 'over survivors': the survivor tercile must differ
+    // from (full-corpus tercile ∩ survivors) on this corpus — dedup
+    // drops enough docs to shift boundaries.
+    val fullKeep = PipelineOps.c7PplFilter(spark, sf).collect()
+      .filter(_.getBoolean(4)).map(_.getLong(1)).toSet
+    val keptIds = kept.map(_._2).toSet
+    assert(expectKeep != (fullKeep intersect keptIds),
+      "corpus no longer distinguishes survivor-tercile from full-corpus " +
+        "tercile — the composition property is untested; re-engineer")
+    // n_eff accounting: n_eff = n_tokens - n_removed, all >= floor
+    val ok = PipelineOps.c7PipelineV3(spark, sf)
+      .filter(col("n_eff") =!= col("n_tokens") - col("n_removed") ||
+        col("n_eff") < 10)
+      .count()
+    assert(ok === 0L)
+  }
+
   test("c7_mix_sources: budget respected, rates capped, small sources upweighted") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
