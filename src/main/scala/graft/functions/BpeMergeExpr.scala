@@ -104,6 +104,16 @@ case class BpeMergeSeq(child: Expression, accepted: Seq[(String, String)])
     extends UnaryExpression {
 
   require(accepted.nonEmpty, "empty merge batch")
+  // Disjointness is the automaton's correctness contract (see scaladoc);
+  // buildMap keys on lhs alone, so a violated contract would diverge
+  // from the HOF twin SILENTLY (last-wins) — fail construction instead.
+  // An (a,a) pair legally uses its symbol twice within the one pair.
+  require({
+    val seen = scala.collection.mutable.Set[String]()
+    accepted.forall { case (l, r) =>
+      !seen(l) && (l == r || !seen(r)) && { seen += l; seen += r; true }
+    }
+  }, s"merge batch is not symbol-disjoint: $accepted")
 
   @transient private lazy val lookup = BpeMergeImpl.buildMap(accepted)
 

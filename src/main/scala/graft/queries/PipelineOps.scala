@@ -794,16 +794,27 @@ object PipelineOps {
     * set, and the two-phase packing sum. Nothing re-tokenizes the raw
     * corpus a second time.
     */
+  /** Per-lang CCNet tercile machinery shared by [[c7PplFilter]] and
+    * [[c7PipelineV3]] — ONE source of truth for the oracle-pinned
+    * boundary: deterministic (nll, doc_id) rank via the partitioned
+    * prefix sum, broadcast per-lang totals (O(langs) rows), exact
+    * integer bucket `(3·(rk−1)) div n`. Input must carry
+    * (lang, doc_id, nll); columns pass through plus `bucket`.
+    */
+  private def withPplTercile(df: DataFrame): DataFrame = {
+    val ranked = withRunningSum(df.withColumn("one", lit(1L)), "one", "rk",
+      keyCol = "lang", orderCols = Seq("nll", "doc_id"))
+    val totals = ranked.groupBy("lang").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(totals), "lang")
+      .withColumn("bucket", expr("(3 * (rk - 1)) div n"))
+  }
+
   def c7PipelineV3(spark: SparkSession, dir: String, minTokens: Int = 10,
       seqLen: Long = 2048L, window: Int = 16, maxOcc: Int = 16): DataFrame = {
     val kept = pipelineKept(spark, dir, minTokens)
     val ppl = TextOps.c4LmPplRef(spark, dir).select(col("doc_id"), col("nll"))
-    val jk = kept.join(ppl, "doc_id").withColumn("one", lit(1L))
-    val ranked = withRunningSum(jk, "one", "rk", keyCol = "lang",
-      orderCols = Seq("nll", "doc_id"))
-    val totals = ranked.groupBy("lang").agg(count(lit(1)).as("n"))
-    val pplKept = ranked.join(broadcast(totals), "lang")
-      .filter(expr("(3 * (rk - 1)) div n") <= 1)
+    val pplKept = withPplTercile(kept.join(ppl, "doc_id"))
+      .filter(col("bucket") <= 1)
       .select(col("lang"), col("doc_id"), col("text"), col("n_tokens"),
         col("nll"))
     val rm = TextOps.scrubRemovedCounts(
@@ -840,14 +851,8 @@ object PipelineOps {
     */
   def c7PplFilter(spark: SparkSession, dir: String): DataFrame = {
     val ppl = TextOps.c4LmPplRef(spark, dir).select(col("doc_id"), col("nll"))
-    val j = docs(spark, dir).select(col("doc_id"), col("lang"))
-      .join(ppl, "doc_id")
-      .withColumn("one", lit(1L))
-    val ranked = withRunningSum(j, "one", "rk", keyCol = "lang",
-      orderCols = Seq("nll", "doc_id"))
-    val totals = ranked.groupBy("lang").agg(count(lit(1)).as("n"))
-    ranked.join(broadcast(totals), "lang")
-      .withColumn("bucket", expr("(3 * (rk - 1)) div n"))
+    withPplTercile(docs(spark, dir).select(col("doc_id"), col("lang"))
+        .join(ppl, "doc_id"))
       .withColumn("keep", col("bucket") <= 1)
       .select("lang", "doc_id", "nll", "bucket", "keep")
       .orderBy("lang", "doc_id")

@@ -517,13 +517,16 @@ object TextOps {
   private[queries] val BpeBatchCap = 64
   private[queries] val BpeCandCap = 256
 
-  /** Input-size gate for the trainer's vocab-sizing pre-pass: corpora
-    * whose documents input is smaller than this never need resizing
-    * (the sf1-sparse 0.82M-type corpus, 8.6 MB compressed, trains fine
-    * at 32 partitions / 8 g), so the pre-pass — and any plan change —
-    * is skipped below it and the gate corpora (≤0.6 MB) are untouched.
+  /** Input-size gate for the trainer's vocab-sizing pre-pass. Sized so
+    * that a SKIPPED corpus cannot reach the measured-OOM type density
+    * even at the sparse corpus's types-per-byte rate (~0.1 types/byte:
+    * sf1-sparse is 0.82M types in 8.6 MB): 4 MB ⇒ ≤ ~0.4M types ⇒
+    * ≤ ~13k types/partition at the 32-partition default — half the
+    * proven-safe 26k density, nowhere near the 100k OOM band. The gate
+    * corpora (≤0.6 MB) are untouched; sf1-scale corpora now pay one
+    * cheap HLL pre-pass (~1 s) for the guarantee.
     */
-  private[queries] val BpeSizingBytes = 32L * 1024 * 1024
+  private[queries] val BpeSizingBytes = 4L * 1024 * 1024
 
   /** Loop shuffle width for `approxTypes` word types: ~25k types per
     * partition — the density measured safe at 8 g (sf1-sparse trains at
@@ -536,7 +539,9 @@ object TextOps {
     * executors, not partitions).
     */
   private[queries] def bpeShufflePartitions(approxTypes: Long, base: Int): Int =
-    math.min(4096L, math.max(base.toLong, approxTypes / 25000L)).toInt
+    // cap inside, floor outside: a session already wider than 4096
+    // must keep its width (the cap bounds GROWTH, never shrinks)
+    math.max(base.toLong, math.min(4096L, approxTypes / 25000L)).toInt
 
   /** C4p: BPE merge training — the tokenizer-pipeline primitive itself
     * (the [[c4VocabGrowth]]/[[c4Zipf]] curves DIAGNOSE a tokenizer
@@ -646,9 +651,9 @@ object TextOps {
     // round-k vocab cache unroll, the pair-count partial hash map) are
     // O(types / shuffle.partitions), and a session-constant partition
     // count therefore stops fitting as the vocabulary grows — measured:
-    // 10.6M types over 32 partitions OOMs the default 8 g heap in the
-    // round-1 cache unroll, while the same corpus at ~100k types per
-    // partition completes (BASELINE.md round 15). On a big corpus one
+    // 10.6M types over 32 partitions (331k/partition) OOMs the default
+    // 8 g heap in the round-1 cache unroll, 100k/partition still OOMs,
+    // 25k/partition completes (BASELINE.md round 15). On a big corpus one
     // cheap HLL pre-pass (approx_count_distinct over the token stream —
     // partial-agg, tiny output; the exactness of the type count only
     // sizes partitions, never results) picks the loop's shuffle width;

@@ -2158,10 +2158,13 @@ object EventStream {
           // of one batch arrive together, so intra-batch order carries
           // no information and must not affect the decision.
           val ids = rows.map(_._1).toArray
-          var m = state.getOption.getOrElse(Long.MaxValue)
+          val prior = state.getOption
+          var m = prior.getOrElse(Long.MaxValue)
           var i = 0
           while (i < ids.length) { if (ids(i) < m) m = ids(i); i += 1 }
-          state.update(m)
+          // write state only when the min improved (or on first sight):
+          // an unchanged put is pure write amplification in RocksDB
+          if (!prior.contains(m)) state.update(m)
           val bm = m
           ids.iterator.map(BucketMin(_, bm))
       }

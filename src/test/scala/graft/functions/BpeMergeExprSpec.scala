@@ -72,8 +72,10 @@ class BpeMergeExprSpec extends SparkSuite {
       .select(col("word"), concat(
         filter(split(col("word"), ""), x => x =!= ""),
         array(lit("</w>"))).as("seq"))
-    val accepted = Seq(("e", "</w>"), ("s", "</w>"), ("t", "h"),
-      ("a", "n"), ("i", "o"), ("c", "c"))
+    // Symbol-disjoint (the trainer's contract, now require-enforced):
+    // no symbol appears in two pairs; (c,c) legally reuses its own.
+    val accepted = Seq(("e", "</w>"), ("t", "h"),
+      ("a", "n"), ("i", "o"), ("c", "c"), ("s", "d"))
     val bad = vocab
       .withColumn("native", BpeMergeExpr.bpeMergeSeq(col("seq"), accepted))
       .withColumn("hof", TextOps.mergeSeqBatchHof(col("seq"), accepted))

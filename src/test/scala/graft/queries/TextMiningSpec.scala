@@ -172,13 +172,14 @@ class TextMiningSpec extends SparkSuite {
   }
 
   test("bpe trainer vocab sizing: clamp function and small-corpus no-op") {
-    // Clamp: never below the session width, ~100k types/partition,
-    // capped at 4096.
+    // Clamp: never below the session width, ~25k types/partition,
+    // growth capped at 4096 (the cap must never SHRINK a wide session).
     assert(TextOps.bpeShufflePartitions(0L, 32) === 32)
     assert(TextOps.bpeShufflePartitions(823000L, 32) === 32)    // sf1 sparse
     assert(TextOps.bpeShufflePartitions(10580000L, 32) === 423) // sf10 sparse
     assert(TextOps.bpeShufflePartitions(Long.MaxValue, 32) === 4096)
     assert(TextOps.bpeShufflePartitions(5000000L, 256) === 256)
+    assert(TextOps.bpeShufflePartitions(Long.MaxValue, 8192) === 8192)
     // Below the sizing threshold the trainer must not touch the session
     // conf (the gate corpora keep their plans): train once and check the
     // setting is byte-identical after.
