@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * selected by any engine, any partitioning, any row order. That is the
   * property a 100 TB pipeline needs (resume/backfill reproduces the same
   * split without a stored assignment table), and it makes these fully
-  * oracle-checkable.
+  * oracle-checkable. The bucket is rendered in the OVERFLOW-SAFE split
+  * form ([[knuthBucketSql]]) so the guarantee holds over the FULL int64
+  * id range, not just below ~3.47e9.
   *
   * Scale posture: both operators are pure narrow projections/filters —
   * no shuffle at all before the (tiny) final aggregate/sort.
@@ -25,10 +27,30 @@ object PipelineOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
-  /** The shared bucket: uniform in [0, 2^32) and decorrelated from
-    * doc_id's natural order.
+  /** The shared bucket, rendered OVERFLOW-SAFE over the full int64 id
+    * range: equals the exact mathematical `(id · 2654435761) mod 2^32`
+    * for EVERY bigint id (sign-safe reduce into [0,2^32), then the
+    * multiply split at 2^16 — each partial product < 2^16·m ≈ 1.7e14 ≪
+    * 2^63). The naive `(id * m) % 2^32` overflows int64 once
+    * id ≳ 3.47e9 — ANSI Spark (the 4.x default) fails the whole job,
+    * non-ANSI Spark wraps silently, DuckDB raises: at exactly the id
+    * scale a 100 TB corpus reaches, the pipeline either dies or
+    * diverges from its oracle (KnuthBucketSpec pins all three arms).
+    * For in-range ids the split form is bit-identical to the
+    * naive one, so every existing selection/hash is unchanged; integer
+    * division spells `div` in Spark and `//` in DuckDB, hence the
+    * `idiv` parameter (the only difference between the engine and
+    * oracle renderings — [[bucketSql]] vs [[bucketSqlDuck]]).
+    * Uniform in [0, 2^32) and decorrelated from the id's natural order.
     */
-  private val bucketSql = "(doc_id * 2654435761) % 4294967296"
+  private[queries] def knuthBucketSql(id: String, idiv: String): String = {
+    val r = s"((($id) % 4294967296) + 4294967296) % 4294967296"
+    s"((((($r) $idiv 65536) * 2654435761) % 65536) * 65536 " +
+      s"+ (($r) % 65536) * 2654435761) % 4294967296"
+  }
+
+  private val bucketSql = knuthBucketSql("doc_id", "div")
+  private val bucketSqlDuck = knuthBucketSql("doc_id", "//")
 
   /** C7a: stratified (per-language) deterministic sampling — downsample
     * dominant languages harder (en keeps 10%, others 40%): the language-
@@ -74,26 +96,18 @@ object PipelineOps {
     *
     * Scale posture: the CC assignment is the proven O(n·bands) banding +
     * min-propagation path (no pair materialization); the split itself is
-    * a narrow projection over the O(n) assignment output. Same int64
-    * id-range bound as every Knuth-bucket consumer (documented at
-    * [[bucketSql]]).
+    * a narrow projection over the O(n) assignment output. The bucket is
+    * the shared overflow-safe form ([[knuthBucketSql]]) — exact over the
+    * full int64 rep range.
     */
   def c7SplitClusterSafe(spark: SparkSession, dir: String): DataFrame = {
     import graft.dedup.MinHash
     val asg = MinHash.dedupAssignmentsCC(
       docs(spark, dir), col("doc_id"), col("text"), numHashes = 64, bands = 16)
     asg.select(col("doc_id"), col("cluster_rep"))
-      // Overflow-safe Knuth bucket over the FULL int64 rep range — the
-      // same 16/16 split mulmod as [[c7EpochOrder]]: a naive rep·m
-      // overflows int64 once the rep exceeds ~3.47e9 (Spark wraps
-      // silently, DuckDB errors, so engine and oracle would diverge).
-      // Reduce into [0,2^32) sign-safe, then split the multiply; for
-      // in-range reps the value is bit-identical to the naive form.
-      .withColumn("r32",
-        expr("((cluster_rep % 4294967296) + 4294967296) % 4294967296"))
-      .withColumn("bucket",
-        expr("((((r32 div 65536) * 2654435761) % 65536) * 65536 " +
-          "+ (r32 % 65536) * 2654435761) % 4294967296"))
+      // The shared overflow-safe Knuth bucket ([[knuthBucketSql]])
+      // applied to the cluster rep instead of the doc id.
+      .withColumn("bucket", expr(knuthBucketSql("cluster_rep", "div")))
       .withColumn("split",
         when(col("bucket") < (0.8 * 4294967296L).toLong, "train")
           .when(col("bucket") < (0.9 * 4294967296L).toLong, "val")
@@ -1258,9 +1272,9 @@ object PipelineOps {
   private def fuzzySqlWith(candCte: String): String = {
     val t8 = (0.8 * 4294967296L).toLong
     val t9 = (0.9 * 4294967296L).toLong
-    s"WITH sb AS (SELECT doc_id, $bucketSql AS sb FROM documents), " +
+    s"WITH sb AS (SELECT doc_id, $bucketSqlDuck AS sb FROM documents), " +
       "base AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
-      s"FROM documents WHERE $bucketSql < $t8 OR $bucketSql >= $t9), " +
+      s"FROM documents WHERE $bucketSqlDuck < $t8 OR $bucketSqlDuck >= $t9), " +
       DedupOps.mhChainSql(DedupOps.IncBands, DedupOps.IncRows) + ", " +
       "nw AS (SELECT mem.doc_id AS n_id, band, bucket FROM mem " +
       s"JOIN sb ON mem.doc_id = sb.doc_id WHERE sb.sb < $t8), " +
@@ -1287,7 +1301,7 @@ object PipelineOps {
   val oracle: Map[String, String] = Map(
     "c7_interleave" ->
       ("WITH s AS (SELECT doc_id, source, " +
-        "(doc_id * 2654435761) % 4294967296 AS bucket FROM documents), " +
+        s"$bucketSqlDuck AS bucket FROM documents), " +
         "si AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 " +
         "AS BIGINT) AS src_idx FROM (SELECT DISTINCT source FROM documents)), " +
         "ns AS (SELECT count(*) AS n_sources FROM si), " +
@@ -1319,7 +1333,7 @@ object PipelineOps {
     // join (same collision caveat as c7_decontaminate), integer
     // cross-multiplied dirty flag.
     "c7_contamination" ->
-      (s"WITH d AS (SELECT doc_id, $bucketSql AS bucket, string_split(text, ' ') AS toks " +
+      (s"WITH d AS (SELECT doc_id, $bucketSqlDuck AS bucket, string_split(text, ' ') AS toks " +
         "FROM documents), " +
         "sh AS (SELECT doc_id, bucket, unnest(list_transform(range(1, len(toks) - 2), " +
         "i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS sh FROM d), " +
@@ -1416,7 +1430,7 @@ object PipelineOps {
     // by (priority, doc_id).
     "c7_sample_weighted" ->
       ("SELECT doc_id, lang, n_chars, " +
-        "(((doc_id * 2654435761) % 4294967296) * 1048576) // greatest(n_chars, 1) " +
+        s"(($bucketSqlDuck) * 1048576) // greatest(n_chars, 1) " +
         "AS priority " +
         "FROM documents ORDER BY priority, doc_id LIMIT 100"),
     // Epoch-salted permutation replay: the per-epoch rank over the
@@ -1437,9 +1451,9 @@ object PipelineOps {
         "FROM k2 ORDER BY epoch, doc_id"),
     "c7_sample_topk" ->
       (s"SELECT lang, doc_id, bucket, rn FROM (" +
-        s"SELECT lang, doc_id, $bucketSql AS bucket, " +
+        s"SELECT lang, doc_id, $bucketSqlDuck AS bucket, " +
         "CAST(row_number() OVER (PARTITION BY lang " +
-        s"ORDER BY $bucketSql, doc_id) AS INT) AS rn " +
+        s"ORDER BY $bucketSqlDuck, doc_id) AS INT) AS rn " +
         "FROM documents) WHERE rn <= 50 ORDER BY lang, rn"),
     // The full composed pipeline: MinHash first-copy (the c2_minhash_lsh
     // replay), lang-id agreement (the c4_langid CTEs), length gate,
@@ -1460,7 +1474,7 @@ object PipelineOps {
         "FROM documents d JOIN asg USING (doc_id) JOIN det USING (doc_id) " +
         "WHERE asg.first_copy AND det.detected_lang = d.lang " +
         "AND len(string_split(d.text, ' ')) >= 10 " +
-        s"AND $bucketSql < ${(0.8 * 4294967296L).toLong}), " +
+        s"AND $bucketSqlDuck < ${(0.8 * 4294967296L).toLong}), " +
         "p AS (SELECT lang, doc_id, n_tokens, " +
         "CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) " +
         "AS cum FROM kept) " +
@@ -1501,7 +1515,7 @@ object PipelineOps {
         "FROM documents d JOIN asg USING (doc_id) JOIN det USING (doc_id) " +
         "WHERE asg.first_copy AND det.detected_lang = d.lang " +
         "AND len(string_split(d.text, ' ')) >= 10 " +
-        s"AND $bucketSql < ${(0.8 * 4294967296L).toLong}), " +
+        s"AND $bucketSqlDuck < ${(0.8 * 4294967296L).toLong}), " +
         TextOps.ssdupChainOver("kept", "z") + ", " +
         "zsp AS (SELECT d1, d2, diag, min(o1) AS a0, max(o1) AS a1 " +
         "FROM zi GROUP BY d1, d2, diag, isl), " +
@@ -1547,7 +1561,7 @@ object PipelineOps {
         "FROM documents d JOIN asg USING (doc_id) JOIN det USING (doc_id) " +
         "WHERE asg.first_copy AND det.detected_lang = d.lang " +
         "AND len(string_split(d.text, ' ')) >= 10 " +
-        s"AND $bucketSql < ${(0.8 * 4294967296L).toLong}), " +
+        s"AND $bucketSqlDuck < ${(0.8 * 4294967296L).toLong}), " +
         TextOps.lmPplRefCtes + ", " +
         "pj AS (SELECT k.lang, k.doc_id, k.text, k.n_tokens, p.nll " +
         "FROM kept k JOIN lmres p USING (doc_id)), " +
@@ -1605,7 +1619,7 @@ object PipelineOps {
         "(first_copy AND detected_lang = lang AND n_tokens >= 40) AS keep " +
         "FROM d2 ORDER BY doc_id"),
     "c7_decontaminate" ->
-      (s"WITH d AS (SELECT doc_id, $bucketSql AS bucket, string_split(text, ' ') AS toks " +
+      (s"WITH d AS (SELECT doc_id, $bucketSqlDuck AS bucket, string_split(text, ' ') AS toks " +
         "FROM documents), " +
         "sh AS (SELECT doc_id, bucket, unnest(list_transform(range(1, len(toks) - 2), " +
         "i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS sh FROM d), " +
@@ -1641,14 +1655,9 @@ object PipelineOps {
     // Substring-decontamination replay: the shared span chain filtered
     // to cross-split pairs, same argmax tie-break via struct max.
     "c7_decontaminate_span" -> {
-      // Same overflow-safe split mulmod as the engine (sign-safe reduce
-      // into [0,2^32) then 16/16 split) — a naive d·m errors in DuckDB
-      // past ~3.47e9; bit-identical for in-range ids.
-      val b = (c: String) => {
-        val r = s"((($c % 4294967296) + 4294967296) % 4294967296)"
-        s"(((($r // 65536) * 2654435761) % 65536) * 65536 " +
-          s"+ ($r % 65536) * 2654435761) % 4294967296"
-      }
+      // The shared overflow-safe split mulmod ([[knuthBucketSql]]),
+      // applied to each side of the span pair.
+      val b = (c: String) => s"(${knuthBucketSql(c, "//")})"
       val (lo, hi) = ((0.8 * 4294967296L).toLong, (0.9 * 4294967296L).toLong)
       s"WITH ${TextOps.ssdupChain}, " +
         "sp AS (SELECT d1, d2, min(o1) AS a0, " +
@@ -1668,7 +1677,7 @@ object PipelineOps {
     // must not change the result (no false negatives; the exact join
     // removes false positives).
     "c7_decontaminate_bloom" ->
-      (s"WITH d AS (SELECT doc_id, $bucketSql AS bucket, string_split(text, ' ') AS toks " +
+      (s"WITH d AS (SELECT doc_id, $bucketSqlDuck AS bucket, string_split(text, ' ') AS toks " +
         "FROM documents), " +
         "sh AS (SELECT doc_id, bucket, unnest(list_transform(range(1, len(toks) - 2), " +
         "i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS sh FROM d), " +
@@ -1695,21 +1704,21 @@ object PipelineOps {
         "k AS (SELECT d.source, count(*) AS n_kept, " +
         "CAST(sum(d.doc_id) AS BIGINT) AS kept_idsum " +
         "FROM documents d JOIN q2 USING (source) " +
-        "WHERE (d.doc_id * 2654435761) % 4294967296 < keep_below " +
+        s"WHERE ${knuthBucketSql("d.doc_id", "//")} < keep_below " +
         "GROUP BY d.source) " +
         "SELECT q2.source, q2.n_avail, q2.quota, " +
         "COALESCE(k.n_kept, 0) AS n_kept, COALESCE(k.kept_idsum, 0) AS kept_idsum " +
         "FROM q2 LEFT JOIN k ON q2.source = k.source ORDER BY q2.source"),
     "c7_sample_strat" ->
       (s"SELECT doc_id, lang, source FROM documents " +
-        s"WHERE $bucketSql < CASE WHEN lang = 'en' " +
+        s"WHERE $bucketSqlDuck < CASE WHEN lang = 'en' " +
         s"THEN ${(0.10 * 4294967296L).toLong} ELSE ${(0.40 * 4294967296L).toLong} END " +
         "ORDER BY doc_id"),
     "c7_split_assign" ->
       (s"SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
         "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM (" +
-        s"SELECT *, CASE WHEN $bucketSql < ${(0.8 * 4294967296L).toLong} THEN 'train' " +
-        s"WHEN $bucketSql < ${(0.9 * 4294967296L).toLong} THEN 'val' ELSE 'test' END AS split " +
+        s"SELECT *, CASE WHEN $bucketSqlDuck < ${(0.8 * 4294967296L).toLong} THEN 'train' " +
+        s"WHEN $bucketSqlDuck < ${(0.9 * 4294967296L).toLong} THEN 'val' ELSE 'test' END AS split " +
         "FROM documents) GROUP BY split ORDER BY split"),
     // Cluster-safe split: the c2_minhash_cc closure labels (fixed-round
     // min-propagation replay), then the Knuth bucket on cluster_rep —
@@ -1717,11 +1726,8 @@ object PipelineOps {
     // (DuckDB would ERROR on the naive int64 overflow Spark wraps).
     "c7_split_cluster_safe" ->
       (s"WITH ${DedupOps.mhBase}, " + DedupOps.closureChainSql("band") + ", " +
-        "b0 AS (SELECT doc_id, cluster_rep, " +
-        "((cluster_rep % 4294967296) + 4294967296) % 4294967296 AS r32 FROM cl), " +
         "b AS (SELECT doc_id, cluster_rep, " +
-        "((((r32 // 65536) * 2654435761) % 65536) * 65536 " +
-        "+ (r32 % 65536) * 2654435761) % 4294967296 AS bucket FROM b0) " +
+        s"${knuthBucketSql("cluster_rep", "//")} AS bucket FROM cl) " +
         "SELECT doc_id, cluster_rep, " +
         s"CASE WHEN bucket < ${(0.8 * 4294967296L).toLong} THEN 'train' " +
         s"WHEN bucket < ${(0.9 * 4294967296L).toLong} THEN 'val' ELSE 'test' END " +
