@@ -55,7 +55,8 @@ object SparkEntry {
       (s, d) => Relational.warmLayouts(s, d)),
     Warmup("ann_index",
       Set("c3_ann_pq_indexed", "c3_ann_pq_filtered",
-        "c2_incremental_semantic", "c3_ann_staleness").contains(_),
+        "c2_incremental_semantic", "c3_ann_staleness",
+        "c5_stream_semantic").contains(_),
       (s, d) => { SimOps.ensureAnnIndex(s, d); () }),
     Warmup("dedup_index", _ == "c2_incremental_dedup_indexed",
       (s, d) => { DedupOps.ensureDedupIndex(s, d); () }),

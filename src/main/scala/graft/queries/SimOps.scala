@@ -1776,6 +1776,11 @@ object SimOps {
       "c3_ann_staleness" -> staleSql,
       "c3_cluster_profile" -> profileSql,
       "c2_incremental_semantic" -> incSemSql,
+      // Streaming twin of the incremental-semantic gate: decisions
+      // depend only on the PERSISTED index (stream-static joins), so
+      // any arrival split yields the batch answer — the oracle is the
+      // same replay, prefix-consistency by construction.
+      "c5_stream_semantic" -> incSemSql,
       "c2_semantic_dedup" -> semSql,
       "c2_semantic_dedup_cc" -> semCcSql,
       "c3_ann_pq" -> pqSql,
@@ -1936,6 +1941,56 @@ object SimOps {
       .select(col("vec_id"), col("match_id").isNull.as("is_novel"),
         col("match_id"), col("match_cosine"))
       .orderBy("vec_id")
+  }
+
+  /** Per-candidate scored plan of the STREAMING semantic admission gate
+    * (c5_stream_semantic) — [[c2IncrementalSemantic]]'s probe/confirm
+    * machinery factored over a caller-supplied `arrivals` frame
+    * (streaming or batch; columns `vec_id`, `embD: array<double>`).
+    * Every join here is stream-static when `arrivals` streams: the
+    * arriving vector assigns to its `nprobe` nearest STORED coarse
+    * cells (the persisted codebook as a plan literal), candidates come
+    * from the codes table's rows for those cells (cell-pruned index
+    * read, never a corpus embedding scan), and only candidates pay the
+    * exact-cosine confirm. LEFT joins keep every probe row alive so an
+    * arrival with no candidate still reaches the decision fold as
+    * novel; below-threshold cosines are nulled HERE so the fold
+    * downstream is a pure max — the threshold contract stays in one
+    * place. One row per (arrival × probed candidate), bounded by
+    * nprobe · cell size per arrival.
+    */
+  private[graft] def semanticGateCandidates(spark: SparkSession, dir: String,
+      arrivals: DataFrame, nprobe: Int = 4, nCells: Int = 16,
+      subspaces: Int = 8, kSub: Int = 16): DataFrame = {
+    val (codesTab, modelTab) = ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
+    val (coarse, _) = loadPqModel(spark, modelTab, subspaces)
+    val nTrained = coarse.length
+    val probed = arrivals
+      .withColumn("cdists",
+        graft.functions.VectorExprs.centroidDists(col("embD"), coarse))
+      .withColumn("probes",
+        slice(transform(array_sort(zip_with(
+          col("cdists"), sequence(lit(1), lit(nTrained)),
+          (d, i) => struct(d.as("d"), i.as("i")))), s => s.getField("i")),
+          lit(1), lit(math.min(nprobe, nTrained))))
+      .select(col("vec_id").as("n_id"), col("embD").as("n_emb"),
+        explode(col("probes")).as("cell"))
+    // The index holds the full corpus (appended as it landed) — exclude
+    // the arriving slice from the corpus side, as the batch twin does.
+    val corpusCodes = spark.table(codesTab)
+      .select(col("b_id"), col("cell").cast("int").as("cell"))
+      .filter(col("b_id") % 10 =!= 7)
+    val baseEmb = emb(spark, dir)
+      .select(col("vec_id").as("b_id"), asDouble(col("embedding")).as("b_emb"))
+    import graft.functions.VectorExprs.{dot, norm}
+    val cos = round(dot(col("n_emb"), col("b_emb")) /
+      (norm(col("n_emb")) * norm(col("b_emb"))), 6)
+    probed
+      .join(corpusCodes, Seq("cell"), "left")
+      .join(baseEmb, Seq("b_id"), "left")
+      .select(col("n_id"),
+        when(cos >= IncSemThreshold, col("b_id")).as("b_id"),
+        when(cos >= IncSemThreshold, cos).as("cosine"))
   }
 
   /** Duplicate-call floor shared with the c2_embed_neardup family: the

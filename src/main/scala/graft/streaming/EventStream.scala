@@ -989,18 +989,62 @@ object EventStream {
     new java.util.concurrent.ConcurrentHashMap[String,
       (String, org.apache.spark.sql.types.StructType)]()
 
-  private def twoBatchDocStream(spark: SparkSession, sfDir: String): DataFrame = {
+  private def docSplitDir(spark: SparkSession, sfDir: String)
+      : (String, org.apache.spark.sql.types.StructType) = {
     val cached = docSplitCache.get(sfDir)
     val valid = cached != null &&
       new java.io.File(cached._1, "00_early.parquet").isFile &&
       new java.io.File(cached._1, "01_late.parquet").isFile
-    val (dir, schema) = if (valid) cached else {
+    if (valid) cached else {
       val d = graft.Tables.load(spark, sfDir, "documents")
-      val b = d.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")).head()
-      val cut = Math.floorDiv(b.getLong(0) + b.getLong(1), 2L)
+      val cut = docCutId(spark, sfDir)
       val fresh = (writeOrderedSplitDir(
         d.filter(col("doc_id") <= cut), d.filter(col("doc_id") > cut)), d.schema)
       docSplitCache.put(sfDir, fresh)
+      fresh
+    }
+  }
+
+  /** The doc split's cut id (file 1 = ids ≤ cut, file 2 = ids > cut) —
+    * exposed so the restart check can assert which lifecycle a doc / a
+    * bucket min came from.
+    */
+  private def docCutId(spark: SparkSession, sfDir: String): Long = {
+    val b = graft.Tables.load(spark, sfDir, "documents")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")).head()
+    Math.floorDiv(b.getLong(0) + b.getLong(1), 2L)
+  }
+
+  private def twoBatchDocStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val (dir, schema) = docSplitDir(spark, sfDir)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+  }
+
+  /** Id-ordered two-file split of the ARRIVING embedding slice
+    * (vec_id % 10 = 7 — the same deterministic "today's crawl" slice as
+    * the batch c2_incremental_semantic), memoized like the doc split.
+    */
+  private val vecSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, org.apache.spark.sql.types.StructType)]()
+
+  private def twoBatchVecStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val cached = vecSplitCache.get(sfDir)
+    val valid = cached != null &&
+      new java.io.File(cached._1, "00_early.parquet").isFile &&
+      new java.io.File(cached._1, "01_late.parquet").isFile
+    val (dir, schema) = if (valid) cached else {
+      val slice = graft.Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") % 10 === 7)
+        .select(col("vec_id"), col("embedding"))
+      val b = slice.agg(min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx")).head()
+      val cut = Math.floorDiv(b.getLong(0) + b.getLong(1), 2L)
+      val fresh = (writeOrderedSplitDir(
+        slice.filter(col("vec_id") <= cut),
+        slice.filter(col("vec_id") > cut)), slice.schema)
+      vecSplitCache.put(sfDir, fresh)
       fresh
     }
     spark.readStream.schema(schema)
@@ -1438,9 +1482,12 @@ object EventStream {
 
   /** Park the split's late file so a restart lifecycle sees only the
     * early half; restore it (and its order-bearing mtime) afterwards,
-    * poison-proofing the memoized split layout if the restore fails.
+    * poison-proofing the memoized split layout (`poison` clears the
+    * cache that memoized `dir` — the event split by default) if the
+    * restore fails.
     */
-  private def withParkedLate[T](dir: String)(body: => T): T = {
+  private def withParkedLate[T](dir: String,
+      poison: () => Unit = () => splitCache.clear())(body: => T): T = {
     val late = new java.io.File(dir, "01_late.parquet")
     val parked = new java.io.File(s"$dir.parked_01_late.parquet")
     val mtime = late.lastModified()
@@ -1452,7 +1499,7 @@ object EventStream {
         // the memoized layout is now missing a file — poison-proof the
         // cache so later queries rebuild rather than silently running
         // on half the events
-        splitCache.clear()
+        poison()
         sys.error(s"could not restore $late; split dir is now incomplete")
       }
       // rename preserves mtime on the same filesystem, but file ORDER is
@@ -2187,6 +2234,126 @@ object EventStream {
       .orderBy("doc_id")
   }
 
+  /** c5_stream_restart_neardup: the near-dup gate's (band, bucket) min
+    * state recovered from a DURABLE checkpoint across a full query stop
+    * and restart — completing the restart matrix for the seventh state
+    * family (window: c5_stream_restart; custom: c5_stream_restart_state;
+    * tws: c5_stream_restart_tws; join buffers: c5_stream_restart_join /
+    * _outer; dedup keys: c5_stream_restart_dedup; sessions:
+    * c5_stream_restart_session; near-dup gate: here). Lifecycle A sees
+    * only the early doc file (ids ≤ cut), stores each touched bucket's
+    * min, and stops; lifecycle B — a fresh query object on the same
+    * checkpoint, as after a driver crash — sees only the late file
+    * (ids > cut). A late doc sharing a bucket with any early doc must be
+    * assigned that bucket's EARLY min, which lifecycle B can only know
+    * if the state came back from disk: without recovery every bucket_min
+    * B emits would be > cut (B's input contains no early id). That is
+    * asserted structurally (≥ 1 cut-straddling emission with
+    * bucket_min ≤ cut < doc_id, and zero is also rejected as a vacuous
+    * check — near-dup corpora always collide across the cut). Decisions
+    * never retract across the restart: an admitted doc stays admitted.
+    * Oracle: identical to c5_stream_neardup (id-ordered arrival makes
+    * the per-prefix decisions coincide with the batch assignment — the
+    * restart changes WHEN state is read back, not what it holds).
+    */
+  def c5StreamRestartNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import java.nio.file.{Files => JFiles}
+    val (dir, schema) = docSplitDir(spark, sfDir)
+    def src: DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    def gate = docNearDupMins(spark, src).toDF()
+    val ckpt = JFiles.createTempDirectory("graft_restart_neardup_ckpt")
+    val out = JFiles.createTempDirectory("graft_restart_neardup_out")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt.toFile)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out.toFile)
+    withParkedLate(dir, poison = () => docSplitCache.clear()) {
+      runCheckpointedToParquet(gate, ckpt.toString, out.toString, 1)
+    }
+    runCheckpointedToParquet(gate, ckpt.toString, out.toString, 1)
+    val perMember = spark.read.parquet(out.toString)
+    val cut = docCutId(spark, sfDir)
+    val nRecovered = perMember
+      .filter(col("doc_id") > cut && col("bucket_min") <= cut).count()
+    if (nRecovered == 0L)
+      throw new IllegalStateException(
+        "no late doc was assigned an early bucket min: either the " +
+          "recovered state was lost across the stop/restart or the check " +
+          "is vacuous (no bucket straddles the cut)")
+    perMember.groupBy(col("doc_id"))
+      .agg(min(col("bucket_min")).as("cluster_rep"))
+      .withColumn("is_kept", col("doc_id") === col("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
+  /** Row shapes of the streaming semantic gate: per-candidate input to
+    * the decision fold (nulls = no / below-threshold candidate, already
+    * nulled by [[graft.queries.SimOps.semanticGateCandidates]]) and the
+    * per-arrival decision it emits.
+    */
+  final case class SemCand(n_id: Long, b_id: Option[Long], cosine: Option[Double])
+  final case class SemDecision(vec_id: Long, is_novel: Boolean,
+      match_id: Option[Long], match_cosine: Option[Double])
+
+  /** c5_stream_semantic: the EMBEDDING-level streaming admission gate —
+    * the production ingest path c5_stream_neardup covers at the token
+    * level: arriving vectors (the id-ordered two-file split of the
+    * vec_id % 10 = 7 crawl slice, two data micro-batches) probe the
+    * PERSISTED IVFADC index via STREAM-STATIC joins (nprobe nearest
+    * stored coarse cells from the stored codebook; candidates from the
+    * cell-pruned codes table, never a corpus embedding scan; exact-
+    * cosine confirm on candidates only — the c2_incremental_semantic
+    * machinery verbatim via [[graft.queries.SimOps.semanticGateCandidates]]),
+    * then each arrival's decision — novel, or duplicate-of its best
+    * match (highest cosine, smallest id) — is made IN-STREAM by a
+    * flatMapGroupsWithState fold over its candidate rows (all in the
+    * arrival's own micro-batch: they are produced from its row by
+    * narrow ops and static joins). Decisions never retract: each key's
+    * one-shot emission is pinned by a per-key decided flag — a key
+    * reappearing would throw, not re-decide. Because decisions depend
+    * only on the static index, any arrival order yields the batch
+    * assignment — prefix consistency by construction — so the oracle is
+    * the c2_incremental_semantic replay (stored codebook, probing,
+    * confirm, best pick) bit-for-bit. Sink: O(arrivals) decision rows.
+    * State: one boolean per arrival within the run — bounded by the
+    * crawl slice, and only a harness-level guard (production would run
+    * stateless Append; the flag exists to make never-retract an
+    * asserted property instead of a claim).
+    */
+  def c5StreamSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val src = twoBatchVecStream(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
+    val decisions = graft.queries.SimOps
+      .semanticGateCandidates(spark, sfDir, src)
+      .as[SemCand]
+      .groupByKey(_.n_id)
+      .flatMapGroupsWithState[Boolean, SemDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (id, rows, state: GroupState[Boolean]) =>
+          if (state.exists)
+            throw new IllegalStateException(
+              s"vector $id reached the gate twice: a decision would retract")
+          state.update(true)
+          // Order-free fold: max cosine, ties to the smallest id —
+          // identical to the batch twin's min(struct(-cosine, b_id)).
+          var best: Option[(Double, Long)] = None
+          rows.foreach { r =>
+            (r.cosine, r.b_id) match {
+              case (Some(c), Some(b)) =>
+                if (best.forall(p => c > p._1 || (c == p._1 && b < p._2)))
+                  best = Some((c, b))
+              case _ => ()
+            }
+          }
+          Iterator.single(SemDecision(id, best.isEmpty,
+            best.map(_._2), best.map(_._1)))
+      }
+    runIncrementalToParquet(decisions.toDF(), minBatches = 2)
+      .orderBy("vec_id")
+  }
+
   /** c5_stream_topk: per-window top-k event types over the STREAMING
     * hourly aggregation — the live-leaderboard serving composition: the
     * stream maintains the windowed counts (state bounded by the
@@ -2416,6 +2583,12 @@ object EventStream {
     // prefix contains the min), so the oracle IS the c2_minhash_lsh
     // replay — banding, bucket mins, per-doc min, keep flag.
     "c5_stream_neardup" -> graft.queries.DedupOps.oracle("c2_minhash_lsh"),
+    // Restart twin of the near-dup gate: identical oracle — recovered
+    // (band, bucket) mins make the two-lifecycle run reproduce the
+    // batch assignment; a reset store would reassign every late doc
+    // a late cluster_rep and break the hash (plus the in-query
+    // structural assert on cut-straddling emissions).
+    "c5_stream_restart_neardup" -> graft.queries.DedupOps.oracle("c2_minhash_lsh"),
     // Incremental dedup twin: every distinct key exactly once — lazy
     // end-of-batch eviction means a two-batch in-order run never
     // re-admits a key (see c5StreamDedupIncr); a state store that
@@ -2637,6 +2810,8 @@ object EventStream {
     "c5_stream_restart_join" -> (c5StreamRestartJoin _),
     "c5_stream_restart_outer" -> (c5StreamRestartJoinOuter _),
     "c5_stream_restart_dedup" -> (c5StreamRestartDedup _),
+    "c5_stream_restart_neardup" -> (c5StreamRestartNearDup _),
+    "c5_stream_semantic" -> (c5StreamSemantic _),
     "c5_stream_restart_session" -> (c5StreamRestartSession _),
     "c5_stream_gapfill" -> (c5StreamGapfill _),
     "c5_stream_anomaly" -> (c5StreamAnomaly _),

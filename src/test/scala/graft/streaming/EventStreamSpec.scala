@@ -901,6 +901,38 @@ class EventStreamSpec extends SparkSuite {
         "exercises cross-batch state; engineer one or move the cut")
   }
 
+  test("checkpointed restart recovers the near-dup gate's (band, bucket) min state") {
+    // The query asserts internally that ≥1 late doc was assigned an
+    // EARLY bucket min (impossible for lifecycle B without recovered
+    // state — its input holds no early id) and rejects vacuity; here we
+    // also pin that the two-lifecycle run equals the single-lifecycle
+    // two-batch gate — recovery must be invisible in the assignment.
+    val got = EventStream.c5StreamRestartNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val want = EventStream.c5StreamNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.nonEmpty)
+    assert(got.sameElements(want))
+  }
+
+  test("c5_stream_semantic == batch c2_incremental_semantic decisions") {
+    // Decisions depend only on the persisted index (stream-static
+    // joins), so the two-batch streamed run must reproduce the batch
+    // gate bit-for-bit — the prefix-consistency the oracle reuse rests
+    // on. Also pin non-degeneracy: both decision kinds occur.
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val got = EventStream.c5StreamSemantic(spark, sf).collect().map(key)
+    val want = graft.queries.SimOps.c2IncrementalSemantic(spark, sf)
+      .collect().map(key)
+    assert(got.nonEmpty)
+    assert(got.sameElements(want))
+    assert(got.exists(_._2) && got.exists(!_._2),
+      "degenerate corpus: all-novel or all-duplicate decisions")
+  }
+
   test("state-store provider independence: RocksDB results == default-store results") {
     // One representative query per non-tws state family (tws is ALWAYS
     // RocksDB), each run under both providers in-process: windowed
