@@ -75,8 +75,8 @@ object SparkEntry {
     // by every reference-model scorer. The self-scored c4_lm_ppl keeps
     // its training timed in-query (the train loop is its subject).
     Warmup("lm_ref_model",
-      Set("c4_lm_ppl_ref", "c4_lm_ppl3", "c7_ppl_filter",
-        "c7_pipeline_v3").contains(_),
+      Set("c4_lm_ppl_ref", "c4_lm_ppl3", "c4_lm_ppl3_cutoff",
+        "c7_ppl_filter", "c7_pipeline_v3").contains(_),
       (s, d) => { TextOps.ensureLmRefModel(s, d); () }))
 
   /** Oracle SQL whose text depends on data-trained plan literals (e.g.

@@ -1379,8 +1379,22 @@ object TextOps {
     * stream (trigram, both bigram roles, both unigram roles) — all
     * linear, never all-pairs; T and V are two bounded driver scalars
     * embedded as literals.
+    *
+    * `minCount` is the COUNT CUTOFF on the trigram table (the published
+    * web-LM recipe: singleton n-grams of the highest order are dropped
+    * and their mass served by backoff — exactly what stupid backoff's
+    * score shape absorbs). The trigram table is the family's scale
+    * exposure (its TYPE count grew 7.0× per sparse decade where tokens
+    * grew 10× — BASELINE.md round 15); count-1 types are the bulk of it
+    * (Zipf), so `minCount = 2` bounds the scoring join's model side to
+    * the repeated-trigram set. The cutoff is applied at READ (a pushed
+    * `c3 >= minCount` scan predicate), so the shared stored layout keeps
+    * serving the uncut variant; a cutoff-only deployment moves the same
+    * predicate into the training write and shrinks the layout itself.
+    * Shifted events surface in n_backoff_bi/n_backoff_uni — the
+    * coverage cost of the cutoff, measured per doc.
     */
-  def c4LmPpl3(spark: SparkSession, dir: String): DataFrame = {
+  def c4LmPpl3(spark: SparkSession, dir: String, minCount: Long = 1L): DataFrame = {
     val toks = split(col("text"), " ")
     val all = docs(spark, dir)
     val dAll = all.select(col("doc_id"), toks.as("toks"))
@@ -1397,7 +1411,7 @@ object TextOps {
           col("e.w").as("w"))
     }
     val (unTab, bgTab, tgTab, tvTab) = ensureLmRefModel(spark, dir)
-    val tg = spark.table(tgTab)
+    val tg = spark.table(tgTab).filter(col("c3") >= minCount)
     val bg = spark.table(bgTab)
     val un = spark.table(unTab)
     val tv = spark.table(tvTab).head()
@@ -1977,7 +1991,22 @@ object TextOps {
         "FROM lmres ORDER BY doc_id"),
     // Order-3 stupid-backoff replay: same reference slice, three count
     // tables, the identical CASE op order under the micro-log.
-    "c4_lm_ppl3" -> {
+    "c4_lm_ppl3" -> lmPpl3Sql(minC3 = 1L),
+    // Count-cutoff twin: identical replay with the trigram table cut to
+    // repeated types (HAVING count >= 2) — the engine's read-side filter.
+    "c4_lm_ppl3_cutoff" -> lmPpl3Sql(minC3 = 2L),
+    "c4_rolling_hash" ->
+      ("SELECT doc_id, list_reduce(" +
+        "list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))), " +
+        "(acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash " +
+        "FROM documents ORDER BY doc_id")
+  )
+
+  /** The c4_lm_ppl3 replay, parameterized on the trigram count cutoff
+    * (`HAVING count >= minC3` in the tg CTE — the engine's read-side
+    * `c3 >= minCount` filter; a no-op clause at minC3 = 1).
+    */
+  private def lmPpl3Sql(minC3: Long): String = {
       val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
       val rule =
         "len(string_split(text, ' ')) BETWEEN 30 AND 10000 " +
@@ -1996,7 +2025,8 @@ object TextOps {
         "FROM tr, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g), " +
         "e2t AS (SELECT toks[i] AS a, toks[i + 1] AS b " +
         "FROM tr, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g), " +
-        "tg AS (SELECT u, v, w, count(*) AS c3 FROM e3t GROUP BY u, v, w), " +
+        "tg AS (SELECT u, v, w, count(*) AS c3 FROM e3t GROUP BY u, v, w " +
+        s"HAVING count(*) >= $minC3), " +
         "bg AS (SELECT a, b, count(*) AS c2 FROM e2t GROUP BY a, b), " +
         "un AS (SELECT tok, count(*) AS c1 FROM " +
         "(SELECT unnest(toks) AS tok FROM tr) GROUP BY tok), " +
@@ -2032,13 +2062,7 @@ object TextOps {
         "COALESCE(ag2.nll, 0.0) AS nll, " +
         "COALESCE(round(exp(ag2.nll), 4), 1.0) AS ppl " +
         "FROM t LEFT JOIN ag2 USING (doc_id) ORDER BY doc_id"
-    },
-    "c4_rolling_hash" ->
-      ("SELECT doc_id, list_reduce(" +
-        "list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))), " +
-        "(acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash " +
-        "FROM documents ORDER BY doc_id")
-  )
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_exact_dedup" -> (c1ExactDedup _),
@@ -2062,7 +2086,9 @@ object TextOps {
     "c4_quality_model" -> ((s: SparkSession, d: String) => c4QualityModel(s, d)),
     "c4_lm_ppl" -> (c4LmPpl _),
     "c4_lm_ppl_ref" -> (c4LmPplRef _),
-    "c4_lm_ppl3" -> (c4LmPpl3 _),
+    "c4_lm_ppl3" -> ((s: SparkSession, d: String) => c4LmPpl3(s, d)),
+    "c4_lm_ppl3_cutoff" -> ((s: SparkSession, d: String) =>
+      c4LmPpl3(s, d, minCount = 2L)),
     "c4_substring_dup" -> ((s: SparkSession, d: String) => c4SubstringDup(s, d)),
     "c4_substring_scrub" -> ((s: SparkSession, d: String) => c4SubstringScrub(s, d)),
     "c4_chunk" -> ((s: SparkSession, d: String) => c4Chunk(s, d)),

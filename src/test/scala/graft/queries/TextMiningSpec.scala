@@ -585,6 +585,71 @@ class TextMiningSpec extends SparkSuite {
       s"mixed doc missed a backoff level: ${got(4L)}")
   }
 
+  test("c4_lm_ppl3 count cutoff: singleton trigrams shift to backoff, repeated ones keep scoring") {
+    import spark.implicits._
+    val stop = Seq("the", "of", "and", "to", "in", "is")
+    // Both docs end in the same 6-token tail, so the tail's trigrams
+    // (incl. the bridge over the last stopword) have c3 = 2 and SURVIVE
+    // the cutoff; every trigram touching a seed-specific token is a
+    // singleton and must shift to a backoff level under minCount = 2.
+    val tail = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def clean(seed: Int): String =
+      ((1 to 12).flatMap(i => Seq(s"tok${seed}x$i", stop(i % stop.length)))
+        ++ tail).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm3cut").toString
+    Seq((1L, clean(1), "en"), (2L, clean(2), "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    def run(minC: Long) = TextOps.c4LmPpl3(spark, dir, minCount = minC)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    val (uncut, cut) = (run(1L), run(2L))
+    // brute-force model over both docs, trigram table cut to c3 >= 2
+    val ref = Seq(clean(1), clean(2)).map(_.split(" ").toSeq)
+    val c3all = ref.flatMap(_.sliding(3).filter(_.length == 3).map(s => (s(0), s(1), s(2))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c3 = c3all.filter(_._2 >= 2L)
+    val c2 = ref.flatMap(_.sliding(2).filter(_.length == 2).map(s => (s(0), s(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = ref.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tTot = ref.map(_.size).sum.toLong
+    val v = ref.flatten.toSet.size.toLong
+    def round6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def round4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq(1L -> clean(1), 2L -> clean(2)).foreach { case (id, text) =>
+      val evs = text.split(" ").toSeq.sliding(3).filter(_.length == 3)
+        .map(s => (s(0), s(1), s(2))).toSeq
+      var (bo1, bo2) = (0L, 0L)
+      val s = evs.map { case (u, vv, w) =>
+        val p =
+          if (c3.contains((u, vv, w))) c3((u, vv, w)).toDouble / c2((u, vv)).toDouble
+          else if (c2.contains((vv, w))) { bo1 += 1
+            0.4 * (c2((vv, w)).toDouble / c1(vv).toDouble) }
+          else { bo2 += 1
+            0.4 * 0.4 * ((c1.getOrElse(w, 0L) + 1).toDouble / (tTot + v).toDouble) }
+        BigDecimal(1e6 * math.log(p))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      val nll = round6(-s.toDouble / (evs.size * 1e6))
+      assert(cut(id) == ((evs.size.toLong, bo1, bo2, nll, round4(math.exp(nll)))),
+        s"doc $id: got ${cut(id)}")
+    }
+    // the cutoff only ever SHIFTS events toward backoff: event counts
+    // unchanged, total backoff strictly up (singletons exist), and the
+    // uncut run scored those events at the trigram level
+    Seq(1L, 2L).foreach { id =>
+      assert(cut(id)._1 == uncut(id)._1, s"doc $id: event count changed")
+      assert(cut(id)._2 + cut(id)._3 > uncut(id)._2 + uncut(id)._3,
+        s"doc $id: no event shifted to backoff under the cutoff")
+    }
+    // non-vacuity of the survival arm: repeated trigrams exist, so the
+    // cut run still scores SOME events at the trigram level
+    val surviving = c3.size
+    assert(surviving >= 2, s"fixture lost its repeated trigrams: $surviving")
+    assert(c3all.size > surviving, "fixture has no singleton trigrams")
+  }
+
   test("c4_quality_model: closed-form training and scoring match an in-memory reference") {
     val stop = Set("the", "a", "of", "to", "in", "and", "is")
     def feats(text: String): (Long, Long, Long, Long, Long) = {
