@@ -920,6 +920,184 @@ object SimOps {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
+  /** C3p: ANN CELL-BALANCE monitor — the scan-cost counterpart of the
+    * recall-watching [[c3AnnStaleness]]: [[appendAnnIndex]] grows cells
+    * unevenly (appended drift crams into whichever stored cells sit
+    * nearest the new mode), and per-query scan cost is driven by the
+    * SIZE of the probed cells, so cell skew is the degradation that
+    * bites before recall does. Reads the PERSISTED codes table only
+    * (per-cell row counts — a cell-pruned O(index) aggregate, never an
+    * embedding scan): per cell, its size, share, and skew vs the
+    * uniform n/nCells target, flagged oversized past 2× (integer
+    * cross-multiplied compare — no float threshold); globally, the max
+    * skew and the rebalance verdict (any oversized cell). The ACTION
+    * the verdict triggers is [[splitAnnCell]] (surgical, touched-cell
+    * cost) or, when staleness also fired, the full [[retrainAnnIndex]].
+    * Cells emptied by deletes hold no partition and emit no row —
+    * their skew is 0 by construction and scan cost is what's monitored.
+    * The final window runs over ≤ nCells rows — bounded, like the
+    * c7_mix_sources quota window.
+    */
+  def c3AnnCells(spark: SparkSession, dir: String, nCells: Int = 16,
+      subspaces: Int = 8, kSub: Int = 16): DataFrame = {
+    val (codesTab, modelTab) = ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
+    // the uniform target is vs the TRAINED cell count (a tiny corpus
+    // trains fewer cells than requested; a split appends one)
+    val nTrained = loadPqModel(spark, modelTab, subspaces)._1.length
+    val per = spark.table(codesTab)
+      .select(col("b_id"), col("cell").cast("int").as("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), min(col("b_id")).as("min_vec_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    per
+      .withColumn("n_total", sum(col("n_vecs")).over(w))
+      .withColumn("share", round(
+        col("n_vecs").cast("double") / col("n_total").cast("double"), 6))
+      .withColumn("skew", round(col("n_vecs").cast("double") *
+        lit(nTrained.toDouble) / col("n_total").cast("double"), 6))
+      .withColumn("oversized",
+        col("n_vecs") * lit(nTrained.toLong) > col("n_total") * lit(2L))
+      .withColumn("max_skew", max(col("skew")).over(w))
+      .withColumn("n_oversized",
+        sum(when(col("oversized"), 1L).otherwise(0L)).over(w))
+      .withColumn("rebalance", col("n_oversized") > 0L)
+      .select(col("cell"), col("n_vecs"), col("min_vec_id"), col("share"),
+        col("skew"), col("oversized"), col("max_skew"), col("n_oversized"),
+        col("rebalance"))
+      .orderBy("cell")
+  }
+
+  /** SPLIT one oversized coarse cell of the persisted IVFADC index —
+    * the surgical rebalance action the [[c3AnnCells]] verdict triggers
+    * when recall is still healthy (staleness + skew together ⇒
+    * [[retrainAnnIndex]] instead; retrain subsumes any split but
+    * re-encodes the WHOLE corpus, while a split touches one cell).
+    *
+    * Mechanism (chosen so NO stored code ever decodes against a changed
+    * centroid): the old centroid stays in place; a NEW centroid — the
+    * farther child of a deterministic 2-means over the cell's members —
+    * is APPENDED to the codebook as cell nCells+1, and exactly the
+    * members STRICTLY closer to it than to their current centroid are
+    * re-encoded against it and moved. The stay-half's rows are
+    * byte-identical before and after (spec-pinned); the query path
+    * needs no change because probe count derives from the model table's
+    * row count. Assignment drift is the standard IVF-split contract:
+    * members are re-routed within the split cell only — vectors of
+    * OTHER cells keep their routing even if the new centroid is now
+    * nearer (routing is an index property; the recall monitors measure
+    * its cost).
+    *
+    * Write ordering (each step idempotent to re-run, no wrong-decode
+    * window at any point): (1) model append — probing the new, still
+    * EMPTY cell is a no-op; (2) moved members' codes append into the
+    * new cell's fresh partition — until (3) runs, a moved member ranks
+    * from both cells (duplicate candidacy, never a wrong distance:
+    * both encodings decode against their own cell's centroid); (3) the
+    * split cell's partition is overwritten with its stay-half (the
+    * [[deleteFromAnnIndex]] dynamic-partition machinery). A crash
+    * between (2) and (3) is repaired by re-running the split's step
+    * (3) — the staged stay-half is deterministic.
+    *
+    * `extraVectors` re-attaches raw embeddings for ids the index
+    * ingested via [[appendAnnIndex]] that live outside the corpus
+    * parquet (the [[retrainAnnIndex]] contract). Returns the number of
+    * members moved to the new cell.
+    */
+  private[graft] def splitAnnCell(spark: SparkSession, dir: String,
+      cell: Int, extraVectors: Option[DataFrame] = None, nCells: Int = 16,
+      subspaces: Int = 8, kSub: Int = 16, maxSample: Int = 100000): Long = {
+    val (codesTab, modelTab) = ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
+    val (coarse, books) = loadPqModel(spark, modelTab, subspaces)
+    val newCell = coarse.length + 1
+    require(cell >= 1 && cell <= coarse.length,
+      s"splitAnnCell: cell $cell outside the codebook (1..${coarse.length})")
+    val memberIds = spark.table(codesTab)
+      .filter(col("cell").cast("int") === cell)
+      .select(col("b_id").as("vec_id"))
+    val live = emb(spark, dir).select("vec_id", "embedding", "label")
+    val corpus = extraVectors match {
+      case Some(x) => live.unionByName(x.select("vec_id", "embedding", "label"))
+      case None => live
+    }
+    val members = corpus.join(memberIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), asDouble(col("embedding")).as("embD"), col("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nMembers = members.count()
+      require(nMembers >= 2L,
+        s"splitAnnCell: cell $cell has $nMembers members — nothing to split")
+      val children = trainCentroids(
+        boundedSample(members.select("vec_id", "embD"), maxSample), 2, iters = 5)
+      def d2(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      require(children.length == 2 && d2(children(0), children(1)) > 0.0,
+        s"splitAnnCell: 2-means over cell $cell collapsed " +
+          "(all members identical) — a split cannot rebalance it")
+      val old = coarse(cell - 1)
+      // the FARTHER child becomes the new cell (deterministic)
+      val newC = if (d2(children(0), old) > d2(children(1), old))
+        children(0) else children(1)
+      // members strictly closer to the new centroid move — decided (and
+      // counted) BEFORE any write, so a split that cannot move anything
+      // fails loudly without touching the layout
+      val newLit = graft.functions.VectorExprs.centroidDists(
+        col("embD"), Seq(newC, old))
+      val moved = members
+        .withColumn("dd", newLit)
+        .filter(element_at(col("dd"), 1) < element_at(col("dd"), 2))
+        .select(col("vec_id"), col("embD"), col("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val movedN = moved.count()
+      require(movedN > 0L && movedN < nMembers,
+        s"splitAnnCell: split of cell $cell would move $movedN/$nMembers " +
+          "members — a no-op or whole-cell move cannot rebalance it")
+      val session = spark
+      import session.implicits._
+      // (1) model append — the new centroid's cell is empty until (2)
+      Seq(("coarse", 0, newCell, newC))
+        .toDF("kind", "m", "idx", "vec")
+        .select(spark.table(modelTab).columns.map(col).toIndexedSeq: _*)
+        .write.mode("append").insertInto(modelTab)
+      // (2) re-encode the moved members against the new centroid and
+      // append into the fresh partition. pqEncodeCorpus assigns argmin
+      // over the codebook it is given — a single centroid pins the
+      // assignment to the new cell, and residuals are against it.
+      val enc = pqEncodeCorpus(moved.select("vec_id", "embD"),
+          Seq(newC), books, subspaces, residual = true)
+        .withColumn("cell", lit(newCell))
+        .join(moved.select(col("vec_id").as("b_id"), col("label")), "b_id")
+      enc.select(spark.table(codesTab).columns.map(col).toIndexedSeq: _*)
+        .write.mode("append").insertInto(codesTab)
+      // (3) overwrite the split cell's partition with its stay-half
+      val movedIds = moved.select(col("vec_id").as("b_id"))
+      val stay = spark.table(codesTab)
+        .filter(col("cell").cast("int") === cell)
+        .join(movedIds, Seq("b_id"), "left_anti")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ann_split").toString
+      try {
+        stay.write.mode("overwrite").parquet(tmp)
+        val back = spark.read.parquet(tmp)
+        val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          if (back.isEmpty)
+            spark.sql(s"ALTER TABLE $codesTab DROP IF EXISTS PARTITION (cell=$cell)")
+          else
+            back.select(spark.table(codesTab).columns.map(col).toIndexedSeq: _*)
+              .write.mode("overwrite").insertInto(codesTab)
+        } finally prevMode match {
+          case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        spark.catalog.refreshTable(codesTab)
+        spark.catalog.refreshTable(modelTab)
+        moved.unpersist(blocking = false)
+        movedN
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    } finally members.unpersist(blocking = false)
+  }
+
   def c3AnnPqIndexed(spark: SparkSession, dir: String, k: Int = 5,
       nCells: Int = 16, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
       queryMod: Int = 100): DataFrame = {
@@ -1663,6 +1841,31 @@ object SimOps {
         "round(CAST(sum(d2) AS DOUBLE), 6) AS sum_d2, " +
         "round(CAST(sum(d2) AS DOUBLE) / count(*), 6) AS mean_d2 " +
         "FROM a GROUP BY cell ORDER BY cell"
+    // Cell-balance replay: the stored codebook's deterministic corpus
+    // assignment (the codes table equals it by construction — the
+    // pqSql identity), per-cell counts, and the integer-compared
+    // oversized flag; share/skew are single rounded divisions.
+    val cellsSql =
+      s"WITH ct AS (SELECT ${matLit(cents)} AS c), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"d AS (SELECT vec_id, list_transform(range(1, ${n + 1}), k -> " +
+        "list_sum(list_transform(range(1, 65), j -> " +
+        "(v[j]-c[k][j])*(v[j]-c[k][j])))) AS dists FROM e CROSS JOIN ct), " +
+        "a AS (SELECT vec_id, CAST(list_position(dists, list_min(dists)) AS INT) " +
+        "AS cell FROM d), " +
+        "per AS (SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec_id " +
+        "FROM a GROUP BY cell), " +
+        "g AS (SELECT *, CAST(sum(n_vecs) OVER () AS BIGINT) AS nt FROM per), " +
+        "s AS (SELECT cell, n_vecs, min_vec_id, " +
+        "round(CAST(n_vecs AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS share, " +
+        s"round(CAST(n_vecs AS DOUBLE) * $n.0 / CAST(nt AS DOUBLE), 6) AS skew, " +
+        s"n_vecs * $n > nt * 2 AS oversized FROM g) " +
+        "SELECT cell, n_vecs, min_vec_id, share, skew, oversized, " +
+        "max(skew) OVER () AS max_skew, " +
+        "CAST(sum(CASE WHEN oversized THEN 1 ELSE 0 END) OVER () AS BIGINT) " +
+        "AS n_oversized, " +
+        "(sum(CASE WHEN oversized THEN 1 ELSE 0 END) OVER ()) > 0 AS rebalance " +
+        "FROM s ORDER BY cell"
     // Incremental-semantic replay: the stored 16-cell codebook as a
     // literal, corpus assignment (minus the batch slice), the batch's
     // nprobe=4 probe cells via the same sorted-(dist, cell) slice as the
@@ -1775,6 +1978,7 @@ object SimOps {
     Map(
       "c3_ann_staleness" -> staleSql,
       "c3_cluster_profile" -> profileSql,
+      "c3_ann_cells" -> cellsSql,
       "c2_incremental_semantic" -> incSemSql,
       // Streaming twin of the incremental-semantic gate: decisions
       // depend only on the PERSISTED index (stream-static joins), so
@@ -2156,6 +2360,7 @@ object SimOps {
     "c3_ann_pq_filtered_adaptive" -> ((s: SparkSession, d: String) => c3AnnPqFilteredAdaptive(s, d)),
     "c3_ann_staleness" -> ((s: SparkSession, d: String) => c3AnnStaleness(s, d)),
     "c3_norm_stats" -> (c3NormStats _),
-    "c3_cluster_profile" -> ((s: SparkSession, d: String) => c3ClusterProfile(s, d))
+    "c3_cluster_profile" -> ((s: SparkSession, d: String) => c3ClusterProfile(s, d)),
+    "c3_ann_cells" -> ((s: SparkSession, d: String) => c3AnnCells(s, d))
   )
 }

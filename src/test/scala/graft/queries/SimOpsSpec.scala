@@ -481,6 +481,94 @@ class SimOpsSpec extends SparkSuite {
     }
   }
 
+  test("c3_ann_cells + splitAnnCell: appended drift trips the skew monitor; the split rebalances surgically") {
+    import org.apache.spark.sql.functions._
+    val full = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-cells").toString
+    try {
+      full.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val (codesTab, modelTab) = SimOps.ensureAnnIndex(spark, dir)
+      def monitor() = SimOps.c3AnnCells(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(4), r.getBoolean(5),
+          r.getDouble(6), r.getBoolean(8)))
+      val pre = monitor()
+      // the monitor's counts must agree with the codes table exactly
+      assert(pre.map(_._2).sum == spark.table(codesTab).count())
+      // drift batch: a dense mode the stored codebook never saw (the
+      // c3_ann_staleness geometry) — appended through the stored model
+      // it crams into whichever cells sit nearest the mode
+      val batch = full.select((col("vec_id") + lit(1L << 40)).as("vec_id"),
+        transform(col("embedding").cast("array<double>"), x => x + lit(2.0d))
+          .as("embedding"),
+        col("label"))
+      SimOps.appendAnnIndex(spark, dir, batch)
+      val after = monitor()
+      assert(after.exists(_._4), "appended drift created no oversized cell")
+      assert(after.forall(_._6), "rebalance verdict did not fire")
+      val victim = after.maxBy(_._2)._1
+      val victimBefore = after.find(_._1 == victim).get
+      val maxSkewBefore = after.head._5
+      val nTrained = SimOps.loadPqModel(spark, modelTab, subspaces = 8)._1.length
+      def cellRows(c: Int) = spark.table(codesTab)
+        .filter(col("cell").cast("int") === c)
+        .select(col("b_id"), col("codes"), col("label"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getInt(2))).toSet
+      val preVictimRows = cellRows(victim)
+      val totalBefore = spark.table(codesTab).count()
+      val movedN = SimOps.splitAnnCell(spark, dir, victim, Some(batch))
+      // surgical: total preserved, one new centroid, moved rows all in
+      // the fresh cell, the stay-half byte-identical
+      assert(movedN > 0L && movedN < victimBefore._2)
+      assert(spark.table(codesTab).count() == totalBefore)
+      val (coarse2, books2) = SimOps.loadPqModel(spark, modelTab, subspaces = 8)
+      assert(coarse2.length == nTrained + 1, "model did not gain one centroid")
+      val newCell = nTrained + 1
+      val movedRows = cellRows(newCell)
+      val stayRows = cellRows(victim)
+      assert(movedRows.size.toLong == movedN)
+      assert(stayRows.map(r => (r._1, r._3)) ++ movedRows.map(r => (r._1, r._3)) ==
+        preVictimRows.map(r => (r._1, r._3)),
+        "split changed the victim cell's member set")
+      assert(stayRows.subsetOf(preVictimRows),
+        "a staying member's stored row changed — the stay-half must be byte-identical")
+      // moved members are strictly closer to the new centroid, and their
+      // codes equal a from-scratch encode against it
+      val old = coarse2(victim - 1)
+      val newC = coarse2(newCell - 1)
+      val grown = full.select(col("vec_id"), col("embedding"), col("label"))
+        .unionByName(batch)
+      val movedIds = movedRows.map(_._1)
+      val vecs = grown.filter(col("vec_id").isInCollection(preVictimRows.map(_._1)))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      def d2(a: Array[Double], b: Seq[Double]): Double =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      preVictimRows.map(_._1).foreach { id =>
+        val nearerNew = d2(vecs(id), newC) < d2(vecs(id), old)
+        assert(nearerNew == movedIds.contains(id),
+          s"member $id on the wrong side of the split")
+      }
+      val expectedCodes = SimOps.pqEncodeCorpus(
+        grown.filter(col("vec_id").isInCollection(movedIds))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embD")),
+        Seq(newC), books2, subspaces = 8, residual = true)
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](2).toSeq)).toSet
+      assert(movedRows.map(r => (r._1, r._2)) == expectedCodes,
+        "moved codes diverged from a from-scratch encode against the new centroid")
+      // the monitor reflects the rebalance: the victim's load dropped and
+      // the global max skew did not grow
+      val post = monitor()
+      val victimAfter = post.find(_._1 == victim).get
+      assert(victimAfter._2 == victimBefore._2 - movedN)
+      assert(post.head._5 <= maxSkewBefore,
+        s"max skew grew after the split: ${post.head._5} > $maxSkewBefore")
+      assert(post.find(_._1 == newCell).get._2 == movedN)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("residual encoding (IVFADC) does not lose to raw-vector PQ at the same code size") {
     // sf0.01: 60 queries — the 5-query sf0.001 set quantizes both metrics
     // too coarsely to order the variants (measured flips either way).
