@@ -56,7 +56,7 @@ object SparkEntry {
     Warmup("ann_index",
       Set("c3_ann_pq_indexed", "c3_ann_pq_filtered",
         "c2_incremental_semantic", "c3_ann_staleness",
-        "c5_stream_semantic").contains(_),
+        "c5_stream_semantic", "c3_ann_cells").contains(_),
       (s, d) => { SimOps.ensureAnnIndex(s, d); () }),
     Warmup("dedup_index", _ == "c2_incremental_dedup_indexed",
       (s, d) => { DedupOps.ensureDedupIndex(s, d); () }),
@@ -76,7 +76,8 @@ object SparkEntry {
     // its training timed in-query (the train loop is its subject).
     Warmup("lm_ref_model",
       Set("c4_lm_ppl_ref", "c4_lm_ppl3", "c4_lm_ppl3_cutoff",
-        "c7_ppl_filter", "c7_pipeline_v3").contains(_),
+        "c7_ppl_filter", "c7_pipeline_v3",
+        "c7_dataset_card_v2").contains(_),
       (s, d) => { TextOps.ensureLmRefModel(s, d); () }))
 
   /** Oracle SQL whose text depends on data-trained plan literals (e.g.

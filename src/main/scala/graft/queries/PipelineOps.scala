@@ -1233,6 +1233,71 @@ object PipelineOps {
       .orderBy("source", "lang")
   }
 
+  /** C7w: the dataset card EXTENDED with the round-15 signal families —
+    * a release profile that under-reports perplexity, PII and
+    * repeated-span exposure documents the corpus the pipeline had, not
+    * the one it ships. Adds to [[c7DatasetCard]]'s per-(source, lang)
+    * row: the CCNet perplexity-tercile composition (head/middle/tail
+    * doc counts under the reference LM — [[c7PplFilter]]'s exact
+    * integer bucket), PII exposure (total detected spans and the share
+    * of docs carrying any — [[graft.queries.TextOps.c4PiiScrub]]'s
+    * counts), and repeated-span exposure (docs with a scrub-eligible
+    * repeated span and the removed-token share of the group's mass —
+    * [[graft.queries.TextOps.scrubRemovedCounts]]). One declarative
+    * plan composed from the existing per-doc frames; every new rate is
+    * one rounded division over exact integer sums.
+    *
+    * Scale posture: each component is its own proven linear plan; the
+    * card adds only doc_id equi-joins and one partial+final aggregate
+    * to (source, lang) — model-sized output, no new corpus-sized
+    * exchange beyond the components' own.
+    */
+  def c7DatasetCardV2(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), md5(col("text")).as("h"))
+    val fst = d.groupBy("h").agg(min(col("doc_id")).as("first_id"))
+    val qf = c7QualityFilter(spark, dir).select(col("doc_id"), col("keep"))
+    val dv = TextOps.c4Diversity(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("simpson"))
+    val ppl = c7PplFilter(spark, dir).select(col("doc_id"), col("bucket"))
+    val pii = TextOps.c4PiiScrub(spark, dir).select(col("doc_id"), col("n_pii"))
+    val spans = TextOps.scrubRemovedCounts(docs(spark, dir))
+    d.join(fst, "h")
+      .withColumn("is_dup", col("doc_id") =!= col("first_id"))
+      .join(qf, "doc_id")
+      .join(dv, "doc_id")
+      .join(ppl, "doc_id")
+      .join(pii, "doc_id")
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(col("simpson").cast("decimal(20,6)")).as("sumdec"),
+        sum(when(col("bucket") === 0L, 1L).otherwise(0L)).as("n_ppl_head"),
+        sum(when(col("bucket") === 1L, 1L).otherwise(0L)).as("n_ppl_mid"),
+        sum(when(col("bucket") === 2L, 1L).otherwise(0L)).as("n_ppl_tail"),
+        sum(col("n_pii")).as("total_pii"),
+        sum(when(col("n_pii") > 0L, 1L).otherwise(0L)).as("n_pii_docs"),
+        sum(col("n_removed")).as("total_span_tokens"),
+        sum(when(col("n_removed") > 0L, 1L).otherwise(0L)).as("n_span_docs"))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
+        col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6).as("dup_rate"),
+        col("n_quality"),
+        round(col("n_quality").cast("double") / col("n_docs"), 6).as("quality_rate"),
+        round(col("sumdec").cast("double") / col("n_docs"), 6).as("mean_simpson"),
+        col("n_ppl_head"), col("n_ppl_mid"), col("n_ppl_tail"),
+        col("total_pii"), col("n_pii_docs"),
+        round(col("n_pii_docs").cast("double") / col("n_docs"), 6).as("pii_doc_rate"),
+        col("total_span_tokens"), col("n_span_docs"),
+        round(col("total_span_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("span_token_rate"))
+      .orderBy("source", "lang")
+  }
+
   /** Shared replay of the quality-filter signal chain (base/tc/ts/bg/bs
     * CTEs) and the composite keep predicate — consumed by the
     * c7_quality_filter oracle and recomposed by c7_dataset_card.
@@ -1424,6 +1489,73 @@ object PipelineOps {
         "AS quality_rate, " +
         "round(CAST(sum(CAST(simpson AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) " +
         "AS mean_simpson " +
+        "FROM per GROUP BY source, lang ORDER BY source, lang"),
+    // V2 card replay: the v1 fragments verbatim, plus the lm-prefixed
+    // reference-LM chain with the c7_ppl_filter tercile, the
+    // c4_pii_scrub counts, and the z-prefixed span chain's per-doc
+    // removed sums — all joined per doc, then the same (source, lang)
+    // rollup with the new exposure columns.
+    "c7_dataset_card_v2" ->
+      (s"WITH $qualityCtes, " +
+        s"qf AS (SELECT base.doc_id, ($qualityKeepSql) AS keep " +
+        "FROM base LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id)), " +
+        "dv AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "round(1.0 - CAST(sum(c*c) AS DOUBLE) / (sum(c) * sum(c)), 6) AS simpson " +
+        "FROM tc GROUP BY doc_id), " +
+        TextOps.lmPplRefCtes + ", " +
+        "pj AS (SELECT dd.lang, p.doc_id, p.nll " +
+        "FROM lmres p JOIN documents dd USING (doc_id)), " +
+        "pr AS (SELECT doc_id, CAST(row_number() OVER " +
+        "(PARTITION BY lang ORDER BY nll, doc_id) AS BIGINT) AS rk, " +
+        "count(*) OVER (PARTITION BY lang) AS n FROM pj), " +
+        "pb AS (SELECT doc_id, (3 * (rk - 1)) // n AS bucket FROM pr), " +
+        "pz AS (SELECT doc_id, " +
+        TextOps.PiiPatterns.map { case (_, pat, _) =>
+          s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)"
+        }.mkString(" + ") + " AS n_pii FROM documents), " +
+        TextOps.ssdupChainOver("documents", "z") + ", " +
+        "zsp AS (SELECT d1, d2, diag, min(o1) AS a0, max(o1) AS a1 " +
+        "FROM zi GROUP BY d1, d2, diag, isl), " +
+        "zrem AS (SELECT DISTINCT d2 AS doc_id, a0 + diag AS s, " +
+        "a0 + diag + (a1 - a0 + 16) - 1 AS e FROM zsp), " +
+        "zmx AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe FROM zrem), " +
+        "zg AS (SELECT *, sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 " +
+        "ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp FROM zmx), " +
+        "zmi AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM zg " +
+        "GROUP BY doc_id, grp), " +
+        "zrm AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_removed " +
+        "FROM zmi GROUP BY doc_id), " +
+        "d AS (SELECT doc_id, source, lang, md5(text) AS h FROM documents), " +
+        "fst AS (SELECT h, min(doc_id) AS first_id FROM d GROUP BY h), " +
+        "per AS (SELECT d.doc_id, d.source, d.lang, " +
+        "d.doc_id <> f.first_id AS is_dup, qf.keep, dv.simpson, dv.n_tokens, " +
+        "pb.bucket, pz.n_pii, COALESCE(zrm.n_removed, 0) AS n_removed " +
+        "FROM d JOIN fst f USING (h) " +
+        "JOIN qf ON qf.doc_id = d.doc_id JOIN dv ON dv.doc_id = d.doc_id " +
+        "JOIN pb ON pb.doc_id = d.doc_id JOIN pz ON pz.doc_id = d.doc_id " +
+        "LEFT JOIN zrm ON zrm.doc_id = d.doc_id) " +
+        "SELECT source, lang, count(*) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, " +
+        "round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) " +
+        "AS dup_rate, " +
+        "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality, " +
+        "round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) " +
+        "AS quality_rate, " +
+        "round(CAST(sum(CAST(simpson AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) " +
+        "AS mean_simpson, " +
+        "CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ppl_head, " +
+        "CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ppl_mid, " +
+        "CAST(sum(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_ppl_tail, " +
+        "CAST(sum(n_pii) AS BIGINT) AS total_pii, " +
+        "CAST(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs, " +
+        "round(CAST(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) " +
+        "AS pii_doc_rate, " +
+        "CAST(sum(n_removed) AS BIGINT) AS total_span_tokens, " +
+        "CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_span_docs, " +
+        "round(CAST(sum(n_removed) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6) " +
+        "AS span_token_rate " +
         "FROM per GROUP BY source, lang ORDER BY source, lang"),
     // Weighted priority replay: integer (bucket*2^20)//weight keys
     // (pre-scaled so bucket<weight can't collapse to 0), the k smallest
@@ -1757,6 +1889,7 @@ object PipelineOps {
     "c7_curriculum" -> ((s: SparkSession, d: String) => c7Curriculum(s, d)),
     "c7_interleave" -> (c7Interleave _),
     "c7_dataset_card" -> (c7DatasetCard _),
+    "c7_dataset_card_v2" -> (c7DatasetCardV2 _),
     "c7_shard_balance" -> ((s: SparkSession, d: String) => c7ShardBalance(s, d)),
     "c7_contamination" -> ((s: SparkSession, d: String) => c7Contamination(s, d)),
     "c7_decontaminate_fuzzy" -> ((s: SparkSession, d: String) => c7DecontaminateFuzzy(s, d)),

@@ -1226,8 +1226,16 @@ object TextOps {
           (col("c_u") + lit(v)).cast("double")), 0).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_events"), sum(col("li")).as("s"))
-      .withColumn("nll", round((lit(0.0) - col("s").cast("double")) /
-        (col("n_events").cast("double") * lit(1000000.0)), 6))
+      // nll = HALF_UP(-s/n_events) in EXACT integer arithmetic, then one
+      // exact-by-construction 6dp division: the former double division
+      // round((-s)/(n·1e6), 6) breaks cross-engine exactly when -s/n
+      // lands on a half-integer (a real event at sf0.001: -s/n =
+      // 4047796.5 — Spark's shortest-repr HALF_UP said ...97, DuckDB's
+      // exact-binary round said ...96). The integer form is the same
+      // definition with the tie decided before any float exists.
+      .withColumn("nll", round(expr(
+        "CAST(((0 - s) * 2 + n_events) div (2 * n_events) AS DOUBLE)") /
+        lit(1000000.0), 6))
     d.select("doc_id").join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
@@ -1351,8 +1359,16 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_events"), sum(col("oov")).as("n_oov_events"),
         sum(col("li")).as("s"))
-      .withColumn("nll", round((lit(0.0) - col("s").cast("double")) /
-        (col("n_events").cast("double") * lit(1000000.0)), 6))
+      // nll = HALF_UP(-s/n_events) in EXACT integer arithmetic, then one
+      // exact-by-construction 6dp division: the former double division
+      // round((-s)/(n·1e6), 6) breaks cross-engine exactly when -s/n
+      // lands on a half-integer (a real event at sf0.001: -s/n =
+      // 4047796.5 — Spark's shortest-repr HALF_UP said ...97, DuckDB's
+      // exact-binary round said ...96). The integer form is the same
+      // definition with the tie decided before any float exists.
+      .withColumn("nll", round(expr(
+        "CAST(((0 - s) * 2 + n_events) div (2 * n_events) AS DOUBLE)") /
+        lit(1000000.0), 6))
     dAll.select("doc_id").join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
@@ -1447,8 +1463,16 @@ object TextOps {
         sum(when(col("c3").isNull && col("c2vw").isNull, 1L)
           .otherwise(0L)).as("n_backoff_uni"),
         sum(col("li")).as("s"))
-      .withColumn("nll", round((lit(0.0) - col("s").cast("double")) /
-        (col("n_events").cast("double") * lit(1000000.0)), 6))
+      // nll = HALF_UP(-s/n_events) in EXACT integer arithmetic, then one
+      // exact-by-construction 6dp division: the former double division
+      // round((-s)/(n·1e6), 6) breaks cross-engine exactly when -s/n
+      // lands on a half-integer (a real event at sf0.001: -s/n =
+      // 4047796.5 — Spark's shortest-repr HALF_UP said ...97, DuckDB's
+      // exact-binary round said ...96). The integer form is the same
+      // definition with the tie decided before any float exists.
+      .withColumn("nll", round(expr(
+        "CAST(((0 - s) * 2 + n_events) div (2 * n_events) AS DOUBLE)") /
+        lit(1000000.0), 6))
     dAll.select("doc_id").join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
@@ -1686,7 +1710,8 @@ object TextOps {
       "CAST(sum(oov) AS BIGINT) AS n_oov_events, " +
       "CAST(sum(li) AS BIGINT) AS s FROM lmsc GROUP BY doc_id), " +
       "lmag2 AS (SELECT doc_id, n_events, n_oov_events, " +
-      "round((0.0 - CAST(s AS DOUBLE)) / (n_events * 1000000.0), 6) AS nll " +
+      "round(CAST(((0 - s) * 2 + n_events) // (2 * n_events) AS DOUBLE) " +
+      "/ 1000000.0, 6) AS nll " +
       "FROM lmag), " +
       "lmres AS (SELECT lmt.doc_id, COALESCE(lmag2.n_events, 0) AS n_events, " +
       "COALESCE(lmag2.n_oov_events, 0) AS n_oov_events, " +
@@ -1976,7 +2001,8 @@ object TextOps {
         "ag AS (SELECT doc_id, count(*) AS n_events, " +
         "CAST(sum(li) AS BIGINT) AS s FROM sc GROUP BY doc_id), " +
         "ag2 AS (SELECT doc_id, n_events, " +
-        "round((0.0 - CAST(s AS DOUBLE)) / (n_events * 1000000.0), 6) AS nll " +
+        "round(CAST(((0 - s) * 2 + n_events) // (2 * n_events) AS DOUBLE) " +
+        "/ 1000000.0, 6) AS nll " +
         "FROM ag) " +
         "SELECT t.doc_id, COALESCE(ag2.n_events, 0) AS n_events, " +
         "COALESCE(ag2.nll, 0.0) AS nll, " +
@@ -2054,7 +2080,8 @@ object TextOps {
         "CAST(sum(bo2) AS BIGINT) AS n_backoff_uni, " +
         "CAST(sum(li) AS BIGINT) AS s FROM sc GROUP BY doc_id), " +
         "ag2 AS (SELECT doc_id, n_events, n_backoff_bi, n_backoff_uni, " +
-        "round((0.0 - CAST(s AS DOUBLE)) / (n_events * 1000000.0), 6) AS nll " +
+        "round(CAST(((0 - s) * 2 + n_events) // (2 * n_events) AS DOUBLE) " +
+        "/ 1000000.0, 6) AS nll " +
         "FROM ag) " +
         "SELECT t.doc_id, COALESCE(ag2.n_events, 0) AS n_events, " +
         "COALESCE(ag2.n_backoff_bi, 0) AS n_backoff_bi, " +
