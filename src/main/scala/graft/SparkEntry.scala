@@ -55,9 +55,14 @@ object SparkEntry {
       (s, d) => Relational.warmLayouts(s, d)),
     Warmup("ann_index",
       Set("c3_ann_pq_indexed", "c3_ann_pq_filtered",
-        "c2_incremental_semantic", "c3_ann_staleness",
-        "c5_stream_semantic", "c3_ann_cells").contains(_),
+        "c3_ann_staleness", "c3_ann_cells").contains(_),
       (s, d) => { SimOps.ensureAnnIndex(s, d); () }),
+    // The incremental-semantic family reads the corpus-SCALED index
+    // (≈√n cells — its batch is a corpus fraction; see
+    // SimOps.ensureScaledAnnIndex), a separate persisted layout.
+    Warmup("ann_index_scaled",
+      Set("c2_incremental_semantic", "c5_stream_semantic").contains(_),
+      (s, d) => { SimOps.ensureScaledAnnIndex(s, d); () }),
     Warmup("dedup_index", _ == "c2_incremental_dedup_indexed",
       (s, d) => { DedupOps.ensureDedupIndex(s, d); () }),
     Warmup("dedup_labels", _ == "c2_incremental_cc",

@@ -690,6 +690,38 @@ object SimOps {
     (codesTab, modelTab)
   }
 
+  /** The PERSISTED index of the incremental-semantic family
+    * (c2_incremental_semantic, c5_stream_semantic) at the CORPUS-SCALED
+    * cell count ([[scaledCells]], ≈ √n): those operators resolve a
+    * corpus FRACTION (the vec_id % 10 = 7 crawl slice) against the
+    * index, so their confirm cost is O((n/10) · nprobe · |cell|) —
+    * under the fixed 16-cell indexed-query layout |cell| grows linearly
+    * and the decade goes quadratic (measured: the sf10-sparse gate blew
+    * past the 500 s watchdog at 16 cells; ≈√n cells bound |cell| ≈ √n
+    * and the decade closes — BASELINE.md round 16). Lives in its OWN
+    * layout namespace (`graft_annk_*`) so it coexists with the fixed-16
+    * layout the per-query ANN operators keep (sweeps are per-prefix;
+    * the b8 one-live-configuration rule holds within each namespace).
+    * Returns (codesTab, modelTab, kCells).
+    */
+  private[graft] def ensureScaledAnnIndex(spark: SparkSession, dir: String,
+      subspaces: Int = 8, kSub: Int = 16, maxSample: Int = 100000)
+      : (String, String, Int) = {
+    import graft.sources.Storage.{dropStaleLayouts, sourceFingerprint}
+    val kCells = scaledCells(spark, dir)
+    val suffix = sourceFingerprint(s"$dir/embeddings.parquet") +
+      s"_${kCells}c${subspaces}s${kSub}k"
+    val (codesTab, modelTab) =
+      (s"graft_annk_codes_$suffix", s"graft_annk_model_$suffix")
+    if (spark.catalog.tableExists(codesTab) && spark.catalog.tableExists(modelTab))
+      return (codesTab, modelTab, kCells)
+    dropStaleLayouts(spark, "graft_annk_codes_", suffix)
+    dropStaleLayouts(spark, "graft_annk_model_", suffix)
+    writeAnnLayout(spark, emb(spark, dir).select("vec_id", "embedding", "label"),
+      kCells, subspaces, kSub, maxSample, modelTab, codesTab)
+    (codesTab, modelTab, kCells)
+  }
+
   /** Train a fresh codebook on `corpus`'s bounded sample, encode the
     * corpus, and land the (model, codes) tables under the given names —
     * the one layout-building pass shared by [[ensureAnnIndex]] (initial
@@ -1866,22 +1898,25 @@ object SimOps {
         "AS n_oversized, " +
         "(sum(CASE WHEN oversized THEN 1 ELSE 0 END) OVER ()) > 0 AS rebalance " +
         "FROM s ORDER BY cell"
-    // Incremental-semantic replay: the stored 16-cell codebook as a
-    // literal, corpus assignment (minus the batch slice), the batch's
-    // nprobe=4 probe cells via the same sorted-(dist, cell) slice as the
-    // ANN queries, exact-cosine confirm on candidates only, then the
-    // (cosine desc, b_id asc) best pick over the threshold floor.
+    // Incremental-semantic replay: the stored SCALED codebook (≈√n
+    // cells — the same [[scaledCells]] grid the engine's
+    // ensureScaledAnnIndex trains, identical by training determinism)
+    // as a literal, corpus assignment (minus the batch slice), the
+    // batch's nprobe=4 probe cells via the same sorted-(dist, cell)
+    // slice as the ANN queries, exact-cosine confirm on candidates
+    // only, then the (cosine desc, b_id asc) best pick over the
+    // threshold floor.
     val incSemSql =
-      s"WITH ct AS (SELECT ${matLit(cents)} AS c), " +
+      s"WITH ct AS (SELECT ${matLit(centsK)} AS c), " +
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        s"d AS (SELECT vec_id, v, list_transform(range(1, ${n + 1}), k -> " +
+        s"d AS (SELECT vec_id, v, list_transform(range(1, ${nK + 1}), k -> " +
         "list_sum(list_transform(range(1, 65), j -> " +
         "(v[j]-c[k][j])*(v[j]-c[k][j])))) AS dists FROM e CROSS JOIN ct), " +
         "corp AS (SELECT vec_id AS b_id, " +
         "list_position(dists, list_min(dists)) AS cell FROM d " +
         "WHERE vec_id % 10 <> 7), " +
         "pr AS (SELECT vec_id AS n_id, unnest(list_transform(list_slice(" +
-        s"list_sort(list_transform(range(1, ${n + 1}), k -> " +
+        s"list_sort(list_transform(range(1, ${nK + 1}), k -> " +
         "[dists[k], CAST(k AS DOUBLE)])), 1, 4), s -> CAST(s[2] AS BIGINT))) " +
         "AS cell FROM d WHERE vec_id % 10 = 7), " +
         "cand AS (SELECT n_id, b_id FROM pr JOIN corp USING (cell)), " +
@@ -2105,8 +2140,11 @@ object SimOps {
     */
   def c2IncrementalSemantic(spark: SparkSession, dir: String,
       threshold: Double = IncSemThreshold, nprobe: Int = 4,
-      nCells: Int = 16, subspaces: Int = 8, kSub: Int = 16): DataFrame = {
-    val (codesTab, modelTab) = ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
+      subspaces: Int = 8, kSub: Int = 16): DataFrame = {
+    // the SCALED index (≈√n cells): the batch is a corpus fraction, so
+    // the fixed-16 layout's linearly-growing cells turn the confirm
+    // join quadratic — see [[ensureScaledAnnIndex]]
+    val (codesTab, modelTab, _) = ensureScaledAnnIndex(spark, dir, subspaces, kSub)
     val (coarse, _) = loadPqModel(spark, modelTab, subspaces)
     val nTrained = coarse.length
     val base = emb(spark, dir)
@@ -2164,9 +2202,11 @@ object SimOps {
     * nprobe · cell size per arrival.
     */
   private[graft] def semanticGateCandidates(spark: SparkSession, dir: String,
-      arrivals: DataFrame, nprobe: Int = 4, nCells: Int = 16,
+      arrivals: DataFrame, nprobe: Int = 4,
       subspaces: Int = 8, kSub: Int = 16): DataFrame = {
-    val (codesTab, modelTab) = ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
+    // the SCALED index — the arrival stream is a corpus fraction, the
+    // same quadratic-at-fixed-cells argument as the batch twin
+    val (codesTab, modelTab, _) = ensureScaledAnnIndex(spark, dir, subspaces, kSub)
     val (coarse, _) = loadPqModel(spark, modelTab, subspaces)
     val nTrained = coarse.length
     val probed = arrivals

@@ -660,14 +660,17 @@ object TextOps {
     // small corpora (input below the threshold) skip the pre-pass and
     // keep the session setting, so the gate-scale plans are unchanged.
     val sizedParts: Option[Int] = {
-      // Local-FS walk (the sourceFingerprint convention — this harness's
-      // corpora are local); a remote-FS deployment would read the same
-      // size from FileSystem.getContentSummary.
-      def bytes(f: java.io.File): Long =
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(bytes).sum
-        else f.length
+      // Hadoop-FS size (works for local, hdfs://, s3a://, ... — a local
+      // java.io.File walk returns 0 for a remote path, which would
+      // SILENTLY disable this pre-pass and reopen the big-vocab OOM it
+      // exists to close; a missing path fails loudly here instead).
+      def bytes(pathStr: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(pathStr)
+        p.getFileSystem(spark.sessionState.newHadoopConf())
+          .getContentSummary(p).getLength
+      }
       val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      if (bytes(new java.io.File(s"$dir/documents.parquet")) < BpeSizingBytes) None
+      if (bytes(s"$dir/documents.parquet") < BpeSizingBytes) None
       else {
         val approxTypes = docs(spark, dir)
           .select(explode(split(col("text"), " ")).as("word"))
@@ -703,6 +706,15 @@ object TextOps {
     // per-round shuffles are O(types) vocabulary aggregates where AQE
     // has nothing to win; the corpus-sized w0 pass is one partial+final
     // aggregate with a fixed fan-in.
+    // SINGLE-THREADED-SESSION ASSUMPTION (documented contract): both
+    // overrides below are session-global for the loop's duration — a
+    // concurrent query on the same SparkSession would run at the
+    // altered width with AQE off. Every harness here (Verify, Bench,
+    // specs) runs queries sequentially; a concurrent deployment would
+    // confine the loop to a cloned session. The returned final-round
+    // vocab is lazy but safe across the restore: it is a NARROW
+    // projection over the cached prior round (no shuffle executes
+    // caller-side), which is also why it needs no width of its own.
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -20,7 +20,10 @@ class BpeMergeExprSpec extends SparkSuite {
       .withColumn("native", BpeMergeExpr.bpeMergeSeq(col("seq"), accepted))
       .withColumn("hof", TextOps.mergeSeqBatchHof(col("seq"), accepted))
       .filter(not(col("native") <=> col("hof")))
-    assert(bad.count() === 0, bad.collect().take(3).mkString("; "))
+    // collect once — assert's clue is evaluated eagerly, so a
+    // bad.collect() clue would re-run the comparison job on every call
+    val rows = bad.take(3)
+    assert(rows.isEmpty, rows.mkString("; "))
   }
 
   test("pinned cases: merge, flush, (a,a) run parity, trailing held") {
