@@ -665,9 +665,10 @@ class SimOpsSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
     val batch = vecs.keySet.filter(_ % 10 == 7)
     assert(out.map(_._1).toSet == batch && out.length == batch.size)
-    // ground truth: probe cells from the STORED model (the same one the
-    // query loads), exact cosine over the probed corpus cells
-    val (codesTab, modelTab) = SimOps.ensureAnnIndex(spark, sf)
+    // ground truth: probe cells from the STORED model (the SCALED index
+    // this family reads — ensureScaledAnnIndex, round 16), exact cosine
+    // over the probed corpus cells
+    val (_, modelTab, _) = SimOps.ensureScaledAnnIndex(spark, sf)
     val (coarse, _) = SimOps.loadPqModel(spark, modelTab, subspaces = 8)
     def d2(v: Array[Double], c: Seq[Double]): Double =
       v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
