@@ -108,7 +108,10 @@ object ScaleGen {
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val crossed = docs.crossJoin(copies)
       .withColumn("fam",
-        pmod(col("doc_id") * 2654435761L, lit(4294967296L)) <
+        // the shared overflow-safe bucket (bit-identical to the naive
+        // form for these in-range pre-offset base ids, so existing
+        // derived corpora are unchanged)
+        graft.queries.PipelineOps.knuthBucketCol(col("doc_id")) <
           lit((0.02 * 4294967296L).toLong))
       .withColumn("doc_id", col("doc_id") + col("copy") * maxId)
     val withText =

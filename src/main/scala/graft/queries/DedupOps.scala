@@ -615,15 +615,20 @@ object DedupOps {
   }
 
   private[graft] def ensureDedupIndex(spark: SparkSession, dir: String,
-      numHashes: Int = IncHashes, bands: Int = IncBands): (String, String) = {
+      numHashes: Int = IncHashes, bands: Int = IncBands,
+      sweepStale: Boolean = true): (String, String) = {
     import graft.sources.Storage.dropStaleLayouts
     val suffix = dedupSuffix(dir, numHashes, bands)
     val (memTab, toksTab) = (s"graft_mh_mem_$suffix", s"graft_mh_toks_$suffix")
     if (spark.catalog.tableExists(memTab) && spark.catalog.tableExists(toksTab))
       return (memTab, toksTab)
-    dropStaleLayouts(spark, "graft_mh_mem_", suffix)
-    dropStaleLayouts(spark, "graft_mh_toks_", suffix)
-    dropStaleLayouts(spark, "graft_mh_del_", suffix)
+    // sweepStale = false builds a side corpus's layout (MaintBench temp
+    // dirs, throwaway spec corpora) without dropping the live corpus's.
+    if (sweepStale) {
+      dropStaleLayouts(spark, "graft_mh_mem_", suffix)
+      dropStaleLayouts(spark, "graft_mh_toks_", suffix)
+      dropStaleLayouts(spark, "graft_mh_del_", suffix)
+    }
     val corpus = docs(spark, dir).filter(col("doc_id") % 10 =!= 7)
       .select(col("doc_id"), MinHash.tokenSet(col("text")).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -790,13 +795,14 @@ object DedupOps {
     * partition overwrite, never an O(n) label rewrite per batch.
     */
   private[graft] def ensureDedupLabels(spark: SparkSession, dir: String,
-      numHashes: Int = IncHashes, bands: Int = IncBands): String = {
+      numHashes: Int = IncHashes, bands: Int = IncBands,
+      sweepStale: Boolean = true): String = {
     import graft.sources.Storage.dropStaleLayouts
-    val (memTab, _) = ensureDedupIndex(spark, dir, numHashes, bands)
+    val (memTab, _) = ensureDedupIndex(spark, dir, numHashes, bands, sweepStale)
     val suffix = dedupSuffix(dir, numHashes, bands)
     val labTab = s"graft_mh_lab_$suffix"
     if (spark.catalog.tableExists(labTab)) return labTab
-    dropStaleLayouts(spark, "graft_mh_lab_", suffix)
+    if (sweepStale) dropStaleLayouts(spark, "graft_mh_lab_", suffix)
     ConnectedComponents.assignmentsFromMemberships(spark.table(memTab))
       .select(col("doc_id"), col("cluster_rep"),
         pmod(col("cluster_rep"), lit(64L)).as("lp"))

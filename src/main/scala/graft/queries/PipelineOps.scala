@@ -52,6 +52,21 @@ object PipelineOps {
   private val bucketSql = knuthBucketSql("doc_id", "div")
   private val bucketSqlDuck = knuthBucketSql("doc_id", "//")
 
+  /** Column rendering of [[knuthBucketSql]] — the identical sign-safe
+    * reduce + 16/16 split-multiply arithmetic as Column expressions
+    * (shiftright == div-by-2^16 on the already-non-negative reduced
+    * value). Every in-repo Knuth bucket routes through this or the SQL
+    * renderings, so the overflow-safe form is universal — no raw
+    * `id * 2654435761` multiplication anywhere outside the bounded
+    * hash-family coefficients.
+    */
+  private[graft] def knuthBucketCol(id: Column): Column = {
+    val r = pmod(id, lit(4294967296L))
+    pmod(pmod(shiftright(r, 16) * lit(2654435761L), lit(65536L)) *
+      lit(65536L) + pmod(r, lit(65536L)) * lit(2654435761L),
+      lit(4294967296L))
+  }
+
   /** C7a: stratified (per-language) deterministic sampling — downsample
     * dominant languages harder (en keeps 10%, others 40%): the language-
     * rebalancing shape. Emits the surviving rows.
@@ -300,12 +315,7 @@ object PipelineOps {
     // [0,2^32), split the multiply at 2^16 (each partial product
     // < 2^16·m ≈ 1.7e14 ≪ 2^63); bit-identical to the naive form for
     // in-range ids.
-    def bucket(c: Column): Column = {
-      val r = pmod(c, lit(4294967296L))
-      pmod(pmod(shiftright(r, 16) * lit(2654435761L), lit(65536L)) *
-        lit(65536L) + pmod(r, lit(65536L)) * lit(2654435761L),
-        lit(4294967296L))
-    }
+    def bucket(c: Column): Column = knuthBucketCol(c)
     val spans = TextOps.substringSpans(spark, dir, window, maxOcc)
       .withColumn("a_train", bucket(col("doc_a")) < lo)
       .withColumn("a_test", bucket(col("doc_a")) >= hi)

@@ -668,7 +668,7 @@ object SimOps {
     */
   private[graft] def ensureAnnIndex(spark: SparkSession, dir: String,
       nCells: Int = 16, subspaces: Int = 8, kSub: Int = 16,
-      maxSample: Int = 100000): (String, String) = {
+      maxSample: Int = 100000, sweepStale: Boolean = true): (String, String) = {
     import graft.sources.Storage.{dropStaleLayouts, sourceFingerprint}
     // The suffix carries BOTH the corpus fingerprint and the index
     // hyperparameters: an index trained with different
@@ -683,8 +683,14 @@ object SimOps {
       (s"graft_ann_codes_$suffix", s"graft_ann_model_$suffix")
     if (spark.catalog.tableExists(codesTab) && spark.catalog.tableExists(modelTab))
       return (codesTab, modelTab)
-    dropStaleLayouts(spark, "graft_ann_codes_", suffix)
-    dropStaleLayouts(spark, "graft_ann_model_", suffix)
+    // sweepStale = false is the side-corpus mode (MaintBench's temp-dir
+    // copies, throwaway spec corpora): build THIS corpus's layout
+    // without dropping another live corpus's — the one-live-
+    // configuration sweep only applies to the real corpus lifecycle.
+    if (sweepStale) {
+      dropStaleLayouts(spark, "graft_ann_codes_", suffix)
+      dropStaleLayouts(spark, "graft_ann_model_", suffix)
+    }
     writeAnnLayout(spark, emb(spark, dir).select("vec_id", "embedding", "label"),
       nCells, subspaces, kSub, maxSample, modelTab, codesTab)
     (codesTab, modelTab)
@@ -703,10 +709,20 @@ object SimOps {
     * layout the per-query ANN operators keep (sweeps are per-prefix;
     * the b8 one-live-configuration rule holds within each namespace).
     * Returns (codesTab, modelTab, kCells).
+    *
+    * Maintenance posture: REBUILD-ONLY. The incremental maintenance
+    * lifecycle ([[appendAnnIndex]] / [[deleteFromAnnIndex]] /
+    * [[retrainAnnIndex]] / [[splitAnnCell]]) operates on the fixed
+    * `graft_ann_*` namespace; this layout is derived purely from the
+    * corpus parquet and is rebuilt from scratch whenever the corpus
+    * fingerprint changes (its cell count itself is a function of corpus
+    * size, so growth eventually REQUIRES retraining rather than
+    * appending — a √n-cell index appended forever degrades toward the
+    * fixed-cell quadratic this layout exists to avoid).
     */
   private[graft] def ensureScaledAnnIndex(spark: SparkSession, dir: String,
-      subspaces: Int = 8, kSub: Int = 16, maxSample: Int = 100000)
-      : (String, String, Int) = {
+      subspaces: Int = 8, kSub: Int = 16, maxSample: Int = 100000,
+      sweepStale: Boolean = true): (String, String, Int) = {
     import graft.sources.Storage.{dropStaleLayouts, sourceFingerprint}
     val kCells = scaledCells(spark, dir)
     val suffix = sourceFingerprint(s"$dir/embeddings.parquet") +
@@ -715,8 +731,10 @@ object SimOps {
       (s"graft_annk_codes_$suffix", s"graft_annk_model_$suffix")
     if (spark.catalog.tableExists(codesTab) && spark.catalog.tableExists(modelTab))
       return (codesTab, modelTab, kCells)
-    dropStaleLayouts(spark, "graft_annk_codes_", suffix)
-    dropStaleLayouts(spark, "graft_annk_model_", suffix)
+    if (sweepStale) {
+      dropStaleLayouts(spark, "graft_annk_codes_", suffix)
+      dropStaleLayouts(spark, "graft_annk_model_", suffix)
+    }
     writeAnnLayout(spark, emb(spark, dir).select("vec_id", "embedding", "label"),
       kCells, subspaces, kSub, maxSample, modelTab, codesTab)
     (codesTab, modelTab, kCells)
@@ -999,6 +1017,41 @@ object SimOps {
       .orderBy("cell")
   }
 
+  /** Overwrite one cell partition of `codesTab` with its rows MINUS
+    * `removeIds` (column `b_id`) — the stay-half landing shared by
+    * [[splitAnnCell]]'s step (3) and its pending-split completion.
+    * Deterministic and idempotent (a re-run recomputes the same
+    * stay-half); a fully-emptied cell is dropped via its partition.
+    * Stages through a temp dir because Spark refuses to overwrite a
+    * table it reads in the same plan (the [[deleteFromAnnIndex]]
+    * machinery, single-cell form).
+    */
+  private def overwriteCellWithout(spark: SparkSession, codesTab: String,
+      cell: Int, removeIds: DataFrame): Unit = {
+    val stay = spark.table(codesTab)
+      .filter(col("cell").cast("int") === cell)
+      .join(removeIds.select(col("b_id")), Seq("b_id"), "left_anti")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_split").toString
+    try {
+      stay.write.mode("overwrite").parquet(tmp)
+      val back = spark.read.parquet(tmp)
+      val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        if (back.isEmpty)
+          spark.sql(s"ALTER TABLE $codesTab DROP IF EXISTS PARTITION (cell=$cell)")
+        else
+          back.select(spark.table(codesTab).columns.map(col).toIndexedSeq: _*)
+            .write.mode("overwrite").insertInto(codesTab)
+      } finally prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.catalog.refreshTable(codesTab)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   /** SPLIT one oversized coarse cell of the persisted IVFADC index —
     * the surgical rebalance action the [[c3AnnCells]] verdict triggers
     * when recall is still healthy (staleness + skew together ⇒
@@ -1019,16 +1072,38 @@ object SimOps {
     * nearer (routing is an index property; the recall monitors measure
     * its cost).
     *
-    * Write ordering (each step idempotent to re-run, no wrong-decode
-    * window at any point): (1) model append — probing the new, still
-    * EMPTY cell is a no-op; (2) moved members' codes append into the
-    * new cell's fresh partition — until (3) runs, a moved member ranks
-    * from both cells (duplicate candidacy, never a wrong distance:
-    * both encodings decode against their own cell's centroid); (3) the
-    * split cell's partition is overwritten with its stay-half (the
-    * [[deleteFromAnnIndex]] dynamic-partition machinery). A crash
-    * between (2) and (3) is repaired by re-running the split's step
-    * (3) — the staged stay-half is deterministic.
+    * Write ordering (no wrong-decode window at any point): (1) model
+    * append — probing the new, still EMPTY cell is a no-op; (2) moved
+    * members' codes append into the new cell's fresh partition — until
+    * (3) runs, a moved member ranks from both cells (duplicate
+    * candidacy, never a wrong distance: both encodings decode against
+    * their own cell's centroid); (3) the split cell's partition is
+    * overwritten with its stay-half (the [[deleteFromAnnIndex]]
+    * dynamic-partition machinery).
+    *
+    * Crash recovery — RE-INVOKING splitAnnCell repairs every window
+    * (a retry is the recovery procedure; there is no separate entry
+    * point to remember):
+    *  - crash between (1) and (2): the appended centroid exists with an
+    *    empty cell and nothing moved. The re-run re-derives the SAME
+    *    new centroid (deterministic 2-means over the unchanged member
+    *    set) and, detecting it already present as the trailing,
+    *    still-empty codebook entry, REUSES it instead of appending a
+    *    duplicate;
+    *  - crash between (2) and (3) (or mid-(3), before the partition
+    *    overwrite commits): the moved rows exist in BOTH the trailing
+    *    cell and their source cell. Detected up front (trailing-cell
+    *    ids semi-joined against the other cells — a cell-pruned index
+    *    read) and COMPLETED: the source cell's partition is overwritten
+    *    with its deterministic stay-half. If the completed split is the
+    *    one being requested, the call returns its moved count without
+    *    appending anything — never a second centroid for one logical
+    *    split (the half-applied-state defect the round-16 review
+    *    flagged); a different requested cell proceeds as a fresh split
+    *    after the repair.
+    * Step (2)'s own append is atomic per the parquet commit protocol (a
+    * failed job leaves no visible rows). `crashAfterStep` is the
+    * test-only fault-injection seam the recovery spec uses.
     *
     * `extraVectors` re-attaches raw embeddings for ids the index
     * ingested via [[appendAnnIndex]] that live outside the corpus
@@ -1037,12 +1112,36 @@ object SimOps {
     */
   private[graft] def splitAnnCell(spark: SparkSession, dir: String,
       cell: Int, extraVectors: Option[DataFrame] = None, nCells: Int = 16,
-      subspaces: Int = 8, kSub: Int = 16, maxSample: Int = 100000): Long = {
+      subspaces: Int = 8, kSub: Int = 16, maxSample: Int = 100000,
+      crashAfterStep: Int = 0): Long = {
     val (codesTab, modelTab) = ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
     val (coarse, books) = loadPqModel(spark, modelTab, subspaces)
-    val newCell = coarse.length + 1
     require(cell >= 1 && cell <= coarse.length,
       s"splitAnnCell: cell $cell outside the codebook (1..${coarse.length})")
+    // ---- pending-split detection & completion (crash windows (2)-(3)):
+    // ids present in the trailing cell AND in another cell are a
+    // half-applied split's moved set whose step (3) never committed.
+    val topCell = coarse.length
+    val pendingBySrc = {
+      val codes0 = spark.table(codesTab)
+        .select(col("b_id"), col("cell").cast("int").as("cell"))
+      codes0.filter(col("cell") =!= topCell)
+        .join(codes0.filter(col("cell") === topCell).select("b_id"),
+          Seq("b_id"), "left_semi")
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    if (pendingBySrc.nonEmpty) {
+      val topIds = spark.table(codesTab)
+        .filter(col("cell").cast("int") === topCell).select(col("b_id"))
+      pendingBySrc.keys.foreach(src =>
+        overwriteCellWithout(spark, codesTab, src, topIds))
+      // the pending split WAS this request: its move already landed
+      pendingBySrc.get(cell) match {
+        case Some(n) => return n
+        case None => ()
+      }
+    }
     val memberIds = spark.table(codesTab)
       .filter(col("cell").cast("int") === cell)
       .select(col("b_id").as("vec_id"))
@@ -1085,11 +1184,20 @@ object SimOps {
           "members — a no-op or whole-cell move cannot rebalance it")
       val session = spark
       import session.implicits._
+      // Crash window (1)-(2): the trailing codebook entry is this very
+      // centroid (deterministic re-derivation) with an EMPTY cell —
+      // reuse it instead of appending a duplicate.
+      val reuseTop = coarse.last == newC && spark.table(codesTab)
+        .filter(col("cell").cast("int") === topCell).limit(1).isEmpty
+      val newCell = if (reuseTop) topCell else coarse.length + 1
       // (1) model append — the new centroid's cell is empty until (2)
-      Seq(("coarse", 0, newCell, newC))
-        .toDF("kind", "m", "idx", "vec")
-        .select(spark.table(modelTab).columns.map(col).toIndexedSeq: _*)
-        .write.mode("append").insertInto(modelTab)
+      if (!reuseTop)
+        Seq(("coarse", 0, newCell, newC))
+          .toDF("kind", "m", "idx", "vec")
+          .select(spark.table(modelTab).columns.map(col).toIndexedSeq: _*)
+          .write.mode("append").insertInto(modelTab)
+      if (crashAfterStep == 1)
+        throw new IllegalStateException("splitAnnCell: injected crash after step (1)")
       // (2) re-encode the moved members against the new centroid and
       // append into the fresh partition. pqEncodeCorpus assigns argmin
       // over the codebook it is given — a single centroid pins the
@@ -1100,33 +1208,14 @@ object SimOps {
         .join(moved.select(col("vec_id").as("b_id"), col("label")), "b_id")
       enc.select(spark.table(codesTab).columns.map(col).toIndexedSeq: _*)
         .write.mode("append").insertInto(codesTab)
+      if (crashAfterStep == 2)
+        throw new IllegalStateException("splitAnnCell: injected crash after step (2)")
       // (3) overwrite the split cell's partition with its stay-half
-      val movedIds = moved.select(col("vec_id").as("b_id"))
-      val stay = spark.table(codesTab)
-        .filter(col("cell").cast("int") === cell)
-        .join(movedIds, Seq("b_id"), "left_anti")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ann_split").toString
-      try {
-        stay.write.mode("overwrite").parquet(tmp)
-        val back = spark.read.parquet(tmp)
-        val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try {
-          if (back.isEmpty)
-            spark.sql(s"ALTER TABLE $codesTab DROP IF EXISTS PARTITION (cell=$cell)")
-          else
-            back.select(spark.table(codesTab).columns.map(col).toIndexedSeq: _*)
-              .write.mode("overwrite").insertInto(codesTab)
-        } finally prevMode match {
-          case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
-        spark.catalog.refreshTable(codesTab)
-        spark.catalog.refreshTable(modelTab)
-        moved.unpersist(blocking = false)
-        movedN
-      } finally
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      overwriteCellWithout(spark, codesTab, cell,
+        moved.select(col("vec_id").as("b_id")))
+      spark.catalog.refreshTable(modelTab)
+      moved.unpersist(blocking = false)
+      movedN
     } finally members.unpersist(blocking = false)
   }
 
@@ -2127,8 +2216,9 @@ object SimOps {
     *    codebook the index was built with — loadPqModel), and
     *    candidates are the codes table's rows for those cells — a
     *    cell-partition-PRUNED scan of (id, cell) pairs, never a corpus
-    *    embedding scan ([[appendAnnIndex]] keeps the index current as
-    *    batches land, so this is the steady-state ingest loop);
+    *    embedding scan (the scaled `graft_annk_*` layout is
+    *    REBUILD-ONLY — see [[ensureScaledAnnIndex]]; the append/delete/
+    *    retrain lifecycle lives on the fixed `graft_ann_*` namespace);
     *  - only candidates pay the exact-cosine confirm (corpus embeddings
     *    re-attached by id — O(batch · nprobe · cell), bounded), and the
     *    best pick is one partial aggregate, no window.
@@ -2198,11 +2288,16 @@ object SimOps {
     * arrival with no candidate still reaches the decision fold as
     * novel; below-threshold cosines are nulled HERE so the fold
     * downstream is a pure max — the threshold contract stays in one
-    * place. One row per (arrival × probed candidate), bounded by
-    * nprobe · cell size per arrival.
+    * place, and `threshold` is the same knob the batch twin
+    * [[c2IncrementalSemantic]] takes (one shared default,
+    * [[IncSemThreshold]], so a non-default batch threshold has a
+    * matching stream rendering instead of silently losing the
+    * stream/batch equivalence the oracle reuse rests on). One row per
+    * (arrival × probed candidate), bounded by nprobe · cell size per
+    * arrival.
     */
   private[graft] def semanticGateCandidates(spark: SparkSession, dir: String,
-      arrivals: DataFrame, nprobe: Int = 4,
+      arrivals: DataFrame, threshold: Double = IncSemThreshold, nprobe: Int = 4,
       subspaces: Int = 8, kSub: Int = 16): DataFrame = {
     // the SCALED index — the arrival stream is a corpus fraction, the
     // same quadratic-at-fixed-cells argument as the batch twin
@@ -2233,8 +2328,8 @@ object SimOps {
       .join(corpusCodes, Seq("cell"), "left")
       .join(baseEmb, Seq("b_id"), "left")
       .select(col("n_id"),
-        when(cos >= IncSemThreshold, col("b_id")).as("b_id"),
-        when(cos >= IncSemThreshold, cos).as("cosine"))
+        when(cos >= threshold, col("b_id")).as("b_id"),
+        when(cos >= threshold, cos).as("cosine"))
   }
 
   /** Duplicate-call floor shared with the c2_embed_neardup family: the

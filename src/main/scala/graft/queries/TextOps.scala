@@ -640,7 +640,8 @@ object TextOps {
     * it immediately).
     */
   private[queries] def bpeTrain(spark: SparkSession, dir: String,
-      rounds: Int = BpeRounds, cap: Int = BpeBatchCap)
+      rounds: Int = BpeRounds, cap: Int = BpeBatchCap,
+      materializeFinal: Boolean = false)
       : (Seq[(Int, Int, String, String, String, Long)], DataFrame, Option[DataFrame]) = {
     // The merge automaton is the native BpeMergeSeq expression (one
     // linear Java pass, O(1) hash probe per symbol); mergeSeqBatchHof
@@ -714,7 +715,11 @@ object TextOps {
     // confine the loop to a cloned session. The returned final-round
     // vocab is lazy but safe across the restore: it is a NARROW
     // projection over the cached prior round (no shuffle executes
-    // caller-side), which is also why it needs no width of its own.
+    // caller-side), which is also why it needs no width of its own —
+    // and callers that DO execute it post-loop (ensureBpeVocab's layout
+    // write) pass materializeFinal = true, which forces it before the
+    // restore so even a cache-evicted recompute can never run the
+    // training lineage at the restored width.
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -764,6 +769,23 @@ object TextOps {
           vocab = vocab.select(col("word"), col("freq"),
             mergeSeqBatch(accepted.map(t => (t._1, t._2))).as("seq"))
         }
+      }
+      // materializeFinal: force the final-round vocab's last merge pass
+      // to EXECUTE while the sized width / AQE-off confs still hold, so
+      // nothing of the training lineage can run post-restore (e.g. a
+      // recompute after executor loss evicting the cached prior round —
+      // at default width that reopens the big-vocab OOM the sizing
+      // exists to close). The count is one narrow pass over cached
+      // blocks, O(types); callers that never execute the final vocab
+      // after the loop (the merge-table query — its results were
+      // collected driver-side above) skip it. The returned cached
+      // handle becomes the final vocab itself.
+      if (materializeFinal) {
+        vocab = vocab.persist()
+        persisted += vocab
+        vocab.count()
+        prevRound.foreach(_.unpersist(blocking = false))
+        prevRound = Some(vocab)
       }
     } catch {
       case e: Throwable =>
@@ -1528,7 +1550,8 @@ object TextOps {
     val tab = s"graft_bpe_$suffix"
     if (spark.catalog.tableExists(tab)) return tab
     dropStaleLayouts(spark, "graft_bpe_", suffix)
-    val (_, finalVocab, lastCached) = bpeTrain(spark, dir, rounds, cap)
+    val (_, finalVocab, lastCached) =
+      bpeTrain(spark, dir, rounds, cap, materializeFinal = true)
     finalVocab.select(col("word"), size(col("seq")).cast("long").as("n_bpe"))
       .write.mode("overwrite").format("parquet").saveAsTable(tab)
     lastCached.foreach(_.unpersist(blocking = false))

@@ -569,6 +569,88 @@ class SimOpsSpec extends SparkSuite {
     }
   }
 
+  test("splitAnnCell crash recovery: a retry completes a half-applied split, never a second centroid") {
+    import org.apache.spark.sql.functions._
+    val full = spark.read.parquet(s"$sf/embeddings.parquet")
+    def freshCorpus(tag: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(tag).toString
+      full.write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    def drift = full.select((col("vec_id") + lit(1L << 40)).as("vec_id"),
+      transform(col("embedding").cast("array<double>"), x => x + lit(2.0d))
+        .as("embedding"),
+      col("label"))
+    // the same oversized-victim setup as the clean-split spec
+    def prep(dir: String): (String, String, Int) = {
+      val (codesTab, modelTab) = SimOps.ensureAnnIndex(spark, dir)
+      SimOps.appendAnnIndex(spark, dir, drift)
+      val victim = spark.table(codesTab)
+        .groupBy(col("cell").cast("int").as("cell")).count()
+        .orderBy(col("count").desc, col("cell")).head().getInt(0)
+      (codesTab, modelTab, victim)
+    }
+    def stateOf(codesTab: String) = spark.table(codesTab)
+      .select(col("b_id"), col("cell").cast("int"), col("codes"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toSeq, r.getInt(3))).toSet
+    def dupIds(codesTab: String): Long = spark.table(codesTab)
+      .groupBy("b_id").count().filter(col("count") > 1).count()
+    val dirClean = freshCorpus("graft-split-clean")
+    val dirCrash2 = freshCorpus("graft-split-crash2")
+    val dirCrash1 = freshCorpus("graft-split-crash1")
+    try {
+      // reference: the end state of a CLEAN split on a twin corpus
+      val (codesC, modelC, victim) = prep(dirClean)
+      val cleanMoved = SimOps.splitAnnCell(spark, dirClean, victim, Some(drift))
+      val cleanState = stateOf(codesC)
+      val cleanCoarse = SimOps.loadPqModel(spark, modelC, subspaces = 8)._1
+
+      // crash window (2)-(3): moved rows landed in the new cell, the
+      // source cell still holds them — duplicate candidacy on disk
+      val (codes2, model2, victim2) = prep(dirCrash2)
+      assert(victim2 == victim, "twin corpora diverged — setup bug")
+      val totalBefore = spark.table(codes2).count()
+      intercept[IllegalStateException] {
+        SimOps.splitAnnCell(spark, dirCrash2, victim, Some(drift),
+          crashAfterStep = 2)
+      }
+      assert(dupIds(codes2) == cleanMoved,
+        "the injected crash did not leave the expected half-applied state")
+      assert(spark.table(codes2).count() == totalBefore + cleanMoved)
+      // retry: completes step (3) for THIS split — no second centroid,
+      // no re-encode, end state identical to the clean split's
+      val retried = SimOps.splitAnnCell(spark, dirCrash2, victim, Some(drift))
+      assert(retried == cleanMoved)
+      assert(dupIds(codes2) == 0L, "duplicate candidacy survived the retry")
+      assert(SimOps.loadPqModel(spark, model2, subspaces = 8)._1 == cleanCoarse,
+        "retry appended a second centroid for one logical split")
+      assert(stateOf(codes2) == cleanState,
+        "recovered index diverged from the clean split's end state")
+
+      // crash window (1)-(2): centroid appended, nothing moved — the
+      // retry re-derives the same centroid and REUSES the empty entry
+      val (codes1, model1, _) = prep(dirCrash1)
+      intercept[IllegalStateException] {
+        SimOps.splitAnnCell(spark, dirCrash1, victim, Some(drift),
+          crashAfterStep = 1)
+      }
+      val coarseAfterCrash1 = SimOps.loadPqModel(spark, model1, subspaces = 8)._1
+      assert(coarseAfterCrash1 == cleanCoarse,
+        "step-(1) crash state should already hold the appended centroid")
+      assert(dupIds(codes1) == 0L)
+      val retried1 = SimOps.splitAnnCell(spark, dirCrash1, victim, Some(drift))
+      assert(retried1 == cleanMoved)
+      assert(SimOps.loadPqModel(spark, model1, subspaces = 8)._1 == cleanCoarse,
+        "retry after a step-(1) crash appended a duplicate centroid")
+      assert(stateOf(codes1) == cleanState)
+    } finally {
+      Seq(dirClean, dirCrash2, dirCrash1).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("residual encoding (IVFADC) does not lose to raw-vector PQ at the same code size") {
     // sf0.01: 60 queries — the 5-query sf0.001 set quantizes both metrics
     // too coarsely to order the variants (measured flips either way).
