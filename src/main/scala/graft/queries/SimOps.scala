@@ -2021,6 +2021,67 @@ object SimOps {
         "FROM d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b " +
         "ON b.n_id = d.vec_id " +
         "WHERE d.vec_id % 10 = 7 ORDER BY vec_id"
+    // Bounded (_topc) incremental-semantic replay: the scaled codebook
+    // AND its residual books as literals (retrained here exactly as
+    // ensureScaledAnnIndex does — the require below pins the identity),
+    // corpus residual codes, per-arrival probe tables, round-6 ADC, the
+    // GLOBAL top-c cut by (adc, b_id) — equal to the engine's per-cell
+    // cut + global window because the global top-c is a subset of the
+    // per-cell top-c union — then the exact-cosine confirm and best
+    // pick on the survivors only. The approximation itself (ADC
+    // mis-ranks, probe misses) is therefore hash-checked.
+    val incSemTopcSql = {
+      val (coarseK2, booksK) = pqModel(
+        boundedSample(emb(spark, dir)
+          .select(col("vec_id"), asDouble(col("embedding")).as("embD")), 100000),
+        kCells, mSub, kSub)
+      require(coarseK2 == centsK,
+        "scaled PQ coarse quantizer diverged from the scaled IVF centroids — " +
+          "the topc replay would embed the wrong codebook")
+      s"WITH ct AS (SELECT ${matLit(centsK)} AS c), " +
+        s"bks AS (SELECT ${booksK.map(matLit).mkString("[", ",", "]")} AS b), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"d AS (SELECT vec_id, v, list_transform(range(1, ${nK + 1}), k -> " +
+        "list_sum(list_transform(range(1, 65), j -> " +
+        "(v[j]-c[k][j])*(v[j]-c[k][j])))) AS dists FROM e CROSS JOIN ct), " +
+        "corp AS (SELECT vec_id AS b_id, v, " +
+        "list_position(dists, list_min(dists)) AS cell FROM d " +
+        "WHERE vec_id % 10 <> 7), " +
+        "rc AS (SELECT b_id, cell, list_transform(range(1, 65), j -> " +
+        "corp.v[j] - c[corp.cell][j]) AS r FROM corp CROSS JOIN ct), " +
+        s"rsd AS (SELECT b_id, cell, ${sdistsOf("r")} AS sdists " +
+        "FROM rc CROSS JOIN bks), " +
+        s"rcd AS (SELECT b_id, cell, list_transform(range(1, ${mSub + 1}), m -> " +
+        "list_position(sdists[m], list_min(sdists[m]))) AS codes FROM rsd), " +
+        "pq AS (SELECT vec_id AS n_id, unnest(list_transform(list_slice(" +
+        s"list_sort(list_transform(range(1, ${nK + 1}), k -> " +
+        "[dists[k], CAST(k AS DOUBLE)])), 1, 4), s -> CAST(s[2] AS BIGINT))) " +
+        "AS cell FROM d WHERE vec_id % 10 = 7), " +
+        "qr AS (SELECT pq.n_id, pq.cell, list_transform(range(1, 65), j -> " +
+        "d.v[j] - c[pq.cell][j]) AS r FROM pq JOIN d ON d.vec_id = pq.n_id " +
+        "CROSS JOIN ct), " +
+        s"qsd AS (SELECT n_id, cell, ${sdistsOf("r")} AS sdists " +
+        "FROM qr CROSS JOIN bks), " +
+        "adcs AS (SELECT q.n_id, rcd.b_id, " +
+        s"round(list_sum(list_transform(range(1, ${mSub + 1}), m -> " +
+        "q.sdists[m][rcd.codes[m]])), 6) AS a " +
+        "FROM qsd q JOIN rcd ON rcd.cell = q.cell), " +
+        "tc AS (SELECT n_id, b_id FROM (SELECT n_id, b_id, a, " +
+        "row_number() OVER (PARTITION BY n_id ORDER BY a ASC, b_id) AS rk " +
+        s"FROM adcs) WHERE rk <= $IncSemTopC), " +
+        "sc AS (SELECT n_id, b_id, round(list_dot_product(x.v, y.v) / " +
+        "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) " +
+        "AS cosine FROM tc JOIN e x ON x.vec_id = tc.n_id " +
+        "JOIN e y ON y.vec_id = tc.b_id), " +
+        "best AS (SELECT n_id, b_id, cosine, row_number() OVER " +
+        "(PARTITION BY n_id ORDER BY cosine DESC, b_id) AS rn FROM sc " +
+        s"WHERE cosine >= $IncSemThreshold) " +
+        "SELECT d.vec_id, b.b_id IS NULL AS is_novel, " +
+        "b.b_id AS match_id, b.cosine AS match_cosine " +
+        "FROM d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b " +
+        "ON b.n_id = d.vec_id " +
+        "WHERE d.vec_id % 10 = 7 ORDER BY vec_id"
+    }
     // Staleness-monitor replay: BOTH codebooks embedded as literals —
     // the stale one is the base-trained coarse quantizer (identical to
     // the persisted model by training determinism, the same identity the
@@ -2109,6 +2170,9 @@ object SimOps {
       // any arrival split yields the batch answer — the oracle is the
       // same replay, prefix-consistency by construction.
       "c5_stream_semantic" -> incSemSql,
+      "c2_incremental_semantic_topc" -> incSemTopcSql,
+      // Same prefix-consistency argument for the bounded stream twin.
+      "c5_stream_semantic_topc" -> incSemTopcSql,
       "c2_semantic_dedup" -> semSql,
       "c2_semantic_dedup_cc" -> semCcSql,
       "c3_ann_pq" -> pqSql,
@@ -2337,6 +2401,142 @@ object SimOps {
     */
   private[queries] val IncSemThreshold = 0.35
 
+  /** Exact-cosine confirm cap of the BOUNDED semantic family (the
+    * c2_incremental_dedup_topc posture at the embedding level): per
+    * arrival, only the `IncSemTopC` candidates nearest by STORED-CODE
+    * ADC distance pay the exact confirm. 64 = the dedup family's cap;
+    * measured zero decision drift vs the unbounded confirm on the gate
+    * corpora (BASELINE.md round 17).
+    */
+  private[graft] val IncSemTopC = 64
+
+  /** Per-candidate scored plan of the BOUNDED (`_topc`) semantic
+    * family — [[c2IncrementalSemanticTopc]] and c5_stream_semantic_topc
+    * share this builder verbatim, so the batch and stream twins cannot
+    * drift. The unbounded family's confirm cost is O(arrival · nprobe ·
+    * |cell|) exact cosines — with |cell| ≈ √n that is the one
+    * super-linear decade left (10.9×/16× per 10×, BASELINE.md round
+    * 16). Here the stored PQ CODES pre-rank each (arrival, probed cell)
+    * pair list by ADC distance — `subspaces` table lookups per
+    * candidate, no embedding touched — and only the per-cell top-`topc`
+    * survivors reach the exact-cosine join, capping it at
+    * nprobe·topc ≈ 256 rows per arrival REGARDLESS of corpus size (the
+    * engine's bound, not the corpus's). The global top-`topc` by
+    * (adc, b_id) is a subset of the per-cell top-`topc` union, so the
+    * caller's final truncation (batch: one rank window over ≤
+    * nprobe·topc slim rows; stream: the decision fold's in-memory sort)
+    * is EXACT — and the approximation (ADC mis-ranking a true match out
+    * of the top-c, on top of IVF probe misses) is itself hash-checked:
+    * the dynamic oracle replays codebook, codes, ADC, the top-c cut and
+    * the confirm bit-for-bit.
+    *
+    * Plan shape: the static side rolls the cell-pruned codes table into
+    * one (cell → candidate array) row per cell (|cell| ≈ √n structs —
+    * the in-plan inverted-file posting list), the arrival side carries
+    * its per-probe ADC lookup tables (the [[pqQueryTables]] residual
+    * arithmetic via the shared [[PqEncExprs]]), and the pre-rank is a
+    * narrow transform/sort/slice per row — every join stream-static
+    * when `arrivals` streams. LEFT joins + explode_outer keep
+    * zero-candidate arrivals alive to the decision; `b_id`/`adc` are
+    * always the true values (the downstream truncation sorts on them),
+    * while below-`threshold` cosines are nulled HERE (the one-place
+    * threshold contract, as in [[semanticGateCandidates]]).
+    */
+  private[graft] def semanticTopcCandidates(spark: SparkSession, dir: String,
+      arrivals: DataFrame, threshold: Double = IncSemThreshold,
+      topc: Int = IncSemTopC, nprobe: Int = 4,
+      subspaces: Int = 8, kSub: Int = 16): DataFrame = {
+    val (codesTab, modelTab, _) = ensureScaledAnnIndex(spark, dir, subspaces, kSub)
+    val (coarse, books) = loadPqModel(spark, modelTab, subspaces)
+    val nTrained = coarse.length
+    val e = PqEncExprs(coarse, books, subspaces, residual = true)
+    val probed = arrivals
+      .withColumn("cdists",
+        graft.functions.VectorExprs.centroidDists(col("embD"), coarse))
+      .withColumn("probes",
+        slice(transform(array_sort(zip_with(
+          col("cdists"), sequence(lit(1), lit(nTrained)),
+          (d, i) => struct(d.as("d"), i.as("i")))), s => s.getField("i")),
+          lit(1), lit(math.min(nprobe, nTrained))))
+      .select(col("vec_id").as("n_id"), col("embD").as("n_emb"),
+        explode(col("probes")).as("cell"))
+      .withColumn("enc", e.enc(col("n_emb"), col("cell")))
+    val tabled = (0 until subspaces).foldLeft(probed) {
+        (df, m) => df.withColumn(s"sd$m", e.subDists(col("enc"), m))
+      }
+      .withColumn("tbls", array((0 until subspaces).map(m => col(s"sd$m")): _*))
+      .select(col("n_id"), col("n_emb"), col("cell").cast("int").as("cell"),
+        col("tbls"))
+    // The in-plan inverted file: one posting-array row per cell (the
+    // index holds the arriving slice too — appended as it landed —
+    // so the corpus side excludes it, as the unbounded twin does).
+    val cellCand = spark.table(codesTab)
+      .select(col("b_id"), col("cell").cast("int").as("cell"), col("codes"))
+      .filter(col("b_id") % 10 =!= 7)
+      .groupBy("cell")
+      .agg(collect_list(struct(col("b_id"), col("codes"))).as("cands"))
+    // Per (arrival, probed cell): ADC per posting (subspaces lookups —
+    // round-6 BEFORE the sort, the adcTopK discipline), sort by
+    // (adc, b_id), keep the cell's top-`topc`.
+    val scored = tabled.join(cellCand, Seq("cell"), "left")
+      .withColumn("scored", expr(
+        s"""slice(array_sort(transform(cands, cd -> named_struct(
+           |'adc', round(aggregate(sequence(0, ${subspaces - 1}),
+           |  CAST(0.0 AS DOUBLE), (acc, m) -> acc +
+           |  element_at(element_at(tbls, m+1), element_at(cd.codes, m+1))), 6),
+           |'b_id', cd.b_id))), 1, $topc)""".stripMargin.replace("\n", " ")))
+      .select(col("n_id"), col("n_emb"), explode_outer(col("scored")).as("s"))
+      .select(col("n_id"), col("n_emb"),
+        col("s.adc").as("adc"), col("s.b_id").as("b_id"))
+    val baseEmb = emb(spark, dir)
+      .select(col("vec_id").as("b_id"), asDouble(col("embedding")).as("b_emb"))
+    import graft.functions.VectorExprs.{dot, norm}
+    val cos = round(dot(col("n_emb"), col("b_emb")) /
+      (norm(col("n_emb")) * norm(col("b_emb"))), 6)
+    scored
+      .join(baseEmb, Seq("b_id"), "left")
+      .select(col("n_id"), col("adc"), col("b_id"),
+        when(cos >= threshold, cos).as("cosine"))
+  }
+
+  /** C2g': the BOUNDED incremental semantic gate —
+    * [[c2IncrementalSemantic]] with the exact-cosine confirm capped at
+    * the ADC top-`topc` candidates per arrival (see
+    * [[semanticTopcCandidates]] for the mechanism and the scale
+    * argument: the confirm becomes O(arrival · nprobe · topc) instead
+    * of O(arrival · nprobe · |cell|), turning the family's one
+    * super-linear decade into the engine's own constant). Decision
+    * semantics: per arrival, rank ALL probed candidates by (round-6
+    * ADC asc, b_id asc), keep the global top-`topc`, and resolve
+    * exactly as the unbounded twin — best surviving cosine ≥
+    * `threshold`, ties to the smallest id, else novel. The rank window
+    * here runs over ≤ nprobe·topc pre-cut slim rows per arrival (the
+    * per-cell cut already happened inside the candidate builder).
+    */
+  def c2IncrementalSemanticTopc(spark: SparkSession, dir: String,
+      threshold: Double = IncSemThreshold, topc: Int = IncSemTopC,
+      nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16): DataFrame = {
+    val base = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
+    val arrivals = base.filter(col("vec_id") % 10 === 7)
+    val cand = semanticTopcCandidates(
+      spark, dir, arrivals, threshold, topc, nprobe, subspaces, kSub)
+    val ranked = cand.filter(col("adc").isNotNull)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("n_id")).orderBy(col("adc").asc, col("b_id").asc)))
+      .filter(col("rk") <= topc)
+    val best = ranked.filter(col("cosine").isNotNull)
+      .groupBy(col("n_id"))
+      .agg(min(struct((-col("cosine")).as("nc"), col("b_id").as("bid"))).as("b"))
+      .select(col("n_id").as("vec_id"), col("b.bid").as("match_id"),
+        (-col("b.nc")).as("match_cosine"))
+    arrivals.select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("match_id").isNull.as("is_novel"),
+        col("match_id"), col("match_cosine"))
+      .orderBy("vec_id")
+  }
+
   /** Id offset of the staleness monitor's drifted batch: far above every
     * corpus id AND above the isQuery cap, so the GROWN corpus's query
     * predicate keys on `vec_id % DriftIdOffset` (base id and drifted
@@ -2479,6 +2679,8 @@ object SimOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c2_incremental_semantic" ->
       ((s: SparkSession, d: String) => c2IncrementalSemantic(s, d)),
+    "c2_incremental_semantic_topc" ->
+      ((s: SparkSession, d: String) => c2IncrementalSemanticTopc(s, d)),
     "c3_cosine_topk" -> ((s: SparkSession, d: String) => c3CosineTopK(s, d)),
     "c3_range_search" -> ((s: SparkSession, d: String) => c3RangeSearch(s, d)),
     "c3_knn_classify" -> ((s: SparkSession, d: String) => c3KnnClassify(s, d)),

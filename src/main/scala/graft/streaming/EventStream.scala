@@ -2354,6 +2354,68 @@ object EventStream {
       .orderBy("vec_id")
   }
 
+  /** Per-candidate row shape of the BOUNDED streaming semantic gate:
+    * `adc`/`b_id` are the true pre-rank values (the fold's truncation
+    * sorts on them), `cosine` is already nulled below the threshold by
+    * the shared builder. All-None rows are zero-candidate arrivals kept
+    * alive by the builder's outer joins.
+    */
+  final case class SemTopcCand(n_id: Long, adc: Option[Double],
+      b_id: Option[Long], cosine: Option[Double])
+
+  /** c5_stream_semantic_topc: the BOUNDED embedding-level admission
+    * gate — [[c5StreamSemantic]] with the exact-cosine confirm capped
+    * at the ADC top-c candidates per arrival (the
+    * [[graft.queries.SimOps.semanticTopcCandidates]] builder, shared
+    * VERBATIM with the batch twin c2_incremental_semantic_topc): the
+    * stored PQ codes pre-rank each probed cell's postings — stream-
+    * static joins and narrow array ops only, no embedding scan — and
+    * only ≤ nprobe·topc candidates per arrival reach the exact-cosine
+    * confirm join, making the gate's per-arrival cost the ENGINE's
+    * constant rather than the corpus's √n cell size (the one
+    * super-linear decade of the unbounded family — BASELINE.md round
+    * 16). The decision fold completes the contract exactly: global
+    * top-`topc` by (adc, b_id) across the per-cell pre-cut rows (an
+    * in-memory sort of ≤ nprobe·topc tuples), then the unbounded
+    * twin's best pick (highest surviving cosine, smallest id).
+    * Never-retract and prefix-consistency arguments are identical to
+    * [[c5StreamSemantic]]; the oracle is the batch topc replay, which
+    * hash-checks the ADC approximation itself.
+    */
+  def c5StreamSemanticTopc(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val topc = graft.queries.SimOps.IncSemTopC
+    val src = twoBatchVecStream(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
+    val decisions = graft.queries.SimOps
+      .semanticTopcCandidates(spark, sfDir, src)
+      .as[SemTopcCand]
+      .groupByKey(_.n_id)
+      .flatMapGroupsWithState[Boolean, SemDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (id, rows, state: GroupState[Boolean]) =>
+          if (state.exists)
+            throw new IllegalStateException(
+              s"vector $id reached the gate twice: a decision would retract")
+          state.update(true)
+          val cands = rows.flatMap(r =>
+            for { a <- r.adc; b <- r.b_id } yield (a, b, r.cosine)).toArray
+          val top = cands.sortBy(t => (t._1, t._2)).take(topc)
+          var best: Option[(Double, Long)] = None
+          top.foreach {
+            case (_, b, Some(c)) =>
+              if (best.forall(p => c > p._1 || (c == p._1 && b < p._2)))
+                best = Some((c, b))
+            case _ => ()
+          }
+          Iterator.single(SemDecision(id, best.isEmpty,
+            best.map(_._2), best.map(_._1)))
+      }
+    runIncrementalToParquet(decisions.toDF(), minBatches = 2)
+      .orderBy("vec_id")
+  }
+
   /** c5_stream_topk: per-window top-k event types over the STREAMING
     * hourly aggregation — the live-leaderboard serving composition: the
     * stream maintains the windowed counts (state bounded by the
@@ -2812,6 +2874,7 @@ object EventStream {
     "c5_stream_restart_dedup" -> (c5StreamRestartDedup _),
     "c5_stream_restart_neardup" -> (c5StreamRestartNearDup _),
     "c5_stream_semantic" -> (c5StreamSemantic _),
+    "c5_stream_semantic_topc" -> (c5StreamSemanticTopc _),
     "c5_stream_restart_session" -> (c5StreamRestartSession _),
     "c5_stream_gapfill" -> (c5StreamGapfill _),
     "c5_stream_anomaly" -> (c5StreamAnomaly _),

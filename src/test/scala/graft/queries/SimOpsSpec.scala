@@ -776,6 +776,39 @@ class SimOpsSpec extends SparkSuite {
     assert(out.exists(!_._2), "no non-novel resolution on the real corpus?")
   }
 
+  test("c2_incremental_semantic_topc: bounded candidates, dominance vs the unbounded twin") {
+    import org.apache.spark.sql.functions._
+    val topc = SimOps.IncSemTopC
+    val full = SimOps.c2IncrementalSemantic(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val bounded = SimOps.c2IncrementalSemanticTopc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // one decision per arrival, same coverage as the unbounded twin
+    assert(bounded.map(_._1).toSet == full.keySet)
+    bounded.foreach { case (id, novel, cosB) =>
+      val (novelF, cosF) = full(id)
+      // the bounded candidate set is a SUBSET of the unbounded one, so
+      // a bounded match implies an unbounded match at >= its cosine
+      if (!novel) {
+        assert(!novelF, s"arrival $id: bounded found a match the unbounded missed")
+        assert(cosB.get <= cosF.get + 1e-9,
+          s"arrival $id: bounded cosine ${cosB.get} exceeds unbounded ${cosF.get}")
+      }
+    }
+    // the confirm stage's input is capped: per arrival at most
+    // nprobe * topc candidate rows carry a non-null adc
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
+    val perArrival = SimOps.semanticTopcCandidates(
+        spark, sf, base.filter(col("vec_id") % 10 === 7))
+      .filter(col("adc").isNotNull)
+      .groupBy("n_id").count().collect().map(_.getLong(1))
+    assert(perArrival.nonEmpty && perArrival.forall(_ <= 4L * topc),
+      s"confirm input exceeded nprobe*topc: max ${perArrival.max}")
+  }
+
   test("c3_ann_staleness: drift signal present, verdict consistent with its thresholds") {
     val rows = SimOps.c3AnnStaleness(spark, sf).collect()
     assert(rows.nonEmpty)
