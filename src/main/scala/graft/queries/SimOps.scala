@@ -691,6 +691,7 @@ object SimOps {
       dropStaleLayouts(spark, "graft_ann_codes_", suffix)
       dropStaleLayouts(spark, "graft_ann_model_", suffix)
     }
+    graft.sources.Storage.dropOrphanLocations(spark, codesTab, modelTab)
     writeAnnLayout(spark, emb(spark, dir).select("vec_id", "embedding", "label"),
       nCells, subspaces, kSub, maxSample, modelTab, codesTab)
     (codesTab, modelTab)
@@ -721,10 +722,14 @@ object SimOps {
     * fixed-cell quadratic this layout exists to avoid).
     */
   private[graft] def ensureScaledAnnIndex(spark: SparkSession, dir: String,
-      subspaces: Int = 8, kSub: Int = 16, maxSample: Int = 100000,
+      subspaces: Int = IncSemSubspaces, maxSample: Int = 100000,
       sweepStale: Boolean = true): (String, String, Int) = {
     import graft.sources.Storage.{dropStaleLayouts, sourceFingerprint}
     val kCells = scaledCells(spark, dir)
+    // corpus-scaled sub-quantizer width (see [[scaledKSub]]): the ADC
+    // pre-rank consumer needs 8-bit fidelity at scale, and the cell
+    // assignment the unbounded twins read is kSub-independent
+    val kSub = scaledKSub(spark, dir)
     val suffix = sourceFingerprint(s"$dir/embeddings.parquet") +
       s"_${kCells}c${subspaces}s${kSub}k"
     val (codesTab, modelTab) =
@@ -735,6 +740,7 @@ object SimOps {
       dropStaleLayouts(spark, "graft_annk_codes_", suffix)
       dropStaleLayouts(spark, "graft_annk_model_", suffix)
     }
+    graft.sources.Storage.dropOrphanLocations(spark, codesTab, modelTab)
     writeAnnLayout(spark, emb(spark, dir).select("vec_id", "embedding", "label"),
       kCells, subspaces, kSub, maxSample, modelTab, codesTab)
     (codesTab, modelTab, kCells)
@@ -814,6 +820,7 @@ object SimOps {
     val (stCodes, stModel) = (s"${codesTab}_rt", s"${modelTab}_rt")
     spark.sql(s"DROP TABLE IF EXISTS $stCodes")
     spark.sql(s"DROP TABLE IF EXISTS $stModel")
+    graft.sources.Storage.dropOrphanLocations(spark, stCodes, stModel)
     val live = emb(spark, dir).select("vec_id", "embedding", "label")
     val grown = extraVectors match {
       case Some(x) => live.unionByName(x.select("vec_id", "embedding", "label"))
@@ -1701,27 +1708,51 @@ object SimOps {
     * fixed coarse codebook (their cost is per-query, not per-pair, and
     * the persisted-index fingerprint keys on the cell count).
     */
-  private[graft] def scaledCells(spark: SparkSession, dir: String): Int =
-    scaledCellsCache.computeIfAbsent(
-      graft.sources.Storage.sourceFingerprint(s"$dir/embeddings.parquet"),
-      _ => {
-        val n = emb(spark, dir).count()
-        val target = math.ceil(math.sqrt(n.toDouble)).toLong
-        var c = 16
-        while (c < target && c < (1 << 20)) c <<= 1
-        c
-      })
+  private[graft] def scaledCells(spark: SparkSession, dir: String): Int = {
+    val n = corpusVecCount(spark, dir)
+    val target = math.ceil(math.sqrt(n.toDouble)).toLong
+    var c = 16
+    while (c < target && c < (1 << 20)) c <<= 1
+    c
+  }
 
-  /** Memoized per corpus FINGERPRINT (not per dir): scaledCells is
-    * called inside timed queries (c3_knn_join, c2_semantic_dedup) and
-    * the dynamic oracle, and an uncached count() there is a full extra
-    * corpus scan per timed run that also skews the per-query
-    * shuffle/time record. The fingerprint key (file list + sizes +
-    * mtimes, the ensureAnnIndex pattern) means a regenerated corpus
-    * recounts while repeat runs don't.
+  /** Corpus-scaled PER-SUBSPACE code count of the scaled IVFADC layout
+    * (largest power of two ≤ n/4, clamped to [16, 256]): the stored
+    * codes feed [[semanticTopcCandidates]]'s ADC pre-rank, and at the
+    * fixed 4-bit kSub = 16 the quantization noise on 64-dim vectors
+    * (32-bit codes) mis-ranked true matches out of the top-c —
+    * measured 8.4% false-novelty at sf1 (BASELINE.md round 17). 256
+    * codes (8-bit sub-quantizers, the published IVFADC operating
+    * point) need a training sample ≥ kSub per sub-codebook, so tiny
+    * corpora scale down with n/4 and the pqModel sample floor always
+    * holds (sample = min(n, 100k) > n/4 ≥ kSub). ADC query cost is
+    * kSub-independent (one table lookup per subspace); only the
+    * per-probe table build and the one-time encode pay for the
+    * fidelity. Power-of-two grid for the same append-stability reason
+    * as [[scaledCells]]; the dynamic oracle calls this same function.
     */
-  private val scaledCellsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  private[graft] def scaledKSub(spark: SparkSession, dir: String): Int = {
+    val n = corpusVecCount(spark, dir)
+    var k = 16
+    while (k < 256 && 8L * k <= n) k <<= 1
+    k
+  }
+
+  private def corpusVecCount(spark: SparkSession, dir: String): Long =
+    vecCountCache.computeIfAbsent(
+      graft.sources.Storage.sourceFingerprint(s"$dir/embeddings.parquet"),
+      _ => emb(spark, dir).count())
+
+  /** Memoized per corpus FINGERPRINT (not per dir): the scaled-layout
+    * parameters are derived inside timed queries (c3_knn_join,
+    * c2_semantic_dedup) and the dynamic oracle, and an uncached count()
+    * there is a full extra corpus scan per timed run that also skews
+    * the per-query shuffle/time record. The fingerprint key (file list
+    * + sizes + mtimes, the ensureAnnIndex pattern) means a regenerated
+    * corpus recounts while repeat runs don't.
+    */
+  private val vecCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
   /** Oracle SQL that depends on data-trained plan literals — generated at
     * verify time (Verify merges it into oracle_sql.json).
@@ -1777,11 +1808,14 @@ object SimOps {
     require(coarsePq == cents,
       "PQ coarse quantizer diverged from the IVF centroids — the shared " +
         "ivfCandCtes would replay the wrong cells")
-    val sdistsOf = (r: String) =>
-      s"list_transform(range(1, ${mSub + 1}), m -> " +
-        s"list_transform(range(1, ${kSub + 1}), kk -> " +
-        s"list_sum(list_transform(range(1, ${sub + 1}), j -> " +
-        s"($r[(m-1)*$sub+j]-b[m][kk][j])*($r[(m-1)*$sub+j]-b[m][kk][j])))))"
+    def sdistsGen(r: String, ms: Int, ks: Int): String = {
+      val sb = 64 / ms
+      s"list_transform(range(1, ${ms + 1}), m -> " +
+        s"list_transform(range(1, ${ks + 1}), kk -> " +
+        s"list_sum(list_transform(range(1, ${sb + 1}), j -> " +
+        s"($r[(m-1)*$sb+j]-b[m][kk][j])*($r[(m-1)*$sb+j]-b[m][kk][j])))))"
+    }
+    val sdistsOf = (r: String) => sdistsGen(r, mSub, kSub)
     def pqCtesOver(qsRel: String, candRel: String): String =
       s"bks AS (SELECT ${books.map(matLit).mkString("[", ",", "]")} AS b), " +
         // corpus residual v − c[cell] and its argmin codes
@@ -2031,10 +2065,12 @@ object SimOps {
     // pick on the survivors only. The approximation itself (ADC
     // mis-ranks, probe misses) is therefore hash-checked.
     val incSemTopcSql = {
+      val kSubK = scaledKSub(spark, dir)
+      val mSubK = IncSemSubspaces
       val (coarseK2, booksK) = pqModel(
         boundedSample(emb(spark, dir)
           .select(col("vec_id"), asDouble(col("embedding")).as("embD")), 100000),
-        kCells, mSub, kSub)
+        kCells, mSubK, kSubK)
       require(coarseK2 == centsK,
         "scaled PQ coarse quantizer diverged from the scaled IVF centroids — " +
           "the topc replay would embed the wrong codebook")
@@ -2049,9 +2085,9 @@ object SimOps {
         "WHERE vec_id % 10 <> 7), " +
         "rc AS (SELECT b_id, cell, list_transform(range(1, 65), j -> " +
         "corp.v[j] - c[corp.cell][j]) AS r FROM corp CROSS JOIN ct), " +
-        s"rsd AS (SELECT b_id, cell, ${sdistsOf("r")} AS sdists " +
+        s"rsd AS (SELECT b_id, cell, ${sdistsGen("r", mSubK, kSubK)} AS sdists " +
         "FROM rc CROSS JOIN bks), " +
-        s"rcd AS (SELECT b_id, cell, list_transform(range(1, ${mSub + 1}), m -> " +
+        s"rcd AS (SELECT b_id, cell, list_transform(range(1, ${mSubK + 1}), m -> " +
         "list_position(sdists[m], list_min(sdists[m]))) AS codes FROM rsd), " +
         "pq AS (SELECT vec_id AS n_id, unnest(list_transform(list_slice(" +
         s"list_sort(list_transform(range(1, ${nK + 1}), k -> " +
@@ -2060,10 +2096,10 @@ object SimOps {
         "qr AS (SELECT pq.n_id, pq.cell, list_transform(range(1, 65), j -> " +
         "d.v[j] - c[pq.cell][j]) AS r FROM pq JOIN d ON d.vec_id = pq.n_id " +
         "CROSS JOIN ct), " +
-        s"qsd AS (SELECT n_id, cell, ${sdistsOf("r")} AS sdists " +
+        s"qsd AS (SELECT n_id, cell, ${sdistsGen("r", mSubK, kSubK)} AS sdists " +
         "FROM qr CROSS JOIN bks), " +
         "adcs AS (SELECT q.n_id, rcd.b_id, " +
-        s"round(list_sum(list_transform(range(1, ${mSub + 1}), m -> " +
+        s"round(list_sum(list_transform(range(1, ${mSubK + 1}), m -> " +
         "q.sdists[m][rcd.codes[m]])), 6) AS a " +
         "FROM qsd q JOIN rcd ON rcd.cell = q.cell), " +
         "tc AS (SELECT n_id, b_id FROM (SELECT n_id, b_id, a, " +
@@ -2294,11 +2330,11 @@ object SimOps {
     */
   def c2IncrementalSemantic(spark: SparkSession, dir: String,
       threshold: Double = IncSemThreshold, nprobe: Int = 4,
-      subspaces: Int = 8, kSub: Int = 16): DataFrame = {
+      subspaces: Int = IncSemSubspaces): DataFrame = {
     // the SCALED index (≈√n cells): the batch is a corpus fraction, so
     // the fixed-16 layout's linearly-growing cells turn the confirm
     // join quadratic — see [[ensureScaledAnnIndex]]
-    val (codesTab, modelTab, _) = ensureScaledAnnIndex(spark, dir, subspaces, kSub)
+    val (codesTab, modelTab, _) = ensureScaledAnnIndex(spark, dir, subspaces)
     val (coarse, _) = loadPqModel(spark, modelTab, subspaces)
     val nTrained = coarse.length
     val base = emb(spark, dir)
@@ -2362,10 +2398,10 @@ object SimOps {
     */
   private[graft] def semanticGateCandidates(spark: SparkSession, dir: String,
       arrivals: DataFrame, threshold: Double = IncSemThreshold, nprobe: Int = 4,
-      subspaces: Int = 8, kSub: Int = 16): DataFrame = {
+      subspaces: Int = IncSemSubspaces): DataFrame = {
     // the SCALED index — the arrival stream is a corpus fraction, the
     // same quadratic-at-fixed-cells argument as the batch twin
-    val (codesTab, modelTab, _) = ensureScaledAnnIndex(spark, dir, subspaces, kSub)
+    val (codesTab, modelTab, _) = ensureScaledAnnIndex(spark, dir, subspaces)
     val (coarse, _) = loadPqModel(spark, modelTab, subspaces)
     val nTrained = coarse.length
     val probed = arrivals
@@ -2408,7 +2444,18 @@ object SimOps {
     * measured zero decision drift vs the unbounded confirm on the gate
     * corpora (BASELINE.md round 17).
     */
-  private[graft] val IncSemTopC = 64
+  private[graft] val IncSemTopC = 256
+
+  /** Subspace count of the SCALED layout's PQ codes (the bounded
+    * family's pre-rank): on this corpus's unstructured unit-vector
+    * geometry the ADC error is the binding constraint on the top-c
+    * shortlist's fidelity, and quantization distortion scales as
+    * σ²·kSub^(−2/d) per subspace — more, narrower subspaces at the
+    * same kSub cut the error roughly 2× per doubling (measured sweep
+    * in BASELINE.md round 17). Lookup cost per posting is one
+    * element_at per subspace. 64-dim embeddings only.
+    */
+  private[graft] val IncSemSubspaces = 16
 
   /** Per-candidate scored plan of the BOUNDED (`_topc`) semantic
     * family — [[c2IncrementalSemanticTopc]] and c5_stream_semantic_topc
@@ -2445,8 +2492,8 @@ object SimOps {
   private[graft] def semanticTopcCandidates(spark: SparkSession, dir: String,
       arrivals: DataFrame, threshold: Double = IncSemThreshold,
       topc: Int = IncSemTopC, nprobe: Int = 4,
-      subspaces: Int = 8, kSub: Int = 16): DataFrame = {
-    val (codesTab, modelTab, _) = ensureScaledAnnIndex(spark, dir, subspaces, kSub)
+      subspaces: Int = IncSemSubspaces): DataFrame = {
+    val (codesTab, modelTab, _) = ensureScaledAnnIndex(spark, dir, subspaces)
     val (coarse, books) = loadPqModel(spark, modelTab, subspaces)
     val nTrained = coarse.length
     val e = PqEncExprs(coarse, books, subspaces, residual = true)
@@ -2461,12 +2508,21 @@ object SimOps {
       .select(col("vec_id").as("n_id"), col("embD").as("n_emb"),
         explode(col("probes")).as("cell"))
       .withColumn("enc", e.enc(col("n_emb"), col("cell")))
+    // The per-probe ADC lookup tables (subspaces × kSub doubles) are
+    // computed on the PROBED side, BEFORE the cell join: the join
+    // boundary pins `tbls` as a real output attribute, so the
+    // per-posting lambda below references a bound column. Folding the
+    // table build past the join (to slim the join input) lets
+    // CollapseProject inline the CentroidDists subtrees INTO the
+    // lambda, re-deriving the full subspaces × kSub tables once per
+    // POSTING ELEMENT — measured ~4e12 ops at sf10, a >100× blowup
+    // (round-17 thread-dump diagnosis). nprobe rows of kSub·subspaces
+    // doubles per arrival is the cheaper wire cost by far.
     val tabled = (0 until subspaces).foldLeft(probed) {
         (df, m) => df.withColumn(s"sd$m", e.subDists(col("enc"), m))
       }
       .withColumn("tbls", array((0 until subspaces).map(m => col(s"sd$m")): _*))
-      .select(col("n_id"), col("n_emb"), col("cell").cast("int").as("cell"),
-        col("tbls"))
+      .select(col("n_id"), col("n_emb"), col("cell"), col("tbls"))
     // The in-plan inverted file: one posting-array row per cell (the
     // index holds the arriving slice too — appended as it landed —
     // so the corpus side excludes it, as the unbounded twin does).
@@ -2515,12 +2571,12 @@ object SimOps {
     */
   def c2IncrementalSemanticTopc(spark: SparkSession, dir: String,
       threshold: Double = IncSemThreshold, topc: Int = IncSemTopC,
-      nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16): DataFrame = {
+      nprobe: Int = 4, subspaces: Int = IncSemSubspaces): DataFrame = {
     val base = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
     val arrivals = base.filter(col("vec_id") % 10 === 7)
     val cand = semanticTopcCandidates(
-      spark, dir, arrivals, threshold, topc, nprobe, subspaces, kSub)
+      spark, dir, arrivals, threshold, topc, nprobe, subspaces)
     val ranked = cand.filter(col("adc").isNotNull)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("n_id")).orderBy(col("adc").asc, col("b_id").asc)))

@@ -74,6 +74,26 @@ object Storage {
     * accumulate across corpus regenerations leaks a full table copy each
     * time. Called whenever a layout is (re)created.
     */
+  /** Delete managed tables' on-disk warehouse directories when the
+    * table is absent from the session catalog. Every engine session
+    * uses the in-memory catalog (no Hive metastore), so a directory a
+    * PREVIOUS JVM left under the warehouse cannot be adopted — and
+    * saveAsTable refuses to create the table over the stale location
+    * (LOCATION_ALREADY_EXISTS). Layout builders call this on their
+    * target names before writing; a no-op under the temp-warehouse
+    * harnesses (Verify/Bench/specs), load-bearing for tools on the
+    * default persistent warehouse (MaintBench, SemTopcAccuracy), whose
+    * second process otherwise cannot rebuild the same corpus's layout.
+    */
+  def dropOrphanLocations(spark: SparkSession, tables: String*): Unit = {
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    tables.filterNot(spark.catalog.tableExists).foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+  }
+
   def dropStaleLayouts(
       spark: SparkSession, prefix: String, keepSuffix: String): Unit = {
     import scala.jdk.CollectionConverters._

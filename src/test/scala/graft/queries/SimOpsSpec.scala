@@ -569,6 +569,86 @@ class SimOpsSpec extends SparkSuite {
     }
   }
 
+  test("ANN rebalance lifecycle: monitor verdict -> split -> scan cost drops, no recall cliff") {
+    import org.apache.spark.sql.functions._
+    val full = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-rebal").toString
+    try {
+      full.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val (codesTab, modelTab) = SimOps.ensureAnnIndex(spark, dir)
+      // engineered drift: a dense appended mode crams into few cells
+      val batch = full.select((col("vec_id") + lit(1L << 40)).as("vec_id"),
+        transform(col("embedding").cast("array<double>"), x => x + lit(2.0d))
+          .as("embedding"),
+        col("label"))
+      SimOps.appendAnnIndex(spark, dir, batch)
+      // the GROWN corpus, driver-side (sf0.001: 1000 vectors)
+      val baseArr = full.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      val vecs = baseArr.toMap ++
+        baseArr.map { case (id, v) => (id + (1L << 40)) -> v.map(_ + 2.0d) }.toMap
+      def d2(a: Array[Double], b: Seq[Double]): Double =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        def dot(x: Array[Double], y: Array[Double]) =
+          x.zip(y).map { case (p, q) => p * q }.sum
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      }
+      // bounded query set spanning base AND drift ids
+      val queries = vecs.keys.toSeq.sorted.filter(id => (id % (1L << 40)) % 25 == 3)
+      // exact ground truth over the grown corpus (fixed across the split)
+      val truth = queries.map { q =>
+        q -> vecs.keys.filter(_ != q).toSeq
+          .map(b => (cos(vecs(q), vecs(b)), b)).sortBy(t => (-t._1, t._2))
+          .take(5).map(_._2).toSet
+      }.toMap
+      // ANN answer + scan cost from the PERSISTED index state
+      def annEval(): (Double, Double) = {
+        val coarse = SimOps.loadPqModel(spark, modelTab, subspaces = 8)._1
+        val cellOf = spark.table(codesTab)
+          .select(col("b_id"), col("cell").cast("int").as("cell"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val byCell = cellOf.groupBy(_._2).map { case (c, m) => c -> m.keys.toSeq }
+        var scan = 0L; var hits = 0L
+        queries.foreach { q =>
+          val probes = coarse.zipWithIndex
+            .map { case (c, i) => (d2(vecs(q), c), i + 1) }
+            .sorted.take(4).map(_._2)
+          val cand = probes.flatMap(byCell.getOrElse(_, Seq.empty)).filter(_ != q)
+          scan += cand.length
+          val top = cand.map(b => (cos(vecs(q), vecs(b)), b))
+            .sortBy(t => (-t._1, t._2)).take(5).map(_._2).toSet
+          hits += (top & truth(q)).size
+        }
+        (scan.toDouble / queries.length,
+          hits.toDouble / (5.0 * queries.length))
+      }
+      val (scanPre, recallPre) = annEval()
+      // the MONITOR's verdict picks the action and the victim
+      val mon = SimOps.c3AnnCells(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getBoolean(5), r.getBoolean(8)))
+      assert(mon.exists(_._4), "monitor did not call for a rebalance")
+      val victim = mon.filter(_._3).maxBy(_._2)._1
+      val moved = SimOps.splitAnnCell(spark, dir, victim, Some(batch))
+      assert(moved > 0L)
+      val (scanPost, recallPost) = annEval()
+      // the split must pay for itself: probed-candidate cost strictly
+      // drops, recall within noise of pre (no cliff)
+      assert(scanPost < scanPre,
+        s"split did not reduce mean scan cost: $scanPre -> $scanPost")
+      assert(recallPost >= recallPre - 0.02,
+        s"recall cliff after the split: $recallPre -> $recallPost")
+      // and the victim's monitor row reflects the move
+      val monPost = SimOps.c3AnnCells(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(monPost(victim) ==
+        mon.find(_._1 == victim).get._2 - moved)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("splitAnnCell crash recovery: a retry completes a half-applied split, never a second centroid") {
     import org.apache.spark.sql.functions._
     val full = spark.read.parquet(s"$sf/embeddings.parquet")
