@@ -2532,15 +2532,15 @@ object SimOps {
       .groupBy("cell")
       .agg(collect_list(struct(col("b_id"), col("codes"))).as("cands"))
     // Per (arrival, probed cell): ADC per posting (subspaces lookups —
-    // round-6 BEFORE the sort, the adcTopK discipline), sort by
-    // (adc, b_id), keep the cell's top-`topc`.
+    // round-6 BEFORE the rank, the adcTopK discipline), keep the cell's
+    // (adc, b_id) top-`topc` — the NATIVE AdcTopC expression (one tight
+    // Java pass + bounded heap; the interpreted HOF twin it replaces is
+    // kept in [[adcTopcHof]] for the bit-identity spec, and at sf10 its
+    // ~31M per-element lambda evaluations made the bounded gate slower
+    // than the unbounded one — BASELINE.md round 17).
     val scored = tabled.join(cellCand, Seq("cell"), "left")
-      .withColumn("scored", expr(
-        s"""slice(array_sort(transform(cands, cd -> named_struct(
-           |'adc', round(aggregate(sequence(0, ${subspaces - 1}),
-           |  CAST(0.0 AS DOUBLE), (acc, m) -> acc +
-           |  element_at(element_at(tbls, m+1), element_at(cd.codes, m+1))), 6),
-           |'b_id', cd.b_id))), 1, $topc)""".stripMargin.replace("\n", " ")))
+      .withColumn("scored",
+        graft.functions.AdcTopCExpr.adcTopC(col("cands"), col("tbls"), topc))
       .select(col("n_id"), col("n_emb"), explode_outer(col("scored")).as("s"))
       .select(col("n_id"), col("n_emb"),
         col("s.adc").as("adc"), col("s.b_id").as("b_id"))
@@ -2554,6 +2554,18 @@ object SimOps {
       .select(col("n_id"), col("adc"), col("b_id"),
         when(cos >= threshold, cos).as("cosine"))
   }
+
+  /** The built-ins twin of [[graft.functions.AdcTopCExpr.adcTopC]] —
+    * kept solely so AdcTopCExprSpec can assert the native expression
+    * bit-identical on the real corpus (the BpeMergeSeq discipline).
+    * Resolves columns `cands` and `tbls` by name from the input frame.
+    */
+  private[graft] def adcTopcHof(subspaces: Int, topc: Int): Column = expr(
+    s"""slice(array_sort(transform(cands, cd -> named_struct(
+       |'adc', round(aggregate(sequence(0, ${subspaces - 1}),
+       |  CAST(0.0 AS DOUBLE), (acc, m) -> acc +
+       |  element_at(element_at(tbls, m+1), element_at(cd.codes, m+1))), 6),
+       |'b_id', cd.b_id))), 1, $topc)""".stripMargin.replace("\n", " "))
 
   /** C2g': the BOUNDED incremental semantic gate —
     * [[c2IncrementalSemantic]] with the exact-cosine confirm capped at
