@@ -629,8 +629,6 @@ object DedupOps {
       dropStaleLayouts(spark, "graft_mh_toks_", suffix)
       dropStaleLayouts(spark, "graft_mh_del_", suffix)
     }
-    graft.sources.Storage.dropOrphanLocations(
-      spark, memTab, toksTab, tombstoneTab(suffix))
     val corpus = docs(spark, dir).filter(col("doc_id") % 10 =!= 7)
       .select(col("doc_id"), MinHash.tokenSet(col("text")).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -805,7 +803,6 @@ object DedupOps {
     val labTab = s"graft_mh_lab_$suffix"
     if (spark.catalog.tableExists(labTab)) return labTab
     if (sweepStale) dropStaleLayouts(spark, "graft_mh_lab_", suffix)
-    graft.sources.Storage.dropOrphanLocations(spark, labTab)
     ConnectedComponents.assignmentsFromMemberships(spark.table(memTab))
       .select(col("doc_id"), col("cluster_rep"),
         pmod(col("cluster_rep"), lit(64L)).as("lp"))

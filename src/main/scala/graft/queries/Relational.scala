@@ -541,7 +541,6 @@ object Relational {
     if (!spark.catalog.tableExists(ltab) || !spark.catalog.tableExists(otab)) {
       dropStaleLayouts(spark, "graft_b8_lineitem_", suffix)
       dropStaleLayouts(spark, "graft_b8_orders_", suffix)
-      graft.sources.Storage.dropOrphanLocations(spark, ltab, otab)
     }
     if (!spark.catalog.tableExists(ltab))
       graft.sources.Storage.writeBucketed(

@@ -691,7 +691,6 @@ object SimOps {
       dropStaleLayouts(spark, "graft_ann_codes_", suffix)
       dropStaleLayouts(spark, "graft_ann_model_", suffix)
     }
-    graft.sources.Storage.dropOrphanLocations(spark, codesTab, modelTab)
     writeAnnLayout(spark, emb(spark, dir).select("vec_id", "embedding", "label"),
       nCells, subspaces, kSub, maxSample, modelTab, codesTab)
     (codesTab, modelTab)
@@ -740,7 +739,6 @@ object SimOps {
       dropStaleLayouts(spark, "graft_annk_codes_", suffix)
       dropStaleLayouts(spark, "graft_annk_model_", suffix)
     }
-    graft.sources.Storage.dropOrphanLocations(spark, codesTab, modelTab)
     writeAnnLayout(spark, emb(spark, dir).select("vec_id", "embedding", "label"),
       kCells, subspaces, kSub, maxSample, modelTab, codesTab)
     (codesTab, modelTab, kCells)
@@ -753,6 +751,23 @@ object SimOps {
     * Model first: a crash between the writes leaves at most a model
     * with no codes table, which existence checks treat as absent.
     */
+  /** (Over)write a model table from a (coarse, books) pair — the
+    * one model-landing pass shared by [[writeAnnLayout]] and
+    * [[splitAnnCell]]'s stranded-slot rewrite. Overwrite of a tiny
+    * table; a crash mid-write leaves the model absent, which the
+    * BOTH-tables existence checks treat as no layout (rebuild).
+    */
+  private def writeModelTable(spark: SparkSession, modelTab: String,
+      coarse: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]]): Unit = {
+    val session = spark
+    import session.implicits._
+    (coarse.zipWithIndex.map { case (v, i) => ("coarse", 0, i + 1, v) } ++
+      books.zipWithIndex.flatMap { case (bk, m) =>
+        bk.zipWithIndex.map { case (v, j) => ("book", m, j + 1, v) } })
+      .toDF("kind", "m", "idx", "vec")
+      .write.mode("overwrite").format("parquet").saveAsTable(modelTab)
+  }
+
   private def writeAnnLayout(spark: SparkSession, corpus: DataFrame,
       nCells: Int, subspaces: Int, kSub: Int, maxSample: Int,
       modelTab: String, codesTab: String): Unit = {
@@ -762,13 +777,7 @@ object SimOps {
     try {
       val sample = boundedSample(base, maxSample)
       val (coarse, books) = pqModel(sample, nCells, subspaces, kSub)
-      val session = spark
-      import session.implicits._
-      (coarse.zipWithIndex.map { case (v, i) => ("coarse", 0, i + 1, v) } ++
-        books.zipWithIndex.flatMap { case (bk, m) =>
-          bk.zipWithIndex.map { case (v, j) => ("book", m, j + 1, v) } })
-        .toDF("kind", "m", "idx", "vec")
-        .write.mode("overwrite").format("parquet").saveAsTable(modelTab)
+      writeModelTable(spark, modelTab, coarse, books)
       // Filterable attributes (label) are stored INLINE with the codes —
       // the filtered-search posture: a metadata predicate restricts
       // candidates during the index scan itself, with no id join back to
@@ -820,7 +829,6 @@ object SimOps {
     val (stCodes, stModel) = (s"${codesTab}_rt", s"${modelTab}_rt")
     spark.sql(s"DROP TABLE IF EXISTS $stCodes")
     spark.sql(s"DROP TABLE IF EXISTS $stModel")
-    graft.sources.Storage.dropOrphanLocations(spark, stCodes, stModel)
     val live = emb(spark, dir).select("vec_id", "embedding", "label")
     val grown = extraVectors match {
       case Some(x) => live.unionByName(x.select("vec_id", "embedding", "label"))
@@ -1092,11 +1100,13 @@ object SimOps {
     * (a retry is the recovery procedure; there is no separate entry
     * point to remember):
     *  - crash between (1) and (2): the appended centroid exists with an
-    *    empty cell and nothing moved. The re-run re-derives the SAME
-    *    new centroid (deterministic 2-means over the unchanged member
-    *    set) and, detecting it already present as the trailing,
-    *    still-empty codebook entry, REUSES it instead of appending a
-    *    duplicate;
+    *    empty cell and nothing moved. ANY later invocation detects the
+    *    trailing empty-cell slot up front and REUSES it: a retry of the
+    *    same cell re-derives the identical centroid (deterministic
+    *    2-means over the unchanged member set — the slot rewrite is a
+    *    no-op), and a split of a DIFFERENT cell re-aims the dead slot
+    *    at its own child instead of stranding an empty centroid that
+    *    would occupy a probe slot in every nprobe ranking forever;
     *  - crash between (2) and (3) (or mid-(3), before the partition
     *    overwrite commits): the moved rows exist in BOTH the trailing
     *    cell and their source cell. Detected up front (trailing-cell
@@ -1149,6 +1159,11 @@ object SimOps {
         case None => ()
       }
     }
+    // Entry-time stranded-slot detection (crash window (1)-(2), possibly
+    // from a split of a DIFFERENT cell): a trailing centroid whose cell
+    // holds no codes. Cell-pruned single-partition probe.
+    val trailingEmpty = spark.table(codesTab)
+      .filter(col("cell").cast("int") === topCell).limit(1).isEmpty
     val memberIds = spark.table(codesTab)
       .filter(col("cell").cast("int") === cell)
       .select(col("b_id").as("vec_id"))
@@ -1191,14 +1206,20 @@ object SimOps {
           "members — a no-op or whole-cell move cannot rebalance it")
       val session = spark
       import session.implicits._
-      // Crash window (1)-(2): the trailing codebook entry is this very
-      // centroid (deterministic re-derivation) with an EMPTY cell —
-      // reuse it instead of appending a duplicate.
-      val reuseTop = coarse.last == newC && spark.table(codesTab)
-        .filter(col("cell").cast("int") === topCell).limit(1).isEmpty
-      val newCell = if (reuseTop) topCell else coarse.length + 1
-      // (1) model append — the new centroid's cell is empty until (2)
-      if (!reuseTop)
+      // Stranded trailing slot (a crash in window (1)-(2), WHATEVER the
+      // later requested cell): the trailing codebook entry's cell is
+      // empty. Reuse its slot for THIS split — a same-cell retry
+      // re-derives the identical centroid (the rewrite is a no-op), and
+      // a different requested cell re-aims the dead slot instead of
+      // stranding it forever as a recall-degrading empty probe target.
+      // Re-aiming is decode-safe: no stored code references an empty
+      // cell, so no member ever decodes against the replaced centroid.
+      val newCell = if (trailingEmpty) topCell else coarse.length + 1
+      // (1) model land — the new centroid's cell is empty until (2)
+      if (trailingEmpty)
+        writeModelTable(spark, modelTab,
+          coarse.updated(topCell - 1, newC), books)
+      else
         Seq(("coarse", 0, newCell, newC))
           .toDF("kind", "m", "idx", "vec")
           .select(spark.table(modelTab).columns.map(col).toIndexedSeq: _*)
@@ -2440,9 +2461,11 @@ object SimOps {
   /** Exact-cosine confirm cap of the BOUNDED semantic family (the
     * c2_incremental_dedup_topc posture at the embedding level): per
     * arrival, only the `IncSemTopC` candidates nearest by STORED-CODE
-    * ADC distance pay the exact confirm. 64 = the dedup family's cap;
-    * measured zero decision drift vs the unbounded confirm on the gate
-    * corpora (BASELINE.md round 17).
+    * ADC distance pay the exact confirm. 256 = the 16×256/topc=256
+    * operating point of the round-17 accuracy sweep (BASELINE.md):
+    * zero decision drift vs the unbounded confirm at sf1; 1.4%
+    * false-novel at sf10, all misses confined to the [0.35, 0.40)
+    * threshold boundary band and zero extra-matches by construction.
     */
   private[graft] val IncSemTopC = 256
 
@@ -2489,10 +2512,31 @@ object SimOps {
     * while below-`threshold` cosines are nulled HERE (the one-place
     * threshold contract, as in [[semanticGateCandidates]]).
     */
-  private[graft] def semanticTopcCandidates(spark: SparkSession, dir: String,
-      arrivals: DataFrame, threshold: Double = IncSemThreshold,
-      topc: Int = IncSemTopC, nprobe: Int = 4,
-      subspaces: Int = IncSemSubspaces): DataFrame = {
+  /** Per (arrival × probed cell) frame of the bounded semantic family —
+    * the shared front half of [[semanticTopcCandidates]] and the LIVE
+    * streaming gate's stateful stage: probe assignment (`pos` 0 = the
+    * nearest cell = the cell an index insert of this vector would land
+    * in), the arrival's residual codes under each probed cell (`enc` —
+    * at `pos` 0 these are exactly the codes a [[pqEncodeCorpus]] pass
+    * would store), the per-probe ADC lookup tables (`tbls`), and the
+    * cell's STORED posting array (`cands`, null when the probed cell
+    * holds no postings after the `excludeMod`/`excludeRem` corpus-side
+    * slice exclusion).
+    *
+    * The lookup tables are computed on the PROBED side, BEFORE the cell
+    * join: the join boundary pins `tbls` as a real output attribute, so
+    * per-posting consumers reference a bound column. Folding the table
+    * build past the join (to slim the join input) lets CollapseProject
+    * inline the CentroidDists subtrees INTO the consumer lambda,
+    * re-deriving the full subspaces × kSub tables once per POSTING
+    * ELEMENT — measured ~4e12 ops at sf10, a >100× blowup (round-17
+    * thread-dump diagnosis). nprobe rows of kSub·subspaces doubles per
+    * arrival is the cheaper wire cost by far.
+    */
+  private[graft] def semanticProbeFrame(spark: SparkSession, dir: String,
+      arrivals: DataFrame, nprobe: Int = 4,
+      subspaces: Int = IncSemSubspaces, excludeMod: Int = 10,
+      excludeRem: Int = 7): DataFrame = {
     val (codesTab, modelTab, _) = ensureScaledAnnIndex(spark, dir, subspaces)
     val (coarse, books) = loadPqModel(spark, modelTab, subspaces)
     val nTrained = coarse.length
@@ -2506,31 +2550,29 @@ object SimOps {
           (d, i) => struct(d.as("d"), i.as("i")))), s => s.getField("i")),
           lit(1), lit(math.min(nprobe, nTrained))))
       .select(col("vec_id").as("n_id"), col("embD").as("n_emb"),
-        explode(col("probes")).as("cell"))
+        posexplode(col("probes")).as(Seq("pos", "cell")))
       .withColumn("enc", e.enc(col("n_emb"), col("cell")))
-    // The per-probe ADC lookup tables (subspaces × kSub doubles) are
-    // computed on the PROBED side, BEFORE the cell join: the join
-    // boundary pins `tbls` as a real output attribute, so the
-    // per-posting lambda below references a bound column. Folding the
-    // table build past the join (to slim the join input) lets
-    // CollapseProject inline the CentroidDists subtrees INTO the
-    // lambda, re-deriving the full subspaces × kSub tables once per
-    // POSTING ELEMENT — measured ~4e12 ops at sf10, a >100× blowup
-    // (round-17 thread-dump diagnosis). nprobe rows of kSub·subspaces
-    // doubles per arrival is the cheaper wire cost by far.
     val tabled = (0 until subspaces).foldLeft(probed) {
         (df, m) => df.withColumn(s"sd$m", e.subDists(col("enc"), m))
       }
       .withColumn("tbls", array((0 until subspaces).map(m => col(s"sd$m")): _*))
-      .select(col("n_id"), col("n_emb"), col("cell"), col("tbls"))
+      .select(col("n_id"), col("n_emb"), col("pos"), col("cell"),
+        col("enc"), col("tbls"))
     // The in-plan inverted file: one posting-array row per cell (the
     // index holds the arriving slice too — appended as it landed —
     // so the corpus side excludes it, as the unbounded twin does).
     val cellCand = spark.table(codesTab)
       .select(col("b_id"), col("cell").cast("int").as("cell"), col("codes"))
-      .filter(col("b_id") % 10 =!= 7)
+      .filter(col("b_id") % excludeMod =!= excludeRem)
       .groupBy("cell")
       .agg(collect_list(struct(col("b_id"), col("codes"))).as("cands"))
+    tabled.join(cellCand, Seq("cell"), "left")
+  }
+
+  private[graft] def semanticTopcCandidates(spark: SparkSession, dir: String,
+      arrivals: DataFrame, threshold: Double = IncSemThreshold,
+      topc: Int = IncSemTopC, nprobe: Int = 4,
+      subspaces: Int = IncSemSubspaces): DataFrame = {
     // Per (arrival, probed cell): ADC per posting (subspaces lookups —
     // round-6 BEFORE the rank, the adcTopK discipline), keep the cell's
     // (adc, b_id) top-`topc` — the NATIVE AdcTopC expression (one tight
@@ -2538,7 +2580,7 @@ object SimOps {
     // kept in [[adcTopcHof]] for the bit-identity spec, and at sf10 its
     // ~31M per-element lambda evaluations made the bounded gate slower
     // than the unbounded one — BASELINE.md round 17).
-    val scored = tabled.join(cellCand, Seq("cell"), "left")
+    val scored = semanticProbeFrame(spark, dir, arrivals, nprobe, subspaces)
       .withColumn("scored",
         graft.functions.AdcTopCExpr.adcTopC(col("cands"), col("tbls"), topc))
       .select(col("n_id"), col("n_emb"), explode_outer(col("scored")).as("s"))

@@ -1129,7 +1129,6 @@ object TextOps {
     val tab = s"graft_qm_$suffix"
     if (spark.catalog.tableExists(tab)) return tab
     dropStaleLayouts(spark, "graft_qm_", suffix)
-    graft.sources.Storage.dropOrphanLocations(spark, tab)
     val agg = qmFeatures(docs(spark, dir))
       .groupBy("rule_keep")
       .agg(count(lit(1)).as("cnt"), QmFeatures.map(n => sum(col(n)).as(n)): _*)
@@ -1316,7 +1315,6 @@ object TextOps {
       return (unTab, bgTab, tgTab, tvTab)
     Seq("graft_lm1_", "graft_lm2_", "graft_lm3_", "graft_lmtv_")
       .foreach(dropStaleLayouts(spark, _, fp))
-    graft.sources.Storage.dropOrphanLocations(spark, unTab, bgTab, tgTab, tvTab)
     val toks = split(col("text"), " ")
     val dRef = docs(spark, dir).filter(ruleKeep)
       .select(col("doc_id"), toks.as("toks"))
@@ -1552,7 +1550,6 @@ object TextOps {
     val tab = s"graft_bpe_$suffix"
     if (spark.catalog.tableExists(tab)) return tab
     dropStaleLayouts(spark, "graft_bpe_", suffix)
-    graft.sources.Storage.dropOrphanLocations(spark, tab)
     val (_, finalVocab, lastCached) =
       bpeTrain(spark, dir, rounds, cap, materializeFinal = true)
     finalVocab.select(col("word"), size(col("seq")).cast("long").as("n_bpe"))

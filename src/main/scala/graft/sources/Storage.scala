@@ -74,24 +74,28 @@ object Storage {
     * accumulate across corpus regenerations leaks a full table copy each
     * time. Called whenever a layout is (re)created.
     */
-  /** Delete managed tables' on-disk warehouse directories when the
-    * table is absent from the session catalog. Every engine session
-    * uses the in-memory catalog (no Hive metastore), so a directory a
-    * PREVIOUS JVM left under the warehouse cannot be adopted — and
-    * saveAsTable refuses to create the table over the stale location
-    * (LOCATION_ALREADY_EXISTS). Layout builders call this on their
-    * target names before writing; a no-op under the temp-warehouse
-    * harnesses (Verify/Bench/specs), load-bearing for tools on the
-    * default persistent warehouse (MaintBench, SemTopcAccuracy), whose
-    * second process otherwise cannot rebuild the same corpus's layout.
+  /** STARTUP-ONLY sweep for the standalone tools that run against the
+    * persistent default warehouse (MaintBench, SemTopcAccuracy): delete
+    * `graft_*` layout directories a PREVIOUS process left behind. Every
+    * engine session uses the in-memory catalog (no Hive metastore), so
+    * such a directory cannot be adopted — and saveAsTable refuses to
+    * create a table over the stale location (LOCATION_ALREADY_EXISTS).
+    *
+    * Deliberately NOT called from layout builders: catalogs are
+    * per-process, so a builder-time "orphan" check cannot distinguish a
+    * dead directory from a CONCURRENT live session's layout and would
+    * silently delete the latter mid-read (round-17 advice). Only a
+    * tool's main — which owns the single-process assumption for its
+    * run — may invoke this, once, before any layout is built; builders
+    * hitting a genuinely stale location fail loudly instead.
     */
-  def dropOrphanLocations(spark: SparkSession, tables: String*): Unit = {
+  def sweepOrphanWarehouseDirs(spark: SparkSession): Unit = {
     val wh = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
-    tables.filterNot(spark.catalog.tableExists).foreach { t =>
-      val d = new java.io.File(wh, t)
-      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
-    }
+    Option(wh.listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("graft_") &&
+        !spark.catalog.tableExists(d.getName))
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
   }
 
   def dropStaleLayouts(

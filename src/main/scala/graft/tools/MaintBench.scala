@@ -30,6 +30,11 @@ object MaintBench {
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
     val batchSize = args.lift(2).map(_.toInt).getOrElse(50)
     val spark = graft.Graft.session()
+    // Single-process tool on the persistent default warehouse: sweep
+    // layout directories dead processes left behind, ONCE, up front
+    // (builders never sweep — a concurrent session's layout would look
+    // identical to an orphan from here).
+    graft.sources.Storage.sweepOrphanWarehouseDirs(spark)
     def timed[T](body: => T): (T, Double) = {
       val t0 = System.nanoTime()
       val r = body

@@ -23,6 +23,10 @@ object SemTopcAccuracy {
       .getOrElse(graft.queries.SimOps.IncSemTopC)
     val m = args.lift(2).map(_.toInt).getOrElse(graft.queries.SimOps.IncSemSubspaces)
     val spark = graft.Graft.session()
+    // Single-process tool on the persistent default warehouse: sweep
+    // dead processes' layout directories once, up front (see
+    // Storage.sweepOrphanWarehouseDirs — builders never sweep).
+    graft.sources.Storage.sweepOrphanWarehouseDirs(spark)
     // Materialize each twin before constructing the next: a non-default
     // `m` builds a differently-parameterized scaled layout, and the
     // one-live-configuration sweep drops the other twin's tables at

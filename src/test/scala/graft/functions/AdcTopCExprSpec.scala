@@ -63,18 +63,17 @@ class AdcTopCExprSpec extends SparkSuite {
 
   test("corpus: the bounded gate's real probed rows rank identically") {
     import org.apache.spark.sql.functions.col
-    // the real per-arrival candidate frame the gate scores
+    // the real per-(arrival × probed cell) frame the gate scores —
+    // the builder's own posting arrays and ADC lookup tables, scored
+    // through BOTH implementations and compared row by row
     SimOps.ensureScaledAnnIndex(spark, sf)
     val probed = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
       .filter(col("vec_id") % 10 === 7)
-    val cand = SimOps.semanticTopcCandidates(spark, sf, probed)
-    assert(cand.filter(col("adc").isNotNull).count() > 0)
-    // and the full frame agrees with the HOF twin end-to-end: compare
-    // the exploded (n_id, adc, b_id) sets. Rebuilding the internal
-    // frame here would duplicate the builder, so assert via the
-    // declared query instead: the batch twin equals its own oracle at
-    // this sf through Verify; here we pin native-vs-HOF on synthetic
-    // rows above and bounded-row sanity on the corpus.
+    val frame = SimOps.semanticProbeFrame(spark, sf, probed)
+      .filter(col("cands").isNotNull)
+    assert(frame.count() > 0, "no probed cell held postings — vacuous")
+    compare(frame, subspaces = SimOps.IncSemSubspaces,
+      topc = SimOps.IncSemTopC)
   }
 }

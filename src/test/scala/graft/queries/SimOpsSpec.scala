@@ -679,6 +679,7 @@ class SimOpsSpec extends SparkSuite {
     val dirClean = freshCorpus("graft-split-clean")
     val dirCrash2 = freshCorpus("graft-split-crash2")
     val dirCrash1 = freshCorpus("graft-split-crash1")
+    val dirStrand = freshCorpus("graft-split-strand")
     try {
       // reference: the end state of a CLEAN split on a twin corpus
       val (codesC, modelC, victim) = prep(dirClean)
@@ -724,8 +725,35 @@ class SimOpsSpec extends SparkSuite {
       assert(SimOps.loadPqModel(spark, model1, subspaces = 8)._1 == cleanCoarse,
         "retry after a step-(1) crash appended a duplicate centroid")
       assert(stateOf(codes1) == cleanState)
+
+      // stranded slot: crash (1)-(2) on the victim, then a split of a
+      // DIFFERENT cell — the dead trailing centroid must be re-aimed
+      // (slot reuse), never left as a permanent empty probe target and
+      // never joined by a second appended centroid
+      val (codesS, modelS, victimS) = prep(dirStrand)
+      assert(victimS == victim)
+      intercept[IllegalStateException] {
+        SimOps.splitAnnCell(spark, dirStrand, victim, Some(drift),
+          crashAfterStep = 1)
+      }
+      val other = spark.table(codesS)
+        .groupBy(col("cell").cast("int").as("cell")).count()
+        .filter(col("cell") =!= victim)
+        .orderBy(col("count").desc, col("cell")).head().getInt(0)
+      val movedOther = SimOps.splitAnnCell(spark, dirStrand, other, Some(drift))
+      assert(movedOther > 0L)
+      val coarseS = SimOps.loadPqModel(spark, modelS, subspaces = 8)._1
+      assert(coarseS.length == cleanCoarse.length,
+        "a different-cell split after a step-(1) crash must reuse the " +
+          s"stranded trailing slot, got ${coarseS.length} centroids " +
+          s"vs ${cleanCoarse.length}")
+      val trailingN = spark.table(codesS)
+        .filter(col("cell").cast("int") === coarseS.length).count()
+      assert(trailingN == movedOther,
+        "re-aimed trailing cell does not hold the other split's movers")
+      assert(dupIds(codesS) == 0L)
     } finally {
-      Seq(dirClean, dirCrash2, dirCrash1).foreach(d =>
+      Seq(dirClean, dirCrash2, dirCrash1, dirStrand).foreach(d =>
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
       spark.catalog.clearCache()
     }
