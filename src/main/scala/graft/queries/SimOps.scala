@@ -710,15 +710,19 @@ object SimOps {
     * the b8 one-live-configuration rule holds within each namespace).
     * Returns (codesTab, modelTab, kCells).
     *
-    * Maintenance posture: REBUILD-ONLY. The incremental maintenance
-    * lifecycle ([[appendAnnIndex]] / [[deleteFromAnnIndex]] /
-    * [[retrainAnnIndex]] / [[splitAnnCell]]) operates on the fixed
-    * `graft_ann_*` namespace; this layout is derived purely from the
-    * corpus parquet and is rebuilt from scratch whenever the corpus
-    * fingerprint changes (its cell count itself is a function of corpus
-    * size, so growth eventually REQUIRES retraining rather than
-    * appending — a √n-cell index appended forever degrades toward the
-    * fixed-cell quadratic this layout exists to avoid).
+    * Maintenance posture: INCREMENTAL within a corpus generation —
+    * [[appendScaledAnnIndex]] / [[deleteFromScaledAnnIndex]] operate on
+    * this namespace (the production ingest loop appends admitted
+    * arrivals' codes per batch, never a per-batch rebuild), and the
+    * layout is additionally rebuilt from scratch whenever the corpus
+    * fingerprint changes. Retrain has no separate surgical form here
+    * BY DESIGN: the cell count itself is a function of corpus size
+    * ([[scaledCells]], a power-of-two step function, so appended
+    * growth within a step keeps |cell| ≈ √n), and once growth crosses
+    * a step the right action is the full rebuild this function already
+    * performs — a √n-cell codebook appended forever without stepping
+    * the cell count degrades toward the fixed-cell quadratic this
+    * layout exists to avoid.
     */
   private[graft] def ensureScaledAnnIndex(spark: SparkSession, dir: String,
       subspaces: Int = IncSemSubspaces, maxSample: Int = 100000,
@@ -891,6 +895,30 @@ object SimOps {
       newVectors: DataFrame, nCells: Int = 16, subspaces: Int = 8,
       kSub: Int = 16): Long = {
     val (codesTab, modelTab) = ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
+    appendToLayout(spark, codesTab, modelTab, newVectors, subspaces)
+  }
+
+  /** [[appendAnnIndex]] for the SCALED layout (`graft_annk_*`) the
+    * incremental-semantic gates read — the production ingest loop's
+    * maintenance path: admitted-novel arrivals are encoded with the
+    * STORED scaled model and appended to the √n-cell inverted file, so
+    * the NEXT batch resolves against them without a per-batch rebuild
+    * (the round-17 verdict's #1 ask; rebuild cadence remains a
+    * separate, rarer retrain decision — see [[ensureScaledAnnIndex]]).
+    */
+  private[graft] def appendScaledAnnIndex(spark: SparkSession, dir: String,
+      newVectors: DataFrame, subspaces: Int = IncSemSubspaces): Long = {
+    val (codesTab, modelTab, _) = ensureScaledAnnIndex(spark, dir, subspaces)
+    appendToLayout(spark, codesTab, modelTab, newVectors, subspaces)
+  }
+
+  /** Layout-generic append shared by the fixed (`graft_ann_*`) and
+    * scaled (`graft_annk_*`) namespaces — see [[appendAnnIndex]] for
+    * the contract (stored-model encode bit-identity, loud duplicate
+    * rejection, inline label metadata).
+    */
+  private def appendToLayout(spark: SparkSession, codesTab: String,
+      modelTab: String, newVectors: DataFrame, subspaces: Int): Long = {
     val (coarse, books) = loadPqModel(spark, modelTab, subspaces)
     val base = newVectors
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
@@ -934,6 +962,25 @@ object SimOps {
       ids: Seq[Long], nCells: Int = 16, subspaces: Int = 8,
       kSub: Int = 16): Long = {
     val (codesTab, _) = ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
+    deleteFromLayout(spark, codesTab, ids)
+  }
+
+  /** [[deleteFromAnnIndex]] for the SCALED layout (`graft_annk_*`) —
+    * erasure/retention removal on the index the semantic gates read,
+    * same cell-pruned dynamic-partition rewrite.
+    */
+  private[graft] def deleteFromScaledAnnIndex(spark: SparkSession, dir: String,
+      ids: Seq[Long], subspaces: Int = IncSemSubspaces): Long = {
+    val (codesTab, _, _) = ensureScaledAnnIndex(spark, dir, subspaces)
+    deleteFromLayout(spark, codesTab, ids)
+  }
+
+  /** Layout-generic delete shared by both namespaces — see
+    * [[deleteFromAnnIndex]] for the contract (physical cell-partition
+    * rewrite of only the affected cells, idempotent on absent ids).
+    */
+  private def deleteFromLayout(spark: SparkSession, codesTab: String,
+      ids: Seq[Long]): Long = {
     val session = spark
     import session.implicits._
     val idsDf = ids.toDF("b_id")
@@ -2337,9 +2384,10 @@ object SimOps {
     *    codebook the index was built with — loadPqModel), and
     *    candidates are the codes table's rows for those cells — a
     *    cell-partition-PRUNED scan of (id, cell) pairs, never a corpus
-    *    embedding scan (the scaled `graft_annk_*` layout is
-    *    REBUILD-ONLY — see [[ensureScaledAnnIndex]]; the append/delete/
-    *    retrain lifecycle lives on the fixed `graft_ann_*` namespace);
+    *    embedding scan (the scaled `graft_annk_*` layout carries its
+    *    own append/delete lifecycle — [[appendScaledAnnIndex]] /
+    *    [[deleteFromScaledAnnIndex]] — so the ingest loop feeds
+    *    admitted arrivals back without a per-batch rebuild);
     *  - only candidates pay the exact-cosine confirm (corpus embeddings
     *    re-attached by id — O(batch · nprobe · cell), bounded), and the
     *    best pick is one partial aggregate, no window.
@@ -2572,7 +2620,8 @@ object SimOps {
   private[graft] def semanticTopcCandidates(spark: SparkSession, dir: String,
       arrivals: DataFrame, threshold: Double = IncSemThreshold,
       topc: Int = IncSemTopC, nprobe: Int = 4,
-      subspaces: Int = IncSemSubspaces): DataFrame = {
+      subspaces: Int = IncSemSubspaces,
+      extraVectors: Option[DataFrame] = None): DataFrame = {
     // Per (arrival, probed cell): ADC per posting (subspaces lookups —
     // round-6 BEFORE the rank, the adcTopK discipline), keep the cell's
     // (adc, b_id) top-`topc` — the NATIVE AdcTopC expression (one tight
@@ -2586,13 +2635,23 @@ object SimOps {
       .select(col("n_id"), col("n_emb"), explode_outer(col("scored")).as("s"))
       .select(col("n_id"), col("n_emb"),
         col("s.adc").as("adc"), col("s.b_id").as("b_id"))
-    val baseEmb = emb(spark, dir)
-      .select(col("vec_id").as("b_id"), asDouble(col("embedding")).as("b_emb"))
+    // The exact-cosine confirm re-attaches candidate embeddings BY ID
+    // from the corpus parquet; vectors ingested via
+    // [[appendScaledAnnIndex]] live outside it, so callers resolving
+    // against appended postings re-attach them through `extraVectors`
+    // (the retrainAnnIndex / splitAnnCell contract).
+    val corpusEmb = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("b_emb"))
+    val baseEmb = extraVectors match {
+      case Some(x) => corpusEmb.unionByName(x.select(col("vec_id"),
+        asDouble(col("embedding")).as("b_emb")))
+      case None => corpusEmb
+    }
     import graft.functions.VectorExprs.{dot, norm}
     val cos = round(dot(col("n_emb"), col("b_emb")) /
       (norm(col("n_emb")) * norm(col("b_emb"))), 6)
     scored
-      .join(baseEmb, Seq("b_id"), "left")
+      .join(baseEmb.withColumnRenamed("vec_id", "b_id"), Seq("b_id"), "left")
       .select(col("n_id"), col("adc"), col("b_id"),
         when(cos >= threshold, cos).as("cosine"))
   }
@@ -2628,9 +2687,28 @@ object SimOps {
       nprobe: Int = 4, subspaces: Int = IncSemSubspaces): DataFrame = {
     val base = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
-    val arrivals = base.filter(col("vec_id") % 10 === 7)
+    resolveSemanticTopc(spark, dir, base.filter(col("vec_id") % 10 === 7),
+      threshold, topc, nprobe, subspaces)
+  }
+
+  /** The bounded gate's batch RESOLUTION over a caller-supplied
+    * `arrivals` frame (columns `vec_id`, `embD`) — the
+    * [[c2IncrementalSemanticTopc]] decision applied to any batch:
+    * global (adc, b_id) top-`topc` over the per-cell pre-cut candidate
+    * rows, exact-cosine confirm, best surviving pick. `extraVectors`
+    * re-attaches raw embeddings for index postings that live outside
+    * the corpus parquet (vectors ingested via
+    * [[appendScaledAnnIndex]]) — the composed ingest-then-resolve
+    * loop: resolve batch N, append its admitted novels, resolve batch
+    * N+1 against them.
+    */
+  private[graft] def resolveSemanticTopc(spark: SparkSession, dir: String,
+      arrivals: DataFrame, threshold: Double = IncSemThreshold,
+      topc: Int = IncSemTopC, nprobe: Int = 4,
+      subspaces: Int = IncSemSubspaces,
+      extraVectors: Option[DataFrame] = None): DataFrame = {
     val cand = semanticTopcCandidates(
-      spark, dir, arrivals, threshold, topc, nprobe, subspaces)
+      spark, dir, arrivals, threshold, topc, nprobe, subspaces, extraVectors)
     val ranked = cand.filter(col("adc").isNotNull)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("n_id")).orderBy(col("adc").asc, col("b_id").asc)))

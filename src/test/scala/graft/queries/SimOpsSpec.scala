@@ -375,6 +375,120 @@ class SimOpsSpec extends SparkSuite {
     }
   }
 
+  test("scaled layout maintenance: append/delete on graft_annk_* equals a stored-model encode") {
+    // The round-17 verdict's #1 ask: the √n-cell layout the semantic
+    // gates read must carry the same incremental lifecycle as the fixed
+    // namespace — appended codes bit-identical to a from-scratch encode
+    // under the STORED scaled model, duplicate ids rejected loudly,
+    // deletes rewriting only affected cells, survivors exactly the
+    // surviving corpus's encode.
+    import org.apache.spark.sql.functions.col
+    val m = SimOps.IncSemSubspaces
+    val full = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-annk-maint").toString
+    try {
+      full.filter(col("vec_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val (codesTab, modelTab, _) = SimOps.ensureScaledAnnIndex(spark, dir)
+      val before = spark.table(codesTab).count()
+      val newVecs = full.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val appended = SimOps.appendScaledAnnIndex(spark, dir, newVecs)
+      assert(appended == newVecs.count())
+      assert(spark.table(codesTab).count() == before + appended)
+      val (coarse, books) = SimOps.loadPqModel(spark, modelTab, m)
+      def encode(df: org.apache.spark.sql.DataFrame) = SimOps.pqEncodeCorpus(
+        df.select(col("vec_id"), col("embedding").cast("array<double>").as("embD")),
+        coarse, books, m, residual = true)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+      val stored = spark.table(codesTab)
+        .filter(col("b_id") % 2 =!= 0)
+        .select(col("b_id"), col("cell").cast("int"), col("codes"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+      assert(stored == encode(newVecs),
+        "scaled append diverged from the stored-model encode")
+      val err = intercept[IllegalArgumentException] {
+        SimOps.appendScaledAnnIndex(spark, dir, newVecs)
+      }
+      assert(err.getMessage.contains("already present"))
+      // delete one whole (smallest) cell plus a scattered slice
+      val byCell = spark.table(codesTab)
+        .select(col("b_id"), col("cell").cast("int").as("cell")).collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      val victimCell = byCell.groupBy(_._2).minBy(c => (c._2.length, c._1))._1
+      val wholeCell = byCell.filter(_._2 == victimCell).map(_._1).toSeq
+      val scattered = byCell.filter(_._2 != victimCell).map(_._1)
+        .filter(_ % 7 == 3).toSeq
+      val removed = SimOps.deleteFromScaledAnnIndex(spark, dir, wholeCell ++ scattered)
+      assert(removed == (wholeCell ++ scattered).length)
+      assert(SimOps.deleteFromScaledAnnIndex(spark, dir, wholeCell ++ scattered) == 0L)
+      val deleted = (wholeCell ++ scattered).toSet
+      val survivors = spark.table(codesTab)
+        .select(col("b_id"), col("cell").cast("int"), col("codes"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+      assert(survivors == encode(full.filter(!col("vec_id").isInCollection(deleted))),
+        "post-delete scaled index diverged from a from-scratch encode")
+      assert(!spark.table(codesTab).select(col("cell").cast("int")).distinct()
+        .collect().map(_.getInt(0)).contains(victimCell))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("composed ingest-then-resolve: batch N's admitted novels are batch N+1's duplicate targets") {
+    // The production ingest loop over the SCALED index: resolve batch N
+    // (drifted vectors — novel vs the standing corpus), append its
+    // admitted novels via appendScaledAnnIndex, then batch N+1 (near
+    // twins of batch N) must resolve AGAINST THEM through the index —
+    // no per-batch rebuild anywhere. extraVectors re-attaches the
+    // appended vectors' raw embeddings for the exact-cosine confirm
+    // (they live outside the corpus parquet — the retrain contract).
+    import org.apache.spark.sql.functions._
+    val full = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-annk-ingest").toString
+    try {
+      full.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      SimOps.ensureScaledAnnIndex(spark, dir)
+      // batch N: three drifted corpus vectors (a new mode the corpus
+      // never had), ids in a fresh range ≢ 7 (mod 10) so the gates'
+      // corpus-side slice exclusion keeps them
+      val batchN = full.orderBy("vec_id").limit(3)
+        .select((col("vec_id") * 10L + lit(10_000_000_000L)).as("vec_id"),
+          transform(col("embedding").cast("array<double>"), x => x + lit(2.0d))
+            .as("embedding"),
+          col("label"))
+      def arr(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
+      val resolvedN = SimOps.resolveSemanticTopc(spark, dir, arr(batchN)).collect()
+      assert(resolvedN.length == 3 && resolvedN.forall(_.getBoolean(1)),
+        s"batch N should be novel vs the corpus: ${resolvedN.mkString(";")}")
+      assert(SimOps.appendScaledAnnIndex(spark, dir, batchN) == 3L)
+      // batch N+1: exact twins of batch N under fresh ids — duplicates
+      // OF BATCH N, resolvable only through the appended postings
+      val batchN1 = batchN.select(
+        (col("vec_id") + lit(10_000_000_000L)).as("vec_id"),
+        col("embedding"), col("label"))
+      val twinOf = batchN1.select(col("vec_id"),
+        (col("vec_id") - lit(10_000_000_000L)).as("expect")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val resolvedN1 = SimOps.resolveSemanticTopc(spark, dir, arr(batchN1),
+        extraVectors = Some(batchN)).collect()
+      assert(resolvedN1.length == 3)
+      resolvedN1.foreach { r =>
+        assert(!r.getBoolean(1), s"batch N+1 arrival ${r.getLong(0)} missed " +
+          "its batch-N twin — the appended postings are invisible")
+        assert(r.getLong(2) == twinOf(r.getLong(0)),
+          s"arrival ${r.getLong(0)} matched ${r.getLong(2)}, " +
+            s"expected its batch-N twin ${twinOf(r.getLong(0))}")
+        assert(r.getDouble(3) == 1.0)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("retrainAnnIndex: grown retrain == from-scratch build; same-corpus swap leaves the query path unchanged") {
     import org.apache.spark.sql.functions.col
     val full = spark.read.parquet(s"$sf/embeddings.parquet")
