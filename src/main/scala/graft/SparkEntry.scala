@@ -62,7 +62,8 @@ object SparkEntry {
     // SimOps.ensureScaledAnnIndex), a separate persisted layout.
     Warmup("ann_index_scaled",
       Set("c2_incremental_semantic", "c5_stream_semantic",
-        "c2_incremental_semantic_topc", "c5_stream_semantic_topc").contains(_),
+        "c2_incremental_semantic_topc", "c5_stream_semantic_topc",
+        "c5_stream_semantic_live").contains(_),
       (s, d) => { SimOps.ensureScaledAnnIndex(s, d); () }),
     Warmup("dedup_index", _ == "c2_incremental_dedup_indexed",
       (s, d) => { DedupOps.ensureDedupIndex(s, d); () }),

@@ -2132,7 +2132,7 @@ object SimOps {
     // per-cell top-c union — then the exact-cosine confirm and best
     // pick on the survivors only. The approximation itself (ADC
     // mis-ranks, probe misses) is therefore hash-checked.
-    val incSemTopcSql = {
+    val incSemTopcGen: (Int, Int, Boolean, Int) => String = {
       val kSubK = scaledKSub(spark, dir)
       val mSubK = IncSemSubspaces
       val (coarseK2, booksK) = pqModel(
@@ -2142,50 +2142,66 @@ object SimOps {
       require(coarseK2 == centsK,
         "scaled PQ coarse quantizer diverged from the scaled IVF centroids — " +
           "the topc replay would embed the wrong codebook")
-      s"WITH ct AS (SELECT ${matLit(centsK)} AS c), " +
-        s"bks AS (SELECT ${booksK.map(matLit).mkString("[", ",", "]")} AS b), " +
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        s"d AS (SELECT vec_id, v, list_transform(range(1, ${nK + 1}), k -> " +
-        "list_sum(list_transform(range(1, 65), j -> " +
-        "(v[j]-c[k][j])*(v[j]-c[k][j])))) AS dists FROM e CROSS JOIN ct), " +
-        "corp AS (SELECT vec_id AS b_id, v, " +
-        "list_position(dists, list_min(dists)) AS cell FROM d " +
-        "WHERE vec_id % 10 <> 7), " +
-        "rc AS (SELECT b_id, cell, list_transform(range(1, 65), j -> " +
-        "corp.v[j] - c[corp.cell][j]) AS r FROM corp CROSS JOIN ct), " +
-        s"rsd AS (SELECT b_id, cell, ${sdistsGen("r", mSubK, kSubK)} AS sdists " +
-        "FROM rc CROSS JOIN bks), " +
-        s"rcd AS (SELECT b_id, cell, list_transform(range(1, ${mSubK + 1}), m -> " +
-        "list_position(sdists[m], list_min(sdists[m]))) AS codes FROM rsd), " +
-        "pq AS (SELECT vec_id AS n_id, unnest(list_transform(list_slice(" +
-        s"list_sort(list_transform(range(1, ${nK + 1}), k -> " +
-        "[dists[k], CAST(k AS DOUBLE)])), 1, 4), s -> CAST(s[2] AS BIGINT))) " +
-        "AS cell FROM d WHERE vec_id % 10 = 7), " +
-        "qr AS (SELECT pq.n_id, pq.cell, list_transform(range(1, 65), j -> " +
-        "d.v[j] - c[pq.cell][j]) AS r FROM pq JOIN d ON d.vec_id = pq.n_id " +
-        "CROSS JOIN ct), " +
-        s"qsd AS (SELECT n_id, cell, ${sdistsGen("r", mSubK, kSubK)} AS sdists " +
-        "FROM qr CROSS JOIN bks), " +
-        "adcs AS (SELECT q.n_id, rcd.b_id, " +
-        s"round(list_sum(list_transform(range(1, ${mSubK + 1}), m -> " +
-        "q.sdists[m][rcd.codes[m]])), 6) AS a " +
-        "FROM qsd q JOIN rcd ON rcd.cell = q.cell), " +
-        "tc AS (SELECT n_id, b_id FROM (SELECT n_id, b_id, a, " +
-        "row_number() OVER (PARTITION BY n_id ORDER BY a ASC, b_id) AS rk " +
-        s"FROM adcs) WHERE rk <= $IncSemTopC), " +
-        "sc AS (SELECT n_id, b_id, round(list_dot_product(x.v, y.v) / " +
-        "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) " +
-        "AS cosine FROM tc JOIN e x ON x.vec_id = tc.n_id " +
-        "JOIN e y ON y.vec_id = tc.b_id), " +
-        "best AS (SELECT n_id, b_id, cosine, row_number() OVER " +
-        "(PARTITION BY n_id ORDER BY cosine DESC, b_id) AS rn FROM sc " +
-        s"WHERE cosine >= $IncSemThreshold) " +
-        "SELECT d.vec_id, b.b_id IS NULL AS is_novel, " +
-        "b.b_id AS match_id, b.cosine AS match_cosine " +
-        "FROM d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b " +
-        "ON b.n_id = d.vec_id " +
-        "WHERE d.vec_id % 10 = 7 ORDER BY vec_id"
+      // `live = true` adds the SELF-ADMITTING tier of
+      // c5_stream_semantic_live: earlier slice arrivals (b_id < n_id,
+      // strictly — the stream's insert-after-emit order) are candidates
+      // alongside the stored corpus postings, through the identical
+      // codes → ADC arithmetic, merged BEFORE the per-arrival global
+      // top-c cut. Residual codes (`rcd`) are computed for every
+      // vector; the two tiers select their slices at the candidate
+      // joins.
+      (mod: Int, rem: Int, live: Boolean, nprobe: Int) =>
+        s"WITH ct AS (SELECT ${matLit(centsK)} AS c), " +
+          s"bks AS (SELECT ${booksK.map(matLit).mkString("[", ",", "]")} AS b), " +
+          "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+          s"d AS (SELECT vec_id, v, list_transform(range(1, ${nK + 1}), k -> " +
+          "list_sum(list_transform(range(1, 65), j -> " +
+          "(v[j]-c[k][j])*(v[j]-c[k][j])))) AS dists FROM e CROSS JOIN ct), " +
+          "asg AS (SELECT vec_id AS b_id, v, " +
+          "list_position(dists, list_min(dists)) AS cell FROM d), " +
+          "rc AS (SELECT b_id, cell, list_transform(range(1, 65), j -> " +
+          "asg.v[j] - c[asg.cell][j]) AS r FROM asg CROSS JOIN ct), " +
+          s"rsd AS (SELECT b_id, cell, ${sdistsGen("r", mSubK, kSubK)} AS sdists " +
+          "FROM rc CROSS JOIN bks), " +
+          s"rcd AS (SELECT b_id, cell, list_transform(range(1, ${mSubK + 1}), m -> " +
+          "list_position(sdists[m], list_min(sdists[m]))) AS codes FROM rsd), " +
+          "pq AS (SELECT vec_id AS n_id, unnest(list_transform(list_slice(" +
+          s"list_sort(list_transform(range(1, ${nK + 1}), k -> " +
+          s"[dists[k], CAST(k AS DOUBLE)])), 1, $nprobe), s -> CAST(s[2] AS BIGINT))) " +
+          s"AS cell FROM d WHERE vec_id % $mod = $rem), " +
+          "qr AS (SELECT pq.n_id, pq.cell, list_transform(range(1, 65), j -> " +
+          "d.v[j] - c[pq.cell][j]) AS r FROM pq JOIN d ON d.vec_id = pq.n_id " +
+          "CROSS JOIN ct), " +
+          s"qsd AS (SELECT n_id, cell, ${sdistsGen("r", mSubK, kSubK)} AS sdists " +
+          "FROM qr CROSS JOIN bks), " +
+          "adcs AS (SELECT q.n_id, rcd.b_id, " +
+          s"round(list_sum(list_transform(range(1, ${mSubK + 1}), m -> " +
+          "q.sdists[m][rcd.codes[m]])), 6) AS a " +
+          s"FROM qsd q JOIN rcd ON rcd.cell = q.cell AND rcd.b_id % $mod <> $rem" +
+          (if (live)
+            " UNION ALL SELECT q.n_id, rcd.b_id, " +
+              s"round(list_sum(list_transform(range(1, ${mSubK + 1}), m -> " +
+              "q.sdists[m][rcd.codes[m]])), 6) AS a " +
+              s"FROM qsd q JOIN rcd ON rcd.cell = q.cell " +
+              s"AND rcd.b_id % $mod = $rem AND rcd.b_id < q.n_id"
+          else "") + "), " +
+          "tc AS (SELECT n_id, b_id FROM (SELECT n_id, b_id, a, " +
+          "row_number() OVER (PARTITION BY n_id ORDER BY a ASC, b_id) AS rk " +
+          s"FROM adcs) WHERE rk <= $IncSemTopC), " +
+          "sc AS (SELECT n_id, b_id, round(list_dot_product(x.v, y.v) / " +
+          "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) " +
+          "AS cosine FROM tc JOIN e x ON x.vec_id = tc.n_id " +
+          "JOIN e y ON y.vec_id = tc.b_id), " +
+          "best AS (SELECT n_id, b_id, cosine, row_number() OVER " +
+          "(PARTITION BY n_id ORDER BY cosine DESC, b_id) AS rn FROM sc " +
+          s"WHERE cosine >= $IncSemThreshold) " +
+          "SELECT d.vec_id, b.b_id IS NULL AS is_novel, " +
+          "b.b_id AS match_id, b.cosine AS match_cosine " +
+          "FROM d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b " +
+          "ON b.n_id = d.vec_id " +
+          s"WHERE d.vec_id % $mod = $rem ORDER BY vec_id"
     }
+    val incSemTopcSql = incSemTopcGen(10, 7, false, 4)
     // Staleness-monitor replay: BOTH codebooks embedded as literals —
     // the stale one is the base-trained coarse quantizer (identical to
     // the persisted model by training determinism, the same identity the
@@ -2277,6 +2293,12 @@ object SimOps {
       "c2_incremental_semantic_topc" -> incSemTopcSql,
       // Same prefix-consistency argument for the bounded stream twin.
       "c5_stream_semantic_topc" -> incSemTopcSql,
+      // The SELF-ADMITTING gate: both tiers replayed — stored corpus
+      // postings plus earlier slice arrivals (b_id < n_id) — merged
+      // before the global top-c cut; id-ordered arrival makes the
+      // stream's per-prefix pair set coincide with this batch replay.
+      "c5_stream_semantic_live" ->
+        incSemTopcGen(LiveSliceMod, LiveSliceRem, true, LiveNprobe),
       "c2_semantic_dedup" -> semSql,
       "c2_semantic_dedup_cc" -> semCcSql,
       "c3_ann_pq" -> pqSql,
@@ -2504,7 +2526,29 @@ object SimOps {
   /** Duplicate-call floor shared with the c2_embed_neardup family: the
     * synthetic embedding geometry puts near-dups well above it.
     */
-  private[queries] val IncSemThreshold = 0.35
+  private[graft] val IncSemThreshold = 0.35
+
+  /** Arrival slice of the LIVE streaming semantic gate
+    * (c5_stream_semantic_live): `vec_id % 5 = 2` — its own slice,
+    * distinct from the static-index gates' 10/7, because the live
+    * contract is only non-vacuous if near-dup pairs exist WITHIN the
+    * slice straddling the two-batch cut (measured: 10/7 holds zero
+    * cross-cut pairs ≥ threshold at sf0.01; 5/2 holds 6/3/77 at
+    * sf0.001/0.01/0.1). One definition shared by the stream builder
+    * and the oracle replay.
+    */
+  private[graft] val LiveSliceMod = 5
+  private[graft] val LiveSliceRem = 2
+
+  /** Probe width of the live gate: 8 (vs the static gates' 4). The
+    * live contract's interesting matches sit in the [0.35, 0.40)
+    * boundary band where the pair's cells diverge most — at nprobe = 4
+    * the sf0.01 slice's only cross-cut pairs all miss their target's
+    * cell (measured zero reachable straddling pairs; 8 reaches ≥ 1 at
+    * every SF). Per-arrival cost stays the engine's own constant,
+    * nprobe · topc.
+    */
+  private[graft] val LiveNprobe = 8
 
   /** Exact-cosine confirm cap of the BOUNDED semantic family (the
     * c2_incremental_dedup_topc posture at the embedding level): per
@@ -2564,8 +2608,8 @@ object SimOps {
     * the shared front half of [[semanticTopcCandidates]] and the LIVE
     * streaming gate's stateful stage: probe assignment (`pos` 0 = the
     * nearest cell = the cell an index insert of this vector would land
-    * in), the arrival's residual codes under each probed cell (`enc` —
-    * at `pos` 0 these are exactly the codes a [[pqEncodeCorpus]] pass
+    * in), the arrival's PQ codes under each probed cell (`codes` — at
+    * `pos` 0 these are exactly the codes a [[pqEncodeCorpus]] pass
     * would store), the per-probe ADC lookup tables (`tbls`), and the
     * cell's STORED posting array (`cands`, null when the probed cell
     * holds no postings after the `excludeMod`/`excludeRem` corpus-side
@@ -2604,8 +2648,13 @@ object SimOps {
         (df, m) => df.withColumn(s"sd$m", e.subDists(col("enc"), m))
       }
       .withColumn("tbls", array((0 until subspaces).map(m => col(s"sd$m")): _*))
+      // the arrival's PQ codes under THIS probed cell (argmin per
+      // subspace over the same sd arrays) — at `pos` 0 these equal the
+      // codes a pqEncodeCorpus pass would store for it
+      .withColumn("codes", array((0 until subspaces).map(m =>
+        expr(s"CAST(array_position(sd$m, array_min(sd$m)) AS INT)")): _*))
       .select(col("n_id"), col("n_emb"), col("pos"), col("cell"),
-        col("enc"), col("tbls"))
+        col("codes"), col("tbls"))
     // The in-plan inverted file: one posting-array row per cell (the
     // index holds the arriving slice too — appended as it landed —
     // so the corpus side excludes it, as the unbounded twin does).

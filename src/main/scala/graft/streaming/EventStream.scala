@@ -1022,29 +1022,44 @@ object EventStream {
       .parquet(dir)
   }
 
-  /** Id-ordered two-file split of the ARRIVING embedding slice
-    * (vec_id % 10 = 7 — the same deterministic "today's crawl" slice as
-    * the batch c2_incremental_semantic), memoized like the doc split.
+  /** Id-ordered two-file split of an ARRIVING embedding slice
+    * (`vec_id % mod = rem` — the deterministic "today's crawl" slice;
+    * 10/7 for the static-index gates, matching the batch
+    * c2_incremental_semantic; 5/2 for the live gate, whose slice must
+    * hold cross-cut near-dup pairs at every SF), memoized like the doc
+    * split.
     */
   private val vecSplitCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
       (String, org.apache.spark.sql.types.StructType)]()
 
-  private def twoBatchVecStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val cached = vecSplitCache.get(sfDir)
+  /** The vec split's cut id (file 1 = ids ≤ cut, file 2 = ids > cut) —
+    * exposed so the live gate can assert which batch a live match's
+    * target arrived in.
+    */
+  private def vecCutId(spark: SparkSession, sfDir: String,
+      mod: Int, rem: Int): Long = {
+    val b = graft.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % mod === rem)
+      .agg(min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx")).head()
+    Math.floorDiv(b.getLong(0) + b.getLong(1), 2L)
+  }
+
+  private def twoBatchVecStream(spark: SparkSession, sfDir: String,
+      mod: Int = 10, rem: Int = 7): DataFrame = {
+    val cached = vecSplitCache.get((sfDir, mod, rem))
     val valid = cached != null &&
       new java.io.File(cached._1, "00_early.parquet").isFile &&
       new java.io.File(cached._1, "01_late.parquet").isFile
     val (dir, schema) = if (valid) cached else {
       val slice = graft.Tables.load(spark, sfDir, "embeddings")
-        .filter(col("vec_id") % 10 === 7)
+        .filter(col("vec_id") % mod === rem)
         .select(col("vec_id"), col("embedding"))
-      val b = slice.agg(min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx")).head()
-      val cut = Math.floorDiv(b.getLong(0) + b.getLong(1), 2L)
+      val cut = vecCutId(spark, sfDir, mod, rem)
       val fresh = (writeOrderedSplitDir(
         slice.filter(col("vec_id") <= cut),
         slice.filter(col("vec_id") > cut)), slice.schema)
-      vecSplitCache.put(sfDir, fresh)
+      vecSplitCache.put((sfDir, mod, rem), fresh)
       fresh
     }
     spark.readStream.schema(schema)
@@ -2416,6 +2431,182 @@ object EventStream {
       .orderBy("vec_id")
   }
 
+  /** Row shapes of the LIVE semantic gate's stateful stage: one input
+    * row per (arrival × probed cell) — the [[graft.queries.SimOps
+    * .semanticProbeFrame]] output plus the cell's STATIC pre-cut scored
+    * array (`pos` 0 marks the arrival's assigned cell; `codes` are its
+    * residual codes under that cell, exactly what an index insert would
+    * store) — one state value per cell (the LIVE posting list: every
+    * arrival's codes in its assigned cell, `subspaces` small ints each
+    * — the minimal in-stream semantic index, the embedding twin of the
+    * token gate's (band, bucket) min state), and one emitted row per
+    * surviving candidate pair, static or live.
+    */
+  final case class LiveAdc(adc: Double, b_id: Long)
+  final case class LiveProbeIn(n_id: Long, pos: Int, cell: Int,
+      codes: Seq[Int], tbls: Seq[Seq[Double]], scored: Option[Seq[LiveAdc]])
+  final case class LivePosting(id: Long, codes: Seq[Int])
+  final case class LivePair(n_id: Long, b_id: Long, adc: Double, live: Boolean)
+
+  /** Candidate-pair stage of c5_stream_semantic_live: per (arrival ×
+    * probed cell), emit the cell's STATIC ADC top-c (stored corpus
+    * postings — computed in-plan by the native AdcTopC over the
+    * stream-static posting join, exactly the bounded gate's machinery)
+    * AND the cell's LIVE ADC top-c — earlier arrivals assigned to this
+    * cell, scored from flatMapGroupsWithState state through the same
+    * ascending-subspace sum and HALF_UP round-6 as AdcTopCImpl (the
+    * oracle replays both tiers through one arithmetic). State admission
+    * is UNCONDITIONAL (every arrival's codes enter its assigned cell's
+    * postings — the token gate's posture, where every doc's bucket
+    * contributes to the (band, bucket) min): the within-stream dedup
+    * contract assigns each arrival to its best EARLIER match whether or
+    * not that match was itself novel, exactly as the batch minhash
+    * families assign every cluster member to the min-id rep. An
+    * admitted-only live set would need the cross-cell decision *inside*
+    * each cell's state update — serializing all admission through one
+    * global state owner, the anti-scale shape; per-cell keying keeps
+    * the gate shuffle-parallel and the decision is derived downstream
+    * (the c5_stream_neardup lambda read-path pattern).
+    *
+    * Prefix consistency: a live candidate for arrival i is any arrival
+    * j < i (strictly — enforced by id-sorted in-batch processing and
+    * insert-after-emit), and id-ordered arrival puts every j < i in
+    * i's batch or earlier, so the stream emits exactly the batch
+    * definition's pair set regardless of the file cut. Decisions never
+    * retract: all of i's pairs (static: its own rows; live: j < i only)
+    * are emitted in i's own micro-batch — later batches can never add
+    * or remove a pair for i.
+    */
+  def semanticLivePairs(spark: SparkSession, sfDir: String,
+      arrivals: DataFrame, topc: Int,
+      nprobe: Int = graft.queries.SimOps.LiveNprobe)
+      : org.apache.spark.sql.Dataset[LivePair] = {
+    import spark.implicits._
+    val frame = graft.queries.SimOps
+      .semanticProbeFrame(spark, sfDir, arrivals, nprobe,
+        excludeMod = LiveSliceMod, excludeRem = LiveSliceRem)
+      .withColumn("scored",
+        graft.functions.AdcTopCExpr.adcTopC(col("cands"), col("tbls"), topc))
+      .select(col("n_id"), col("pos"), col("cell"), col("codes"),
+        col("tbls"), col("scored"))
+      .as[LiveProbeIn]
+    frame.groupByKey(_.cell)
+      .flatMapGroupsWithState[Seq[LivePosting], LivePair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Seq[LivePosting]]) =>
+          val postings = scala.collection.mutable.ArrayBuffer
+            .from(state.getOption.getOrElse(Seq.empty))
+          // id order within the batch = arrival order (id-ordered
+          // ingest); emit-before-insert keeps the candidate set
+          // strictly j < i
+          val batch = rows.toArray.sortBy(_.n_id)
+          val out = scala.collection.mutable.ArrayBuffer.empty[LivePair]
+          batch.foreach { r =>
+            r.scored.getOrElse(Seq.empty).foreach(s =>
+              out += LivePair(r.n_id, s.b_id, s.adc, live = false))
+            val m = r.tbls.length
+            val live = postings.map { p =>
+              var a = 0.0
+              var i = 0
+              while (i < m) { a += r.tbls(i)(p.codes(i) - 1); i += 1 }
+              (java.math.BigDecimal.valueOf(a)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(),
+                p.id)
+            }
+            live.sortInPlaceBy(t => (t._1, t._2)).take(topc).foreach(t =>
+              out += LivePair(r.n_id, t._2, t._1, live = true))
+            if (r.pos == 0) postings += LivePosting(r.n_id, r.codes)
+          }
+          // write state only when this batch inserted something: a
+          // probe-only group (no arrival ASSIGNED here) must not
+          // materialize an empty state row — state rows stay exactly
+          // the distinct assigned cells (spec-pinned), and an
+          // unchanged put is pure write amplification in RocksDB
+          if (postings.length != state.getOption.map(_.length).getOrElse(0))
+            state.update(postings.toSeq)
+          out.iterator
+      }
+  }
+
+  /** Arrival slice of the live gate — one definition shared with the
+    * oracle replay (see [[graft.queries.SimOps.LiveSliceMod]] for why
+    * it differs from the static-index gates' 10/7).
+    */
+  private val LiveSliceMod = graft.queries.SimOps.LiveSliceMod
+  private val LiveSliceRem = graft.queries.SimOps.LiveSliceRem
+
+  /** c5_stream_semantic_live: the SELF-ADMITTING embedding-level
+    * admission gate — the missing half of the c5_stream_neardup
+    * contract at the embedding level (round-17 verdict ask #2). The
+    * static-index gates (c5_stream_semantic, _topc) resolve arrivals
+    * against the persisted index only: an arrival novel vs the corpus
+    * never becomes a duplicate target for later arrivals. Here every
+    * arrival's PQ codes ALSO enter bounded in-stream state keyed by its
+    * assigned cell (the live index — `subspaces` bytes per arrival),
+    * and each arrival resolves against corpus postings AND earlier
+    * arrivals: per arrival, the global (adc, b_id) top-`topc` across
+    * both tiers, exact-cosine confirm (both sides re-attached by id
+    * from the embeddings table on the sink read side — the lambda
+    * read-path), best surviving pick (highest cosine, smallest id),
+    * novel iff none. The oracle replays both tiers in SQL (codebook →
+    * codes → ADC → per-arrival global cut with `b_id < n_id` on the
+    * live tier → confirm), so the live approximation itself is
+    * hash-checked; id-ordered arrival makes the stream's per-prefix
+    * pair set coincide with that batch definition (see
+    * [[semanticLivePairs]]).
+    *
+    * Non-vacuity (asserted, not assumed): at least one LIVE pair whose
+    * target arrived in batch 1 and whose arrival came in batch 2 must
+    * survive the exact-cosine confirm — state genuinely crossed the
+    * micro-batch boundary AND the live tier genuinely matters; zero is
+    * an IllegalStateException, never a silently-static gate.
+    */
+  def c5StreamSemanticLive(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val topc = graft.queries.SimOps.IncSemTopC
+    val threshold = graft.queries.SimOps.IncSemThreshold
+    val src = twoBatchVecStream(spark, sfDir, LiveSliceMod, LiveSliceRem)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
+    val pairs = runIncrementalToParquet(
+      semanticLivePairs(spark, sfDir, src, topc).toDF(), minBatches = 2)
+    // read side: global top-c cut over BOTH tiers, exact confirm, fold
+    val base = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val ranked = pairs
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("n_id"))
+          .orderBy(col("adc").asc, col("b_id").asc)))
+      .filter(col("rk") <= topc)
+    import graft.functions.VectorExprs.{dot, norm}
+    val confirmed = ranked
+      .join(base.select(col("vec_id").as("n_id"), col("v").as("n_emb")), "n_id")
+      .join(base.select(col("vec_id").as("b_id"), col("v").as("b_emb")), "b_id")
+      .withColumn("cosine", round(dot(col("n_emb"), col("b_emb")) /
+        (norm(col("n_emb")) * norm(col("b_emb"))), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("n_id"), col("b_id"), col("cosine"), col("live"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cut = vecCutId(spark, sfDir, LiveSliceMod, LiveSliceRem)
+    val straddle = confirmed
+      .filter(col("live") && col("b_id") <= cut && col("n_id") > cut).count()
+    if (straddle == 0L)
+      throw new IllegalStateException(
+        "no batch-2 arrival live-matched a batch-1 arrival above the " +
+          "threshold: either the cell state was lost across micro-batches " +
+          "or the check is vacuous (no near-dup pair straddles the cut)")
+    val best = confirmed.groupBy(col("n_id"))
+      .agg(min(struct((-col("cosine")).as("nc"), col("b_id").as("bid"))).as("b"))
+      .select(col("n_id").as("vec_id"), col("b.bid").as("match_id"),
+        (-col("b.nc")).as("match_cosine"))
+    val out = base.select(col("vec_id"))
+      .filter(col("vec_id") % LiveSliceMod === LiveSliceRem)
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("match_id").isNull.as("is_novel"),
+        col("match_id"), col("match_cosine"))
+      .orderBy("vec_id")
+    graft.util.CacheScope.releaseAfterMaterialize(out, Seq(confirmed))
+  }
+
   /** c5_stream_topk: per-window top-k event types over the STREAMING
     * hourly aggregation — the live-leaderboard serving composition: the
     * stream maintains the windowed counts (state bounded by the
@@ -2875,6 +3066,7 @@ object EventStream {
     "c5_stream_restart_neardup" -> (c5StreamRestartNearDup _),
     "c5_stream_semantic" -> (c5StreamSemantic _),
     "c5_stream_semantic_topc" -> (c5StreamSemanticTopc _),
+    "c5_stream_semantic_live" -> (c5StreamSemanticLive _),
     "c5_stream_restart_session" -> (c5StreamRestartSession _),
     "c5_stream_gapfill" -> (c5StreamGapfill _),
     "c5_stream_anomaly" -> (c5StreamAnomaly _),

@@ -15,6 +15,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class DocRow(doc_id: Long, text: String)
 
+case class VecRow(vec_id: Long, embD: Seq[Double])
+
 /** Structured Streaming twins must agree with the batch operators on the
   * same (fully-arrived) data.
   */
@@ -874,6 +876,98 @@ class EventStreamSpec extends SparkSuite {
           "gate state is not the per-bucket index the scale claim pins")
       // and distinctly NOT docs×bands (the duplicates must collapse)
       assert(distinctBuckets < 20L * 16)
+    } finally q.stop()
+  }
+
+  test("live semantic gate: cross-batch cell state matches a later twin arrival") {
+    // The self-admitting contract's mechanism under controlled arrivals:
+    // a batch-2 exact twin of a batch-1 arrival must live-match it FROM
+    // STATE (the twin shares the original's probe list, and the
+    // original's codes sit in its assigned cell's postings). Also pins
+    // the strict j < i candidate order: no live pair may ever point
+    // forward.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") % 5 === 2)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
+      .orderBy("vec_id").limit(2)
+      .as[VecRow].collect()
+    val a = base(0)
+    val b = base(1)
+    val twin = VecRow(1000000002L, a.embD)
+    val mem = MemoryStream[VecRow]
+    val q = EventStream.semanticLivePairs(spark, sf, mem.toDF(),
+        topc = graft.queries.SimOps.IncSemTopC)
+      .toDF().writeStream.format("memory").queryName("live_state_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      mem.addData(Seq(a, b))
+      q.processAllAvailable()
+      mem.addData(Seq(twin))
+      q.processAllAvailable()
+      val pairs = spark.table("live_state_test")
+      val livePairs = pairs.filter(col("live"))
+        .select("n_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(livePairs.contains((twin.vec_id, a.vec_id)),
+        s"batch-2 twin did not live-match the batch-1 original from " +
+          s"state; live pairs: $livePairs")
+      assert(pairs.filter(col("live") && col("b_id") >= col("n_id")).isEmpty,
+        "a live pair points at itself or forward — the strict j < i " +
+          "candidate order is broken")
+    } finally q.stop()
+  }
+
+  test("live semantic gate state: one row per DISTINCT assigned cell") {
+    // The live index's state bound: flatMapGroupsWithState keys on the
+    // assigned cell, so state rows = distinct assigned cells among the
+    // arrivals (bytes grow as O(arrivals · subspaces) posting ints —
+    // the minimal semantic index), never rows per arrival × probe.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val arr = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") % 5 === 2)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
+      .orderBy("vec_id").limit(40)
+      .as[VecRow].collect()
+    val expectedCells = graft.queries.SimOps.semanticProbeFrame(
+        spark, sf, arr.toSeq.toDF("vec_id", "embD"),
+        nprobe = graft.queries.SimOps.LiveNprobe,
+        excludeMod = graft.queries.SimOps.LiveSliceMod,
+        excludeRem = graft.queries.SimOps.LiveSliceRem)
+      .filter(col("pos") === 0)
+      .select("cell").distinct().count()
+    @volatile var maxRows = 0L
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops.nonEmpty)
+          maxRows = math.max(maxRows, ops.map(_.numRowsTotal).sum)
+      }
+    }
+    spark.streams.addListener(listener)
+    val mem = MemoryStream[VecRow]
+    val q = EventStream.semanticLivePairs(spark, sf, mem.toDF(),
+        topc = graft.queries.SimOps.IncSemTopC)
+      .toDF().writeStream.format("memory").queryName("live_state_bound")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      arr.grouped(20).foreach { batch =>
+        mem.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      spark.streams.removeListener(listener)
+      assert(maxRows > 0L, "no state telemetry observed")
+      assert(maxRows === expectedCells,
+        s"state $maxRows != distinct assigned cells $expectedCells — " +
+          "gate state is not the per-cell posting index the scale claim pins")
+      assert(expectedCells < 40L,
+        "arrivals spread over ≥ one cell each — the collapse is vacuous")
     } finally q.stop()
   }
 
