@@ -375,7 +375,7 @@ object SimOps {
     * sample bound asserted in SimOpsSpec.
     */
   def c3AnnIvf(spark: SparkSession, dir: String, k: Int = 5,
-      nCells: Int = 16, nprobe: Int = 4, queryMod: Int = 100,
+      nCells: Int = AutoCells, nprobe: Int = 4, queryMod: Int = 100,
       maxSample: Int = 100000): DataFrame = {
     // Persisted: read once, consumed by the sample collect (a
     // construction-time action — hence the explicit persist BEFORE it),
@@ -385,7 +385,8 @@ object SimOps {
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sample = boundedSample(base, maxSample)
-    val centroids = trainCentroids(sample, nCells, iters = 5)
+    val centroids = trainCentroids(sample, resolveCells(spark, dir, nCells),
+      iters = 5)
 
     // squared L2 to each centroid — native fused pass (CentroidDists),
     // same fold order as the HOF form (asserted in VectorExprsSpec).
@@ -633,16 +634,17 @@ object SimOps {
   }
 
   def c3AnnPq(spark: SparkSession, dir: String, k: Int = 5,
-      nCells: Int = 16, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
+      nCells: Int = AutoCells, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
       queryMod: Int = 100, maxSample: Int = 100000,
       residual: Boolean = true): DataFrame = {
     val base = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sample = boundedSample(base, maxSample)
+    val kC = resolveCells(spark, dir, nCells)
     val (coarse, books) =
-      if (residual) pqModel(sample, nCells, subspaces, kSub)
-      else (trainCentroids(sample, nCells, iters = 5),
+      if (residual) pqModel(sample, kC, subspaces, kSub)
+      else (trainCentroids(sample, kC, iters = 5),
         pqBooks(sample, subspaces, kSub))
     val corpus = pqEncodeCorpus(base, coarse, books, subspaces, residual)
     val queries = pqQueryTables(
@@ -667,9 +669,10 @@ object SimOps {
     * warms it untimed via SparkEntry.warmups.
     */
   private[graft] def ensureAnnIndex(spark: SparkSession, dir: String,
-      nCells: Int = 16, subspaces: Int = 8, kSub: Int = 16,
+      nCells: Int = AutoCells, subspaces: Int = 8, kSub: Int = 16,
       maxSample: Int = 100000, sweepStale: Boolean = true): (String, String) = {
     import graft.sources.Storage.{dropStaleLayouts, sourceFingerprint}
+    val kC = resolveCells(spark, dir, nCells)
     // The suffix carries BOTH the corpus fingerprint and the index
     // hyperparameters: an index trained with different
     // nCells/subspaces/kSub is not this index — without the params in
@@ -678,7 +681,7 @@ object SimOps {
     // Differently-parameterized layouts are swept as stale (one live
     // configuration per corpus, the b8 posture).
     val suffix = sourceFingerprint(s"$dir/embeddings.parquet") +
-      s"_${nCells}c${subspaces}s${kSub}k"
+      s"_${kC}c${subspaces}s${kSub}k"
     val (codesTab, modelTab) =
       (s"graft_ann_codes_$suffix", s"graft_ann_model_$suffix")
     if (spark.catalog.tableExists(codesTab) && spark.catalog.tableExists(modelTab))
@@ -692,7 +695,7 @@ object SimOps {
       dropStaleLayouts(spark, "graft_ann_model_", suffix)
     }
     writeAnnLayout(spark, emb(spark, dir).select("vec_id", "embedding", "label"),
-      nCells, subspaces, kSub, maxSample, modelTab, codesTab)
+      kC, subspaces, kSub, maxSample, modelTab, codesTab)
     (codesTab, modelTab)
   }
 
@@ -820,14 +823,24 @@ object SimOps {
     * training, one encode pass over the corpus, cell-partitioned
     * write; the swap is two catalog renames. Retrain cadence at 100 TB
     * is the rare, monitor-driven event; this is its cost shape.
+    *
+    * Cell count under [[AutoCells]]: the PARQUET-resolved count — the
+    * same key the query path's ensure resolves, so the swap stays
+    * invisible to it. An in-place retrain therefore covers drift and
+    * growth WITHIN a √n scale step; growth that crosses a step arrives
+    * as a corpus regeneration (the parquet fingerprint changes, every
+    * layout re-keys, and the fresh ensure trains at the new scale) —
+    * retraining a bigger index under the old key would make the name's
+    * parameters lie about the layout.
     */
   private[graft] def retrainAnnIndex(spark: SparkSession, dir: String,
-      extraVectors: Option[DataFrame] = None, nCells: Int = 16,
+      extraVectors: Option[DataFrame] = None, nCells: Int = AutoCells,
       subspaces: Int = 8, kSub: Int = 16,
       maxSample: Int = 100000): (String, String) = {
     import graft.sources.Storage.sourceFingerprint
+    val kC = resolveCells(spark, dir, nCells)
     val suffix = sourceFingerprint(s"$dir/embeddings.parquet") +
-      s"_${nCells}c${subspaces}s${kSub}k"
+      s"_${kC}c${subspaces}s${kSub}k"
     val (codesTab, modelTab) =
       (s"graft_ann_codes_$suffix", s"graft_ann_model_$suffix")
     val (stCodes, stModel) = (s"${codesTab}_rt", s"${modelTab}_rt")
@@ -838,7 +851,7 @@ object SimOps {
       case Some(x) => live.unionByName(x.select("vec_id", "embedding", "label"))
       case None => live
     }
-    writeAnnLayout(spark, grown, nCells, subspaces, kSub, maxSample,
+    writeAnnLayout(spark, grown, kC, subspaces, kSub, maxSample,
       stModel, stCodes)
     spark.sql(s"DROP TABLE IF EXISTS $modelTab")
     spark.sql(s"DROP TABLE IF EXISTS $codesTab")
@@ -892,7 +905,7 @@ object SimOps {
     * Returns the number of appended rows.
     */
   private[graft] def appendAnnIndex(spark: SparkSession, dir: String,
-      newVectors: DataFrame, nCells: Int = 16, subspaces: Int = 8,
+      newVectors: DataFrame, nCells: Int = AutoCells, subspaces: Int = 8,
       kSub: Int = 16): Long = {
     val (codesTab, modelTab) = ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
     appendToLayout(spark, codesTab, modelTab, newVectors, subspaces)
@@ -959,7 +972,7 @@ object SimOps {
     * number of removed rows.
     */
   private[graft] def deleteFromAnnIndex(spark: SparkSession, dir: String,
-      ids: Seq[Long], nCells: Int = 16, subspaces: Int = 8,
+      ids: Seq[Long], nCells: Int = AutoCells, subspaces: Int = 8,
       kSub: Int = 16): Long = {
     val (codesTab, _) = ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
     deleteFromLayout(spark, codesTab, ids)
@@ -1050,7 +1063,7 @@ object SimOps {
     * The final window runs over ≤ nCells rows — bounded, like the
     * c7_mix_sources quota window.
     */
-  def c3AnnCells(spark: SparkSession, dir: String, nCells: Int = 16,
+  def c3AnnCells(spark: SparkSession, dir: String, nCells: Int = AutoCells,
       subspaces: Int = 8, kSub: Int = 16): DataFrame = {
     val (codesTab, modelTab) = ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
     // the uniform target is vs the TRAINED cell count (a tiny corpus
@@ -1175,7 +1188,7 @@ object SimOps {
     * members moved to the new cell.
     */
   private[graft] def splitAnnCell(spark: SparkSession, dir: String,
-      cell: Int, extraVectors: Option[DataFrame] = None, nCells: Int = 16,
+      cell: Int, extraVectors: Option[DataFrame] = None, nCells: Int = AutoCells,
       subspaces: Int = 8, kSub: Int = 16, maxSample: Int = 100000,
       crashAfterStep: Int = 0): Long = {
     val (codesTab, modelTab) = ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
@@ -1295,7 +1308,7 @@ object SimOps {
   }
 
   def c3AnnPqIndexed(spark: SparkSession, dir: String, k: Int = 5,
-      nCells: Int = 16, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
+      nCells: Int = AutoCells, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
       queryMod: Int = 100): DataFrame = {
     val (codesTab, modelTab) =
       ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
@@ -1321,7 +1334,7 @@ object SimOps {
     * columns on both join sides.
     */
   def c3AnnPqFiltered(spark: SparkSession, dir: String, k: Int = 5,
-      nCells: Int = 16, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
+      nCells: Int = AutoCells, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
       queryMod: Int = 100): DataFrame = {
     val (codesTab, modelTab) =
       ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
@@ -1354,7 +1367,7 @@ object SimOps {
     * replays detection, escalation and the merged ADC ranking.
     */
   def c3AnnPqFilteredAdaptive(spark: SparkSession, dir: String, k: Int = 5,
-      nCells: Int = 16, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
+      nCells: Int = AutoCells, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
       queryMod: Int = 100): DataFrame = {
     val (codesTab, modelTab) =
       ensureAnnIndex(spark, dir, nCells, subspaces, kSub)
@@ -1383,7 +1396,7 @@ object SimOps {
     // cell (nprobe = nCells), so the candidate join below reaches the
     // whole label slice of the codes table for them
     val q2 = pqQueryTables(
-      base, coarse, books, subspaces, nCells, nCells, queryMod,
+      base, coarse, books, subspaces, coarse.length, coarse.length, queryMod,
       residual = true)
       .join(broadcast(starved), "q_id")
       .join(qLab, "q_id")
@@ -1518,12 +1531,13 @@ object SimOps {
     * just a spec.
     */
   def c3AnnPqRecall(spark: SparkSession, dir: String, k: Int = 5,
-      nCells: Int = 16, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
+      nCells: Int = AutoCells, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
       queryMod: Int = 100, maxSample: Int = 100000): DataFrame = {
     val base = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (coarse, books) = pqModel(boundedSample(base, maxSample), nCells, subspaces, kSub)
+    val (coarse, books) = pqModel(boundedSample(base, maxSample),
+      resolveCells(spark, dir, nCells), subspaces, kSub)
     val corpusCodes = pqEncodeCorpus(base, coarse, books, subspaces, residual = true)
     val queries = pqQueryTables(
       base, coarse, books, subspaces, nCells, nprobe, queryMod, residual = true)
@@ -1586,7 +1600,7 @@ object SimOps {
     * costs O(|queries| · label frequency), never all-pairs.
     */
   def c3AnnFilteredRecall(spark: SparkSession, dir: String, k: Int = 5,
-      nCells: Int = 16, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
+      nCells: Int = AutoCells, nprobe: Int = 4, subspaces: Int = 8, kSub: Int = 16,
       queryMod: Int = 100): DataFrame = {
     val ann = c3AnnPqFiltered(
       spark, dir, k, nCells, nprobe, subspaces, kSub, queryMod)
@@ -1653,12 +1667,13 @@ object SimOps {
     * (the [[Exact]] money discipline applied to distances), so the
     * cross-engine hash can never drift with partial-agg visit order.
     */
-  def c3ClusterProfile(spark: SparkSession, dir: String, nCells: Int = 16,
+  def c3ClusterProfile(spark: SparkSession, dir: String, nCells: Int = AutoCells,
       maxSample: Int = 100000): DataFrame = {
     val base = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = trainCentroids(boundedSample(base, maxSample), nCells, iters = 5)
+    val centroids = trainCentroids(boundedSample(base, maxSample),
+      resolveCells(spark, dir, nCells), iters = 5)
     val assigned = base
       .withColumn("dists",
         graft.functions.VectorExprs.centroidDists(col("embD"), centroids))
@@ -1756,10 +1771,11 @@ object SimOps {
     * by SimOpsSpec (determinism + sample bound), not the oracle.
     */
   private[queries] def ivfCentroids(spark: SparkSession, dir: String,
-      nCells: Int = 16, maxSample: Int = 100000): Seq[Seq[Double]] = {
+      nCells: Int = AutoCells, maxSample: Int = 100000): Seq[Seq[Double]] = {
     val base = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
-    trainCentroids(boundedSample(base, maxSample), nCells, iters = 5)
+    trainCentroids(boundedSample(base, maxSample),
+      resolveCells(spark, dir, nCells), iters = 5)
   }
 
   /** Corpus-scaled cell count for the EVERY-vector-is-a-query operators
@@ -1776,6 +1792,24 @@ object SimOps {
     * fixed coarse codebook (their cost is per-query, not per-pair, and
     * the persisted-index fingerprint keys on the cell count).
     */
+  /** Sentinel default of every `nCells` parameter in the ANN family:
+    * 0 = "corpus-scaled" — resolved to [[scaledCells]] (≈√n, the
+    * power-of-two grid) by [[resolveCells]] at the functions that
+    * actually train or key a layout. Round-18 change (verdict ask #4):
+    * the per-query operators previously defaulted to FIXED 16 cells,
+    * so each probe scanned n/16 of the corpus — linear per-query cost
+    * at 100×. With the scaled default, probe cost is nprobe·√n
+    * everywhere, the same curve the semantic family already rides; a
+    * deployment pins an explicit nCells only to freeze a layout across
+    * corpus growth steps. Every dynamic oracle trains through the same
+    * resolved count, so the replays embed the identical codebook.
+    */
+  private[graft] val AutoCells = 0
+
+  private[graft] def resolveCells(spark: SparkSession, dir: String,
+      nCells: Int): Int =
+    if (nCells == AutoCells) scaledCells(spark, dir) else nCells
+
   private[graft] def scaledCells(spark: SparkSession, dir: String): Int = {
     val n = corpusVecCount(spark, dir)
     val target = math.ceil(math.sqrt(n.toDouble)).toLong
@@ -1832,8 +1866,11 @@ object SimOps {
     // cell count (see scaledCells) — their replays must embed THAT
     // codebook, not the fixed ANN coarse quantizer.
     val kCells = scaledCells(spark, dir)
-    val centsK = if (kCells == 16) cents else ivfCentroids(spark, dir, kCells)
-    val nK = centsK.length
+    // since round 18 the whole ANN family trains at the corpus-scaled
+    // cell count (resolveCells), so the per-query and every-vector
+    // codebooks are one and the same
+    val centsK = cents
+    val nK = n
     // IVF candidate CTEs (assignment + probing with the trained codebook
     // embedded as a literal), shared by the ANN query, its recall twin,
     // and the IVF-PQ query (same coarse quantizer by construction).
@@ -1872,7 +1909,7 @@ object SimOps {
     val (coarsePq, books) = pqModel(
       boundedSample(emb(spark, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("embD")), 100000),
-      16, mSub, kSub)
+      kCells, mSub, kSub)
     require(coarsePq == cents,
       "PQ coarse quantizer diverged from the IVF centroids — the shared " +
         "ivfCandCtes would replay the wrong cells")
@@ -2216,7 +2253,8 @@ object SimOps {
       val grownAll = grownDf.unionByName(grownDf.select(
         (col("vec_id") + lit(DriftIdOffset)).as("vec_id"),
         transform(col("embD"), x => x + lit(2.0d)).as("embD")))
-      val fresh = trainCentroids(boundedSample(grownAll, 100000), 16, iters = 5)
+      val fresh = trainCentroids(boundedSample(grownAll, 100000), kCells,
+        iters = 5)
       val nF = fresh.length
       def codebook(tag: String, lit: String, nn: Int): String =
         s"ct$tag AS (SELECT $lit AS c), " +
@@ -2815,7 +2853,7 @@ object SimOps {
     * exactly what this does — not per production query).
     */
   def c3AnnStaleness(spark: SparkSession, dir: String, k: Int = 5,
-      nCells: Int = 16, nprobe: Int = 4, queryMod: Int = 100,
+      nCells: Int = AutoCells, nprobe: Int = 4, queryMod: Int = 100,
       maxSample: Int = 100000): DataFrame = {
     val (_, modelTab) = ensureAnnIndex(spark, dir)
     val (staleCents, _) = loadPqModel(spark, modelTab, subspaces = 8)
@@ -2826,7 +2864,8 @@ object SimOps {
         transform(col("embD"), x => x + lit(2.0d)).as("embD")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freshCents =
-      trainCentroids(boundedSample(grown, maxSample), nCells, iters = 5)
+      trainCentroids(boundedSample(grown, maxSample),
+        resolveCells(spark, dir, nCells), iters = 5)
     val queries = grown
       .filter(isQuery(col("vec_id") % lit(DriftIdOffset), queryMod))
       .select(col("vec_id").as("q_id"), col("embD").as("q_emb"))

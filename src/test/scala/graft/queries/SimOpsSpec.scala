@@ -494,17 +494,25 @@ class SimOpsSpec extends SparkSuite {
     val full = spark.read.parquet(s"$sf/embeddings.parquet")
     val dirA = java.nio.file.Files.createTempDirectory("graft-ann-rt-a").toString
     val dirB = java.nio.file.Files.createTempDirectory("graft-ann-rt-b").toString
+    // The retrain ≡ rebuild identity is pinned at a FIXED cell count:
+    // under the AutoCells default each side resolves √n of ITS OWN
+    // parquet corpus (250 vs 500 rows here → 16 vs 32 cells), and
+    // growth that crosses a scale step arrives as a corpus
+    // regeneration (fingerprint change → fresh ensure), not an
+    // in-place retrain — see retrainAnnIndex's scaladoc.
+    val nc = 16
     try {
       full.filter(col("vec_id") % 2 === 0)
         .write.mode("overwrite").parquet(s"$dirA/embeddings.parquet")
       full.write.mode("overwrite").parquet(s"$dirB/embeddings.parquet")
-      val (codesA, modelA) = SimOps.ensureAnnIndex(spark, dirA)
-      def results(dir: String) = SimOps.c3AnnPqIndexed(spark, dir).collect()
+      val (codesA, modelA) = SimOps.ensureAnnIndex(spark, dirA, nc)
+      def results(dir: String) = SimOps.c3AnnPqIndexed(spark, dir, nCells = nc)
+        .collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
       // 1. SAME-corpus retrain: deterministic training → identical
       // codebook → the swap is invisible to the query path
       val before = results(dirA)
-      SimOps.retrainAnnIndex(spark, dirA)
+      SimOps.retrainAnnIndex(spark, dirA, nCells = nc)
       assert(results(dirA) == before,
         "same-corpus retrain changed c3_ann_pq_indexed results")
       // staging tables are gone after the swap
@@ -515,8 +523,8 @@ class SimOpsSpec extends SparkSuite {
       // over the full corpus, model and codes both
       val batch = full.filter(col("vec_id") % 2 =!= 0)
         .select(col("vec_id"), col("embedding"), col("label"))
-      SimOps.appendAnnIndex(spark, dirA, batch)
-      SimOps.retrainAnnIndex(spark, dirA, Some(batch))
+      SimOps.appendAnnIndex(spark, dirA, batch, nCells = nc)
+      SimOps.retrainAnnIndex(spark, dirA, Some(batch), nCells = nc)
       def codesContent(t: String) = spark.table(t)
         .select(col("b_id"), col("cell").cast("int"), col("codes"), col("label"))
         .collect().map(r => (r.getLong(0), r.getInt(1),
@@ -528,7 +536,7 @@ class SimOpsSpec extends SparkSuite {
       // one live configuration and sweeps dirA's tables as stale
       val (retrainedCodes, retrainedModel, retrainedResults) =
         (codesContent(codesA), modelContent(modelA), results(dirA))
-      val (codesB, modelB) = SimOps.ensureAnnIndex(spark, dirB)
+      val (codesB, modelB) = SimOps.ensureAnnIndex(spark, dirB, nc)
       assert(retrainedModel == modelContent(modelB),
         "retrained codebook diverged from the from-scratch model")
       assert(retrainedCodes == codesContent(codesB),
@@ -883,8 +891,14 @@ class SimOpsSpec extends SparkSuite {
     val base = graft.Tables.load(spark, sf01, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // (top-5 pairs, mean |adc − exact L2| / L2) per variant
+    // Pinned at the 16-cell operating point the comparison was
+    // measured at: under the AutoCells default this 500-vector corpus
+    // trains 32 half-as-populated cells, whose overfit coarse
+    // centroids leave residuals too small for the shared 8x16 books
+    // to beat raw coding (the Jegou advantage needs |cell| >> kSub;
+    // at sf1+ the scaled |cell| = sqrt(n) clears that again).
     def run(residual: Boolean): (Set[(Long, Long)], Double) = {
-      val rows = SimOps.c3AnnPq(spark, sf01, residual = residual)
+      val rows = SimOps.c3AnnPq(spark, sf01, nCells = 16, residual = residual)
         .join(base.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
         .join(base.select(col("vec_id").as("b_id"), col("v").as("bv")), "b_id")
         .withColumn("l2", expr(
