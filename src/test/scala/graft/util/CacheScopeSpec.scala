@@ -45,9 +45,12 @@ class CacheScopeSpec extends SparkSuite {
   test("an unmaterialized operator holds no storage, only bookkeeping") {
     val baseline = cachedCount
     // Build but never materialize: persist() alone computes nothing, so
-    // no blocks are stored and the pending entry is inert.
+    // no blocks are stored and the pending entry is inert. `<=` rather
+    // than `==`: the baseline may still include a block whose async
+    // release (from a previous test's listener) drains mid-test — going
+    // BELOW baseline is fine, only net-new storage is a violation.
     SparkEntry.queries("c2_simhash")(spark, sf)
-    assert(cachedCount == baseline)
+    assert(cachedCount <= baseline)
   }
 
   test("never-materialized registrations are bounded (oldest evicted)") {
