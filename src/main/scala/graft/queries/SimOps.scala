@@ -546,22 +546,18 @@ object SimOps {
 
   private[queries] def pqEncodeCorpus(base: DataFrame, coarse: Seq[Seq[Double]],
       books: Seq[Seq[Seq[Double]]], subspaces: Int,
-      residual: Boolean): DataFrame = {
-    val e = PqEncExprs(coarse, books, subspaces, residual)
-    val assigned = base
-      .withColumn("cdists",
-        graft.functions.VectorExprs.centroidDists(col("embD"), coarse))
-      .withColumn("cell",
-        expr("array_position(cdists, array_min(cdists))").cast("int"))
-      .withColumn("enc", e.enc(col("embD"), col("cell")))
-    val encoded0 = (0 until subspaces).foldLeft(assigned) {
-      (df, m) => df.withColumn(s"sd$m", e.subDists(col("enc"), m))
-    }
-    encoded0.withColumn("codes",
-        array((0 until subspaces).map(m =>
-          expr(s"CAST(array_position(sd$m, array_min(sd$m)) AS INT)")): _*))
-      .select(col("vec_id").as("b_id"), col("cell"), col("codes"))
-  }
+      residual: Boolean): DataFrame =
+    // nprobe = 1: the kernel's pos-0 element IS the assignment — the
+    // (distance, cell)-ascending order's head equals
+    // array_position(cdists, array_min(cdists)) including ties (first
+    // minimum), and its codes are the same per-subspace first-argmins
+    // the sd-column chain computed (bit-identity spec-pinned in
+    // PqProbeEncExprSpec; the chain twin lives in [[pqProbeChainHof]]).
+    base
+      .select(col("vec_id").as("b_id"),
+        explode(graft.functions.PqProbeEncExpr.pqProbeEnc(
+          col("embD"), coarse, books, 1, residual)).as("pr"))
+      .select(col("b_id"), col("pr.cell").as("cell"), col("pr.codes").as("codes"))
 
   /** Query-side IVFADC state: one row per (query, probed cell), carrying
     * the per-subspace distance TABLE of the query's residual AGAINST THAT
@@ -572,26 +568,18 @@ object SimOps {
   private def pqQueryTables(base: DataFrame, coarse: Seq[Seq[Double]],
       books: Seq[Seq[Seq[Double]]], subspaces: Int, nCells: Int, nprobe: Int,
       queryMod: Int, residual: Boolean): DataFrame = {
-    val e = PqEncExprs(coarse, books, subspaces, residual)
     // probe indices run over coarse.length, not the requested nCells —
-    // see c3AnnIvf's nTrained comment (null-padded zip = phantom probes)
+    // see c3AnnIvf's nTrained comment (null-padded zip = phantom probes).
+    // One native PqProbeEnc kernel per query row (probe ranking +
+    // residual + per-probe tables fused; bit-identity to the old
+    // expression chain spec-pinned in PqProbeEncExprSpec).
     val nTrained = coarse.length
-    val probed = base.filter(isQuery(col("vec_id"), queryMod))
-      .withColumn("cdists",
-        graft.functions.VectorExprs.centroidDists(col("embD"), coarse))
-      .withColumn("probes",
-        slice(transform(array_sort(zip_with(
-          col("cdists"), sequence(lit(1), lit(nTrained)),
-          (d, i) => struct(d.as("d"), i.as("i")))), s => s.getField("i")),
-          lit(1), lit(math.min(nprobe, nTrained))))
-      .select(col("vec_id").as("q_id"), col("embD"),
-        explode(col("probes")).as("cell"))
-      .withColumn("enc", e.enc(col("embD"), col("cell")))
-    (0 until subspaces).foldLeft(probed) {
-        (df, m) => df.withColumn(s"sd$m", e.subDists(col("enc"), m))
-      }
-      .withColumn("tbls", array((0 until subspaces).map(m => col(s"sd$m")): _*))
-      .select(col("q_id"), col("cell").cast("int").as("cell"), col("tbls"))
+    base.filter(isQuery(col("vec_id"), queryMod))
+      .select(col("vec_id").as("q_id"),
+        explode(graft.functions.PqProbeEncExpr.pqProbeEnc(
+          col("embD"), coarse, books, math.min(nprobe, nTrained), residual))
+          .as("pr"))
+      .select(col("q_id"), col("pr.cell").as("cell"), col("pr.tbls").as("tbls"))
   }
 
   /** The ADC ranking tail shared by the in-plan and indexed PQ queries:
@@ -882,13 +870,28 @@ object SimOps {
     * bounded driver-side collect of the index design). Shared by the
     * indexed query path and [[appendAnnIndex]].
     */
-  private[queries] def loadPqModel(spark: SparkSession, modelTab: String,
+  private[graft] def loadPqModel(spark: SparkSession, modelTab: String,
       subspaces: Int): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
     val model = spark.table(modelTab).collect()
     def vecsOf(kind: String, m: Int): Seq[Seq[Double]] =
       model.filter(r => r.getString(0) == kind && r.getInt(1) == m)
         .sortBy(_.getInt(2)).map(_.getSeq[Double](3).toSeq).toSeq
     (vecsOf("coarse", 0), (0 until subspaces).map(m => vecsOf("book", m)))
+  }
+
+  /** The SCALED index's model as primitive arrays — the live streaming
+    * gate's state function recomputes per-posting ADC terms from these
+    * constants instead of shipping per-row lookup tables through the
+    * stateful shuffle (kSub·subspaces doubles per (arrival × probe) row;
+    * see [[graft.streaming.EventStream.semanticLivePairs]]). Driver-side
+    * bounded collect, closure-captured by the state function.
+    */
+  private[graft] def scaledPqModelArrays(spark: SparkSession, dir: String,
+      subspaces: Int = IncSemSubspaces)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val (_, modelTab, _) = ensureScaledAnnIndex(spark, dir, subspaces)
+    val (coarse, books) = loadPqModel(spark, modelTab, subspaces)
+    (coarse.map(_.toArray).toArray, books.map(_.map(_.toArray).toArray).toArray)
   }
 
   /** Append NEW vectors to the persisted IVFADC index — the maintenance
@@ -2670,7 +2673,56 @@ object SimOps {
     val (codesTab, modelTab, _) = ensureScaledAnnIndex(spark, dir, subspaces)
     val (coarse, books) = loadPqModel(spark, modelTab, subspaces)
     val nTrained = coarse.length
-    val e = PqEncExprs(coarse, books, subspaces, residual = true)
+    // Probe side, round-18 shape (guide §1.2 step 2 after step 1):
+    //  - hash-repartition the arrivals BEFORE the heavy work: the
+    //    arrivals scan is typically one file → ONE partition, and the
+    //    whole per-row kernel chained narrowly into that single task
+    //    while the rest of the machine idled (thread-sampled: one hot
+    //    task per micro-batch in the live gate). The partition count
+    //    follows spark.sql.shuffle.partitions (cpus for batch, the
+    //    statePartitions conf under the streaming runners) — scale-
+    //    adaptive, not a local constant; ~64 slim bytes/row cross.
+    //  - ONE native kernel (PqProbeEnc) computes probes + residual +
+    //    codes + ADC tables per arrival, replacing the interpreted
+    //    zip_with/array_sort/transform chain and subspaces separate
+    //    table columns (~1 ms CPU per (arrival × probe) row measured;
+    //    bit-identity to the old chain spec-pinned in
+    //    PqProbeEncExprSpec via [[pqProbeChainHof]]).
+    // `tbls` is a GENERATOR output attribute, so per-posting consumers
+    // reference a bound column — CollapseProject cannot inline the
+    // table build into a consumer lambda (the round-17 ~4e12-op trap
+    // this frame's scaladoc used to guard with a join boundary).
+    val probed = arrivals
+      .repartition(col("vec_id"))
+      .select(col("vec_id").as("n_id"), col("embD").as("n_emb"),
+        explode(graft.functions.PqProbeEncExpr.pqProbeEnc(
+          col("embD"), coarse, books, math.min(nprobe, nTrained))).as("pr"))
+      .select(col("n_id"), col("n_emb"), col("pr.pos").as("pos"),
+        col("pr.cell").as("cell"), col("pr.codes").as("codes"),
+        col("pr.tbls").as("tbls"))
+    // The in-plan inverted file: one posting-array row per cell (the
+    // index holds the arriving slice too — appended as it landed —
+    // so the corpus side excludes it, as the unbounded twin does).
+    val cellCand = spark.table(codesTab)
+      .select(col("b_id"), col("cell").cast("int").as("cell"), col("codes"))
+      .filter(col("b_id") % excludeMod =!= excludeRem)
+      .groupBy("cell")
+      .agg(collect_list(struct(col("b_id"), col("codes"))).as("cands"))
+    probed.join(cellCand, Seq("cell"), "left")
+  }
+
+  /** The expression-chain twin of [[graft.functions.PqProbeEncExpr
+    * .pqProbeEnc]] — the pre-round-18 probe/encode pipeline, kept
+    * SOLELY so PqProbeEncExprSpec can assert the native kernel
+    * bit-identical on the real corpus (the adcTopcHof discipline).
+    * Input: columns `vec_id`, `embD`; output (n_id, pos, cell, codes,
+    * tbls), one row per (arrival × probed cell).
+    */
+  private[graft] def pqProbeChainHof(arrivals: DataFrame,
+      coarse: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+      subspaces: Int, nprobe: Int, residual: Boolean = true): DataFrame = {
+    val nTrained = coarse.length
+    val e = PqEncExprs(coarse, books, subspaces, residual)
     val probed = arrivals
       .withColumn("cdists",
         graft.functions.VectorExprs.centroidDists(col("embD"), coarse))
@@ -2682,26 +2734,13 @@ object SimOps {
       .select(col("vec_id").as("n_id"), col("embD").as("n_emb"),
         posexplode(col("probes")).as(Seq("pos", "cell")))
       .withColumn("enc", e.enc(col("n_emb"), col("cell")))
-    val tabled = (0 until subspaces).foldLeft(probed) {
+    (0 until subspaces).foldLeft(probed) {
         (df, m) => df.withColumn(s"sd$m", e.subDists(col("enc"), m))
       }
       .withColumn("tbls", array((0 until subspaces).map(m => col(s"sd$m")): _*))
-      // the arrival's PQ codes under THIS probed cell (argmin per
-      // subspace over the same sd arrays) — at `pos` 0 these equal the
-      // codes a pqEncodeCorpus pass would store for it
       .withColumn("codes", array((0 until subspaces).map(m =>
         expr(s"CAST(array_position(sd$m, array_min(sd$m)) AS INT)")): _*))
-      .select(col("n_id"), col("n_emb"), col("pos"), col("cell"),
-        col("codes"), col("tbls"))
-    // The in-plan inverted file: one posting-array row per cell (the
-    // index holds the arriving slice too — appended as it landed —
-    // so the corpus side excludes it, as the unbounded twin does).
-    val cellCand = spark.table(codesTab)
-      .select(col("b_id"), col("cell").cast("int").as("cell"), col("codes"))
-      .filter(col("b_id") % excludeMod =!= excludeRem)
-      .groupBy("cell")
-      .agg(collect_list(struct(col("b_id"), col("codes"))).as("cands"))
-    tabled.join(cellCand, Seq("cell"), "left")
+      .select(col("n_id"), col("pos"), col("cell"), col("codes"), col("tbls"))
   }
 
   private[graft] def semanticTopcCandidates(spark: SparkSession, dir: String,

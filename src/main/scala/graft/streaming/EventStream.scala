@@ -858,6 +858,13 @@ object EventStream {
       try org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
       catch { case _: Exception => () }
     }
+    // Dev diagnostics (GRAFT_STREAM_DBG=1): per-micro-batch duration
+    // breakdown — addBatch vs planning vs commit — the round-18 lever
+    // that exposed the single-task frame stage.
+    if (sys.env.contains("GRAFT_STREAM_DBG"))
+      q.recentProgress.foreach(p => System.err.println(
+        s"[stream-dbg] batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durations=${p.durationMs}"))
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     if (exact && dataBatches != minBatches)
       throw new IllegalStateException(
@@ -2444,9 +2451,50 @@ object EventStream {
     */
   final case class LiveAdc(adc: Double, b_id: Long)
   final case class LiveProbeIn(n_id: Long, pos: Int, cell: Int,
-      codes: Seq[Int], tbls: Seq[Seq[Double]], scored: Option[Seq[LiveAdc]])
-  final case class LivePosting(id: Long, codes: Seq[Int])
+      codes: Array[Int], emb: Array[Double], scored: Option[Seq[LiveAdc]])
+  final case class LivePosting(id: Long, codes: Array[Int])
   final case class LivePair(n_id: Long, b_id: Long, adc: Double, live: Boolean)
+
+  /** Live-tier ADC of one stored posting against an arrival's residual —
+    * the state-side twin of the in-plan lookup-table read
+    * `Σ_m tbls(m)(codes(m)-1)`: per subspace, the squared L2 distance of
+    * the residual's sub-slice to the posting's codeword, summed in
+    * ascending subspace order. Bit-identical to the expression path by
+    * construction — the inner fold is [[graft.functions.CentroidDists]]'s
+    * `d += (v_j - c_j)²` in the same j order, and the outer ascending-m
+    * sum matches the table-read loop (spec-pinned on the real corpus in
+    * EventStreamSpec). Recomputing ≈ sub mults per (posting, subspace)
+    * beats shipping kSub·subspaces doubles per row through the stateful
+    * shuffle whenever postings-per-cell < kSub — and the live cell lists
+    * are O(arrivals/cells) while kSub is 256.
+    */
+  private[streaming] def liveAdcRaw(enc: Array[Double], codes: Array[Int],
+      books: Array[Array[Array[Double]]], sub: Int): Double = {
+    var a = 0.0
+    var m = 0
+    while (m < codes.length) {
+      val cw = books(m)(codes(m) - 1)
+      val off = m * sub
+      var d = 0.0
+      var j = 0
+      while (j < sub) { val t = enc(off + j) - cw(j); d += t * t; j += 1 }
+      a += d
+      m += 1
+    }
+    a
+  }
+
+  /** Residual of an arrival vs its probed cell's coarse centroid — the
+    * state-side twin of the in-plan `zip_with(v, coarse(cell), a - b)`
+    * (same elementwise subtraction, same order).
+    */
+  private[streaming] def liveResidual(emb: Array[Double],
+      cent: Array[Double]): Array[Double] = {
+    val enc = new Array[Double](emb.length)
+    var j = 0
+    while (j < emb.length) { enc(j) = emb(j) - cent(j); j += 1 }
+    enc
+  }
 
   /** Candidate-pair stage of c5_stream_semantic_live: per (arrival ×
     * probed cell), emit the cell's STATIC ADC top-c (stored corpus
@@ -2482,18 +2530,31 @@ object EventStream {
       nprobe: Int = graft.queries.SimOps.LiveNprobe)
       : org.apache.spark.sql.Dataset[LivePair] = {
     import spark.implicits._
+    // Model constants for the state function (driver-side bounded
+    // collect, closure-captured): the live tier recomputes each
+    // posting's ADC from (arrival residual × codeword) directly —
+    // shipping the raw 64-double embedding per row instead of the
+    // kSub·subspaces-double lookup tables cuts the stateful shuffle's
+    // row payload ~kSub·subspaces/dim (≈64× at 16×256) and drops the
+    // boxed Seq[Seq[Double]] encoder from the hot path (guide §2.3:
+    // shuffle keys and metadata, not payloads). The STATIC tier is
+    // untouched: its tables stay in-plan, consumed by the native
+    // AdcTopC before the shuffle.
+    val (coarseArr, booksArr) =
+      graft.queries.SimOps.scaledPqModelArrays(spark, sfDir)
+    val subLen = coarseArr(0).length / booksArr.length
     val frame = graft.queries.SimOps
       .semanticProbeFrame(spark, sfDir, arrivals, nprobe,
         excludeMod = LiveSliceMod, excludeRem = LiveSliceRem)
       .withColumn("scored",
         graft.functions.AdcTopCExpr.adcTopC(col("cands"), col("tbls"), topc))
       .select(col("n_id"), col("pos"), col("cell"), col("codes"),
-        col("tbls"), col("scored"))
+        col("n_emb").as("emb"), col("scored"))
       .as[LiveProbeIn]
     frame.groupByKey(_.cell)
       .flatMapGroupsWithState[Seq[LivePosting], LivePair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case (_, rows, state: GroupState[Seq[LivePosting]]) =>
+        case (cell, rows, state: GroupState[Seq[LivePosting]]) =>
           val postings = scala.collection.mutable.ArrayBuffer
             .from(state.getOption.getOrElse(Seq.empty))
           // id order within the batch = arrival order (id-ordered
@@ -2501,15 +2562,14 @@ object EventStream {
           // strictly j < i
           val batch = rows.toArray.sortBy(_.n_id)
           val out = scala.collection.mutable.ArrayBuffer.empty[LivePair]
+          val cent = coarseArr(cell - 1)
           batch.foreach { r =>
             r.scored.getOrElse(Seq.empty).foreach(s =>
               out += LivePair(r.n_id, s.b_id, s.adc, live = false))
-            val m = r.tbls.length
+            val enc = liveResidual(r.emb, cent)
             val live = postings.map { p =>
-              var a = 0.0
-              var i = 0
-              while (i < m) { a += r.tbls(i)(p.codes(i) - 1); i += 1 }
-              (java.math.BigDecimal.valueOf(a)
+              (java.math.BigDecimal.valueOf(
+                liveAdcRaw(enc, p.codes, booksArr, subLen))
                 .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(),
                 p.id)
             }

@@ -971,6 +971,55 @@ class EventStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("live-gate in-state ADC recompute is bit-identical to the in-plan tables") {
+    // The round-18 optimization replaced the stateful stage's per-row
+    // kSub·subspaces-double lookup tables with an in-state recompute
+    // from the raw embedding + the broadcast model (liveResidual +
+    // liveAdcRaw). The live tier's ADC values must stay EXACTLY the
+    // doubles the table path produced (the oracle replays them through
+    // one arithmetic): per (arrival × probed cell) row of the real
+    // corpus frame, score every stored posting of that cell both ways
+    // and assert raw-double equality — before any rounding, so even a
+    // 1-ulp fold-order drift fails.
+    val arrivals = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") % 5 === 2)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embD"))
+      .orderBy("vec_id").limit(12)
+    val frame = graft.queries.SimOps.semanticProbeFrame(
+        spark, sf, arrivals, nprobe = graft.queries.SimOps.LiveNprobe,
+        excludeMod = graft.queries.SimOps.LiveSliceMod,
+        excludeRem = graft.queries.SimOps.LiveSliceRem)
+      .filter(col("cands").isNotNull)
+      .select(col("cell"), col("n_emb"), col("tbls"),
+        expr("transform(cands, c -> c.codes)").as("postings"))
+      .collect()
+    assert(frame.nonEmpty, "no (arrival × cell) rows with postings")
+    val (coarseArr, booksArr) =
+      graft.queries.SimOps.scaledPqModelArrays(spark, sf)
+    val subLen = coarseArr(0).length / booksArr.length
+    var compared = 0L
+    frame.foreach { r =>
+      val cell = r.getInt(0)
+      val emb = r.getSeq[Double](1).toArray
+      val tbls = r.getSeq[scala.collection.Seq[Double]](2).map(_.toIndexedSeq)
+      val enc = EventStream.liveResidual(emb, coarseArr(cell - 1))
+      r.getSeq[scala.collection.Seq[Int]](3).foreach { codesSeq =>
+        val codes = codesSeq.toArray
+        var viaTables = 0.0
+        var m = 0
+        while (m < codes.length) {
+          viaTables += tbls(m)(codes(m) - 1); m += 1
+        }
+        val recomputed = EventStream.liveAdcRaw(enc, codes, booksArr, subLen)
+        assert(recomputed == viaTables,
+          s"ADC drift: recomputed $recomputed != table read $viaTables " +
+            s"(cell $cell, codes ${codes.mkString(",")})")
+        compared += 1
+      }
+    }
+    assert(compared > 100L, s"only $compared postings compared — vacuous")
+  }
+
   test("c5_stream_neardup == batch c2_minhash_lsh assignment on the corpus") {
     // Id-ordered two-batch arrival makes the streamed per-prefix
     // decisions coincide with the batch assignment — the equality the
