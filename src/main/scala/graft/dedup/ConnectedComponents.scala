@@ -104,6 +104,17 @@ object ConnectedComponents {
     dir.foreach(spark.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
       if (dir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // Driver-local finish threshold (edges). Star contraction shrinks the
+    // edge set geometrically; once it fits a bounded driver collect, the
+    // remaining O(log n) distributed rounds (each: two self-joins, two
+    // aggregations, a distinct, a checkpoint and 1-2 convergence actions)
+    // are pure scheduling overhead — finish with a local union-find
+    // instead. 0 disables (always run the distributed fixpoint); the
+    // default bounds the collect at ~16 MB of longs regardless of corpus
+    // size, so the driver posture is unchanged at 100 TB: the big graph
+    // still contracts distributedly, only the tail rounds collapse.
+    val localEdgeThreshold =
+      spark.conf.get("spark.graft.cc.localEdgeThreshold", "1000000").toLong
 
     // Oriented canonical form: (u, v) with u > v.
     var e = truncate(edges
@@ -118,6 +129,14 @@ object ConnectedComponents {
     var converged = eCount == 0
     var round = 0
     while (!converged && round < maxRounds) {
+      // Local finish is valid at ANY round boundary: contraction rounds
+      // preserve the node set (every non-root node keeps an edge to a
+      // smaller component member until fixpoint; roots stay reachable as
+      // edge targets) and never merge or split components, so the
+      // union-find over the current edge set yields exactly the fixpoint
+      // star mapping (doc -> component min). Pinned against the
+      // distributed fixpoint in DedupSpec.
+      if (eCount <= localEdgeThreshold) return localStarFinish(e)
       // large-star: symmetrize; for each node u, attach every LARGER
       // neighbor to m(u) = min(N(u) ∪ {u}). sym feeds two consumers
       // (lMins + the join probe); persist it for the round so the union
@@ -157,12 +176,51 @@ object ConnectedComponents {
       round += 1
     }
     // Star graph: every non-root points straight at its component root.
+    starReadOff(e)
+  }
+
+  /** Read the (doc_id, rep) relation off a CONVERGED star edge set. */
+  private def starReadOff(e: DataFrame): DataFrame =
     e.groupBy("u").agg(min(col("v")).as("rep"))
       .select(col("u").as("doc_id"), col("rep"))
       .unionByName( // roots themselves
         e.select(col("v").as("doc_id")).distinct()
           .join(e.select(col("u").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
           .withColumn("rep", col("doc_id")))
+
+  /** Driver-local union-find finish over a bounded edge collect — the
+    * same (doc_id, rep = component min, roots included) relation the
+    * distributed fixpoint produces, computed in one pass instead of
+    * O(log n) additional rounds. Deterministic regardless of collect
+    * order: union always keeps the smaller root, so every node resolves
+    * to its component's minimum id; output rows are emitted in ascending
+    * doc_id. Path compression keeps the pass near-linear.
+    */
+  private def localStarFinish(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val pairs = e.select(col("u"), col("v")).as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { x = p; p = parent.getOrDefault(x, x) }
+      var y = x0 // path compression
+      while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
+      x
+    }
+    val nodes = new java.util.TreeSet[java.lang.Long]()
+    pairs.foreach { case (u, v) =>
+      nodes.add(u); nodes.add(v)
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val out = nodes.iterator().asScala
+      .map(n => (n.longValue(), find(n.longValue()))).toSeq
+    spark.createDataset(out).toDF("doc_id", "rep")
   }
 
   /** Engine-side structural verification of a CC labelling against the

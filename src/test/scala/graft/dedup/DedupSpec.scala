@@ -428,6 +428,44 @@ class DedupSpec extends SparkSuite {
       "empty sets are duplicates of each other, not of anything else")
   }
 
+  test("starRoots driver-local finish matches the distributed fixpoint (incl. mid-loop entry)") {
+    import spark.implicits._
+    // Random multigraph with chains, cliques and isolated pairs, plus a
+    // union-find ground truth computed independently.
+    val rnd = new scala.util.Random(7)
+    val n = 4000
+    val raw = Seq.fill(3000)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val edges = raw.toDF("u", "v")
+    val root = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (root(x) != x) root(x) = find(root(x)); root(x) }
+    raw.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) root(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = raw.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v.toInt).toLong).toMap
+    val key = "spark.graft.cc.localEdgeThreshold"
+    def run(threshold: String): Map[Long, Long] = {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, threshold)
+      try ConnectedComponents.starRoots(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key)
+      }
+    }
+    val distributed = run("0")          // local finish disabled: pure fixpoint
+    val immediateLocal = run("10000000") // engages before any round
+    // engages MID-LOOP: first round(s) run distributed, the contracted
+    // tail finishes locally (the round-boundary node/component-
+    // preservation claim the scaladoc makes)
+    val midLoop = run(raw.size./(2).toString)
+    assert(distributed === truth, "distributed fixpoint diverged from union-find truth")
+    assert(immediateLocal === truth, "immediate local finish diverged")
+    assert(midLoop === truth, "mid-loop local finish diverged")
+  }
+
   test("starRoots with a durable checkpoint dir matches the localCheckpoint path") {
     import spark.implicits._
     // a chain (1-2-3-4), a triangle (10-11-12), an isolated edge (20-21)
