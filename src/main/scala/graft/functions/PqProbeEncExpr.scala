@@ -42,9 +42,8 @@ object PqProbeEncExpr {
   def pqProbeEnc(v: Column, coarse: Seq[Seq[Double]],
       books: Seq[Seq[Seq[Double]]], nprobe: Int,
       residual: Boolean = true): Column =
-    ColumnBridge.column(PqProbeEnc(ColumnBridge.expression(v),
-      coarse.map(_.toArray).toArray,
-      books.map(_.map(_.toArray).toArray).toArray, nprobe, residual))
+    ColumnBridge.column(
+      PqProbeEnc(ColumnBridge.expression(v), coarse, books, nprobe, residual))
 }
 
 /** JVM implementation shared by interpreted eval and generated code
@@ -130,13 +129,24 @@ object PqProbeEncImpl {
   }
 }
 
-/** See [[PqProbeEncExpr.pqProbeEnc]]. */
-case class PqProbeEnc(child: Expression, coarse: Array[Array[Double]],
-    books: Array[Array[Array[Double]]], nprobe: Int, residual: Boolean)
+/** See [[PqProbeEncExpr.pqProbeEnc]]. The model is stored as Seq (value
+  * equality) so two identical expressions compare equal — Array params
+  * would break Catalyst canonicalization/semanticEquals and
+  * common-subexpression dedup (the CentroidDists pattern); the primitive
+  * arrays the kernel runs over are rebuilt per JVM in @transient lazy
+  * vals.
+  */
+case class PqProbeEnc(child: Expression, coarse: Seq[Seq[Double]],
+    books: Seq[Seq[Seq[Double]]], nprobe: Int, residual: Boolean)
     extends UnaryExpression {
 
   require(nprobe > 0, "nprobe must be positive")
   require(coarse.nonEmpty && books.nonEmpty, "empty PQ model")
+
+  @transient private lazy val coarseArr: Array[Array[Double]] =
+    coarse.map(_.toArray).toArray
+  @transient private lazy val booksArr: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -152,11 +162,11 @@ case class PqProbeEnc(child: Expression, coarse: Array[Array[Double]],
 
   override def nullSafeEval(v: Any): Any =
     PqProbeEncImpl.probes(
-      v.asInstanceOf[ArrayData], coarse, books, nprobe, residual)
+      v.asInstanceOf[ArrayData], coarseArr, booksArr, nprobe, residual)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val coarseRef = ctx.addReferenceObj("coarse", coarse, "double[][]")
-    val booksRef = ctx.addReferenceObj("books", books, "double[][][]")
+    val coarseRef = ctx.addReferenceObj("coarse", coarseArr, "double[][]")
+    val booksRef = ctx.addReferenceObj("books", booksArr, "double[][][]")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.functions.PqProbeEncImpl.probes(" +
         s"$v, $coarseRef, $booksRef, $nprobe, $residual);")

@@ -566,10 +566,11 @@ object SimOps {
     * never corpus-sized.
     */
   private def pqQueryTables(base: DataFrame, coarse: Seq[Seq[Double]],
-      books: Seq[Seq[Seq[Double]]], subspaces: Int, nCells: Int, nprobe: Int,
+      books: Seq[Seq[Seq[Double]]], subspaces: Int, nprobe: Int,
       queryMod: Int, residual: Boolean): DataFrame = {
-    // probe indices run over coarse.length, not the requested nCells —
-    // see c3AnnIvf's nTrained comment (null-padded zip = phantom probes).
+    // probe indices run over coarse.length — the TRAINED cell count, which
+    // the kernel derives from the model itself; see c3AnnIvf's nTrained
+    // comment (null-padded zip = phantom probes).
     // One native PqProbeEnc kernel per query row (probe ranking +
     // residual + per-probe tables fused; bit-identity to the old
     // expression chain spec-pinned in PqProbeEncExprSpec).
@@ -636,7 +637,7 @@ object SimOps {
         pqBooks(sample, subspaces, kSub))
     val corpus = pqEncodeCorpus(base, coarse, books, subspaces, residual)
     val queries = pqQueryTables(
-      base, coarse, books, subspaces, nCells, nprobe, queryMod, residual)
+      base, coarse, books, subspaces, nprobe, queryMod, residual)
     graft.util.CacheScope.releaseAfterMaterialize(
       adcTopK(corpus, queries, k, subspaces), Seq(base))
   }
@@ -1318,7 +1319,7 @@ object SimOps {
     val (coarse, books) = loadPqModel(spark, modelTab, subspaces)
     val queries = pqQueryTables(
       emb(spark, dir).select(col("vec_id"), asDouble(col("embedding")).as("embD")),
-      coarse, books, subspaces, nCells, nprobe, queryMod, residual = true)
+      coarse, books, subspaces, nprobe, queryMod, residual = true)
     val corpus = spark.table(codesTab)
       .select(col("b_id"), col("cell").cast("int").as("cell"), col("codes"))
     adcTopK(corpus, queries, k, subspaces)
@@ -1344,7 +1345,7 @@ object SimOps {
     val (coarse, books) = loadPqModel(spark, modelTab, subspaces)
     val queries = pqQueryTables(
       emb(spark, dir).select(col("vec_id"), asDouble(col("embedding")).as("embD")),
-      coarse, books, subspaces, nCells, nprobe, queryMod, residual = true)
+      coarse, books, subspaces, nprobe, queryMod, residual = true)
       .join(emb(spark, dir).select(col("vec_id").as("q_id"), col("label")), "q_id")
     val corpus = spark.table(codesTab)
       .select(col("b_id"), col("cell").cast("int").as("cell"),
@@ -1379,7 +1380,7 @@ object SimOps {
       .select(col("vec_id"), asDouble(col("embedding")).as("embD"))
     val qLab = emb(spark, dir).select(col("vec_id").as("q_id"), col("label"))
     val q1 = pqQueryTables(
-      base, coarse, books, subspaces, nCells, nprobe, queryMod,
+      base, coarse, books, subspaces, nprobe, queryMod,
       residual = true)
       .join(qLab, "q_id")
     val corpus = spark.table(codesTab)
@@ -1399,7 +1400,7 @@ object SimOps {
     // cell (nprobe = nCells), so the candidate join below reaches the
     // whole label slice of the codes table for them
     val q2 = pqQueryTables(
-      base, coarse, books, subspaces, coarse.length, coarse.length, queryMod,
+      base, coarse, books, subspaces, coarse.length, queryMod,
       residual = true)
       .join(broadcast(starved), "q_id")
       .join(qLab, "q_id")
@@ -1543,7 +1544,7 @@ object SimOps {
       resolveCells(spark, dir, nCells), subspaces, kSub)
     val corpusCodes = pqEncodeCorpus(base, coarse, books, subspaces, residual = true)
     val queries = pqQueryTables(
-      base, coarse, books, subspaces, nCells, nprobe, queryMod, residual = true)
+      base, coarse, books, subspaces, nprobe, queryMod, residual = true)
     val annAdc = adcTopK(corpusCodes, queries, k, subspaces)
       .select(col("q_id"), col("b_id"))
     // the SAME candidates the ADC ranked, re-scored with the exact L2:

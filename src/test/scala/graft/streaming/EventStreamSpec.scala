@@ -1076,6 +1076,34 @@ class EventStreamSpec extends SparkSuite {
       "degenerate corpus: all-novel or all-duplicate decisions")
   }
 
+  test("skipping the no-data finalization batch leaves opted-in results identical") {
+    // One representative per opted-in class (see runToParquet's
+    // withNoDataBatchesSkipped scaladoc): dedup-key state, stream-stream
+    // INNER join buffers, the NoTimeout flatMapGroupsWithState gate, and
+    // the multi-batch incremental dedup. Each runs with the skip active
+    // (the default) and with the kill-switch forcing the finalizing
+    // batch back on; the sinks must be identical — the no-data batch
+    // only evicts state for these operators, it never emits.
+    val key = "spark.graft.stream.skipNoDataBatches"
+    val fams = Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)](
+      "dedup" -> (EventStream.c5StreamDedup(_, _)),
+      "join" -> (EventStream.c5StreamJoin(_, _)),
+      "session_state" -> (EventStream.c5StreamSessionizeState(_, _)),
+      "neardup" -> (EventStream.c5StreamNearDup(_, _)),
+      "dedup_incr" -> (EventStream.c5StreamDedupIncr(_, _)))
+    fams.foreach { case (name, q) =>
+      val skipped = q(spark, sf).collect().map(_.toString).sorted
+      spark.conf.set(key, "false")
+      try {
+        val finalized = q(spark, sf).collect().map(_.toString).sorted
+        assert(skipped.sameElements(finalized),
+          s"$name: skipping the no-data batch changed the result " +
+            s"(${finalized.length} vs ${skipped.length} rows)")
+      } finally spark.conf.unset(key)
+    }
+  }
+
   test("state-store provider independence: RocksDB results == default-store results") {
     // One representative query per non-tws state family (tws is ALWAYS
     // RocksDB), each run under both providers in-process: windowed

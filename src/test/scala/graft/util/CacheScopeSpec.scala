@@ -42,15 +42,32 @@ class CacheScopeSpec extends SparkSuite {
     }
   }
 
+  /** Spin until the cached-RDD count is stable for a few consecutive
+    * polls — drains a PREVIOUS test's async listener releases so the
+    * baseline below is quiescent and the assertion can stay strict.
+    */
+  private def stableCachedCount(): Int = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var last = cachedCount
+    var stable = 0
+    while (stable < 3 && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      val now = cachedCount
+      if (now == last) stable += 1 else { stable = 0; last = now }
+    }
+    last
+  }
+
   test("an unmaterialized operator holds no storage, only bookkeeping") {
-    val baseline = cachedCount
+    // Drain pending async releases from earlier tests first, then pin
+    // STRICT equality: building a plan must neither add storage nor
+    // release existing cached blocks (a registration that wrongly
+    // dropped other caches would slip through a `<=` check).
+    val baseline = stableCachedCount()
     // Build but never materialize: persist() alone computes nothing, so
-    // no blocks are stored and the pending entry is inert. `<=` rather
-    // than `==`: the baseline may still include a block whose async
-    // release (from a previous test's listener) drains mid-test — going
-    // BELOW baseline is fine, only net-new storage is a violation.
+    // no blocks are stored and the pending entry is inert.
     SparkEntry.queries("c2_simhash")(spark, sf)
-    assert(cachedCount <= baseline)
+    assert(cachedCount == baseline)
   }
 
   test("never-materialized registrations are bounded (oldest evicted)") {
