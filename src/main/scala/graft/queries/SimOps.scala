@@ -1472,11 +1472,23 @@ object SimOps {
     * downstream frame is query-set-sized, never corpus-sized.
     */
   private def recallHits(ann: DataFrame, bf: DataFrame): DataFrame = {
-    val hits = bf.join(ann, Seq("q_id", "b_id"), "left_semi")
+    // The ground-truth side feeds TWO branches of this frame (the hit
+    // semi join and the distinct-q_id spine), and several callers read
+    // the returned frame more than once — unpersisted, the brute-force
+    // top-k subtree (an |queries| × corpus cosine pass plus its rank
+    // window) re-executed once per branch inside the final plan
+    // (measured: ~3 s of c3_ann_staleness's ~7 s steady state at
+    // sf0.1). Persist it for the result's lifetime; CacheScope releases
+    // it after the first action that materializes a plan containing
+    // this frame.
+    val bfp = bf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hits = bfp.join(ann, Seq("q_id", "b_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
-    bf.select(col("q_id")).distinct()
-      .join(hits, Seq("q_id"), "left")
-      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+    graft.util.CacheScope.releaseAfterMaterialize(
+      bfp.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L))),
+      Seq(bfp))
   }
 
   def c3AnnRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
@@ -2909,6 +2921,9 @@ object SimOps {
     val queries = grown
       .filter(isQuery(col("vec_id") % lit(DriftIdOffset), queryMod))
       .select(col("vec_id").as("q_id"), col("embD").as("q_emb"))
+    // NOT persisted here: recallHits persists its ground-truth side for
+    // the result's lifetime, and both hits() calls below pass this same
+    // frame — one compute, four branch reads.
     val bf = exactCosineTopK(
       grown.select(col("vec_id").as("b_id"), col("embD").as("b_emb")),
       queries, k).select(col("q_id"), col("b_id"))
