@@ -299,18 +299,22 @@ class PlanAuditSpec extends SparkSuite {
     // c2_incremental_cc's contract: the corpus participates only through
     // the persisted layout — the labels table carries the contracted
     // nodes, and the contracted star CC runs at construction over the
-    // O(batch + touched clusters) edge set (its checkpoint appears here
-    // as an ExistingRDD leaf — the evidence the CC was contracted, not
-    // an in-plan corpus CC). The final plan may therefore contain NO
-    // raw documents FileScan (the batch slice is cached) and no MinHash
-    // signature over anything but the cached batch.
+    // O(batch + touched clusters) edge set. Its result appears here as a
+    // pre-computed leaf — either the loop checkpoint's ExistingRDD scan
+    // or, since the round-19 driver-local finish (the contracted edge
+    // set fits the bounded collect), a LocalTableScan of the assignment
+    // relation. Both are evidence the CC was contracted at construction,
+    // not run as an in-plan corpus CC. The final plan may therefore
+    // contain NO raw documents FileScan (the batch slice is cached) and
+    // no MinHash signature over anything but the cached batch.
     val plan = graft.SparkEntry.queries("c2_incremental_cc")(spark, sf)
       .queryExecution.sparkPlan
     val leaves = plan.collectLeaves().map(_.toString)
     assert(leaves.exists(_.contains("graft_mh_lab_")),
       s"no persisted labels-table scan in the plan:\n$plan")
-    assert(leaves.exists(_.startsWith("Scan ExistingRDD")),
-      s"no checkpointed contracted-CC leaf in the plan:\n$plan")
+    assert(leaves.exists(l => l.startsWith("Scan ExistingRDD") ||
+        l.startsWith("LocalTableScan")),
+      s"no pre-computed contracted-CC leaf in the plan:\n$plan")
     val docScans = leaves.filter(l =>
       l.startsWith("FileScan") && l.contains("documents"))
     assert(docScans.isEmpty,
